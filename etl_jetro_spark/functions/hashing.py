@@ -1,0 +1,157 @@
+"""Portable hashing primitives for dedup / fingerprinting / LSH.
+
+Design constraint: every hash here must be computable bit-for-bit in BOTH
+Spark SQL and DuckDB (the correctness oracle). ``md5`` of a UTF-8 string is
+the one hash both engines share, so:
+
+- a *minhash permutation* is ``min(md5(seed || ':' || shingle))`` — the
+  lexicographic minimum of a uniformly-distributed hex string is a valid
+  min-wise hash, no integer conversion needed;
+- an *LSH band key* is ``md5(concat_ws(',', band slice of the signature))``;
+- a *simhash* is built from the first 16 hex digits of md5 interpreted
+  digit-by-digit (4 bits each) — emitted as a 64-char '0'/'1' string to stay
+  integer-overflow-free and engine-portable.
+
+All pure Column expressions (higher-order functions) — no Python UDFs, so
+shingling + hashing stays in the JVM and scales linearly with input splits
+(no shuffle until the LSH band group-by).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def norm_text(col: str | Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, strip non-alnum
+    (keeping spaces), collapse whitespace."""
+    s = F.lower(_c(col))
+    s = F.regexp_replace(s, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(col))
+
+
+def char_shingles(col: str | Column, n: int = 8) -> Column:
+    """Array of character n-grams of the normalized text (empty array if the
+    text is shorter than n). Expression-only — no explode, no shuffle."""
+    s = norm_text(col)
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0], not [], so short texts
+    # need an explicit empty-array branch.
+    return F.when(
+        F.length(s) < n, F.expr("CAST(array() AS array<string>)")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: F.substring(s, i, n),
+        )
+    )
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) of the normalized text."""
+    words = F.filter(F.split(norm_text(col), " "), lambda w: w != "")
+    cnt = F.size(words)
+    return F.when(cnt < n, F.expr("CAST(array() AS array<string>)")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array<string> of ``num_hashes`` minhash values over a shingle array.
+
+    Permutation ``i`` is ``min(md5(i || ':' || shingle))``; an empty shingle
+    set yields md5 of the seed alone (stable sentinel, still groupable).
+    """
+    sigs = [
+        F.array_min(
+            F.when(F.size(shingles) == 0, F.array(F.md5(F.lit(f"{i}:")))).otherwise(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Array<string> of ``bands`` LSH bucket keys: md5 of each contiguous
+    band slice of the signature. Two docs are candidates iff any key matches."""
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band)),
+            )
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+# hex digit -> value via position in this alphabet (portable: strpos/instr)
+_HEX = "0123456789abcdef"
+
+
+def simhash_bits(shingles: Column) -> Column:
+    """64-char '0'/'1' simhash string over a shingle array.
+
+    For each shingle take md5's first 16 hex digits (64 bits). For each bit
+    position sum (2*bit-1) over shingles; fingerprint bit = 1 iff sum > 0.
+    Pure expressions: an aggregate over the shingle array builds a 64-long
+    vote vector, then a transform renders it.
+    """
+    zeros = F.expr("array_repeat(0L, 64)")
+
+    def add_shingle(acc: Column, s: Column) -> Column:
+        h = F.substring(F.md5(s), 1, 16)
+        # votes for the 64 bits of this shingle's hash
+        return F.zip_with(
+            acc,
+            F.flatten(
+                F.transform(
+                    F.split(h, ""),  # 16 hex chars (split('') keeps each char)
+                    lambda ch: F.transform(
+                        F.sequence(F.lit(3), F.lit(0), F.lit(-1)),
+                        lambda b: F.when(
+                            (
+                                F.floor(
+                                    (F.instr(F.lit(_HEX), ch) - 1)
+                                    / F.pow(F.lit(2.0), b.cast("double"))
+                                ).cast("long")
+                                % 2
+                            )
+                            == 1,
+                            F.lit(1).cast("long"),
+                        ).otherwise(F.lit(-1).cast("long")),
+                    ),
+                )
+            ),
+            lambda a, b: a + b,
+        )
+
+    votes = F.aggregate(shingles, zeros, add_shingle)
+    return F.concat_ws(
+        "", F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0"))
+    )
+
+
+def hamming_distance_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length '0'/'1' strings."""
+    return F.aggregate(
+        F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
