@@ -1,0 +1,45 @@
+"""Relational + training-data operators (SURVEY §2.2–§2.7 and beyond)."""
+
+from etl_jetro_spark.operators.aggregate import first_per_group, latest_by, sum_by  # noqa: F401
+from etl_jetro_spark.operators.canonical import (  # noqa: F401
+    CANONICAL_COLS,
+    PIPELINES,
+    PipelineConfig,
+    branch_fix,
+    to_canonical,
+)
+from etl_jetro_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from etl_jetro_spark.operators.joins import (  # noqa: F401
+    anti_join,
+    broadcast_lookup,
+    map_join,
+    semi_join,
+)
+from etl_jetro_spark.operators.similarity import (  # noqa: F401
+    cosine,
+    cosine_topk,
+    knn_join,
+    lsh_bucket_knn,
+)
+from etl_jetro_spark.operators.sort import (  # noqa: F401
+    lot_last4_key,
+    nth_occurrence,
+    numeric_first_key,
+    sort_numeric_first,
+)
+from etl_jetro_spark.operators.textstats import (  # noqa: F401
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from etl_jetro_spark.operators.unpivot import melt, melt_between  # noqa: F401

@@ -1,0 +1,64 @@
+"""Aggregation operators (SURVEY §2.4 A1–A6).
+
+All shapes are plain hash aggregations — Catalyst gives partial (map-side)
++ final aggregation automatically, so at 100 TB the shuffle carries only
+per-partition partial sums, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_jetro_spark.functions.text import parse_money
+
+
+def sum_by(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    out: str = "sum_value",
+    parse: bool = False,
+    ceil: bool = False,
+    drop_zero: bool = True,
+) -> DataFrame:
+    """(keys) → sum(value) with the reference's trimmings:
+
+    - ``parse``: value cells are messy text → ``parse_money`` first
+      (A2, big_flip_tool.py:203-207)
+    - pre-coerce NULL→0 (A1's ``fillna(0)``, allocation_tool.py:87-91)
+    - ``ceil``: ceil the sum to a long (A2)
+    - ``drop_zero``: post-filter ``sum != 0`` (P8)
+    """
+    v = parse_money(value) if parse else F.col(value) if isinstance(value, str) else value
+    # try_cast: ANSI mode (Spark 4 default) would throw on messy cells;
+    # the reference's fillna(0) semantics want junk -> 0 instead.
+    v = F.coalesce(v.try_cast("double"), F.lit(0.0))
+    agg = F.sum(v)
+    if ceil:
+        agg = F.ceil(agg).cast("long")
+    res = df.groupBy(*keys).agg(agg.alias(out))
+    if drop_zero:
+        res = res.filter(F.col(out) != 0)
+    return res
+
+
+def first_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], cols: list[str]
+) -> DataFrame:
+    """A6: deterministic first row per group (min_by semantics) — used for
+    per-Branch header values in the macro sinks. Single shuffle, no window."""
+    strct = F.struct(*order_by, *[F.col(c) for c in cols])
+    agg = df.groupBy(*keys).agg(F.min(strct).alias("_first"))
+    return agg.select(*keys, *[F.col(f"_first.{c}").alias(c) for c in cols])
+
+
+def latest_by(df: DataFrame, order_col: str, cols: list[str] | None = None) -> DataFrame:
+    """A5: global argmax — the row with the greatest ``order_col`` (newest
+    file by mtime). ``max_by`` aggregates without a sort."""
+    cols = cols or [c for c in df.columns if c != order_col]
+    agg = df.agg(
+        *[F.max_by(F.col(c), F.col(order_col)).alias(c) for c in cols],
+        F.max(order_col).alias(order_col),
+    )
+    return agg.select(*df.columns)

@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document table.
+Scale design notes (the 100 TB story):
+
+- **Exact**: one shuffle on the md5 fingerprint; map-side partial agg makes
+  the shuffle carry (fingerprint, min_id, count) only.
+- **MinHash LSH**: signatures are computed expression-only (no UDF, no
+  shuffle); candidate generation explodes (id, band_key) — bands× row
+  amplification, tiny rows — then a self-equi-join on band_key. No pairwise
+  cartesian anywhere; cost is Σ bucket² over band buckets, the standard LSH
+  bound. Banding parameters tune the S-curve.
+- **SimHash**: 64-bit fingerprint; near-dup candidates share one of 4
+  16-bit chunks (Hamming ≤3 guaranteed caught by pigeonhole with 4 chunks),
+  verified by exact Hamming distance.
+- **n-gram Jaccard**: exact, via shingle inverted index (explode distinct
+  shingles → self-join → count). A document-frequency cap drops
+  ultra-common shingles to kill join skew (hot shingles are worthless for
+  dedup evidence anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_jetro_spark.functions.hashing import (
+    char_shingles,
+    doc_fingerprint,
+    hamming_distance_bits,
+    lsh_band_keys,
+    minhash_signature,
+    simhash_bits,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text: the minimum id wins
+    (deterministic). Returns (id, fingerprint, dup_count)."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fingerprint groups with >1 member — the duplicate clusters."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH banding.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, where est_jaccard is
+    the fraction of agreeing minhash components (unbiased Jaccard estimate).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(text_col, shingle_words), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id", "_sig", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
+    )
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"), "_band")
+    pairs = (
+        a.join(b, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float( num_hashes))
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 2,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share ≥1 of ``chunks``
+    equal fingerprint chunks (pigeonhole: catches all pairs with Hamming <
+    chunks), then verified ``hamming <= max_hamming``.
+
+    Returns (id_a, id_b, hamming).
+    """
+    width = 64 // chunks
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_bits(word_shingles(text_col, shingle_words)).alias("_fp"),
+    )
+    chunked = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{i}:"), F.substring("_fp", i * width + 1, width))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_chunk"),
+    )
+    a = chunked.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fp_a"), "_chunk")
+    b = chunked.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fp_b"), "_chunk")
+    return (
+        a.join(b, "_chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance_bits(F.col("_fp_a"), F.col("_fp_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    use_chars: bool = False,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard similarity over distinct n-gram shingle sets, via an
+    inverted shingle index (no cartesian join).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs —
+    the skew guard for web-scale corpora.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    mk = char_shingles(text_col, n) if use_chars else word_shingles(text_col, n)
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(mk)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq).select("_sh"), "_sh")
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    common = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

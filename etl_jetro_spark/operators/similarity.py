@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a large-scale pipeline needs:
+
+- **Brute-force cosine top-k** — the exact baseline. A single scan computing
+  the score expression-only (zip_with + aggregate: stays in codegen, no
+  Python), then ``orderBy().limit(k)`` which Spark executes as TakeOrdered:
+  per-partition partial top-k, only k rows per partition reach the driver.
+  Linear in corpus size, embarrassingly parallel — this IS the right
+  100 TB plan when you need exact results.
+
+- **Sign-LSH (random hyperplane) bucketing** — the approximate scale path.
+  Each vector gets a b-bit signature of hyperplane signs; hyperplane
+  components are deterministic pseudo-random values derived from md5, so
+  the operator is reproducible across runs/engines. Probes only matching
+  buckets: sublinear candidate sets, tunable recall via bit count and
+  multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a constant query vector.
+
+    Returns (id, score) — ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col), cosine(_vec(vec_col), q).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force k-NN join: for every probe row, its k nearest corpus rows
+    by cosine (excluding itself). Probe set is expected small → broadcast;
+    the corpus streams. Returns (probe_id, neighbor_id, score, rank)."""
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _vec(vec_col).alias("_pv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("_pv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- approximate path ----------------------------------------------------
+
+def _hyperplane(bit: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1), derived
+    from md5 — reproducible across engines and runs, no RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"hp:{bit}:{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / float(0x7FFFFFFF) - 1.0
+
+
+def signature_bits(vec: Column, dims: int, bits: int = 16) -> Column:
+    """b-bit sign-LSH signature string ('0'/'1' chars) of a vector."""
+    parts = []
+    for b in range(bits):
+        plane = F.array(*[F.lit(_hyperplane(b, d)) for d in range(dims)])
+        parts.append(F.when(dot(vec, plane) > 0, "1").otherwise("0"))
+    return F.concat(*parts)
+
+
+def lsh_bucket_knn(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int = 5,
+    bits: int = 12,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate k-NN: candidates must share ≥1 of bits/band_bits signature
+    bands; exact cosine re-ranks candidates. Sublinear vs full cross join.
+
+    Returns (probe_id, neighbor_id, score, rank) like :func:`knn_join` —
+    recall < 1 by construction.
+    """
+    from pyspark.sql import Window
+
+    bands = bits // band_bits
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        v = _vec(vec_col)
+        sig = signature_bits(v, dims, bits)
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"), v.alias(f"_{role}v"), sig.alias("_sig")
+        ).select(
+            f"{role}_id",
+            f"_{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{i}:"), F.substring("_sig", i * band_bits + 1, band_bits)
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("_band"),
+        )
+
+    p = banded(probes, "probe")
+    c = banded(corpus, "neighbor")
+    cand = (
+        c.join(F.broadcast(p), "_band")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("_probev"), F.col("_neighborv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

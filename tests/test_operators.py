@@ -1,0 +1,228 @@
+"""Operator-layer tests (SURVEY §2.3–§2.7) on in-memory fixtures + real parquet."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_jetro_spark import operators as O
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def wide(spark):
+    # allocation-style wide sheet after header promotion (FIXTURES.md §1)
+    return spark.createDataFrame(
+        [
+            ("12345", "desc a", "3", "0", "2.0"),
+            ("67890", "desc b", None, "1", ""),
+            ("12345", "desc a", "1", "4", "x"),
+        ],
+        ["Item#", "Item Description", "114", "449.0", "86"],
+    )
+
+
+def test_melt_u1(spark, wide):
+    long = O.melt(
+        wide.drop("Item Description"),
+        ids=["Item#"],
+        var_name="Branch",
+        value_name="Distro Size",
+    )
+    assert long.columns == ["Item#", "Branch", "Distro Size"]
+    got = rows(long)
+    # '449.0' header cleaned to '449'
+    assert ("12345", "449", "0") in got and ("67890", "86", "") in got
+    assert long.count() == 9
+
+
+def test_melt_numeric_vars_only(spark, wide):
+    long = O.melt(wide, ids=["Item#"], numeric_vars_only=True, var_name="Store")
+    assert set(r["Store"] for r in long.select("Store").distinct().collect()) == {
+        "114", "449", "86",
+    }
+
+
+def test_melt_between(spark):
+    df = spark.createDataFrame(
+        [("a", "d", "1", "2", "lot1", "junk")],
+        ["Item", "DESC", "114", "86.0", "Lot #", "trail"],
+    )
+    long = O.melt_between(df, ["Item", "DESC"], after="DESC", before="Lot #", var_name="Store")
+    assert rows(long.select("Store")) == [("114",), ("86",)]
+
+
+def test_sum_by_a1(spark, wide):
+    long = O.melt(wide, ids=["Item#"], numeric_vars_only=True, var_name="Branch", value_name="v")
+    agg = O.sum_by(long, ["Branch", "Item#"], "v", out="Distro Size")
+    got = {(r["Branch"], r["Item#"]): r["Distro Size"] for r in agg.collect()}
+    # 'x' and '' and NULL coerce to 0; zero groups dropped
+    assert got[("114", "12345")] == 4.0
+    assert got[("449", "12345")] == 4.0
+    assert ("86", "67890") not in got  # '' -> 0 -> dropped
+    assert ("449", "67890") in got
+
+
+def test_sum_by_ceil_parse(spark):
+    df = spark.createDataFrame(
+        [("b1", "i1", "$1.2"), ("b1", "i1", "(0.5)"), ("b2", "i2", "junk")],
+        ["b", "i", "v"],
+    )
+    agg = O.sum_by(df, ["b", "i"], "v", out="s", parse=True, ceil=True)
+    got = {(r["b"], r["i"]): r["s"] for r in agg.collect()}
+    assert got == {("b1", "i1"): 1}  # ceil(0.7)=1; junk->0 dropped
+
+
+def test_first_per_group(spark):
+    df = spark.createDataFrame(
+        [("b1", 3, "x3"), ("b1", 1, "x1"), ("b2", 5, "x5")], ["b", "o", "v"]
+    )
+    got = rows(O.first_per_group(df, ["b"], [F.col("o")], ["v"]))
+    assert got == [("b1", "x1"), ("b2", "x5")]
+
+
+def test_latest_by(spark):
+    df = spark.createDataFrame(
+        [("f1", 10.0), ("f2", 30.0), ("f3", 20.0)], ["path", "mtime"]
+    )
+    assert O.latest_by(df, "mtime").collect()[0]["path"] == "f2"
+
+
+def test_broadcast_lookup_and_map_join(spark):
+    fact = spark.createDataFrame([("114",), (" Lot 7 ",), ("999",)], ["Store"])
+    dim = spark.createDataFrame([("114", "8"), ("lot7", "3")], ["Store", "carrier"])
+    j = O.broadcast_lookup(fact, dim, "Store", normalize=True)
+    got = dict(rows(j.select("Store", "carrier")))
+    assert got["114"] == "8" and got[" Lot 7 "] == "3" and got["999"] is None
+
+    m = O.map_join(fact, {"114": "8", "999": 0}, "Store", "carrier")
+    got = dict(rows(m.select("Store", "carrier")))
+    assert got["114"] == "8" and got["999"] is None  # zero→blank rule
+
+
+def test_anti_semi(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert rows(O.anti_join(left, right, "k")) == [(1,)]
+    assert rows(O.semi_join(left, right, "k")) == [(2,), (3,)]
+
+
+def test_sort_numeric_first(spark):
+    df = spark.createDataFrame([("10",), ("9",), ("abc",), ("100",)], ["Branch"])
+    got = [r["Branch"] for r in O.sort_numeric_first(df, "Branch").collect()]
+    assert got == ["9", "10", "100", "abc"]
+
+
+def test_lot_last4_key(spark):
+    df = spark.createDataFrame(
+        [("498-68594 39024",), ("no digits",), ("x 12",)], ["lot"]
+    )
+    got = [r[0] for r in df.select(O.lot_last4_key("lot")).collect()]
+    assert got == [9024, 10**9, 12]
+
+
+def test_branch_fix(spark):
+    df = spark.createDataFrame([("86",), ("186",), ("7",), ("abc",)], ["b"])
+    got = [r[0] for r in df.select(O.branch_fix("b")).collect()]
+    assert got == [186, 186, 7, None]
+
+
+def test_to_canonical(spark):
+    fact = spark.createDataFrame(
+        [("86", "12", "5"), ("402", "34", "7")], ["Branch", "Item", "Distro Size"]
+    )
+    out = O.to_canonical(fact, O.PIPELINES["247"], edd=F.lit("2026-08-17"))
+    assert out.columns == O.CANONICAL_COLS
+    r = out.collect()[0]
+    assert r["Branch"] == 186 and r["Supplier On Record"] == 81214
+    assert r["WW Buyer"] == "P2E" and str(r["Expected Delivery Date"]) == "2026-08-17"
+
+
+def test_exact_dedup_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = O.exact_dedup(docs, "doc_id", "text")
+    assert d.count() <= docs.count()
+    assert d.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+
+
+def test_minhash_lsh_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words about query engines and shuffles everywhere")],
+        ["doc_id", "text"],
+    )
+    pairs = O.minhash_lsh_candidates(df, "doc_id", "text", num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_simhash_candidates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("kappa", "lambda", 1)), (3, "unrelated short doc")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in O.simhash_candidates(df, "doc_id", "text", max_hamming=8).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    pairs = O.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # shingles(1): {ab,bc,cd,de,ef}; shingles(2): {ab,bc,cd,de,eg} → 4/6
+    assert abs(got[(1, 2)] - 4 / 6) < 1e-9 and (1, 3) not in got
+
+
+def test_cosine_topk_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = O.cosine_topk(emb, "vec_id", "embedding", [float(x) for x in q], k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_and_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = O.knn_join(probes, emb, "vec_id", "embedding", k=3)
+    approx = O.lsh_bucket_knn(probes, emb, "vec_id", "embedding", dims=64, k=3, bits=8, band_bits=2)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 9
+    # approximate recall must be nontrivial with 4 bands of 2 bits
+    assert len(e & a) >= 3
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it jumps over the lazy dog!"), (2, "el la de que y en un 123")],
+        ["doc_id", "text"],
+    )
+    out = O.quality_score(df, "text")
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[1]["q_n_tokens"] == 10
+    assert 0 <= r[1]["quality_score"] <= 1
+    langs = {x["doc_id"]: x["l"] for x in df.select("doc_id", O.lang_id("text").alias("l")).collect()}
+    assert langs[1] == "en" and langs[2] == "es"
+    assert df.select(O.bpe_ish_token_count("text").alias("n")).collect()[0]["n"] == 12
+
+
+def test_multimodal_plumbing(spark):
+    from etl_jetro_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fakepng")), (2, bytearray(b"other")), (3, None)],
+        "media_id long, content binary",
+    )
+    feats = MM.extract_features(MM.attach_meta(df))
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == 7 and 64 <= got[1]["thumb_w"] < 256
+    assert got[3]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in MM.extract_features(df).collect()}
+    assert again[1] == got[1]["feature"]
