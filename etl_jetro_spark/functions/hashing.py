@@ -74,15 +74,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     Permutation ``i`` is ``min(md5(i || ':' || shingle))``; an empty shingle
     set yields md5 of the seed alone (stable sentinel, still groupable).
     """
-    sigs = [
-        F.array_min(
-            F.when(F.size(shingles) == 0, F.array(F.md5(F.lit(f"{i}:")))).otherwise(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
+    def perm(i: int) -> Column:
+        # NB: single-arg lambda only — pyspark passes the array index to any
+        # second lambda parameter, which would clobber an i=i default.
+        seed = f"{i}:"
+        hashed = F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s)))
+        return F.array_min(
+            F.when(F.size(shingles) == 0, F.array(F.md5(F.lit(seed)))).otherwise(hashed)
         )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+
+    return F.array(*[perm(i) for i in range(num_hashes)])
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -115,32 +116,23 @@ def simhash_bits(shingles: Column) -> Column:
     """
     zeros = F.expr("array_repeat(0L, 64)")
 
+    # hex digit -> its 4 vote values (+1/-1 per bit, MSB first), as a
+    # constant lookup array — far cheaper than per-bit floor/pow arithmetic
+    vote_rows = [
+        F.array(*[F.lit(1 if (d >> b) & 1 else -1).cast("long") for b in (3, 2, 1, 0)])
+        for d in range(16)
+    ]
+    vote_lut = F.array(*vote_rows)
+
     def add_shingle(acc: Column, s: Column) -> Column:
         h = F.substring(F.md5(s), 1, 16)
-        # votes for the 64 bits of this shingle's hash
-        return F.zip_with(
-            acc,
-            F.flatten(
-                F.transform(
-                    F.split(h, ""),  # 16 hex chars (split('') keeps each char)
-                    lambda ch: F.transform(
-                        F.sequence(F.lit(3), F.lit(0), F.lit(-1)),
-                        lambda b: F.when(
-                            (
-                                F.floor(
-                                    (F.instr(F.lit(_HEX), ch) - 1)
-                                    / F.pow(F.lit(2.0), b.cast("double"))
-                                ).cast("long")
-                                % 2
-                            )
-                            == 1,
-                            F.lit(1).cast("long"),
-                        ).otherwise(F.lit(-1).cast("long")),
-                    ),
-                )
-            ),
-            lambda a, b: a + b,
+        votes_for_shingle = F.flatten(
+            F.transform(
+                F.split(h, ""),  # 16 hex chars
+                lambda ch: F.element_at(vote_lut, F.instr(F.lit(_HEX), ch)),
+            )
         )
+        return F.zip_with(acc, votes_for_shingle, lambda a, b: a + b)
 
     votes = F.aggregate(shingles, zeros, add_shingle)
     return F.concat_ws(

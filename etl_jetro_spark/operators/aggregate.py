@@ -48,7 +48,12 @@ def first_per_group(
 ) -> DataFrame:
     """A6: deterministic first row per group (min_by semantics) — used for
     per-Branch header values in the macro sinks. Single shuffle, no window."""
-    strct = F.struct(*order_by, *[F.col(c) for c in cols])
+    # order fields get positional aliases so an output col may also be a key
+    # of the ordering without creating duplicate struct fields
+    strct = F.struct(
+        *[o.alias(f"_o{i}") for i, o in enumerate(order_by)],
+        *[F.col(c).alias(c) for c in cols],
+    )
     agg = df.groupBy(*keys).agg(F.min(strct).alias("_first"))
     return agg.select(*keys, *[F.col(f"_first.{c}").alias(c) for c in cols])
 

@@ -76,10 +76,18 @@ def minhash_lsh_candidates(
     the fraction of agreeing minhash components (unbiased Jaccard estimate).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Materialize shingles, then the signature, BEFORE the self-join.
+    # Without the persist barrier Catalyst collapses the projections and
+    # inlines the (norm→shingle→16×md5-min) tree into every downstream
+    # reference — both join sides, the band explode, and the estimate —
+    # recomputing it many times over (measured 400+ s vs ~10 s at sf0.1).
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, shingle_words), num_hashes).alias("_sig"),
+        word_shingles(text_col, shingle_words).alias("_sh"),
     )
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    ).persist()
     banded = sig.select(
         "_id", "_sig", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
     )

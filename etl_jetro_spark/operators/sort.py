@@ -31,7 +31,9 @@ def lot_last4_key(lot: str | Column) -> Column:
     """W3: last 4 digits of the LAST numeric chunk of a lot number; missing
     → sentinel 10^9 (sorts last). ``'498-68594 39024'`` → 9024."""
     c = F.col(lot) if isinstance(lot, str) else lot
-    last_chunk = F.regexp_extract(c.cast("string"), r"(\d+)(?!.*\d)", 1)
+    # '(\d+)\D*$' = last digit run; equivalent to a negative lookahead but
+    # also valid in RE2 engines (DuckDB oracle parity)
+    last_chunk = F.regexp_extract(c.cast("string"), r"(\d+)\D*$", 1)
     last4 = F.substring(last_chunk, -4, 4)
     return F.coalesce(
         F.nullif(last4, F.lit("")).try_cast("int"), F.lit(NUMERIC_SENTINEL)

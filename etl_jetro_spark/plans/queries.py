@@ -1,0 +1,981 @@
+"""The engine's declared query surface — driver contract (SURVEY §2 coverage).
+
+Each entry pairs a Spark DataFrame program (built from the engine's operator
+library) with an ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+The driver hash-compares them at sf0.01; every operator family in SURVEY §2
+is represented here on the TPC-H-ish testdata tables.
+
+Portability rules used throughout (Spark ⇄ DuckDB):
+- float aggregates rounded on BOTH sides (sum order is engine-dependent);
+- counts/sums of ints cast to BIGINT explicitly (DuckDB sums to HUGEINT);
+- truncation via floor() (DuckDB CAST double→int rounds, Spark truncates);
+- regexp_replace in DuckDB needs the 'g' flag to match Spark's
+  replace-all default;
+- md5() is the shared hash for all dedup/LSH parity (see functions.hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_jetro_spark import functions as EF
+from etl_jetro_spark import operators as O
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it, so
+    read ns-as-long (session conf, set here too in case the driver's session
+    lacks it) and expose both the raw ns and a usec timestamp column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
+    else:  # pragma: no cover - future driver fix
+        e = e.withColumn("ts_utc", F.col("ts"))
+    return e
+
+
+# DuckDB-side normalized text (mirror of functions.hashing.norm_text)
+DK_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# 1. Aggregation core (A1, P8, W2) — flagship
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                          AS sum_qty,
+           round(sum(l_extendedprice), 4)                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+           round(avg(l_quantity), 6)                          AS avg_qty,
+           round(avg(l_extendedprice), 6)                     AS avg_price,
+           round(avg(l_discount), 6)                          AS avg_disc,
+           CAST(count(*) AS BIGINT)                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the reference's groupBy-sum core (A1) with partial
+    aggregation pushed map-side by Catalyst; one shuffle total."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. The 247 allocation pipeline re-expressed (A1+P8+P14+P15+W1+canonical)
+# --------------------------------------------------------------------------
+
+@query(
+    "q2_allocation_canonical",
+    """
+    WITH fact AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS branch_raw,
+             l_partkey                  AS item,
+             floor(l_quantity)          AS qty
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT branch_raw, item, CAST(sum(qty) AS BIGINT) AS distro
+      FROM fact GROUP BY branch_raw, item
+      HAVING sum(qty) <> 0
+    )
+    SELECT CAST(CASE WHEN regexp_matches(branch_raw, '^\\d{2}$')
+                     THEN '1' || branch_raw ELSE branch_raw END AS INT) AS "Branch",
+           CAST(item AS BIGINT)        AS "Item",
+           ''                          AS "Description",
+           distro                      AS "Distro Size",
+           44602                       AS "Supplier On Record",
+           DATE '2026-01-05'           AS "Expected Delivery Date",
+           'P20'                       AS "WW Buyer",
+           ''                          AS "Warehouse",
+           ''                          AS "AdditionalXDCK",
+           ''                          AS "AmountCode",
+           CAST(NULL AS DOUBLE)        AS "XDCK",
+           ''                          AS "POSTXDCK",
+           CAST(NULL AS DOUBLE)        AS "FOB"
+    FROM agg
+    """,
+)
+def q2_allocation_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's allocation pipeline on the star schema: long fact →
+    group-sum (A1) → zero-filter (P8) → branch fix (P15) → constants (P14)
+    → canonical 13-col select (reference 247/tools/allocation_tool.py:53-169).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.col("l_suppkey").cast("string").alias("Branch"),
+        F.col("l_partkey").alias("Item"),
+        F.floor("l_quantity").alias("qty"),
+    )
+    agg = O.sum_by(fact, ["Branch", "Item"], "qty", out="Distro Size")
+    agg = agg.withColumn("Distro Size", F.col("Distro Size").cast("long"))
+    return O.to_canonical(
+        agg, O.PIPELINES["acme"], edd=F.lit("2026-01-05").cast("date")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. Joins (J1/J2 broadcast, D3 anti, J5 semi)
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(o.o_totalprice), 4) AS revenue,
+           CAST(count(*) AS BIGINT)      AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 10
+    """,
+)
+def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim broadcast join + agg + deterministic top-k (TakeOrdered —
+    only k rows per partition cross the wire)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q4_regional_revenue",
+    """
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q4_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join: dims broadcast, single fact shuffle for the
+    lineitem⋈orders equi-join (AQE handles size-based strategy)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q5_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q5_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 set-difference as a left-anti join (the reference's
+    `missing = needed - got`, sheet_bot/main.py:310-312)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return O.anti_join(
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    )
+
+
+@query(
+    "q6_suppliers_with_returns",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+    )
+    """,
+)
+def q6_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 stream-static-shaped semi join (matched keys only)."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    return O.semi_join(
+        s.select("s_suppkey", "s_name"),
+        li.filter(F.col("l_returnflag") == "R").select(
+            F.col("l_suppkey").alias("s_suppkey")
+        ),
+        "s_suppkey",
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Unpivot (U1) and window/sort (W1/W5, A5/A6)
+# --------------------------------------------------------------------------
+
+@query(
+    "q7_melt_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE)        AS size,
+             CAST(p_retailprice AS DOUBLE) AS retailprice
+      FROM part
+    ) UNPIVOT (value FOR metric IN (size, retailprice))
+    """,
+)
+def q7_melt_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 wide→long unpivot: Expand node, zero shuffle."""
+    p = load(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    out = wide.unpivot(["p_partkey"], ["size", "retailprice"], "metric", "value")
+    return out
+
+
+@query(
+    "q8_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey, CAST(o_orderdate AS DATE) AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q8_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 first-per-group via min(struct) — one shuffle, no window sort."""
+    o = load(spark, sf_dir, "orders")
+    firsts = O.first_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        ["o_orderkey", "o_orderdate"],
+    )
+    return firsts.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").cast("date").alias("first_orderdate"),
+    )
+
+
+@query(
+    "q9_second_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS second_orderkey
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 2
+    """,
+)
+def q9_second_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 second-occurrence rank (the reference's 2nd-'Item'-marker scan)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 2)
+        .select("o_custkey", F.col("o_orderkey").alias("second_orderkey"))
+    )
+
+
+@query(
+    "q10_latest_event_per_user",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q10_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T5 dedup-keep-latest via max(struct) — the streaming dedup rule
+    as a batch operator."""
+    e = load_events(spark, sf_dir)
+    agg = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("_last")
+    )
+    return agg.select(
+        "user_id",
+        F.col("_last.event_id").alias("last_event_id"),
+        F.col("_last.event_type").alias("last_event_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Scalar-function queries (F-family parity)
+# --------------------------------------------------------------------------
+
+@query(
+    "q11_item7_codes",
+    """
+    SELECT p_partkey, lpad(regexp_replace(CAST(p_partkey AS VARCHAR), '\\D', '', 'g'), 7, '0') AS item7
+    FROM part
+    """,
+)
+def q11_item7_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 item-code normalization over a key column."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", EF.item7(F.col("p_partkey").cast("string")).alias("item7"))
+
+
+@query(
+    "q12_parse_money_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_extract(regexp_replace(printf('$%.2f', l_extendedprice), '[$,]', '', 'g'),
+                               '^(-?\\d*\\.?\\d+)', 1) AS DOUBLE) AS parsed
+    FROM lineitem
+    """,
+)
+def q12_parse_money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5 round-trip: format a price as '$1234.56' text, parse it back
+    with the engine's parse_money. printf semantics are engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    money = F.format_string("$%.2f", F.col("l_extendedprice"))
+    return li.select(
+        "l_orderkey", "l_linenumber", EF.parse_money(money).alias("parsed")
+    )
+
+
+@query(
+    "q13_branch_fix",
+    """
+    SELECT n_nationkey,
+           CAST(CASE WHEN regexp_matches(CAST(n_nationkey AS VARCHAR), '^\\d{2}$')
+                     THEN '1' || CAST(n_nationkey AS VARCHAR)
+                     ELSE CAST(n_nationkey AS VARCHAR) END AS INT) AS branch_fixed
+    FROM nation
+    """,
+)
+def q13_branch_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 two-digit branch prefix rule."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey", O.branch_fix(F.col("n_nationkey").cast("string")).alias("branch_fixed")
+    )
+
+
+@query(
+    "q14_shipping_dates",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS base,
+           CASE dayofweek(CAST(o_orderdate AS DATE) + INTERVAL 2 DAY)
+             WHEN 6 THEN CAST(o_orderdate AS DATE) + INTERVAL 4 DAY
+             WHEN 0 THEN CAST(o_orderdate AS DATE) + INTERVAL 3 DAY
+             ELSE CAST(o_orderdate AS DATE) + INTERVAL 2 DAY
+           END AS edd,
+           CAST(o_orderdate AS DATE) + to_days(CAST(
+             CASE dayofweek(CAST(o_orderdate AS DATE))
+               WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 1
+               WHEN 5 THEN 3 WHEN 6 THEN 2 ELSE 1
+             END AS INT)) AS next_mwf
+    FROM orders
+    """,
+)
+def q14_shipping_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 business-date rules. DuckDB dayofweek is 0=Sun..6=Sat vs
+    Spark 1=Sun..7=Sat — the oracle encodes the offset explicitly."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("base"),
+        EF.default_edd(d).alias("edd"),
+        EF.next_mwf(d).alias("next_mwf"),
+    )
+
+
+@query(
+    "q15_na_normalize_props",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q15_na_normalize_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-JSON + P6 path: extract a JSON field, aggregate per type."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(k).cast("long").alias("sum_k")
+    )
+
+
+@query(
+    "q16_store_item_split",
+    """
+    WITH lines AS (
+      SELECT source || '—' || CAST(doc_id AS VARCHAR) AS po
+      FROM documents
+    )
+    SELECT DISTINCT po,
+           regexp_extract(po, '^([^-–—]*)', 1)       AS store,
+           regexp_replace(po, '^[^-–—]*[-–—]', '')    AS item
+    FROM lines
+    WHERE regexp_matches(po, '[-–—]')
+    """,
+)
+def q16_store_item_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F6: PO-line split on the first dash of any unicode width, with
+    the has-dash filter and order-preserving dedup (D1)."""
+    d = load(spark, sf_dir, "documents")
+    po = F.concat(F.col("source"), F.lit("—"), F.col("doc_id").cast("string"))
+    parts = EF.split_first_dash(F.col("po"))
+    return (
+        d.select(po.alias("po"))
+        .filter(F.col("po").rlike("[-–—]"))
+        .select("po", parts[0].alias("store"), parts[1].alias("item"))
+        .dropDuplicates(["po"])
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Training-data pipeline: deduplication
+# --------------------------------------------------------------------------
+
+# DuckDB mirrors of the shingle builders in functions.hashing
+DK_NORM_TEXT = DK_NORM.format(c="text")
+DK_WORDS = f"string_split({DK_NORM_TEXT}, ' ')"
+
+
+def _dk_shingles_cte(n_words: int = 3) -> str:
+    """CTE producing (doc_id, sh): word n-gram shingles of documents.text."""
+    return f"""
+    wrds AS (SELECT doc_id, {DK_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(w[i:i+{n_words - 1}], ' ') AS sh
+      FROM wrds, UNNEST(generate_series(1, greatest(len(w) - {n_words - 1}, 0))) AS t(i)
+    )"""
+
+
+@query(
+    "q17_dedup_exact",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({DK_NORM_TEXT}) AS fingerprint FROM documents)
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fingerprint,
+           CAST(count(*) AS BIGINT)    AS dup_count
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def q17_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5: one shuffle, min-id winner."""
+    d = load(spark, sf_dir, "documents")
+    return O.exact_dedup(d, "doc_id", "text")
+
+
+_MINHASHES, _BANDS = 16, 4
+_RPB = _MINHASHES // _BANDS
+
+
+@query(
+    "q18_minhash_lsh_pairs",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.id_a
+    JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+    GROUP BY c.id_a, c.id_b
+    """,
+)
+def q18_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (16 hashes, 4 bands) with the
+    agreeing-component Jaccard estimate. No cartesian join anywhere."""
+    d = load(spark, sf_dir, "documents")
+    return O.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    )
+
+
+@query(
+    "q19_ngram_jaccard_pairs",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           c / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+    """,
+)
+def q19_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted index, threshold 0.5."""
+    d = load(spark, sf_dir, "documents")
+    return O.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "q20_simhash_fingerprints",
+    f"""
+    WITH {_dk_shingles_cte(2)},
+    hx AS (SELECT doc_id, substr(md5(sh), 1, 16) AS h FROM sh),
+    bits AS (
+      SELECT doc_id, p.p,
+             CASE WHEN CAST(floor(
+                    (strpos('0123456789abcdef', substr(h, 1 + (p.p // 4), 1)) - 1)
+                    / power(2, 3 - (p.p % 4))) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS v
+      FROM hx, (SELECT unnest(generate_series(0, 63)) AS p) p
+    ),
+    votes AS (SELECT doc_id, p, sum(v) AS sv FROM bits GROUP BY doc_id, p),
+    fps AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS fp
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(f.fp, repeat('0', 64)) AS simhash
+    FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id
+    """,
+)
+def q20_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (as bit strings) per document."""
+    from etl_jetro_spark.functions.hashing import simhash_bits, word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash_bits(word_shingles("text", 2)).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. Training-data pipeline: similarity search
+# --------------------------------------------------------------------------
+
+@query(
+    "q21_cosine_topk",
+    """
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE)  AS v
+      FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT e.vec_id,
+             sum(e.v * q.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v))) AS sc
+      FROM e JOIN q USING (i) GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(sc, 4) AS score
+    FROM s ORDER BY sc DESC, vec_id LIMIT 10
+    """,
+)
+def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector.
+    Expression-only scoring; TakeOrdered top-k (no global sort)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = O.cosine_topk(emb, "vec_id", "embedding", qvec, k=10)
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "q22_embedding_label_stats",
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm
+      FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
+      GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n, round(avg(nrm), 6) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def q22_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats over the vector column (norm distribution)."""
+    from etl_jetro_spark.operators.similarity import norm as vnorm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        emb.select("label", vnorm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. Training-data pipeline: text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "q23_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_ish,
+           CAST(len(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q23_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword segments."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        O.token_count("text").alias("n_tokens"),
+        O.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _dk_stop_list(lang: str) -> str:
+    from etl_jetro_spark.operators.textstats import STOPWORD_SETS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORD_SETS[lang]) + "]"
+
+
+@query(
+    "q24_quality_scores",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(least(n_tokens / 20.0, 1.0) * 0.4
+                 + (1 - least(CAST(n_punct AS DOUBLE) / n_chars * 2
+                              + CAST(n_digit AS DOUBLE) / n_chars * 2, 1.0)) * 0.3
+                 + least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0) * 0.3, 6) AS quality_score
+    FROM feat
+    WHERE n_chars > 0 AND n_tokens > 0
+    """,
+)
+def q24_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length sweet-spot, punct/digit noise,
+    stopword density)."""
+    d = load(spark, sf_dir, "documents")
+    scored = O.quality_score(d, "text")
+    return scored.filter(
+        (F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0)
+    ).select(
+        "doc_id",
+        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_tokens").alias("n_tokens"),
+        "quality_score",
+    )
+
+
+@query(
+    "q25_lang_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS h_en,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('es')}, x))) AS h_es,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('de')}, x))) AS h_de,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id,
+             CASE
+               WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+               WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+               WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+               WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+               ELSE 'fr'
+             END AS predicted_lang
+      FROM hits
+    )
+    SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY predicted_lang
+    """,
+)
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID distribution over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(O.lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. Events: time-bucketed aggregation, set ops, remaining scalar parity
+# --------------------------------------------------------------------------
+
+@query(
+    "q26_events_hourly",
+    """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q26_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation, tz-free (integer epoch bucketing
+    — the batch shape of the streaming windowed agg)."""
+    e = load_events(spark, sf_dir)
+    bucket = ((F.col("ts") / F.lit(1_000_000_000)).cast("long") / 3600).cast(
+        "long"
+    ) * 3600
+    return e.groupBy(
+        bucket.alias("hour_epoch"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@query(
+    "q27_union_priorities",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    ) GROUP BY o_orderpriority
+    """,
+)
+def q27_union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 unionByName of section scans."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderpriority")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_orderpriority")
+    return urgent.unionByName(high).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q28_pricesheet_long",
+    """
+    WITH remapped AS (
+      SELECT CASE WHEN CAST(l_suppkey AS VARCHAR) = '4' THEN '498'
+                  ELSE CAST(l_suppkey AS VARCHAR) END AS store,
+             l_partkey AS item,
+             l_extendedprice AS price
+      FROM lineitem
+      WHERE CAST(l_suppkey AS VARCHAR) NOT IN ('7', '9')
+    )
+    SELECT store, CAST(item AS BIGINT) AS item,
+           81214 AS vendor,
+           round(min(price), 4) AS cost
+    FROM remapped
+    GROUP BY store, item
+    HAVING min(price) <> 0
+    """,
+)
+def q28_pricesheet_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 247 price-sheet pipeline shape: store remap (P10), store
+    exclusion, long price table with vendor constant (U2), zero-cost filter
+    (reference 247/tools/pricesheet_tool.py:57-102)."""
+    li = load(spark, sf_dir, "lineitem")
+    store = F.col("l_suppkey").cast("string")
+    remapped = (
+        li.filter(~store.isin("7", "9"))
+        .select(
+            F.when(store == "4", "498").otherwise(store).alias("store"),
+            F.col("l_partkey").alias("item"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    return (
+        remapped.groupBy("store", "item")
+        .agg(F.min("price").alias("_min_price"))
+        .filter(F.col("_min_price") != 0)
+        .select(
+            "store",
+            F.col("item").cast("long").alias("item"),
+            F.lit(81214).alias("vendor"),
+            F.round("_min_price", 4).alias("cost"),
+        )
+    )
+
+
+@query(
+    "q29_numeric_first_rank",
+    """
+    SELECT source,
+           CAST(row_number() OVER (
+             ORDER BY (CASE WHEN regexp_matches(source, '\\d')
+                            THEN CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
+                       END) NULLS LAST,
+                      source
+           ) AS INT) AS rnk
+    FROM (SELECT DISTINCT source FROM documents)
+    """,
+)
+def q29_numeric_first_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 numeric-first ordering as an explicit rank column (src9 < src10)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("source").distinct()
+    w = Window.orderBy(
+        EF.first_int("source").asc_nulls_last(), F.col("source").asc()
+    )
+    return d.withColumn("rnk", F.row_number().over(w))
+
+
+@query(
+    "q30_lot_last4_keys",
+    """
+    SELECT event_id,
+           CAST(coalesce(
+             try_cast(CASE WHEN regexp_extract(CAST(props AS VARCHAR), '(\\d+)\\D*$', 1) = ''
+                           THEN NULL
+                           ELSE right(regexp_extract(CAST(props AS VARCHAR), '(\\d+)\\D*$', 1), 4)
+                      END AS INT),
+             1000000000) AS INT) AS lot_key
+    FROM events
+    """,
+)
+def q30_lot_last4_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 custom sort key: last-4-digits-of-last-number with NULL sentinel."""
+    e = load_events(spark, sf_dir)
+    return e.select("event_id", O.lot_last4_key("props").alias("lot_key"))
+
+
+@query(
+    "q31_strip_dot_zero",
+    """
+    SELECT l_orderkey, l_linenumber,
+           regexp_replace(printf('%.1f', l_quantity), '\\.0{1,2}$', '') AS qty_text
+    FROM lineitem
+    """,
+)
+def q31_strip_dot_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 trailing-.0 strip over printf-rendered quantities."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        EF.strip_dot_zero(F.format_string("%.1f", F.col("l_quantity"))).alias("qty_text"),
+    )

@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- determinism ----------------------------------------------
         .config("spark.sql.session.timeZone", SESSION_TZ)
+        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long ns and convert explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local mode: keep the UI off and the driver quiet
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
