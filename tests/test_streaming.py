@@ -1,0 +1,158 @@
+"""Streaming layer tests: file-watch state machine + orchestrator transitions."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_jetro_spark.sources.sheet import parse_sections, sections_to_spark, to_a1
+from etl_jetro_spark.streaming import orchestrator as orch
+from etl_jetro_spark.streaming import watcher as W
+
+
+def test_extract_po(spark):
+    df = spark.createDataFrame(
+        [("/w/79906-123-45879.PDF",), ("/w/x-88.pdf",), ("/w/nope.txt",)], ["path"]
+    )
+    got = [r[0] for r in df.select(W.extract_po(F.col("path"))).collect()]
+    assert got == ["45879", "88", ""]
+
+
+def test_po_watch_end_to_end(spark, tmp_path):
+    """Drop PDFs into a watch dir; matched arrivals go done and move to
+    dest; unmatched files stay put (stream-static semi join)."""
+    watch = tmp_path / "watch"
+    dest = tmp_path / "dest"
+    ckpt = tmp_path / "ckpt"
+    watch.mkdir()
+    (watch / "79906-114-1001.pdf").write_bytes(b"pdf-one")
+    (watch / "79906-86-1002.PDF").write_bytes(b"pdf-two")
+    (watch / "79906-99-9999.pdf").write_bytes(b"unexpected")
+    (watch / "notes.txt").write_text("ignored")
+
+    expected = spark.createDataFrame([("1001",), ("1002",), ("1003",)], ["po"])
+    q = W.run_po_watch(
+        spark,
+        [str(watch)],
+        expected,
+        str(dest),
+        str(ckpt),
+        timeout_seconds=300,
+        available_now=True,
+    )
+    q.awaitTermination(150)
+
+    by_po = {}
+    for r in W.memory_status_rows():
+        by_po.setdefault(r["po"], []).append(r["status"])
+    assert "done" in by_po.get("1001", []) and "done" in by_po.get("1002", [])
+    assert "9999" not in by_po  # unmatched PO filtered by stream-static join
+    assert "1003" not in by_po  # never arrived; timeout handled in poller path
+    assert sorted(os.listdir(dest)) == ["79906-114-1001.pdf", "79906-86-1002.PDF"]
+    assert (watch / "79906-99-9999.pdf").exists()
+
+
+def test_snapshot_poller_settle_timeout_precheck(tmp_path):
+    """Reference-fidelity poll semantics: settle window, pre-check, timeout."""
+    from etl_jetro_spark.streaming import snapshot as S
+
+    watch = tmp_path / "w"
+    dest = tmp_path / "d"
+    watch.mkdir()
+    dest.mkdir()
+    # PO 2001 already delivered -> pre-check done
+    (dest / "v-1-2001.pdf").write_bytes(b"done")
+
+    st = S.new_watch(["2001", "2002", "2003"], deadline_polls=3)
+    S.precheck_dest(st, str(dest))
+    assert st.status["2001"] == "done"
+
+    # poll 1: 2002 appears mid-copy (size 5) -> waiting
+    f = watch / "v-2-2002.pdf"
+    f.write_bytes(b"12345")
+    t1 = S.poll_step(st, S.list_dir(str(watch)), str(dest))
+    assert ("2002", "waiting") in t1
+
+    # poll 2: size grew -> still waiting (settle restarts)
+    f.write_bytes(b"1234567890")
+    t2 = S.poll_step(st, S.list_dir(str(watch)), str(dest))
+    assert t2 == []
+
+    # poll 3: size stable -> done + moved; deadline reached -> 2003 errors
+    t3 = S.poll_step(st, S.list_dir(str(watch)), str(dest))
+    assert ("2002", "done") in t3 and ("2003", "error") in t3
+    assert (dest / "v-2-2002.pdf").exists() and not f.exists()
+    assert st.pending() == set()
+
+
+def test_move_idempotent(tmp_path):
+    src = tmp_path / "a.pdf"
+    src.write_bytes(b"x")
+    dest = tmp_path / "out"
+    got = W.move_file_idempotent(str(src), str(dest))
+    assert got and os.path.exists(got) and not src.exists()
+    # replay with same name: keeps existing, reports dest
+    src2 = tmp_path / "a.pdf"
+    src2.write_bytes(b"different")
+    got2 = W.move_file_idempotent(str(src2), str(dest))
+    assert got2 == got and open(got2, "rb").read() == b"x"
+
+
+CONTROL_GRID = [
+    ["Note", "Vendor #", "Vendor Name", "452/490", "114", "PO count", "Status"],
+    ["", "79906.0", "Leavins", "88101", "88102.0", "2", "Ready"],
+    ["", "", "skipped blank vendor", "1", "2", "", "Ready"],
+    ["", "81214", "247", "x", "88103", "1", "Sent"],
+    ["note section 2 follows", "", "", "", "", "", ""],
+    ["Note", "Vendor #", "Vendor Name", "86", "Status"],
+    ["", "44602", "ACME", "88104", "Ready"],
+]
+
+
+def test_parse_sections_schema_discovery():
+    rows = parse_sections(CONTROL_GRID)
+    assert [r.vendor_num for r in rows] == ["79906", "81214", "44602"]
+    r0 = rows[0]
+    # compound header 452/490 fans the PO out to both stores; .0 stripped
+    assert r0.stores == {"452": "88101", "490": "88101", "114": "88102"}
+    assert r0.status == "Ready" and r0.status_a1 == to_a1(1, 6) == "G2"
+    # 'x' cell = not expected
+    assert rows[1].stores == {"114": "88103"}
+    assert rows[2].section == 1 and rows[2].stores == {"86": "88104"}
+
+
+def test_orchestrator_transitions(spark):
+    control = sections_to_spark(spark, CONTROL_GRID)
+    ready = orch.select_ready(control)
+    assert {r["vendor_num"] for r in ready.collect()} == {"79906", "44602"}
+
+    # lock: Ready -> SENDING write-backs
+    locks = {r["status_a1"]: r["new_status"] for r in orch.lock_updates(ready).collect()}
+    assert locks == {"G2": "SENDING", "E7": "SENDING"}
+
+    # active-key exclusion prevents double pickup (T2)
+    active = spark.createDataFrame([("G2",)], ["status_a1"])
+    left = orch.select_ready(control, active)
+    assert {r["vendor_num"] for r in left.collect()} == {"44602"}
+
+    # finalize: vendor 79906 got 88101 but not 88102 -> ERROR with detail
+    expected = spark.createDataFrame(
+        [("79906", "G2", "88101"), ("79906", "G2", "88102"), ("44602", "E7", "88104")],
+        ["vendor_num", "status_a1", "po"],
+    )
+    status = spark.createDataFrame(
+        [("88101", "done"), ("88104", "done"), ("88102", "waiting")],
+        ["po", "status"],
+    )
+    fin = {r["vendor_num"]: r for r in orch.finalize(expected, status).collect()}
+    assert fin["44602"]["new_status"] == "Sent" and fin["44602"]["detail"] is None
+    assert fin["79906"]["new_status"] == "ERROR"
+    assert fin["79906"]["detail"] == "missing: 88102"
+
+
+def test_expected_pos_order_preserving_distinct():
+    stores = {"452": "88101", "490": "88101", "114": "88102"}
+    assert orch.expected_pos_for_vendor(stores) == ["88101", "88102"]
