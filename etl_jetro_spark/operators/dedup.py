@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_jetro_spark.operators.util import spread
 from etl_jetro_spark.functions.hashing import (
     char_shingles,
     doc_fingerprint,
@@ -39,7 +40,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one row per distinct normalized text: the minimum id wins
     (deterministic). Returns (id, fingerprint, dup_count)."""
     return (
-        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        spread(df)
+        .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias(id_col),
@@ -52,7 +54,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Fingerprint groups with >1 member — the duplicate clusters."""
     return (
-        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        spread(df)
+        .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
@@ -81,7 +84,7 @@ def minhash_lsh_candidates(
     # inlines the (norm→shingle→16×md5-min) tree into every downstream
     # reference — both join sides, the band explode, and the estimate —
     # recomputing it many times over (measured 400+ s vs ~10 s at sf0.1).
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_words).alias("_sh"),
     )
@@ -122,7 +125,7 @@ def simhash_candidates(
     Returns (id_a, id_b, hamming).
     """
     width = 64 // chunks
-    fp = df.select(
+    fp = spread(df).select(
         F.col(id_col).alias("_id"),
         simhash_bits(word_shingles(text_col, shingle_words)).alias("_fp"),
     )
@@ -170,8 +173,13 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     mk = char_shingles(text_col, n) if use_chars else word_shingles(text_col, n)
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(F.array_distinct(mk)).alias("_sh")
+    # persist: the shingle index feeds THREE consumers (per-doc sizes and
+    # both sides of the self-join) — without the barrier the shingling
+    # expression recomputes per consumer
+    sh = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(mk)).alias("_sh"))
+        .persist()
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_doc_freq is not None:

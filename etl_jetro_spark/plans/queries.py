@@ -643,8 +643,9 @@ def q19_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (as bit strings) per document."""
     from etl_jetro_spark.functions.hashing import simhash_bits, word_shingles
+    from etl_jetro_spark.operators.util import spread
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", simhash_bits(word_shingles("text", 2)).alias("simhash")
     )
@@ -1045,8 +1046,9 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary 'media' column → typed metadata struct → Arrow mapInPandas
     feature extraction (decode stubbed deterministically)."""
     from etl_jetro_spark.operators import multimodal as MM
+    from etl_jetro_spark.operators.util import spread
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
@@ -1073,3 +1075,83 @@ def q35_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return MM.frame_sample_plan(media, every_ms=100)
+
+
+# --------------------------------------------------------------------------
+# 11. Remaining scalar parity: normalization, NA rules, email extraction
+# --------------------------------------------------------------------------
+
+@query(
+    "q36_norm_keys",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(p_name, '\\s+', ' ', 'g'))  AS name_ws,
+           regexp_replace(lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))),
+                          '[#\\s]', '', 'g')               AS name_key
+    FROM part
+    """,
+)
+def q36_norm_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 whitespace collapse + lookup-key normalization."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        EF.norm_ws("p_name").alias("name_ws"),
+        EF.norm_key("p_name").alias("name_key"),
+    )
+
+
+@query(
+    "q37_na_normalization",
+    """
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE l_linestatus WHEN 'O' THEN 'n/a'
+                               WHEN 'F' THEN CAST(l_quantity AS VARCHAR)
+             END AS cell
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN lower(trim(cell)) IN ('', 'na', 'n/a', 'nan', 'none', 'null', 'nah')
+                THEN NULL ELSE cell END AS cleaned
+    FROM cells
+    """,
+)
+def q37_na_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 NA-string rule firing on synthesized messy cells: every 'O'-status
+    line renders 'n/a' and must null out."""
+    li = load(spark, sf_dir, "lineitem")
+    cell = F.when(F.col("l_linestatus") == "O", "n/a").when(
+        F.col("l_linestatus") == "F", F.col("l_quantity").cast("string")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        EF.normalize_na(cell).alias("cleaned"),
+    )
+
+
+@query(
+    "q38_email_extraction",
+    """
+    SELECT c_custkey,
+           regexp_extract_all(
+             'contact ' || lower(replace(c_name, ' ', '')) || '@example.com; backup '
+               || lower(replace(c_name, ' ', '')) || '@EXAMPLE.com invalid@@x',
+             '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1
+           )[1:1] AS emails
+    FROM customer
+    """,
+)
+def q38_email_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 email extraction with ci-dedup: the two synthesized addresses
+    differ only by domain case, so exactly one survives."""
+    c = load(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit(""))),
+        F.lit("@example.com; backup "),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit(""))),
+        F.lit("@EXAMPLE.com invalid@@x"),
+    )
+    return c.select("c_custkey", EF.extract_emails(text).alias("emails"))
