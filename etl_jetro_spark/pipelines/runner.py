@@ -84,3 +84,64 @@ def run_flips_big(
         "token": token,
         "order_sheet": write_canonical(canon, out_dir, name="big_flip_order"),
     }
+
+
+def run_leavins(
+    spark: SparkSession,
+    in_folder: str,
+    out_dir: str,
+    run_date: date,
+    edd: date,
+) -> dict:
+    """Leavins batch: same shape as 247 allocation, but the EDD is a
+    REQUIRED input (reference Leavins/tools/allocation_tool.py:133-134)."""
+    from pyspark.sql import functions as F
+
+    alloc_grid, _ = read_allocation_pricesheet(in_folder)
+    if alloc_grid is None:
+        return {}
+    wide = B.clean_allocation(alloc_grid)
+    canon = B.build_allocation(
+        spark, wide, "leavins", edd=F.lit(edd.isoformat()).cast("date")
+    )
+    manifest = {"order_sheet": write_canonical(canon, out_dir)}
+    name, text = render_adpo_x(canon, supplier=79906, run_date=run_date)
+    manifest["adpo_x"] = _write_text(out_dir, name, text)
+    return manifest
+
+
+def run_southern_cross(
+    spark: SparkSession, in_folder: str, out_dir: str, run_date: date
+) -> dict:
+    """SouthernCross IBT batch: coercion matrix + alphabetical reorder."""
+    grid, _token = read_single_with_token(in_folder)
+    wide = B.clean_southern_cross(grid)
+    canon = B.build_southern_cross(spark, wide, run_date.isoformat())
+    manifest = {"order_sheet": write_canonical(canon, out_dir)}
+    name, text = render_adpo_x(canon, supplier=80104, run_date=run_date)
+    manifest["adpo_x"] = _write_text(out_dir, name, text)
+    return manifest
+
+
+def run_flips_baby(
+    spark: SparkSession,
+    in_folder: str,
+    po_folder: str,
+    carrier_dir: str,
+    out_dir: str,
+) -> dict:
+    """Flips baby sub-pipeline: split → melt/agg → PO + carrier joins →
+    audit table (reference Flips/Flips.ipynb baby branch)."""
+    from etl_jetro_spark.sources.csv_po import read_latest_po_csv
+    from etl_jetro_spark.sources.json_dim import read_carrier_json
+
+    grid, token = read_single_with_token(in_folder)
+    _big, baby = B.split_big_and_baby(grid)
+    wide = B.clean_baby_flip(baby)
+    po = read_latest_po_csv(spark, po_folder).select("PO #", "Store")
+    carrier = read_carrier_json(spark, token, carrier_dir)
+    out = B.build_baby_flip(spark, wide, po, carrier)
+    os.makedirs(out_dir, exist_ok=True)
+    pq = os.path.join(out_dir, "baby_flip_araho.parquet")
+    out.write.mode("overwrite").parquet(pq)
+    return {"token": token, "araho": pq, "rows": out.count()}

@@ -779,7 +779,7 @@ def q24_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0)
     ).select(
         "doc_id",
-        F.col("q_n_chars").alias("n_chars"),
+        F.col("q_n_chars").cast("long").alias("n_chars"),
         F.col("q_n_tokens").alias("n_tokens"),
         "quality_score",
     )

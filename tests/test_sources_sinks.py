@@ -130,3 +130,22 @@ def test_notify_body_and_status_payload(spark):
 
 def test_merged_pdf_name():
     assert merged_name(9, date(2025, 9, 15)) == "9 orders 09-15-25.pdf"
+
+
+def test_render_adpo_i(spark):
+    from etl_jetro_spark.sinks.macro import render_adpo_i
+    from etl_jetro_spark.operators import PIPELINES, to_canonical
+
+    fact = spark.createDataFrame(
+        [("114", "12", "5")], ["Branch", "Item", "Distro Size"]
+    ).withColumn("XDCK", F.lit(1.5)).withColumn("FOB", F.lit(10.0))
+    canon = to_canonical(
+        fact, PIPELINES["flips_big"], edd=F.lit("2026-08-14").cast("date")
+    )
+    name, text = render_adpo_i(canon, run_date=date(2026, 8, 13))
+    assert name == "08-13-26 ADPOI.txt"
+    lines = text.splitlines()
+    assert "Type ADPO,I" in lines and "Type 20000" in lines and "Type 498" in lines
+    assert "Type 1.50" in lines          # XDCK injected in header
+    assert "Type F10.00" in lines        # FOB trailer variant
+    assert "Type 0000012" in lines
