@@ -1155,3 +1155,64 @@ def q38_email_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@EXAMPLE.com invalid@@x"),
     )
     return c.select("c_custkey", EF.extract_emails(text).alias("emails"))
+
+
+# --------------------------------------------------------------------------
+# 12. Embedding near-dup + distinct aggregation
+# --------------------------------------------------------------------------
+
+@query(
+    "q39_embedding_near_dup",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sc
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sc, 4) AS score
+    FROM pairs WHERE round(sc, 4) >= 0.2
+    """,
+)
+def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    blocking key bounds the pair space — the standard scale trick before
+    LSH). Threshold applied on the ROUNDED score so both engines compare
+    identical values."""
+    from etl_jetro_spark.operators.similarity import cosine, _vec
+    from etl_jetro_spark.operators.util import spread
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", _vec("embedding").alias("_v")
+    ).persist()
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("_v").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    score = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+    return pairs.select("id_a", "id_b", score.alias("score")).filter(
+        F.col("score") >= 0.2
+    )
+
+
+@query(
+    "q40_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q40_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase: partial distinct then final)."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
