@@ -73,7 +73,14 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
     Permutation ``i`` is ``min(md5(i || ':' || shingle))``; an empty shingle
     set yields md5 of the seed alone (stable sentinel, still groupable).
+
+    Measured alternatives that LOST (don't redo): (a) slicing one md5 into
+    four 8-hex permutation values — Catalyst doesn't share the transform
+    subtree across the per-permutation branches, so hashing work is
+    unchanged and substring costs add ~20%; (b) explode + groupBy columnar
+    minhash — the exploded-hash shuffle costs more than the saved md5s.
     """
+
     def perm(i: int) -> Column:
         # NB: single-arg lambda only — pyspark passes the array index to any
         # second lambda parameter, which would clobber an i=i default.

@@ -79,11 +79,13 @@ def minhash_lsh_candidates(
     the fraction of agreeing minhash components (unbiased Jaccard estimate).
     """
     rows_per_band = num_hashes // bands
-    # Materialize shingles, then the signature, BEFORE the self-join.
-    # Without the persist barrier Catalyst collapses the projections and
-    # inlines the (norm→shingle→16×md5-min) tree into every downstream
-    # reference — both join sides, the band explode, and the estimate —
-    # recomputing it many times over (measured 400+ s vs ~10 s at sf0.1).
+    # Shingles then signature, expression-only and shuffle-free, with a
+    # persist barrier BEFORE the self-join: without it Catalyst inlines the
+    # (norm→shingle→md5-min) subtree into both join sides, the band
+    # explode, and the estimate — recomputing it many times over (measured
+    # 400+ s vs ~10 s at sf0.1). A columnar explode+groupBy variant was
+    # measured SLOWER (15.4 s vs 12 s): the exploded-hash shuffle costs
+    # more than the saved md5 calls.
     sh = spread(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_words).alias("_sh"),
