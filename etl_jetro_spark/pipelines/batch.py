@@ -325,3 +325,36 @@ def build_baby_flip(
     return out.withColumn("Weight", weight).orderBy(
         "Store", O.lot_last4_key("Lot #")
     )
+
+
+def build_baby_audit_manifest(
+    spark: SparkSession,
+    wide: pd.DataFrame,
+    output: DataFrame,
+    po_df: DataFrame,
+    carrier_df: DataFrame,
+) -> dict[str, DataFrame]:
+    """K2: the six audit-workbook tables (reference
+    Flips/tools/baby_flip_tool.py:384-512) as a name→DataFrame manifest for
+    sinks.excel_sink.write_audit_workbook (or per-table parquet when no
+    Excel engine is present).
+
+    - 'Araho Sheet': the output with Store renamed Column (P16)
+    - 'RD master' / 'RD clean': the cleaned wide input, raw and
+      NA-normalized
+    - 'Last Level Master': the aggregated long pivot
+    - 'PO#' / 'carriers': the headerless reference lists
+    """
+    from etl_jetro_spark.functions.na import normalize_na_strings
+
+    rd_master = _to_spark(spark, wide)
+    return {
+        "Araho Sheet": output.withColumnRenamed("Store", "Column"),
+        "RD master": rd_master,
+        "RD clean": normalize_na_strings(rd_master),
+        "Last Level Master": output.select(
+            *[c for c in output.columns if c not in ("PO #", "carrier_code", "Weight")]
+        ),
+        "PO#": po_df,
+        "carriers": carrier_df,
+    }

@@ -185,3 +185,22 @@ def test_baby_flip_e2e(spark):
     assert r["Weight"] == 12.0  # 2 * pack 6
     r2 = rows[("86", "2002")]
     assert r2["PO #"] is None and r2["carrier_code"] == "3"
+
+
+def test_baby_audit_manifest(spark):
+    _, baby = P.split_big_and_baby(grid_from_rows(FLIPS_GRID))
+    wide = P.clean_baby_flip(baby)
+    po = spark.createDataFrame([("78-2001", "114")], ["PO #", "Store"])
+    carrier = spark.createDataFrame([("114", "8")], ["Store", "carrier_code"])
+    out = P.build_baby_flip(spark, wide, po, carrier)
+    manifest = P.build_baby_audit_manifest(spark, wide, out, po, carrier)
+    assert set(manifest) == {
+        "Araho Sheet", "RD master", "RD clean", "Last Level Master", "PO#", "carriers",
+    }
+    assert "Column" in manifest["Araho Sheet"].columns
+    assert "PO #" not in manifest["Last Level Master"].columns
+    # RD clean nulls the 'na' cell that RD master keeps
+    raw = manifest["RD master"].collect()
+    clean = manifest["RD clean"].collect()
+    assert any("na" in [v for v in r if isinstance(v, str)] for r in raw)
+    assert not any("na" == v for r in clean for v in r)
