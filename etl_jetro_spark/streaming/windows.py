@@ -1,0 +1,80 @@
+"""Event-time windowed aggregation with watermark-based late-data handling.
+
+The reference has no event-time semantics (wall-clock polling only —
+SURVEY §2.10), but the engine's streaming surface would be incomplete
+without them: this is the streaming counterpart of the batch hourly
+rollup (plans.queries.q26_events_hourly), built on the same events schema.
+
+Scale notes: tumbling-window + watermark is Spark's native incremental
+aggregation — state is bounded by (watermark horizon × keys), partials
+combine map-side per micro-batch, and output mode ``append`` emits each
+window exactly once when the watermark passes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(
+    spark: SparkSession, events_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Streaming read of events files (ts is ns-since-epoch, matching the
+    testdata's TIMESTAMP(NANOS) read as long). ``events_dir`` must be a
+    directory (file-stream source constraint); ``glob`` selects the files.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(events_dir)
+    )
+    return raw.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows per event_type; rows later than the
+    watermark horizon are dropped (T5's late-data rule, event-time flavor).
+    """
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_hourly_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "hourly_rollup",
+):
+    """Wire the stream into an in-memory sink (append mode — windows emit
+    once finalized). Returns the StreamingQuery."""
+    agg = hourly_counts_stream(events_stream(spark, events_dir))
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -156,3 +156,27 @@ def test_orchestrator_transitions(spark):
 def test_expected_pos_order_preserving_distinct():
     stores = {"452": "88101", "490": "88101", "114": "88102"}
     assert orch.expected_pos_for_vendor(stores) == ["88101", "88102"]
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    """The streaming windowed agg (watermark, append mode) agrees with the
+    batch q26 rollup on the same closed windows."""
+    from etl_jetro_spark.plans.queries import QUERIES
+    from etl_jetro_spark.streaming.windows import run_hourly_rollup
+
+    sf = "/root/testdata/sf0.001"
+    q = run_hourly_rollup(spark, sf, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {
+        (int(r["window_start"].timestamp()), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_rollup").collect()
+    }
+    batch = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in QUERIES["q26_events_hourly"](spark, sf).collect()
+    }
+    # append mode withholds windows the watermark hasn't passed; everything
+    # emitted must match the batch rollup exactly
+    assert 0 < len(got) <= len(batch)
+    for k, v in got.items():
+        assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-6
