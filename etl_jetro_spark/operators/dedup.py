@@ -21,7 +21,7 @@ Scale design notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_jetro_spark.operators.util import spread

@@ -7,7 +7,7 @@ at 100 TB the fact side never shuffles for these lookups.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_jetro_spark.functions.text import norm_key

@@ -32,9 +32,6 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(f"({_BPE_ISH})"), 1))
 
 
-ENGLISH_STOPWORDS = (
-    "the a an and or of to in is are was for on with as at by it this that",
-)
 STOPWORD_SETS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "that", "it"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "los", "las"),

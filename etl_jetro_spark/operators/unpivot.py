@@ -18,8 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_jetro_spark.functions.text import strip_dot_zero
-
 
 def _is_numeric_name(name: str) -> bool:
     try:

@@ -18,7 +18,6 @@ import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 try:  # pragma: no cover
     import openpyxl  # noqa: F401
