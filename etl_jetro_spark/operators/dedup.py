@@ -36,6 +36,48 @@ from etl_jetro_spark.functions.hashing import (
 )
 
 
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct: bool,
+) -> DataFrame:
+    """Exploded (\_id, \_sh) word-n-gram shingle rows.
+
+    Built with posexplode + window lead instead of array higher-order
+    functions: HOFs are CodegenFallback (interpreted), and the interpreted
+    shingle walk measured 13.4 s vs 1.9 s for this codegen'd shape at
+    sf0.1. Shingle SETS are identical to functions.hashing.word_shingles.
+    """
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    words = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(norm_text(text_col), " ")).alias("_pos", "_w"),
+        )
+        .filter(F.col("_w") != "")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    sh = (
+        words.select(
+            "_id",
+            F.concat_ws(
+                " ", "_w", *[F.lead("_w", k).over(w) for k in range(1, n)]
+            ).alias("_sh"),
+            F.lead("_w", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("_id", "_sh")
+    )
+    return sh.distinct() if distinct else sh
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one row per distinct normalized text: the minimum id wins
     (deterministic). Returns (id, fingerprint, dup_count)."""
@@ -79,20 +121,36 @@ def minhash_lsh_candidates(
     the fraction of agreeing minhash components (unbiased Jaccard estimate).
     """
     rows_per_band = num_hashes // bands
-    # Shingles then signature, expression-only and shuffle-free, with a
-    # persist barrier BEFORE the self-join: without it Catalyst inlines the
-    # (norm→shingle→md5-min) subtree into both join sides, the band
-    # explode, and the estimate — recomputing it many times over (measured
-    # 400+ s vs ~10 s at sf0.1). A columnar explode+groupBy variant was
-    # measured SLOWER (15.4 s vs 12 s): the exploded-hash shuffle costs
-    # more than the saved md5 calls.
-    sh = spread(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_words).alias("_sh"),
+    # Columnar signature over exploded shingle rows: everything stays in
+    # whole-stage codegen (array HOFs are CodegenFallback/interpreted — the
+    # HOF form measured ~12 s vs ~5 s for this shape at sf0.1). Min over
+    # the multiset equals min over the set, so no distinct is needed. The
+    # persist barrier BEFORE the self-join is load-bearing: without it
+    # Catalyst inlines the signature subtree into both join sides, the
+    # band explode, and the estimate (measured 400+ s).
+    sh = shingle_rows(df, id_col, text_col, shingle_words, distinct=False)
+    mins = sh.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    sig = sh.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
-    ).persist()
+    # empty shingle sets fall out of the explode; restore with the stable
+    # seed-hash sentinel (same value minhash_signature produces)
+    sig = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(mins, "_id", "left")
+        .select(
+            "_id",
+            F.array(
+                *[
+                    F.coalesce(F.col(f"_m{i}"), F.md5(F.lit(f"{i}:")))
+                    for i in range(num_hashes)
+                ]
+            ).alias("_sig"),
+        )
+        .persist()
+    )
     banded = sig.select(
         "_id", "_sig", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
     )
@@ -127,9 +185,8 @@ def simhash_candidates(
     Returns (id_a, id_b, hamming).
     """
     width = 64 // chunks
-    fp = spread(df).select(
-        F.col(id_col).alias("_id"),
-        simhash_bits(word_shingles(text_col, shingle_words)).alias("_fp"),
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_words).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_fp")
     )
     chunked = fp.select(
         "_id",
@@ -174,15 +231,17 @@ def ngram_jaccard_pairs(
     the skew guard for web-scale corpora.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    mk = char_shingles(text_col, n) if use_chars else word_shingles(text_col, n)
     # persist: the shingle index feeds THREE consumers (per-doc sizes and
     # both sides of the self-join) — without the barrier the shingling
-    # expression recomputes per consumer
-    sh = (
-        spread(df)
-        .select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(mk)).alias("_sh"))
-        .persist()
-    )
+    # recomputes per consumer. Word shingles use the codegen'd exploded
+    # path; char shingles keep the array form (rare path).
+    if use_chars:
+        sh = spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(char_shingles(text_col, n))).alias("_sh"),
+        ).persist()
+    else:
+        sh = shingle_rows(df, id_col, text_col, n, distinct=True).persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_doc_freq is not None:
         freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -203,4 +262,38 @@ def ngram_jaccard_pairs(
         .join(nb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int = 2
+) -> DataFrame:
+    """(id, simhash) 64-char bit strings, computed columnar over exploded
+    shingle rows (64 sum-aggregates, whole-stage codegen) — equal to
+    functions.hashing.simhash_bits but ~2x faster (HOFs are interpreted).
+
+    Votes sum over the shingle MULTISET (duplicates vote repeatedly),
+    matching the array-level definition.
+    """
+    from etl_jetro_spark.functions.hashing import _HEX
+
+    sh = shingle_rows(df, id_col, text_col, shingle_words, distinct=False)
+    h = sh.select("_id", F.substring(F.md5("_sh"), 1, 16).alias("_h"))
+    aggs = []
+    for p in range(64):
+        ci, b = p // 4 + 1, 3 - (p % 4)
+        d = F.instr(F.lit(_HEX), F.substring("_h", ci, 1)) - 1
+        bit = F.shiftright(d, b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_b{p}"))
+    votes = h.groupBy("_id").agg(*aggs)
+    fp = F.concat(
+        *[F.when(F.col(f"_b{p}") > 0, "1").otherwise("0") for p in range(64)]
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(votes, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(fp, F.lit("0" * 64)).alias("simhash"),
+        )
     )

@@ -642,13 +642,10 @@ def q19_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (as bit strings) per document."""
-    from etl_jetro_spark.functions.hashing import simhash_bits, word_shingles
-    from etl_jetro_spark.operators.util import spread
+    from etl_jetro_spark.operators.dedup import simhash_fingerprints
 
-    d = spread(load(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", simhash_bits(word_shingles("text", 2)).alias("simhash")
-    )
+    d = load(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "doc_id", "text", shingle_words=2)
 
 
 # --------------------------------------------------------------------------
