@@ -1303,3 +1303,139 @@ def q42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# 14. Time-series operators Spark lacks natively: as-of join,
+#     sessionization, exact percentiles
+# --------------------------------------------------------------------------
+
+@query(
+    "q43_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.purchase_id AS last_purchase_id
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q43_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (per click, the latest purchase at-or-before it, by
+    user) — an operator Spark lacks natively, composed as a union-tag +
+    running last_value window: one shuffle on the key, no range explosion.
+    DuckDB expresses the same thing with ASOF JOIN."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        "ts",
+        F.lit(1).alias("_is_click"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.lit(0).alias("_is_click"),
+    )
+    tagged = clicks.unionByName(purchases)
+    # purchases sort before clicks at equal ts so same-instant purchases match
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_purchase_id", F.last("purchase_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_is_click") == 1).select(
+        "user_id", "click_id", "last_purchase_id"
+    )
+
+
+@query(
+    "q44_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    ),
+    per_session AS (
+      SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)       AS n_sessions,
+           CAST(max(n_events) AS BIGINT)  AS max_session_events,
+           round(avg(n_events), 6)        AS avg_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q44_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): lag →
+    new-session flag → running sum — the standard scalable formulation, one
+    shuffle on user_id shared by both windows."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = F.col("ts") - F.lag("ts").over(wo)
+    new_session = F.when(
+        gap_ns.isNull() | (gap_ns > 1800 * 1_000_000_000), 1
+    ).otherwise(0)
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.select(
+        "user_id", F.sum(new_session).over(wrun).alias("session_no")
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+    )
+
+
+@query(
+    "q45_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def q45_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont, both linear interpolation)."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
