@@ -1439,3 +1439,37 @@ def q45_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("vmin"),
         F.round(F.max("value"), 6).alias("vmax"),
     )
+
+
+@query(
+    "q46_range_join",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events)
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST((epoch_ns(b.ts) - epoch_ns(a.ts)) // 1000000000 AS BIGINT) AS gap_s
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 60000000000
+    """,
+)
+def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: same-user event pairs within 60 s, via the
+    bucketed formulation (hash join + 3x amplification, never a per-key
+    cartesian)."""
+    from etl_jetro_spark.operators.rangejoin import range_join
+
+    e = load_events(spark, sf_dir).select("user_id", "event_id", "ts")
+    pairs = range_join(e, e, ["user_id"], "ts", 60 * 1_000_000_000)
+    return (
+        pairs.filter(F.col("event_id_a") < F.col("event_id_b"))
+        .dropDuplicates(["event_id_a", "event_id_b"])
+        .select(
+            "user_id",
+            F.col("event_id_a").alias("id_a"),
+            F.col("event_id_b").alias("id_b"),
+            ((F.col("ts_b") - F.col("ts_a")) / F.lit(1_000_000_000))
+            .cast("long")
+            .alias("gap_s"),
+        )
+    )
