@@ -65,3 +65,68 @@ def finalize(
             F.concat(F.lit("missing: "), F.concat_ws(",", "missing_pos")),
         ).alias("detail"),
     )
+
+
+def orchestrate_tick(
+    spark,
+    control_grid: list[list[str]],
+    watch_dirs: list[str],
+    dest_dir: str,
+    deadline_polls: int = 600,
+    poll_fn=None,
+) -> dict:
+    """One full control-loop tick — the reference's ``main()`` body
+    (sheet_bot/main.py:336-395) as a deterministic function:
+
+    parse sections → select Ready → lock (Ready→SENDING payload) →
+    watch/settle/move per expected PO → finalize (Sent/ERROR payload).
+
+    ``poll_fn(state, dest_dir) -> None`` drives the snapshot poller until
+    done/deadline; the default polls the real directories with no sleep
+    (tests and batch replays). Returns a manifest with both write-back
+    payloads and the final per-PO status.
+    """
+    from etl_jetro_spark.sinks.notify import status_update_payload
+    from etl_jetro_spark.sources.sheet import parse_sections
+    from etl_jetro_spark.streaming import snapshot as S
+
+    rows = parse_sections(control_grid)
+    ready = [r for r in rows if r.status == READY and r.vendor_num]
+    lock_payload = [
+        {"range": r.status_a1, "values": [[SENDING]]} for r in sorted(
+            ready, key=lambda r: r.status_a1
+        )
+    ]
+
+    expected_rows = []
+    status_rows = []
+    for r in ready:
+        pos = expected_pos_for_vendor(r.stores)
+        expected_rows += [(r.vendor_num, r.status_a1, po) for po in pos]
+        st = S.new_watch(pos, deadline_polls=deadline_polls)
+        S.precheck_dest(st, dest_dir)
+        if poll_fn is not None:
+            poll_fn(st, dest_dir)
+        else:
+            while st.pending():
+                for d in watch_dirs:
+                    S.poll_step(st, S.list_dir(d), dest_dir)
+                if st.polls >= st.deadline_polls:
+                    break
+        status_rows += [(po, s) for po, s in st.status.items()]
+
+    if not expected_rows:
+        return {"lock": lock_payload, "final": [], "po_status": {}}
+
+    expected = spark.createDataFrame(
+        expected_rows, "vendor_num string, status_a1 string, po string"
+    )
+    status = spark.createDataFrame(status_rows, "po string, status string")
+    final_payload = status_update_payload(
+        finalize(expected, status).select("status_a1", "new_status")
+    )
+    return {
+        "lock": lock_payload,
+        "final": final_payload,
+        "po_status": dict(status_rows),
+    }

@@ -226,3 +226,24 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     again = {r["media_id"]: r["feature"] for r in MM.extract_features(df).collect()}
     assert again[1] == got[1]["feature"]
+
+
+def test_range_join_operator(spark):
+    from etl_jetro_spark.operators.rangejoin import range_join
+
+    df = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2, 150), ("u1", 3, 300), ("u2", 4, 120)],
+        ["user", "id", "ts"],
+    )
+    pairs = range_join(df, df, ["user"], "ts", max_distance=60)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.filter(F.col("id_a") < F.col("id_b")).collect()
+    }
+    # only (1,2) within 60; (2,3)=150 apart; u2 alone
+    assert got == {(1, 2)}
+    # boundary: exactly max_distance qualifies
+    df2 = spark.createDataFrame([("u", 1, 0), ("u", 2, 60)], ["user", "id", "ts"])
+    assert range_join(df2, df2, ["user"], "ts", 60).filter(
+        F.col("id_a") < F.col("id_b")
+    ).count() == 1

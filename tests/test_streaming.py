@@ -180,3 +180,29 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
     assert 0 < len(got) <= len(batch)
     for k, v in got.items():
         assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-6
+
+
+def test_orchestrate_tick_full_loop(spark, tmp_path):
+    """The whole sheet_bot tick: parse -> lock -> watch -> finalize."""
+    watch = tmp_path / "w"
+    dest = tmp_path / "d"
+    watch.mkdir()
+    dest.mkdir()
+    # vendor 79906 expects 88101+88102: 88101 arrives, 88102 never does
+    (watch / "79906-114-88101.pdf").write_bytes(b"x")
+    # vendor 44602 expects 88104: already delivered (pre-check)
+    (dest / "44602-86-88104.pdf").write_bytes(b"y")
+
+    m = orch.orchestrate_tick(
+        spark, CONTROL_GRID, [str(watch)], str(dest), deadline_polls=3
+    )
+    assert m["lock"] == [
+        {"range": "E7", "values": [["SENDING"]]},
+        {"range": "G2", "values": [["SENDING"]]},
+    ]
+    assert m["po_status"]["88101"] == "done"
+    assert m["po_status"]["88102"] == "error"
+    assert m["po_status"]["88104"] == "done"
+    finals = {p["range"]: p["values"][0][0] for p in m["final"]}
+    assert finals == {"G2": "ERROR", "E7": "Sent"}
+    assert (dest / "79906-114-88101.pdf").exists()
