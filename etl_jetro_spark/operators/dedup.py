@@ -30,9 +30,6 @@ from etl_jetro_spark.functions.hashing import (
     doc_fingerprint,
     hamming_distance_bits,
     lsh_band_keys,
-    minhash_signature,
-    simhash_bits,
-    word_shingles,
 )
 
 

@@ -149,3 +149,12 @@ def test_render_adpo_i(spark):
     assert "Type 1.50" in lines          # XDCK injected in header
     assert "Type F10.00" in lines        # FOB trailer variant
     assert "Type 0000012" in lines
+
+
+def test_pair_scan_too_many_files(tmp_path):
+    from etl_jetro_spark.sources.excel import read_allocation_pricesheet
+
+    for n in ("allocation.csv", "price.csv", "extra.csv"):
+        (tmp_path / n).write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="at most 2"):
+        read_allocation_pricesheet(str(tmp_path))
