@@ -247,3 +247,34 @@ def test_range_join_operator(spark):
     assert range_join(df2, df2, ["user"], "ts", 60).filter(
         F.col("id_a") < F.col("id_b")
     ).count() == 1
+
+
+def test_salted_sum_equals_plain(spark, sf_dir):
+    from etl_jetro_spark.operators.skew import salted_sum_by
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"],): r["s"]
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        (r["l_returnflag"],): r["s"]
+        for r in salted_sum_by(li, ["l_returnflag"], "l_quantity", out="s").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-6
+
+
+def test_salted_broadcast_join_equals_plain(spark, sf_dir):
+    from etl_jetro_spark.operators.skew import salted_broadcast_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    dim = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = li.join(dim, "l_suppkey", "left").groupBy("s_name").count()
+    salted = salted_broadcast_join(li, dim, "l_suppkey").groupBy("s_name").count()
+    a = {r["s_name"]: r["count"] for r in plain.collect()}
+    b = {r["s_name"]: r["count"] for r in salted.collect()}
+    assert a == b
