@@ -42,4 +42,14 @@ from etl_jetro_spark.operators.textstats import (  # noqa: F401
     stopword_hits,
     token_count,
 )
+from etl_jetro_spark.operators.dedup import (  # noqa: F401
+    shingle_rows,
+    simhash_fingerprints,
+)
+from etl_jetro_spark.operators.rangejoin import range_join  # noqa: F401
+from etl_jetro_spark.operators.skew import (  # noqa: F401
+    salted_broadcast_join,
+    salted_sum_by,
+)
 from etl_jetro_spark.operators.unpivot import melt, melt_between  # noqa: F401
+from etl_jetro_spark.operators.util import spread  # noqa: F401
