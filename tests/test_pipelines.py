@@ -204,3 +204,46 @@ def test_baby_audit_manifest(spark):
     clean = manifest["RD clean"].collect()
     assert any("na" in [v for v in r if isinstance(v, str)] for r in raw)
     assert not any("na" == v for r in clean for v in r)
+
+
+def test_allocation_missing_total_marker(spark):
+    """Sheets without a 'Total' column slice nothing and still run."""
+    grid = grid_from_rows(
+        [
+            ["junk", "", ""],
+            ["Item#", "Item Description", "114"],
+            ["12345", "w", "2"],
+            ["TOTALS", "", "2"],
+        ]
+    )
+    wide = P.clean_allocation(grid)
+    assert list(wide.columns) == ["Item#", "114"]
+    out = P.build_allocation(spark, wide, "247", base_date="2026-08-10")
+    assert out.count() == 1
+
+
+def test_allocation_all_zero_rows_yields_empty_canonical(spark):
+    grid = grid_from_rows(
+        [
+            ["junk", "", "", ""],
+            ["Item#", "Item Description", "114", "Total"],
+            ["12345", "w", "0", "0"],
+            ["TOTALS", "", "0", "0"],
+        ]
+    )
+    out = P.build_allocation(spark, P.clean_allocation(grid), "247", base_date="2026-08-10")
+    assert out.count() == 0
+    assert out.columns == CANONICAL_COLS  # schema stable even when empty
+
+
+def test_flips_split_without_sentinels():
+    """A sheet with no 'Total Weight' and a single 'Item' row: big region
+    is the whole sheet, baby region empty."""
+    grid = grid_from_rows(
+        [
+            ["Item", "x", "y", "Lot #", "114"],
+            ["1001", "", "", "L1", "2"],
+        ]
+    )
+    big, baby = P.split_big_and_baby(grid)
+    assert len(big) == 2 and len(baby) == 0
