@@ -47,7 +47,7 @@ def run_247(
             spark, wide, "247", base_date=run_date.isoformat()
         )
         manifest["order_sheet"] = write_canonical(canon, out_dir)
-        name, text = render_adpo_x(canon, supplier=81214, run_date=run_date)
+        name, text = render_adpo_x(canon, run_date=run_date)
         manifest["adpo_x"] = _write_text(out_dir, name, text)
     if price_grid is not None:
         wide = B.clean_pricesheet(price_grid)
@@ -65,7 +65,7 @@ def run_acme(
     wide = B.clean_acme_like(grid, leading_junk_cols=2)
     canon = B.build_acme_like(spark, wide, "acme", token, run_date.isoformat())
     manifest = {"order_sheet": write_canonical(canon, out_dir)}
-    name, text = render_adpo_x(canon, supplier=44602, run_date=run_date)
+    name, text = render_adpo_x(canon, run_date=run_date)
     manifest["adpo_x"] = _write_text(out_dir, name, text)
     return manifest
 
@@ -105,7 +105,7 @@ def run_leavins(
         spark, wide, "leavins", edd=F.lit(edd.isoformat()).cast("date")
     )
     manifest = {"order_sheet": write_canonical(canon, out_dir)}
-    name, text = render_adpo_x(canon, supplier=79906, run_date=run_date)
+    name, text = render_adpo_x(canon, run_date=run_date)
     manifest["adpo_x"] = _write_text(out_dir, name, text)
     return manifest
 
@@ -118,7 +118,7 @@ def run_southern_cross(
     wide = B.clean_southern_cross(grid)
     canon = B.build_southern_cross(spark, wide, run_date.isoformat())
     manifest = {"order_sheet": write_canonical(canon, out_dir)}
-    name, text = render_adpo_x(canon, supplier=80104, run_date=run_date)
+    name, text = render_adpo_x(canon, run_date=run_date)
     manifest["adpo_x"] = _write_text(out_dir, name, text)
     return manifest
 

@@ -34,7 +34,8 @@ def test_run_247_end_to_end(spark, tmp_path):
     assert manifest["order_sheet"]["rows"] == 2
     assert os.path.exists(manifest["order_sheet"]["parquet"])
     adpo = open(manifest["adpo_x"]).read()
-    assert "Type ADPO,X" in adpo and "Type 0990033" in adpo
+    assert 'type "adpo,x"' in adpo and "-0990033" in adpo
+    assert "Type  114-0012345" in adpo
     dlpm = open(manifest["dlpm"]).read()
     # store 490 remapped to 498 in the price path
     assert "Type 498-0012345" in dlpm and "Type 2.50" in dlpm

@@ -90,8 +90,11 @@ def test_render_dlpm_deterministic(spark):
     name, text = render_dlpm(price, "AB", date(2026, 8, 13))
     assert name == "08-13-26 247DLPM.txt"
     lines = text.splitlines()
-    # numeric-first store order: 9 before 10
-    assert lines[3] == "Type 9-0000099"
+    # reference 32-line block per row; numeric-first store order: 9 before 10
+    assert len(lines) == 64
+    assert lines[0] == "Key Tab" and lines[1] == "Type 9-0000099"
+    assert lines[4] == "Type H" and lines[6] == "Type A"
+    assert lines[8] == "Type 08/13/26" and lines[12] == "Type AB"
     assert "Type 1234.50" in lines  # comma-free 2dp money
     assert text == render_dlpm(price, "AB", date(2026, 8, 13))[1]  # byte-stable
 
@@ -104,14 +107,19 @@ def test_render_adpo_x_groups(spark):
         ["Branch", "Item", "Distro Size"],
     )
     canon = to_canonical(fact, PIPELINES["247"], edd=F.lit("2026-08-17").cast("date"))
-    name, text = render_adpo_x(canon, supplier=81214, run_date=date(2026, 8, 13))
-    assert name == "08-13-26 ADPOX.txt"
-    # two branch groups -> two headers and two trailers with the freight item
-    assert text.count("Type ADPO,X") == 2
-    assert text.count("Type 0990033") == 2
-    assert "AppendClipboard C:\\POs\\VendorNo-81214-2026-08-13.csv" in text
+    name, text = render_adpo_x(canon, run_date=date(2026, 8, 13))
+    assert name == "2026-08-13_ADPO_X_Vendor81214.txt"
+    # two branch groups -> two headers, freight trailers, clipboard blocks
+    assert text.count("Type P2E") == 2 and text.count("Type 81214") == 2
+    assert text.count(f"-0990033") == 2
+    assert text.count('type "adpo,x"') == 2
+    assert "FileSpec clipboard,C:\\POs\\VendorNo-81214-2026-08-13.csv,append" in text
+    assert "Type  9-0000012" in text and "Type  114-0000012" in text
+    assert "Type 08/17/26" in text  # EDD mm/dd/yy in the trailer
     # branch 9 group comes first (numeric order)
     assert text.index("Type 9\n") < text.index("Type 114\n")
+    # reference post-processing: no trailing spaces, no blank lines
+    assert "\n\n" not in text and " \n" not in text
 
 
 def test_notify_body_and_status_payload(spark):
@@ -143,12 +151,16 @@ def test_render_adpo_i(spark):
         fact, PIPELINES["flips_big"], edd=F.lit("2026-08-14").cast("date")
     )
     name, text = render_adpo_i(canon, run_date=date(2026, 8, 13))
-    assert name == "08-13-26 ADPOI.txt"
+    assert name == "2026-08-13_ADPO_I_output.txt"
     lines = text.splitlines()
-    assert "Type ADPO,I" in lines and "Type 20000" in lines and "Type 498" in lines
-    assert "Type 1.50" in lines          # XDCK injected in header
-    assert "Type F10.00" in lines        # FOB trailer variant
-    assert "Type 0000012" in lines
+    assert "Type 20000" in lines                       # supplier literal
+    assert "Type 498-0000012" in lines                 # warehouse-addressed item
+    assert "Type 498-0990033" in lines                 # freight trailer
+    assert "Type 1.5" in lines                         # XDCK cleaned (1.50 -> 1.5)
+    assert "type 10" in lines                          # FOB trailer variant, cleaned
+    assert "type W" in lines and "Type M" in lines     # freight type + XDCK letter
+    assert "FileSpec clipboard,C:\\POs\\2026-08-13_114544_P20.csv,append" in lines
+    assert text.endswith("\n")
 
 
 def test_pair_scan_too_many_files(tmp_path):
