@@ -28,15 +28,34 @@ def latest_csv(folder: str) -> str | None:
     return max(files, key=os.path.getmtime) if files else None
 
 
+def _sniff_encoding(path: str) -> str | None:
+    """Reference encoding-fallback chain (utf-8-sig → utf-16 → latin1,
+    247/tools/read_file_tool.py:157-167): detect UTF-16 by BOM so the
+    distributed text read stays UTF-8; UTF-16 files are transcoded (they
+    are KB-sized control-plane drops)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "utf-16"
+    return None
+
+
 def read_po_lines(spark: SparkSession, path: str) -> DataFrame:
     """Parse a PO-per-line file into [PO #, Store, Item].
 
-    Encoding fallback: Spark's text source decodes UTF-8 with replacement
-    (lossy but never fails, covering the reference's ignore-errors last
-    resort); BOMs are stripped explicitly. Lines that are NA-like or
-    dash-free are dropped (P9).
+    UTF-8 (with or without BOM) reads distributed; UTF-16 (BOM-detected)
+    is transcoded driver-side first — these are tiny control files. Other
+    bytes decode with replacement (the reference's ignore-errors last
+    resort). Lines that are NA-like or dash-free are dropped (P9).
     """
-    lines = spark.read.text(path).select(
+    if _sniff_encoding(path) == "utf-16":
+        text = open(path, "rb").read().decode("utf-16")
+        lines = spark.createDataFrame(
+            [(ln,) for ln in text.splitlines()], "value string"
+        )
+    else:
+        lines = spark.read.text(path)
+    lines = lines.select(
         F.regexp_replace(F.col("value"), "^﻿", "").alias("po")
     )
     parts = split_first_dash(F.trim(F.col("po")))

@@ -170,3 +170,12 @@ def test_pair_scan_too_many_files(tmp_path):
         (tmp_path / n).write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="at most 2"):
         read_allocation_pricesheet(str(tmp_path))
+
+
+def test_read_po_csv_utf16(spark, tmp_path):
+    f = tmp_path / "pos.csv"
+    f.write_bytes("114-28937\n402–20721\n".encode("utf-16"))
+    from etl_jetro_spark.sources.csv_po import read_po_lines
+
+    got = sorted((r["Store"], r["Item"]) for r in read_po_lines(spark, str(f)).collect())
+    assert got == [("114", "28937"), ("402", "20721")]
