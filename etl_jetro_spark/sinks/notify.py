@@ -31,18 +31,65 @@ try:  # pragma: no cover
 except ImportError:
     HAVE_SHEETS = False
 
-BODY_TEMPLATE = (
-    "Greetings,<br><br>"
-    "Please confirm the following POs:<br>{items}<br>"
-)
+_FONT = "font-family:Segoe UI, Arial, Helvetica, sans-serif; font-size:14px; line-height:1.6;"
+
+BODY_TEMPLATE = """<!doctype html>
+<html>
+  <head>
+    <meta charset="utf-8">
+    <title>Email Body</title>
+  </head>
+  <body style="margin:0;">
+    <div style="{font}">
+      <p style="margin:0 0 12px 0;">Greetings,</p>
+      <p style="margin:0 0 12px 0;">Please confirm the following POs:</p>
+      <div style="white-space:normal;">
+        {po_lines}
+      </div>
+    </div>
+  </body>
+</html>
+"""
 
 
-def generate_body(pos: list[str], signature: str = "") -> str:
-    """K7: HTML body listing the POs, reference template shape
-    (email_generator.py:6-89)."""
-    items = "".join(f"&bull; {po}<br>" for po in pos)
-    body = BODY_TEMPLATE.format(items=items)
-    return body + signature if signature else body
+def generate_body(pos: list[str]) -> str:
+    """K7: the reference's full HTML body document — Greetings preamble,
+    confirm line, one PO per line (escaped), Segoe-UI styling
+    (email_generator.py:6-39)."""
+    from html import escape
+
+    items = [escape(str(x).strip()) for x in (pos or []) if str(x).strip()]
+    po_lines = "<br>\n        ".join(items)
+    return BODY_TEMPLATE.format(font=_FONT, po_lines=po_lines)
+
+
+def combine_body_signature(body_html: str, signature_html: str, padding_px: int = 24) -> str:
+    """K7: merge body and signature documents into one email HTML —
+    body first, 24px spacer, signature, single container
+    (email_generator.py:42-89)."""
+    import re as _re
+
+    def inner(html_text: str) -> str:
+        m = _re.search(r"<body[^>]*>(.*?)</body>", html_text, flags=_re.I | _re.S)
+        return (m.group(1) if m else html_text).strip()
+
+    return f"""<!doctype html>
+<html>
+  <head>
+    <meta charset="utf-8">
+    <title>Email</title>
+    <meta http-equiv="x-ua-compatible" content="ie=edge">
+    <meta name="viewport" content="width=device-width, initial-scale=1">
+  </head>
+  <body style="margin:0;">
+    <div style="padding:{padding_px}px; {_FONT}">
+      {inner(body_html)}
+      <div style="height:24px;"></div>
+      {inner(signature_html)}
+    </div>
+  </body>
+</html>
+"""
 
 
 def send_email_graph(

@@ -123,8 +123,13 @@ def test_render_adpo_x_groups(spark):
 
 
 def test_notify_body_and_status_payload(spark):
-    body = notify.generate_body(["88101", "88102"], signature="<p>sig</p>")
-    assert "&bull; 88101<br>" in body and body.endswith("<p>sig</p>")
+    body = notify.generate_body(["88101", " 88102 ", ""])
+    # reference body doc: greeting, confirm line, one PO per line, escaped
+    assert "Please confirm the following POs:" in body
+    assert "88101<br>\n        88102" in body
+    combined = notify.combine_body_signature(body, "<html><body><p>sig</p></body></html>")
+    assert combined.index("88101") < combined.index("<p>sig</p>")
+    assert 'style="height:24px;"' in combined
 
     updates = spark.createDataFrame(
         [("G2", "SENDING"), ("E7", "Sent")], ["status_a1", "new_status"]
