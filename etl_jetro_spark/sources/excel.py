@@ -100,9 +100,17 @@ def read_allocation_pricesheet(
 
 
 def read_single_with_token(
-    folder: str, reader: Callable[[str], pd.DataFrame] = grid_from_csv
+    folder: str,
+    reader: Callable[[str], pd.DataFrame] = grid_from_csv,
+    sheet: str | int | None = None,
 ) -> tuple[pd.DataFrame, str]:
-    """S2: exactly one sheet file; returns (grid, cleaned filename token)."""
+    """S2: exactly one sheet file; returns (grid, cleaned filename token).
+
+    ``sheet`` selects a named worksheet on the Excel path — SouthernCross
+    reads the fixed tab ``'IBT FORMAT'`` and errors when absent
+    (reference SouthernCross/tools/read_file_tool.py:12,53-61); CSV inputs
+    ignore it (single-table files).
+    """
     exts = EXCEL_EXTS if reader is grid_from_excel else (".csv",)
     files = sorted(
         os.path.join(folder, f)
@@ -112,6 +120,8 @@ def read_single_with_token(
     if len(files) != 1:
         raise ValueError(f"expected exactly 1 sheet file in {folder}, found {len(files)}")
     token = clean_file_token(os.path.splitext(os.path.basename(files[0]))[0])
+    if sheet is not None and reader is grid_from_excel:  # pragma: no cover
+        return grid_from_excel(files[0], sheet=sheet), token
     return reader(files[0]), token
 
 
