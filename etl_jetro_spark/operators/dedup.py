@@ -41,7 +41,7 @@ def shingle_rows(
     n: int,
     distinct: bool,
 ) -> DataFrame:
-    """Exploded (\_id, \_sh) word-n-gram shingle rows.
+    """Exploded (_id, _sh) word-n-gram shingle rows.
 
     Built with posexplode + window lead instead of array higher-order
     functions: HOFs are CodegenFallback (interpreted), and the interpreted

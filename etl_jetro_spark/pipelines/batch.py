@@ -238,13 +238,28 @@ def build_flips_store_block(big: pd.DataFrame, header_row: int = 4) -> dict[str,
 
 
 def clean_big_flip(big: pd.DataFrame) -> pd.DataFrame:
-    """Header promotion at the first 'Item' row; 3-way slice (left of PO#,
-    through Lot #, through Total); bad headers dropped (P1/P3/P5)."""
-    matches = [i for i, v in enumerate(big.iloc[:, 0]) if G._norm_name(v) == "item"]
-    wide = G.promote_header(big, header_row=matches[0])
-    wide = G.slice_at_marker(wide, "PO#", keep="left")
-    wide = G.slice_at_marker(wide, "Total", keep="left")
-    return G.drop_bad_header_columns(wide)
+    """Reference-faithful clean (big_flip_tool.py:132-177): drop rows 0-3
+    and positional columns 1-3, promote the next row, drop empty-header
+    columns and empty-item rows, then the 3-way right trim as an
+    *elif chain* — strictly left of 'PO #', else through 'Lot #'
+    inclusive, else through 'Total' inclusive (P1/P3/P5/P9)."""
+    df = big.iloc[4:].reset_index(drop=True)
+    keep = [0] + list(range(4, df.shape[1]))
+    df = df.iloc[:, [p for p in keep if p < df.shape[1]]]
+    wide = G.promote_header(df, header_row=0)
+    wide = G.drop_bad_header_columns(wide)
+    if wide.shape[1]:
+        first = wide.columns[0]
+        wide = wide[
+            wide[first].map(lambda v: str(v).strip() not in ("", "nan", "None"))
+        ].reset_index(drop=True)
+    if G.find_column(wide, "PO #") is not None:
+        wide = G.slice_at_marker(wide, "PO #", keep="left")
+    elif G.find_column(wide, "Lot #") is not None:
+        wide = G.slice_at_marker(wide, "Lot #", keep="through")
+    elif G.find_column(wide, "Total") is not None:
+        wide = G.slice_at_marker(wide, "Total", keep="through")
+    return wide
 
 
 def build_big_flip(

@@ -126,15 +126,16 @@ def test_southern_cross_e2e(spark):
 
 
 FLIPS_GRID = [
-    # big region: store header block row 4 (cols E..), items below
-    ["", "", "", "", "Fob", "", ""],
-    ["", "", "", "", "$10.00", "$20.00", ""],
-    ["", "", "", "", "Xdock", "", ""],
-    ["", "", "", "", "1.50", "0", ""],
-    ["Item", "x", "y", "Lot #", "114", "86", "Total"],
-    ["1001", "", "", "498-1 1234", "2.2", "", "2.2"],
-    ["1002", "", "", "498-2 5678", "1", "3", "4"],
-    ["", "", "", "Total Weight", "", "", ""],
+    # big region: rows 0-3 = Fob/Xdock store block (cols E..), row 4 =
+    # header (cols 1-3 are junk the clean drops positionally), items below
+    ["", "", "", "", "Fob", "", "", ""],
+    ["", "", "", "", "$10.00", "$20.00", "", ""],
+    ["", "", "", "", "Xdock", "", "", ""],
+    ["", "", "", "", "1.50", "0", "", ""],
+    ["Item", "x", "y", "z", "114", "86", "Lot #", "Total"],
+    ["1001", "", "", "", "2.2", "", "498-1 1234", "2.2"],
+    ["1002", "", "", "", "1", "3", "498-2 5678", "4"],
+    ["", "", "", "Total Weight", "", "", "", ""],
     # baby region from the SECOND 'Item' row
     ["Item", "", "widget desc", "pack size", "114", "86", "Wgt", "Total", "Lot #"],
     ["2001", "", "da", "6", "1.2", "na", "9", "1.2", "498-68594 39024"],
