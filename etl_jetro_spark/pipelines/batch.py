@@ -37,7 +37,9 @@ def clean_allocation(raw: pd.DataFrame) -> pd.DataFrame:
     wide = G.promote_header(raw, header_row=1)
     wide = G.drop_last_row(wide)
     wide = G.slice_at_marker(wide, "Total", keep="left")
-    return G.drop_columns_ci(wide, ["Item Description", "Description"])
+    # only the exact 'Item Description' column — the reference does not
+    # touch other description-ish names (allocation_tool.py:43-48)
+    return G.drop_columns_ci(wide, ["Item Description"])
 
 
 def build_allocation(
@@ -146,9 +148,14 @@ def build_acme_like(
     cfg = O.PIPELINES[pipeline]
     docks = docks_from_token(pipeline, file_token)
     df = _to_spark(spark, wide)
+    # NB: the reference's zero filter is pandas ``ne(0)`` on a coerced
+    # numeric — NaN compares True, so non-numeric Distro cells are KEPT
+    # (acme_tool.py:53-55); only literal zeros drop.
     df = df.filter(
         F.col("dock").try_cast("int").isin(*[int(d) for d in docks])
-    ).filter(F.coalesce(F.col("Distro Size").try_cast("double"), F.lit(0.0)) != 0)
+    ).filter(
+        ~F.coalesce(F.col("Distro Size").try_cast("double") == 0, F.lit(False))
+    )
     if cfg.warehouse_from_dock:
         df = df.withColumn("Warehouse", F.col("dock")).withColumn(
             "XdockCode", F.lit(None).cast("double")

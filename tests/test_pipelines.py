@@ -79,6 +79,7 @@ ACME_ROWS = [
     ["x", "y", "dock", "Branch", "Item", "Description", "Distro Size", "junk"],
     ["a", "b", "189", "86", "1001", "d1", "5", "z"],
     ["a", "b", "436", "402", "1002", "d2", "0", "z"],
+    ["a", "b", "436", "403", "1005", "d5", "oops", "z"],
     ["a", "b", "407", "401", "1003", "d3", "7", "z"],
     ["a", "b", "499", "88", "1004", "d4", "2", "z"],
 ]
@@ -90,8 +91,9 @@ def test_acme_dock_filter_e2e(spark):
     assert list(wide.columns) == ["dock", "Branch", "Item", "Description", "Distro Size"]
     out = P.build_acme_like(spark, wide, "acme", "acme il 08.13", "2026-08-10")
     rows = {r["Branch"]: r for r in out.collect()}
-    # il -> docks {189,436}; dock 436 row has zero distro -> only dock 189 survives
-    assert set(rows) == {186}
+    # il -> docks {189,436}; the zero-distro 436 row drops, but the
+    # NON-NUMERIC distro row is KEPT (reference ne(0) semantics)
+    assert set(rows) == {186, 403}
     assert rows[186]["Supplier On Record"] == 44602
     assert rows[186]["WW Buyer"] == "P20"
     with pytest.raises(ValueError, match="dock sets"):
