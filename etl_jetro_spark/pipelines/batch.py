@@ -299,17 +299,19 @@ def build_big_flip(
 
 
 def clean_baby_flip(baby: pd.DataFrame) -> pd.DataFrame:
-    """Header promotion; bad-header drop (P5); 3rd column renamed DESC
-    (P16); keep through Lot # and drop Wgt/Total (P3/P4)."""
+    """Reference order (baby_flip_tool.py:7-133): header promotion →
+    bad-header column drop (P5) → keep through Lot # inclusive (P3) →
+    drop Wgt (P4) → THEN rename the (post-drop) 3rd column to DESC (P16).
+    Junk columns in real sheets carry names, so they survive the
+    bad-header drop and the desc column is 3rd at rename time."""
     wide = G.promote_header(baby, header_row=0)
-    # positional rename FIRST (reference renames the raw 3rd column), then
-    # drop empty-named columns — dropping first would shift positions
-    cols = list(wide.columns)
-    if len(cols) >= 3:
-        wide = wide.rename(columns={cols[2]: "DESC"})
     wide = G.drop_bad_header_columns(wide)
     wide = G.slice_at_marker(wide, "Lot #", keep="through")
-    return G.drop_columns_ci(wide, ["Wgt", "Total"])
+    wide = G.drop_columns_ci(wide, ["Wgt"])
+    cols = list(wide.columns)
+    if len(cols) >= 3 and cols[2] != "DESC":
+        wide = wide.rename(columns={cols[2]: "DESC"})
+    return wide
 
 
 def build_baby_flip(
@@ -335,7 +337,12 @@ def build_baby_flip(
         df, present, after=("pack size" if "pack size" in df.columns else "DESC"),
         before=lot, var_name="Store", value_name="v", numeric_vars_only=True,
     )
-    agg = O.sum_by(long, present + ["Store"], "v", out="Value", parse=True, ceil=True)
+    # baby flip ceils PER CELL before aggregating (reference
+    # baby_flip_tool.py:104-107: clean ceils the between-columns to Int64,
+    # the pivot then sums) — unlike big flip, which ceils the SUM (A2)
+    long = long.withColumn("v", F.ceil(parse_money_col("v")).cast("long"))
+    agg = O.sum_by(long, present + ["Store"], "v", out="Value", ceil=False)
+    agg = agg.withColumn("Value", F.col("Value").cast("long"))
     agg = agg.withColumnRenamed(item, "Item").withColumnRenamed(lot, "Lot #")
     out = O.broadcast_lookup(agg, po_df, "Store")
     out = O.broadcast_lookup(out, carrier_df, "Store")

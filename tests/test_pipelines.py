@@ -138,10 +138,12 @@ FLIPS_GRID = [
     ["1001", "", "", "", "2.2", "", "498-1 1234", "2.2"],
     ["1002", "", "", "", "1", "3", "498-2 5678", "4"],
     ["", "", "", "Total Weight", "", "", "", ""],
-    # baby region from the SECOND 'Item' row
-    ["Item", "", "widget desc", "pack size", "114", "86", "Wgt", "Total", "Lot #"],
-    ["2001", "", "da", "6", "1.2", "na", "9", "1.2", "498-68594 39024"],
-    ["2002", "", "db", "4", "", "2", "9", "2", "498-68594 38999"],
+    # baby region from the SECOND 'Item' row (junk col 1 is NAMED — real
+    # sheets carry junk headers, so it survives the bad-header drop and
+    # the desc column is 3rd at DESC-rename time)
+    ["Item", "j", "widget desc", "pack size", "114", "86", "Wgt", "Total", "Lot #"],
+    ["2001", "x", "da", "6", "1.2", "na", "9", "1.2", "498-68594 39024"],
+    ["2002", "x", "db", "4", "", "2", "9", "2", "498-68594 38999"],
 ]
 
 
