@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_jetro_spark.functions.dates import default_edd, next_mwf
+from etl_jetro_spark.functions.dates import fmt_mdy_no_pad as EF_fmt_mdy_no_pad
 from etl_jetro_spark.functions.text import parse_money as parse_money_col
 from etl_jetro_spark.normalize import grid as G
 from etl_jetro_spark import operators as O
@@ -319,9 +320,15 @@ def build_baby_flip(
     wide: pd.DataFrame,
     po_df: DataFrame,
     carrier_df: DataFrame,
+    invoice_date: str | None = None,
 ) -> DataFrame:
-    """4-id positional melt (U4) → NA-normalize (P6) → 5-key ceil-sum (A3)
-    → PO join (J1) + carrier join (J2) → custom LOT# sort key (W3)."""
+    """4-id positional melt (U4) → NA-normalize (P6) → per-cell-ceil 5-key
+    sum (A3) → PO join (J1) + carrier join (J2) → the reference's exact
+    output schema [Store, PO #, Invoice Date, DESC, Value, LOT#, weight,
+    pack size, carrier code] with Store int, weight = Value×pack (long),
+    Invoice Date M/d/yyyy, sorted Store then LOT#-last4 (W3)
+    (reference baby_flip_tool.py:213-338). ``invoice_date`` is the
+    injected clock (ISO string)."""
     from etl_jetro_spark.functions.na import normalize_na_strings
 
     df = normalize_na_strings(_to_spark(spark, wide))
@@ -343,16 +350,33 @@ def build_baby_flip(
     long = long.withColumn("v", F.ceil(parse_money_col("v")).cast("long"))
     agg = O.sum_by(long, present + ["Store"], "v", out="Value", ceil=False)
     agg = agg.withColumn("Value", F.col("Value").cast("long"))
-    agg = agg.withColumnRenamed(item, "Item").withColumnRenamed(lot, "Lot #")
+    agg = agg.withColumnRenamed(item, "Item").withColumnRenamed(lot, "LOT#")
     out = O.broadcast_lookup(agg, po_df, "Store")
-    out = O.broadcast_lookup(out, carrier_df, "Store")
-    weight = (
-        F.col("Value") * F.coalesce(F.col("pack size").try_cast("double"), F.lit(0.0))
+    carrier = carrier_df.withColumnRenamed("carrier_code", "carrier code")
+    out = O.broadcast_lookup(out, carrier, "Store")
+    pack = (
+        F.col("pack size").try_cast("double")
         if "pack size" in present
         else F.lit(None).cast("double")
     )
-    return out.withColumn("Weight", weight).orderBy(
-        "Store", O.lot_last4_key("Lot #")
+    inv = (
+        EF_fmt_mdy_no_pad(F.lit(invoice_date).cast("date"))
+        if invoice_date
+        else F.lit(None).cast("string")
+    )
+    return (
+        out.select(
+            F.col("Store").try_cast("int").alias("Store"),
+            F.col("PO #"),
+            inv.alias("Invoice Date"),
+            F.col("DESC"),
+            F.col("Value"),
+            F.col("LOT#"),
+            (F.col("Value") * pack).try_cast("long").alias("weight"),
+            pack.alias("pack size"),
+            F.col("carrier code"),
+        )
+        .orderBy(F.col("Store").asc(), O.lot_last4_key("LOT#"))
     )
 
 
@@ -382,7 +406,11 @@ def build_baby_audit_manifest(
         "RD master": rd_master,
         "RD clean": normalize_na_strings(rd_master),
         "Last Level Master": output.select(
-            *[c for c in output.columns if c not in ("PO #", "carrier_code", "Weight")]
+            *[
+                c
+                for c in output.columns
+                if c not in ("PO #", "carrier code", "weight", "Invoice Date")
+            ]
         ),
         "PO#": po_df,
         "carriers": carrier_df,

@@ -180,16 +180,22 @@ def test_baby_flip_e2e(spark):
         [("78-2001", "114", "2001")], ["PO #", "Store", "Item#_po"]
     ).select("PO #", "Store")
     carrier = spark.createDataFrame([("114", "8"), ("86", "3")], ["Store", "carrier_code"])
-    out = P.build_baby_flip(spark, wide, po, carrier)
-    rows = {(r["Store"], r["Item"]): r for r in out.collect()}
+    out = P.build_baby_flip(spark, wide, po, carrier, invoice_date="2026-08-13")
+    # the reference's exact output schema
+    assert out.columns == [
+        "Store", "PO #", "Invoice Date", "DESC", "Value", "LOT#",
+        "weight", "pack size", "carrier code",
+    ]
+    rows = {(r["Store"], r["DESC"]): r for r in out.collect()}
     # 'na' cell normalized to NULL -> 0 -> dropped by ≠0 rule
-    assert ("86", "2001") not in rows
-    r = rows[("114", "2001")]
-    assert r["Value"] == 2  # ceil(1.2)
-    assert r["PO #"] == "78-2001" and r["carrier_code"] == "8"
-    assert r["Weight"] == 12.0  # 2 * pack 6
-    r2 = rows[("86", "2002")]
-    assert r2["PO #"] is None and r2["carrier_code"] == "3"
+    assert (86, "da") not in rows
+    r = rows[(114, "da")]
+    assert r["Value"] == 2  # ceil(1.2) per cell
+    assert r["PO #"] == "78-2001" and r["carrier code"] == "8"
+    assert r["weight"] == 12  # 2 * pack 6, Int64 semantics
+    assert r["Invoice Date"] == "8/13/2026"  # M/d/yyyy no leading zeros
+    r2 = rows[(86, "db")]
+    assert r2["PO #"] is None and r2["carrier code"] == "3"
 
 
 def test_baby_audit_manifest(spark):
