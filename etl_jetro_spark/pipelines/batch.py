@@ -170,16 +170,21 @@ def build_acme_like(
 # --------------------------------------------------------------------------
 
 def _coerce_cell(v: object) -> object:
-    """The reference's per-cell coercion: numeric-looking → int if integral
-    else float; other text cleaned; blanks → 0 (:42-73)."""
+    """The reference's per-cell coercion (southern_cross_tool.py:42-73):
+    blanks/NA-words → 0; trailing '.0'/'.00' stripped; numeric → int if
+    integral else float; non-numeric text kept as the stripped string
+    (commas NOT treated as thousands separators)."""
+    import re as _re
+
     s = str(v).strip() if v is not None else ""
-    if s == "" or s.lower() in ("nan", "none"):
+    if s == "" or s.lower() in ("nan", "na", "none"):
         return 0
+    s2 = _re.sub(r"(?:\.0{1,2})$", "", s)
     try:
-        f = float(s.replace(",", ""))
-        return int(f) if f == int(f) else f
+        f = float(s2)
+        return int(f) if f.is_integer() else f
     except ValueError:
-        return " ".join(s.split())
+        return s2
 
 
 def clean_southern_cross(raw: pd.DataFrame) -> pd.DataFrame:
