@@ -104,9 +104,13 @@ def leading_num(col: str | Column) -> Column:
 
 def item7(col: str | Column) -> Column:
     """Digits only, zero-padded to 7 (``'12345'``→``'0012345'``); NULL/empty
-    → NULL. (247/tools/allocation_tool.py:209-218)"""
+    → NULL. zfill semantics: 8+ digit codes pass through unchanged (Spark's
+    lpad would TRUNCATE them). (247/tools/allocation_tool.py:209-218)"""
     digits = F.regexp_replace(strip_dot_zero(col), r"\D", "")
-    return F.when(digits == "", None).otherwise(F.lpad(digits, 7, "0"))
+    padded = F.when(F.length(digits) >= 7, digits).otherwise(
+        F.lpad(digits, 7, "0")
+    )
+    return F.when(digits == "", None).otherwise(padded)
 
 
 # --- F5: money formatting ----------------------------------------------

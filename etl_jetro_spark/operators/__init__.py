@@ -24,6 +24,7 @@ from etl_jetro_spark.operators.joins import (  # noqa: F401
 from etl_jetro_spark.operators.similarity import (  # noqa: F401
     cosine,
     cosine_topk,
+    embedding_near_dup,
     knn_join,
     lsh_bucket_knn,
 )

@@ -146,7 +146,12 @@ def minhash_lsh_candidates(
                 ]
             ).alias("_sig"),
         )
-        .persist()
+        # lineage-truncating barrier: like persist() it stops Catalyst
+        # inlining the signature subtree into both self-join sides
+        # (measured 400+ s without it), but the backing RDD blocks are
+        # released by the ContextCleaner when the DataFrame is GC'd —
+        # repeated calls in a long session don't accumulate cache.
+        .localCheckpoint(eager=False)
     )
     banded = sig.select(
         "_id", "_sig", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_band")
@@ -228,17 +233,20 @@ def ngram_jaccard_pairs(
     the skew guard for web-scale corpora.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # persist: the shingle index feeds THREE consumers (per-doc sizes and
-    # both sides of the self-join) — without the barrier the shingling
-    # recomputes per consumer. Word shingles use the codegen'd exploded
-    # path; char shingles keep the array form (rare path).
+    # barrier: the shingle index feeds THREE consumers (per-doc sizes and
+    # both sides of the self-join) — without it the shingling recomputes
+    # per consumer. localCheckpoint instead of persist so the blocks are
+    # GC-reclaimed (no cache accumulation across calls). Word shingles use
+    # the codegen'd exploded path; char shingles keep the array form.
     if use_chars:
         sh = spread(df).select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(char_shingles(text_col, n))).alias("_sh"),
-        ).persist()
+        ).localCheckpoint(eager=False)
     else:
-        sh = shingle_rows(df, id_col, text_col, n, distinct=True).persist()
+        sh = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_doc_freq is not None:
         freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))

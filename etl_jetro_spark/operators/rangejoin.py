@@ -29,20 +29,18 @@ def range_join(
     ``range_col`` must be integral (e.g. epoch ns). Output columns carry
     the suffixes except the join keys.
     """
+    # Bucket index via exact integer floor division. Double division +
+    # cast loses precision above 2^53 (epoch-ns keys) and truncates toward
+    # zero for negatives (double-width bucket 0); subtracting pmod keeps
+    # everything in long arithmetic with true floor semantics.
+    bucket = F.expr(
+        f"(`{range_col}` - pmod(`{range_col}`, {max_distance}))"
+        f" div {max_distance}"
+    )
     lb = left.withColumn(
-        "_bucket",
-        F.explode(
-            F.array(
-                *[
-                    (F.col(range_col) / F.lit(max_distance)).cast("long") + k
-                    for k in (-1, 0, 1)
-                ]
-            )
-        ),
+        "_bucket", F.explode(F.array(*[bucket + k for k in (-1, 0, 1)]))
     )
-    rb = right.withColumn(
-        "_bucket", (F.col(range_col) / F.lit(max_distance)).cast("long")
-    )
+    rb = right.withColumn("_bucket", bucket)
     lren = lb.select(
         *[F.col(k) for k in keys],
         "_bucket",

@@ -114,6 +114,65 @@ def signature_bits(vec: Column, dims: int, bits: int = 16) -> Column:
     return F.concat(*parts)
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    threshold: float = 0.95,
+    bits: int = 32,
+    band_bits: int = 8,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: sign-LSH
+    banded candidate generation + exact cosine verification.
+
+    Every vector gets a ``bits``-bit hyperplane-sign signature; candidate
+    pairs must share at least one of ``bits/band_bits`` signature bands
+    (an equi-join on the band key — 2^band_bits buckets per band, never an
+    all-pairs join on a coarse block key), then the exact cosine filters to
+    ``>= threshold``. Recall < 1 by LSH construction; for true near-dups
+    (cosine → 1) band-match probability → 1.
+
+    Returns (id_a, id_b, score) with id_a < id_b. ``score_round`` rounds
+    the score before the threshold (engine-parity aid).
+    """
+    bands = bits // band_bits
+    v = _vec(vec_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        signature_bits(v, dims, bits).alias("_sig"),
+    ).localCheckpoint(eager=False)  # barrier: signatures feed both join sides
+    banded = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.substring("_sig", i * band_bits + 1, band_bits),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band")
+    score = cosine(F.col("_va"), F.col("_vb"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return (
+        a.join(b, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def lsh_bucket_knn(
     probes: DataFrame,
     corpus: DataFrame,

@@ -118,25 +118,44 @@ def _track_po(
     Spark's file source emits a file exactly once, *after* it is complete —
     the source abstraction already provides the reference's settle
     guarantee (in-progress copies are below it; see snapshot.py for the
-    poll-level settle semantics). So: first sighting → done (deduped
-    against state, T5); a PO registered but never sighted times out into
-    error (T4) when the caller seeds it via an expected-PO heartbeat.
+    poll-level settle semantics). Transitions:
+
+    - heartbeat row (size < 0, seeded once per expected PO by
+      ``run_po_watch``) with no state → register *waiting*, arm the
+      ProcessingTimeTimeout (T4);
+    - real arrival → emit *done*; the state is kept as a dedup marker but
+      NO timeout is armed (a done PO must never later fire a spurious
+      error — the timeout resets on every invocation, so simply not
+      re-arming it clears any pending one);
+    - timeout fires only for still-waiting POs → emit *error* (T4);
+    - repeat arrivals of a done PO → emit nothing (T5 duplicate drop).
     """
     (po,) = key
     if state.hasTimedOut:
-        prev = state.get if state.exists else (None, None, None, None)
+        prev = state.get if state.exists else (-1, "", None, 0)
         state.remove()
+        if prev[0] is not None and int(prev[0]) >= 0:
+            return  # defensive: done PO — never a spurious error
         yield pd.DataFrame(
-            [[po, "error", prev[1], prev[2], None]], columns=STATUS_SCHEMA.names
+            [[po, "error", None, prev[2], None]], columns=STATUS_SCHEMA.names
         )
         return
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("mtime_epoch")
-    first = rows.iloc[0]
-    if state.exists:  # duplicate drop of an already-done PO: emit nothing (T5)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    real = rows[rows["size"] >= 0].sort_values("mtime_epoch")
+    if state.exists and int(state.get[0]) >= 0:
+        return  # duplicate drop of an already-done PO: emit nothing (T5)
+    if len(real) == 0:
+        # heartbeat only: register/keep waiting and (re-)arm the timeout
+        first_seen = (
+            float(state.get[2]) if state.exists
+            else float(rows["mtime_epoch"].min())
+        )
+        state.update((-1, "", first_seen, 0))
+        state.setTimeoutDuration(int(_track_po.timeout_ms))
         return
+    first = real.iloc[0]
     state.update((int(first["size"]), str(first["path"]), float(first["mtime_epoch"]), 1))
-    state.setTimeoutDuration(int(_track_po.timeout_ms))
     yield pd.DataFrame(
         [[po, "done", str(first["path"]), float(first["mtime_epoch"]), float(first["mtime_epoch"])]],
         columns=STATUS_SCHEMA.names,
@@ -195,23 +214,85 @@ def run_po_watch(
 ):
     """Wire source → join → state machine → mover sink. Returns the
     StreamingQuery; completed files are moved to ``dest_dir`` and status
-    rows appended to the in-memory ``po_status`` table."""
+    rows appended to the in-memory ``po_status`` table.
+
+    In continuous mode every expected PO is seeded with a one-shot
+    heartbeat row (a rate-source tick cross-joined with the expected set):
+    it registers *waiting* state for never-arrived POs, and the ticking
+    rate source keeps a micro-batch executing every trigger even with no
+    file arrivals. The timeout itself (T4) is enforced at the sink — the
+    reference's timeout is likewise a driver-side poll deadline
+    (sheet_bot/utils.py:77-406 ``max_wait_seconds``), and the sink sees
+    every batch: any expected PO not *done* once the deadline passes is
+    reported ERROR exactly once. (The per-key ProcessingTimeTimeout in
+    ``_track_po`` stays as a second, state-level guard, but the sink
+    deadline is the one that fires deterministically under local triggers.)
+    Under availableNow the heartbeat is skipped: the stream drains once,
+    and the missing set is the caller's anti-join (orchestrator
+    ``finalize``)."""
+    import time as _time
+
     events = file_events_stream(spark, watch_dirs)
-    matched = match_expected(events, expected_pos)
+    matched = match_expected(events, expected_pos).select(
+        "po", "path", "size", "mtime_epoch"
+    )
+    if not available_now:
+        heartbeat = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .filter(F.col("value") == 0)  # one tick only: seed, don't re-arm
+            .crossJoin(F.broadcast(expected_pos.select("po").distinct()))
+            .select(
+                "po",
+                F.lit("").alias("path"),
+                F.lit(-1).cast("long").alias("size"),
+                F.unix_timestamp("timestamp").cast("double").alias("mtime_epoch"),
+            )
+        )
+        matched = matched.unionByName(heartbeat)
     status = po_status_stream(matched, timeout_seconds)
 
+    expected_set = {r["po"] for r in expected_pos.select("po").distinct().collect()}
+    progress = {
+        "deadline": _time.time() + timeout_seconds,
+        "done": set(),
+        "errored": set(),
+    }
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.filter(F.col("status") == "done").collect():
-            move_file_idempotent(
-                row["found_path"].removeprefix("file:"), dest_dir
-            )
+        rows = batch_df.collect()
+        for row in rows:
+            if row["status"] == "done":
+                move_file_idempotent(
+                    row["found_path"].removeprefix("file:"), dest_dir
+                )
+                progress["done"].add(row["po"])
+            elif row["status"] == "error":
+                progress["errored"].add(row["po"])
+        _append_memory_rows(r.asDict() for r in rows)
+        if not available_now and _time.time() >= progress["deadline"]:
+            now = _time.time()
+            for po in sorted(
+                expected_set - progress["done"] - progress["errored"]
+            ):
+                progress["errored"].add(po)
+                _append_memory_rows(
+                    [
+                        {
+                            "po": po,
+                            "status": "error",
+                            "found_path": None,
+                            "first_seen": None,
+                            "finished_at": now,
+                        }
+                    ]
+                )
 
     writer = (
         status.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda df, bid: (sink(df, bid), _append_memory(df))[0]
-        )
+        .foreachBatch(sink)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -223,8 +304,8 @@ def run_po_watch(
 _MEMORY_ROWS: list[dict[str, Any]] = []
 
 
-def _append_memory(df: DataFrame) -> None:
-    _MEMORY_ROWS.extend(r.asDict() for r in df.collect())
+def _append_memory_rows(rows) -> None:
+    _MEMORY_ROWS.extend(rows)
 
 
 def memory_status_rows() -> list[dict[str, Any]]:

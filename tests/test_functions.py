@@ -54,6 +54,13 @@ def test_item7(spark):
     assert got == ["0012345", "0990033", "0000012", None, None]
 
 
+def test_item7_never_truncates(spark):
+    # zfill semantics: 8+ digit codes pass through whole (Spark's bare
+    # lpad would truncate '12345678' to '1234567')
+    got = one(spark, EF.item7("v"), "12345678", "123456789012", "1234567")
+    assert got == ["12345678", "123456789012", "1234567"]
+
+
 def test_split_first_dash(spark):
     got = one(spark, EF.split_first_dash("v"), "114-28937", "402–20721", "458—41774-x")
     assert got == [["114", "28937"], ["402", "20721"], ["458", "41774-x"]]

@@ -177,6 +177,50 @@ def test_ngram_jaccard_exact(spark):
     assert abs(got[(1, 2)] - 4 / 6) < 1e-9 and (1, 3) not in got
 
 
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """Skew guard: a shingle present in >max_doc_freq docs is dropped from
+    the inverted index, so pairs whose ONLY overlap is the hot shingle
+    produce no candidate at all — bounded Σbucket², no hot-key join."""
+    hot = "common boiler plate"  # one 3-gram shared by every doc
+    docs = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(1, 9)]
+    docs += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    uncapped = O.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01)
+    capped = O.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_doc_freq=4
+    )
+    got_un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    got_cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # uncapped: all 28 hot-only pairs are candidates; capped: none survive
+    assert len(got_un) == 28 + 1
+    assert set(got_cap) == {(100, 101)}
+    # Jaccard denominator still uses UNCAPPED set sizes (exact semantics
+    # for surviving pairs): docs 100/101 are identical → 1.0
+    assert abs(got_cap[(100, 101)] - 1.0) < 1e-9
+
+
+def test_embedding_near_dup_banded(spark, sf_dir):
+    """Planted near-dups (first component negated) are recovered through
+    sign-LSH banding + exact verify; unrelated pairs stay out."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at(F.col("embedding"), 1)),
+            F.slice(F.col("embedding"), 2, 63),
+        ).alias("embedding"),
+    )
+    u = emb.select("vec_id", "embedding").unionByName(pert)
+    got = O.embedding_near_dup(
+        u, "vec_id", "embedding", dims=64, threshold=0.9, bits=32, band_bits=8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {p for p in pairs if p[1] - p[0] == 100000}
+    assert len(planted) >= 60  # LSH recall on 100 planted pairs
+    assert all(r["score"] >= 0.9 for r in got)
+
+
 def test_cosine_topk_real_embeddings(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]

@@ -21,6 +21,45 @@ def test_extract_po(spark):
     assert got == ["45879", "88", ""]
 
 
+def test_po_watch_timeout_to_error(spark, tmp_path):
+    """T4 through the REAL stream (processing-time trigger): an expected PO
+    whose PDF never arrives is heartbeat-seeded into waiting state and
+    times out into ERROR; the arrived PO goes done and never errors."""
+    watch = tmp_path / "watch"
+    dest = tmp_path / "dest"
+    ckpt = tmp_path / "ckpt"
+    watch.mkdir()
+    (watch / "79906-114-7001.pdf").write_bytes(b"pdf-one")
+
+    expected = spark.createDataFrame([("7001",), ("7002",)], ["po"])
+    q = W.run_po_watch(
+        spark,
+        [str(watch)],
+        expected,
+        str(dest),
+        str(ckpt),
+        timeout_seconds=3,
+        poll_seconds=1,
+    )
+    try:
+        deadline = time.time() + 90
+        want = {("7001", "done"), ("7002", "error")}
+        got = set()
+        while time.time() < deadline and not want <= got:
+            got = {
+                (r["po"], r["status"])
+                for r in W.memory_status_rows()
+                if r["po"] in ("7001", "7002")
+            }
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert want <= got
+    # the done PO must never produce a spurious late error
+    assert ("7001", "error") not in got
+    assert os.path.exists(dest / "79906-114-7001.pdf")
+
+
 def test_po_watch_end_to_end(spark, tmp_path):
     """Drop PDFs into a watch dir; matched arrivals go done and move to
     dest; unmatched files stay put (stream-static semi join)."""
