@@ -1539,3 +1539,177 @@ def q46_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 13. The six supplier pipelines under the oracle gate (q47–q53)
+#
+# Each query builds a deterministic raw grid from the parquet tables
+# (plans/fixtures.py), runs the REAL pipeline code — the pandas clean layer
+# plus the Spark relational build — and the oracle recomputes the expected
+# result straight from the same tables. The grids carry junk rows/columns
+# on purpose: the pipeline must strip them to match.
+# --------------------------------------------------------------------------
+
+from etl_jetro_spark.plans import fixtures as FX  # noqa: E402
+from etl_jetro_spark.pipelines import batch as B  # noqa: E402
+
+_PIPE_BASE_DATE = "2026-01-05"  # Monday: default_edd -> Wed 2026-01-07, next_mwf -> Wed
+
+
+@query("q47_pipeline_247_allocation", FX.ALLOCATION_ORACLE)
+def q47_pipeline_247_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """247 allocation end-to-end (reference 247/tools/allocation_tool.py:7-169):
+    junk-row drop + header promotion (P1/P2) → Total slice (P3) → desc drop
+    (P4) → melt (U1) → group-sum (A1) → ≠0 (P8) → branch fix (P15) →
+    constants + default EDD (P14/F9) → canonical 13 columns."""
+    wide = B.clean_allocation(FX.allocation_grid(sf_dir))
+    return B.build_allocation(spark, wide, "247", base_date=_PIPE_BASE_DATE)
+
+
+@query("q48_pipeline_247_pricesheet", FX.PRICESHEET_ORACLE)
+def q48_pipeline_247_pricesheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """247 price sheet end-to-end (reference 247/tools/pricesheet_tool.py:8-102):
+    zero/NA item drop → Item Name/FOB drop → melt (U2) → store remap 490→498
+    + 457/453 exclusion (P10) → parse_money with paren negatives (F3) →
+    zero-cost filter (P8) → long (Store#, Item#, Vendor#, Cost)."""
+    wide = B.clean_pricesheet(FX.pricesheet_grid(sf_dir))
+    return B.build_pricesheet_long(spark, wide)
+
+
+@query("q49_pipeline_acme", FX.ACME_ORACLE)
+def q49_pipeline_acme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACME end-to-end (reference ACME/tools/acme_tool.py:6-112): 2 junk
+    cols dropped, Distro-Size slice, filename-token dock filter 'il'→{189,436}
+    (P7), the ne(0) zero-filter quirk (non-numeric Distro KEPT), ACME
+    constants + branch fix."""
+    wide = B.clean_acme_like(FX.acme_grid(sf_dir), leading_junk_cols=2)
+    return B.build_acme_like(
+        spark, wide, "acme", "il allocation file", _PIPE_BASE_DATE
+    )
+
+
+@query("q50_pipeline_phillips", FX.PHILLIPS_ORACLE)
+def q50_pipeline_phillips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phillips end-to-end (reference Phillips/tools/phillips_tool.py:6-123):
+    1 junk col, literal dock token '407' (P7), Warehouse kept = dock,
+    XdockCode appended → 14-column canonical."""
+    wide = B.clean_acme_like(FX.phillips_grid(sf_dir), leading_junk_cols=1)
+    return B.build_acme_like(
+        spark, wide, "phillips", "phillips 407 sheet", _PIPE_BASE_DATE
+    )
+
+
+@query("q51_pipeline_southern_cross", FX.SOUTHERN_CROSS_ORACLE)
+def q51_pipeline_southern_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SouthernCross end-to-end (reference
+    SouthernCross/tools/southern_cross_tool.py:9-233): LOT# slice, per-cell
+    coercion ('na'→0, '9.0'→9, '5.50'→5.5, Item==0 drop), melt → sum →
+    truncating long cast, SC constants (80104/P2M)."""
+    wide = B.clean_southern_cross(FX.southern_cross_grid(sf_dir))
+    return B.build_southern_cross(spark, wide, _PIPE_BASE_DATE)
+
+
+@query("q52_pipeline_big_flip", FX.BIG_FLIP_ORACLE)
+def q52_pipeline_big_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flips big end-to-end (reference Flips/tools/big_flip_tool.py:84-297):
+    store Fob/Xdock block extraction (P12), positional clean + elif-chain
+    trim at PO # (P3), 2-id melt with parse_money values (U3), ceil-of-sum
+    (A2), XDCK/FOB map-join with zero→blank (J3), next-MWF EDD (F10)."""
+    grid = FX.big_flip_grid(sf_dir)
+    store_block = B.build_flips_store_block(grid, header_row=4)
+    wide = B.clean_big_flip(grid)
+    return B.build_big_flip(spark, wide, store_block, _PIPE_BASE_DATE)
+
+
+@query("q53_pipeline_baby_flip", FX.BABY_FLIP_ORACLE)
+def q53_pipeline_baby_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flips baby end-to-end (reference Flips/tools/baby_flip_tool.py:7-338):
+    Wgt drop + DESC rename-by-position (P16), NA normalization (P6),
+    positional 4-id melt between pack size and Lot # (U4), per-cell ceil
+    then 5-key sum (A3/F13), PO + carrier broadcast joins (J1/J2), weight =
+    Value×pack, injected invoice date, the reference's exact 9-col schema."""
+    po_rows = [(s, f"PO-{7000 + k}") for k, s in enumerate(FX.BABY_STORES)]
+    po_df = spark.createDataFrame(po_rows, ["Store", "PO #"])
+    carrier_rows = [(s, f"C{k}") for k, s in enumerate(FX.BABY_STORES)]
+    carrier_df = spark.createDataFrame(carrier_rows, ["Store", "carrier_code"])
+    wide = B.clean_baby_flip(FX.baby_flip_grid(sf_dir))
+    return B.build_baby_flip(
+        spark, wide, po_df, carrier_df, invoice_date="2026-01-06"
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. Remaining scalar-function parity (F11/F12/F7) — q54–q56
+# --------------------------------------------------------------------------
+
+@query(
+    "q54_tolerant_date_reformat",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'not a date'
+                ELSE strftime(o_orderdate, '%m/%d/%y') END AS reformatted
+    FROM orders
+    """,
+)
+def q54_tolerant_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 tolerant reformat: parseable M/d/yyyy text → MM/dd/yy;
+    unparseable text passes through unchanged (reference
+    247/tools/allocation_tool.py:220-228 fallback)."""
+    from etl_jetro_spark.functions.dates import fmt_mdy_no_pad, reformat_date_tolerant
+
+    o = load(spark, sf_dir, "orders")
+    messy = F.when(F.col("o_orderkey") % 7 == 0, F.lit("not a date")).otherwise(
+        fmt_mdy_no_pad(F.col("o_orderdate"))
+    )
+    return o.select(
+        "o_orderkey", reformat_date_tolerant(messy).alias("reformatted")
+    )
+
+
+@query(
+    "q55_weekday_prefix",
+    """
+    SELECT o_orderkey,
+           CASE strftime(o_orderdate, '%a')
+                WHEN 'Mon' THEN 'Mon' WHEN 'Tue' THEN 'Tues' WHEN 'Wed' THEN 'Wed'
+                WHEN 'Thu' THEN 'Thurs' WHEN 'Fri' THEN 'Fri'
+                ELSE NULL END AS tab_prefix
+    FROM orders
+    """,
+)
+def q55_weekday_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 weekday worksheet-tab prefix (Mon/Tues/Wed/Thurs/Fri; weekends
+    have no tab — NULL). (reference sheet_bot/utils.py:25-35)"""
+    from etl_jetro_spark.functions.dates import weekday_prefix
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", weekday_prefix(F.col("o_orderdate")).alias("tab_prefix")
+    )
+
+
+@query(
+    "q56_store_from_pdf_path",
+    """
+    SELECT c_custkey,
+           regexp_extract('/share/P2E/vendor-' || CAST(c_nationkey AS VARCHAR)
+                            || '-' || CAST(c_custkey AS VARCHAR) || '.pdf',
+                          '-(\\d+)-\\d+\\.pdf$', 1) AS store
+    FROM customer
+    """,
+)
+def q56_store_from_pdf_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 store extraction from PO-PDF paths, ``...-<store>-<po>.pdf``
+    (reference sheet_bot/main.py:52-84)."""
+    c = load(spark, sf_dir, "customer")
+    path = F.concat(
+        F.lit("/share/P2E/vendor-"),
+        F.col("c_nationkey").cast("string"),
+        F.lit("-"),
+        F.col("c_custkey").cast("string"),
+        F.lit(".pdf"),
+    )
+    return c.select(
+        "c_custkey", EF.extract_store_from_pdf_name(path).alias("store")
+    )

@@ -217,6 +217,24 @@ def test_baby_audit_manifest(spark):
     assert not any("na" == v for r in clean for v in r)
 
 
+def test_pipeline_fixture_queries_smoke(spark, sf_dir):
+    """The oracle-gated pipeline queries (q47-q53) produce canonical
+    shapes on the real testdata-derived grids."""
+    from etl_jetro_spark.operators.canonical import CANONICAL_COLS
+    from etl_jetro_spark.plans import queries as Q
+
+    out = Q.QUERIES["q47_pipeline_247_allocation"](spark, sf_dir)
+    assert out.columns == CANONICAL_COLS
+    assert out.count() > 0
+    phillips = Q.QUERIES["q50_pipeline_phillips"](spark, sf_dir)
+    assert phillips.columns == CANONICAL_COLS + ["XdockCode"]
+    baby = Q.QUERIES["q53_pipeline_baby_flip"](spark, sf_dir)
+    rows = baby.collect()
+    assert rows and all(
+        r["weight"] == r["Value"] * r["pack size"] for r in rows
+    )
+
+
 def test_allocation_missing_total_marker(spark):
     """Sheets without a 'Total' column slice nothing and still run."""
     grid = grid_from_rows(
