@@ -5,10 +5,12 @@ of positional columns (0..N), exactly what ``read_excel(header=None)`` gives
 — order is meaningful until the normalize layer promotes headers and the data
 goes relational.
 
-Excel parsing itself requires openpyxl, absent in this container, so the
-xlsx paths are import-gated; the grid contract is honored by the CSV reader
-and by in-memory lists, which the tests and pipelines use. For *many files*
-(the 100 TB shape: thousands of small sheets), ``grids_to_spark`` runs the
+Excel parsing uses the engine's own OOXML codec (``sources/xlsx.py`` —
+zip + sheet XML, a public format) so the xlsx paths run with no optional
+dependencies: lock-file skip, hidden/veryHidden sheet skip, active-visible
+selection and named-sheet reads all behave like the reference. openpyxl is
+preferred when present (richer format support). For *many files* (the
+100 TB shape: thousands of small sheets), ``grids_to_spark`` runs the
 per-file normalize inside ``mapInPandas`` over a binaryFile scan — one task
 per file group, no driver bottleneck.
 
@@ -64,13 +66,18 @@ def grid_from_csv(path: str) -> pd.DataFrame:
 
 
 def grid_from_excel(path: str, sheet: str | int | None = None) -> pd.DataFrame:
-    """Raw grid from a worksheet; active-visible sheet when unspecified."""
-    if not HAVE_OPENPYXL:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx reading requires openpyxl, which is not installed; "
-            "use grid_from_csv/grid_from_rows or install openpyxl"
+    """Raw grid from a worksheet; active-visible sheet when unspecified,
+    named sheet (error if absent) when given — reference
+    247/tools/read_file_tool.py:83-101, SouthernCross read_file_tool.py:55-60.
+    """
+    if HAVE_OPENPYXL:  # pragma: no cover - openpyxl absent in this container
+        return pd.read_excel(
+            path, sheet_name=sheet if sheet is not None else 0,
+            header=None, dtype=object,
         )
-    return pd.read_excel(path, sheet_name=sheet or 0, header=None, dtype=object)
+    from etl_jetro_spark.sources.xlsx import read_xlsx_grid
+
+    return read_xlsx_grid(path, sheet=sheet if isinstance(sheet, str) else None)
 
 
 def read_allocation_pricesheet(
@@ -120,7 +127,7 @@ def read_single_with_token(
     if len(files) != 1:
         raise ValueError(f"expected exactly 1 sheet file in {folder}, found {len(files)}")
     token = clean_file_token(os.path.splitext(os.path.basename(files[0]))[0])
-    if sheet is not None and reader is grid_from_excel:  # pragma: no cover
+    if sheet is not None and reader is grid_from_excel:
         return grid_from_excel(files[0], sheet=sheet), token
     return reader(files[0]), token
 

@@ -217,6 +217,28 @@ def test_baby_audit_manifest(spark):
     assert not any("na" == v for r in clean for v in r)
 
 
+def test_baby_audit_workbook_written(spark, tmp_path):
+    """K2 un-gated: the six-sheet audit workbook is a real .xlsx the codec
+    reads back (reference baby_flip_tool.py:384-512)."""
+    import os
+
+    from etl_jetro_spark.sinks.excel_sink import write_audit_workbook
+    from etl_jetro_spark.sources.xlsx import sheet_names
+
+    _, baby = P.split_big_and_baby(grid_from_rows(FLIPS_GRID))
+    wide = P.clean_baby_flip(baby)
+    po = spark.createDataFrame([("78-2001", "114")], ["PO #", "Store"])
+    carrier = spark.createDataFrame([("114", "8")], ["Store", "carrier_code"])
+    out = P.build_baby_flip(spark, wide, po, carrier)
+    manifest = P.build_baby_audit_manifest(spark, wide, out, po, carrier)
+    path = str(tmp_path / "audit.xlsx")
+    res = write_audit_workbook(manifest, path)
+    assert os.path.exists(res["xlsx"])
+    assert {n for n, _ in sheet_names(path)} == {
+        "Araho Sheet", "RD master", "RD clean", "Last Level Master", "PO#", "carriers",
+    }
+
+
 def test_pipeline_fixture_queries_smoke(spark, sf_dir):
     """The oracle-gated pipeline queries (q47-q53) produce canonical
     shapes on the real testdata-derived grids."""

@@ -184,3 +184,129 @@ def test_read_po_csv_utf16(spark, tmp_path):
 
     got = sorted((r["Store"], r["Item"]) for r in read_po_lines(spark, str(f)).collect())
     assert got == [("114", "28937"), ("402", "20721")]
+
+
+# --------------------------------------------------------------------------
+# Native xlsx codec (S1/S2 un-gated: real workbook behaviors)
+# --------------------------------------------------------------------------
+
+def test_xlsx_roundtrip_types(tmp_path):
+    from etl_jetro_spark.sources.xlsx import read_xlsx_grid, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, {"S": [["Item#", "Qty", "Note"], [114, 3.5, "a & <b>"], [7, True, None]]})
+    g = read_xlsx_grid(p)
+    assert list(g.iloc[0]) == ["Item#", "Qty", "Note"]
+    assert g.iat[1, 0] == 114 and isinstance(g.iat[1, 0], int)
+    assert g.iat[1, 1] == 3.5 and isinstance(g.iat[1, 1], float)
+    assert g.iat[1, 2] == "a & <b>"
+    assert g.iat[2, 1] is True and g.iat[2, 2] is None
+
+
+def test_xlsx_hidden_sheet_and_active_selection(tmp_path):
+    """Reference behaviors (247/tools/read_file_tool.py:83-101): hidden and
+    veryHidden sheets are never picked; active tab wins when visible, else
+    the first visible sheet."""
+    from etl_jetro_spark.sources.xlsx import read_xlsx_grid, sheet_names, write_xlsx
+
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(
+        p,
+        {"ghost": [["G"]], "front": [["F"]], "back": [["B"]]},
+        states={"ghost": "veryHidden"},
+        active=2,  # 'back' is active and visible -> picked
+    )
+    assert read_xlsx_grid(p).iat[0, 0] == "B"
+    assert ("ghost", "veryHidden") in sheet_names(p)
+
+    p2 = str(tmp_path / "wb2.xlsx")
+    write_xlsx(
+        p2,
+        {"h": [["H"]], "v": [["V"]]},
+        states={"h": "hidden"},
+        active=0,  # active is hidden -> fall to first VISIBLE
+    )
+    assert read_xlsx_grid(p2).iat[0, 0] == "V"
+
+
+def test_xlsx_named_sheet_ibt_format(tmp_path):
+    """SouthernCross reads the fixed tab 'IBT FORMAT' and errors when it is
+    absent (reference SouthernCross/tools/read_file_tool.py:55-60)."""
+    from etl_jetro_spark.sources.excel import grid_from_excel, read_single_with_token
+    from etl_jetro_spark.sources.xlsx import write_xlsx
+
+    folder = tmp_path / "sc"
+    folder.mkdir()
+    p = str(folder / "Southern Cross IBT.xlsx")
+    write_xlsx(p, {"cover": [["junk"]], "IBT FORMAT": [["Item", "449"], ["12", "3"]]})
+    grid, token = read_single_with_token(
+        str(folder), reader=grid_from_excel, sheet="IBT FORMAT"
+    )
+    assert token == "southern cross ibt"
+    assert list(grid.iloc[0]) == ["Item", "449"]
+    missing = str(folder / "missing.xlsx")
+    write_xlsx(missing, {"only": [["x"]]})
+    with pytest.raises(ValueError, match="IBT FORMAT"):
+        grid_from_excel(missing, sheet="IBT FORMAT")
+
+
+def test_247_pipeline_through_real_xlsx(spark, tmp_path, sf_dir):
+    """Round-trip the 247 allocation pipeline through a REAL workbook:
+    fixture grid → .xlsx (with a ~$ lock file and a hidden junk sheet in
+    the way) → S1 pair scan → clean → build → equals the direct path."""
+    from etl_jetro_spark.pipelines import batch as B
+    from etl_jetro_spark.plans import fixtures as FX
+    from etl_jetro_spark.sources.excel import (
+        grid_from_excel,
+        read_allocation_pricesheet,
+    )
+    from etl_jetro_spark.sources.xlsx import write_xlsx
+
+    grid = FX.allocation_grid(sf_dir)
+    folder = tmp_path / "drop"
+    folder.mkdir()
+    rows = [list(r) for r in grid.itertuples(index=False)]
+    write_xlsx(
+        str(folder / "Weekly Allocation.xlsx"),
+        {"notes": [["ignore me"]], "data": rows},
+        states={"notes": "hidden"},
+        active=1,
+    )
+    (folder / "~$Weekly Allocation.xlsx").write_bytes(b"lock")
+
+    alloc, price = read_allocation_pricesheet(str(folder), reader=grid_from_excel)
+    assert price is None and alloc is not None
+    via_xlsx = B.build_allocation(
+        spark, B.clean_allocation(alloc), "247", base_date="2026-01-05"
+    )
+    direct = B.build_allocation(
+        spark, B.clean_allocation(grid), "247", base_date="2026-01-05"
+    )
+    a = sorted(map(tuple, via_xlsx.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_write_canonical_emits_real_workbook(spark, tmp_path, sf_dir):
+    """K1 un-gated: the canonical sink writes a real 3-sheet workbook
+    (Scripting + empty ANOMALY/STORE CLUSTER) readable by the codec, with
+    m/d/yyyy EDD text."""
+    from etl_jetro_spark.pipelines import batch as B
+    from etl_jetro_spark.plans import fixtures as FX
+    from etl_jetro_spark.sinks.excel_sink import write_canonical
+    from etl_jetro_spark.sources.xlsx import read_xlsx_grid, sheet_names
+
+    canon = B.build_allocation(
+        spark, B.clean_allocation(FX.allocation_grid(sf_dir)), "247",
+        base_date="2026-01-05",
+    )
+    man = write_canonical(canon, str(tmp_path))
+    assert man["xlsx"] and os.path.exists(man["xlsx"])
+    assert [n for n, _ in sheet_names(man["xlsx"])] == [
+        "Scripting", "ANOMALY", "STORE CLUSTER"
+    ]
+    g = read_xlsx_grid(man["xlsx"], sheet="Scripting")
+    assert list(g.iloc[0][:4]) == ["Branch", "Item", "Description", "Distro Size"]
+    assert g.shape[0] == man["rows"] + 1
+    edd_col = list(g.iloc[0]).index("Expected Delivery Date")
+    assert g.iat[1, edd_col] == "1/7/2026"
