@@ -22,11 +22,14 @@ from etl_jetro_spark.operators.joins import (  # noqa: F401
     semi_join,
 )
 from etl_jetro_spark.operators.similarity import (  # noqa: F401
+    ann_quality,
     cosine,
     cosine_topk,
     embedding_near_dup,
     knn_join,
+    lsh_bucket_histogram,
     lsh_bucket_knn,
+    lsh_candidates,
 )
 from etl_jetro_spark.operators.sort import (  # noqa: F401
     lot_last4_key,

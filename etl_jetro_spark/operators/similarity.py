@@ -173,49 +173,73 @@ def embedding_near_dup(
     )
 
 
-def lsh_bucket_knn(
+def band_key_exprs(
+    sig: Column, bits: int, band_bits: int, multiprobe: bool = False
+) -> list[Column]:
+    """Band-key expressions for a signature: ``'<band>:<chunk>'`` per band;
+    with ``multiprobe``, also every Hamming-1 variant of each chunk
+    (standard multi-probe LSH — probe neighboring buckets to lift recall
+    without more bands)."""
+    bands = bits // band_bits
+    keys: list[Column] = []
+    for i in range(bands):
+        start = i * band_bits + 1
+        variants = [F.substring(sig, start, band_bits)]
+        if multiprobe:
+            for b in range(band_bits):
+                variants.append(
+                    F.concat(
+                        F.substring(sig, start, b),
+                        F.when(
+                            F.substring(sig, start + b, 1) == "1", F.lit("0")
+                        ).otherwise(F.lit("1")),
+                        F.substring(sig, start + b + 1, band_bits - b - 1),
+                    )
+                )
+        keys += [F.concat(F.lit(f"{i}:"), v) for v in variants]
+    return keys
+
+
+def _banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    bits: int,
+    band_bits: int,
+    role: str,
+    multiprobe: bool = False,
+) -> DataFrame:
+    v = _vec(vec_col)
+    sig = signature_bits(v, dims, bits)
+    return df.select(
+        F.col(id_col).alias(f"{role}_id"), v.alias(f"_{role}v"), sig.alias("_sig")
+    ).select(
+        f"{role}_id",
+        f"_{role}v",
+        F.explode(
+            F.array(*band_key_exprs(F.col("_sig"), bits, band_bits, multiprobe))
+        ).alias("_band"),
+    )
+
+
+def lsh_candidates(
     probes: DataFrame,
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     dims: int,
-    k: int = 5,
     bits: int = 12,
     band_bits: int = 4,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate k-NN: candidates must share ≥1 of bits/band_bits signature
-    bands; exact cosine re-ranks candidates. Sublinear vs full cross join.
-
-    Returns (probe_id, neighbor_id, score, rank) like :func:`knn_join` —
-    recall < 1 by construction.
-    """
-    from pyspark.sql import Window
-
-    bands = bits // band_bits
-
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        v = _vec(vec_col)
-        sig = signature_bits(v, dims, bits)
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"), v.alias(f"_{role}v"), sig.alias("_sig")
-        ).select(
-            f"{role}_id",
-            f"_{role}v",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat(
-                            F.lit(f"{i}:"), F.substring("_sig", i * band_bits + 1, band_bits)
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("_band"),
-        )
-
-    p = banded(probes, "probe")
-    c = banded(corpus, "neighbor")
-    cand = (
+    """Bucket-join candidate pairs (probe_id, neighbor_id, score) — shared
+    by :func:`lsh_bucket_knn` (top-k) and the quality telemetry (candidate
+    counts). Multi-probe applies to the PROBE side only: the corpus is
+    bucketed once, probes also look in Hamming-1 buckets."""
+    p = _banded(probes, id_col, vec_col, dims, bits, band_bits, "probe", multiprobe)
+    c = _banded(corpus, id_col, vec_col, dims, bits, band_bits, "neighbor")
+    return (
         c.join(F.broadcast(p), "_band")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .dropDuplicates(["probe_id", "neighbor_id"])
@@ -225,7 +249,101 @@ def lsh_bucket_knn(
             cosine(F.col("_probev"), F.col("_neighborv")).alias("score"),
         )
     )
+
+
+def lsh_bucket_knn(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int = 5,
+    bits: int = 12,
+    band_bits: int = 4,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Approximate k-NN: candidates must share ≥1 of bits/band_bits signature
+    bands (Hamming-1 neighbors too under ``multiprobe``); exact cosine
+    re-ranks candidates. Sublinear vs full cross join.
+
+    Returns (probe_id, neighbor_id, score, rank) like :func:`knn_join` —
+    recall < 1 by construction; multi-probe lifts it at ~(band_bits+1)×
+    probe-side bucket lookups.
+    """
+    from pyspark.sql import Window
+
+    cand = lsh_candidates(
+        probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucket_histogram(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    bits: int = 12,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Bucket-size distribution of the corpus banding — the telemetry that
+    predicts candidate cost (Σ bucket² over band buckets). Returns
+    (bucket_size, n_buckets)."""
+    c = _banded(corpus, id_col, vec_col, dims, bits, band_bits, "x")
+    sizes = c.groupBy("_band").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select("bucket_size", "n_buckets")
+    )
+
+
+def ann_quality(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int = 3,
+    bits: int = 12,
+    band_bits: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Per-probe ANN quality telemetry vs the exact kNN baseline:
+    (probe_id, n_candidates, n_hit, recall). recall = |approx∩exact| / k."""
+    exact = knn_join(probes, corpus, id_col, vec_col, k=k).select(
+        "probe_id", "neighbor_id"
+    )
+    cand = lsh_candidates(
+        probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id")
+    )
+    n_cand = cand.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        approx.join(exact, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        probes.select(F.col(id_col).alias("probe_id"))
+        .join(n_cand, "probe_id", "left")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+    )

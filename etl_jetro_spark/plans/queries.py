@@ -1042,14 +1042,183 @@ def q32_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q33_ann_lsh_bucket")  # rows-only: approximate by construction
+def _dk_sig_sql(vec: str, dims: int, bits: int) -> str:
+    """DuckDB mirror of similarity.signature_bits: the md5-derived
+    hyperplane components are computed ONCE in Python and embedded as
+    float literals in both engines' plans, so signatures match bit-exactly
+    (repr round-trips doubles; products/negation are exact; sum-order
+    drift only matters for dots within float-eps of 0)."""
+    from etl_jetro_spark.operators.similarity import _hyperplane
+
+    parts = []
+    for b in range(bits):
+        plane = "[" + ", ".join(repr(_hyperplane(b, d)) for d in range(dims)) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({vec}, {plane}) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def _dk_band_keys_sql(
+    sig_expr: str, bits: int, band_bits: int, multiprobe: bool = False
+) -> str:
+    """DuckDB mirror of similarity.band_key_exprs as a list literal for
+    unnest(): per-band '<i>:<chunk>' keys, plus Hamming-1 chunk variants
+    under multiprobe."""
+    keys = []
+    for i in range(bits // band_bits):
+        start = i * band_bits + 1
+        variants = [f"substr({sig_expr}, {start}, {band_bits})"]
+        if multiprobe:
+            for b in range(band_bits):
+                flip = (
+                    f"(CASE WHEN substr({sig_expr}, {start + b}, 1) = '1' "
+                    "THEN '0' ELSE '1' END)"
+                )
+                variants.append(
+                    f"substr({sig_expr}, {start}, {b}) || {flip} || "
+                    f"substr({sig_expr}, {start + b + 1}, {band_bits - b - 1})"
+                )
+        keys += [f"'{i}:' || {v}" for v in variants]
+    return "[" + ", ".join(keys) + "]"
+
+
+_Q33_BITS, _Q33_BAND_BITS = 12, 3
+
+
+def _q33_sig_cte() -> str:
+    return f"""e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sig AS (SELECT vec_id, v, {_dk_sig_sql('v', 64, _Q33_BITS)} AS s FROM e)"""
+
+
+@query(
+    "q33_ann_lsh_bucket",
+    f"""
+    WITH {_q33_sig_cte()},
+    corpus_b AS (
+      SELECT vec_id, unnest({_dk_band_keys_sql('s', _Q33_BITS, _Q33_BAND_BITS)}) AS band
+      FROM sig),
+    probe_b AS (
+      SELECT vec_id AS probe_id,
+             unnest({_dk_band_keys_sql('s', _Q33_BITS, _Q33_BAND_BITS, multiprobe=True)}) AS band
+      FROM sig WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT probe_id, c.vec_id AS neighbor_id
+      FROM probe_b p JOIN corpus_b c USING (band)
+      WHERE c.vec_id <> p.probe_id),
+    scored AS (
+      SELECT probe_id, neighbor_id,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sc
+      FROM cand JOIN sig x ON x.vec_id = probe_id JOIN sig y ON y.vec_id = neighbor_id),
+    ranked AS (
+      SELECT probe_id, neighbor_id, sc,
+             row_number() OVER (PARTITION BY probe_id ORDER BY sc DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT probe_id, neighbor_id, round(sc, 4) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
 def q33_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (approximate — no SQL oracle; the driver's
-    rows-only check applies; recall vs q32 is asserted in tests)."""
+    """Sign-LSH bucketed ANN with multi-probe (Hamming-1 buckets on the
+    probe side), exact-cosine re-rank — now under the FULL oracle: the
+    DuckDB side mirrors the md5-hyperplane signatures and banding
+    bit-exactly (same literals), so the approximate candidate set itself
+    is verified, not just row counts."""
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
-    return O.lsh_bucket_knn(
-        probes, emb, "vec_id", "embedding", dims=64, k=3, bits=12, band_bits=3
+    out = O.lsh_bucket_knn(
+        probes, emb, "vec_id", "embedding", dims=64, k=3,
+        bits=_Q33_BITS, band_bits=_Q33_BAND_BITS, multiprobe=True,
+    )
+    return out.select(
+        "probe_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@query(
+    "q57_ann_quality",
+    f"""
+    WITH {_q33_sig_cte()},
+    exact_s AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.v, c.v)
+               / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sc
+      FROM sig p, sig c
+      WHERE p.vec_id < 3 AND c.vec_id <> p.vec_id),
+    exact_k AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY sc DESC, neighbor_id) AS rank
+        FROM exact_s) WHERE rank <= 3),
+    corpus_b AS (
+      SELECT vec_id, unnest({_dk_band_keys_sql('s', _Q33_BITS, _Q33_BAND_BITS)}) AS band
+      FROM sig),
+    probe_b AS (
+      SELECT vec_id AS probe_id,
+             unnest({_dk_band_keys_sql('s', _Q33_BITS, _Q33_BAND_BITS, multiprobe=True)}) AS band
+      FROM sig WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT probe_id, c.vec_id AS neighbor_id
+      FROM probe_b p JOIN corpus_b c USING (band)
+      WHERE c.vec_id <> p.probe_id),
+    approx_k AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY
+                 list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) DESC,
+                 neighbor_id) AS rank
+        FROM cand JOIN sig x ON x.vec_id = probe_id JOIN sig y ON y.vec_id = neighbor_id)
+      WHERE rank <= 3),
+    n_cand AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
+               FROM cand GROUP BY probe_id),
+    hits AS (
+      SELECT a.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM approx_k a JOIN exact_k e USING (probe_id, neighbor_id)
+      GROUP BY a.probe_id)
+    SELECT p.vec_id AS probe_id,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(n_hit, 0) AS BIGINT)        AS n_hit,
+           coalesce(n_hit, 0) / 3.0                  AS recall
+    FROM (SELECT vec_id FROM sig WHERE vec_id < 3) p
+    LEFT JOIN n_cand ON n_cand.probe_id = p.vec_id
+    LEFT JOIN hits ON hits.probe_id = p.vec_id
+    """,
+)
+def q57_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality telemetry: per-probe candidate count (the sublinearity
+    evidence) and recall@3 vs the exact kNN baseline — oracle-verified via
+    the mirrored signature/banding literals."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return O.ann_quality(
+        probes, emb, "vec_id", "embedding", dims=64, k=3,
+        bits=_Q33_BITS, band_bits=_Q33_BAND_BITS, multiprobe=True,
+    )
+
+
+@query(
+    "q58_lsh_bucket_histogram",
+    f"""
+    WITH {_q33_sig_cte()},
+    b AS (SELECT vec_id, unnest({_dk_band_keys_sql('s', _Q33_BITS, _Q33_BAND_BITS)}) AS band
+          FROM sig),
+    sizes AS (SELECT band, CAST(count(*) AS BIGINT) AS bucket_size FROM b GROUP BY band)
+    SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM sizes GROUP BY bucket_size
+    """,
+)
+def q58_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size distribution over the corpus banding — the Σbucket²
+    cost telemetry for the ANN scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return O.lsh_bucket_histogram(
+        emb, "vec_id", "embedding", dims=64,
+        bits=_Q33_BITS, band_bits=_Q33_BAND_BITS,
     )
 
 
@@ -1178,23 +1347,6 @@ def q38_email_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 12. Embedding near-dup + distinct aggregation
 # --------------------------------------------------------------------------
-
-def _dk_sig_sql(vec: str, dims: int, bits: int) -> str:
-    """DuckDB mirror of similarity.signature_bits: the md5-derived
-    hyperplane components are computed ONCE in Python and embedded as
-    float literals in both engines' plans, so signatures match bit-exactly
-    (repr round-trips doubles; products/negation are exact; sum-order
-    drift only matters for dots within float-eps of 0)."""
-    from etl_jetro_spark.operators.similarity import _hyperplane
-
-    parts = []
-    for b in range(bits):
-        plane = "[" + ", ".join(repr(_hyperplane(b, d)) for d in range(dims)) + "]"
-        parts.append(
-            f"CASE WHEN list_dot_product({vec}, {plane}) > 0 THEN '1' ELSE '0' END"
-        )
-    return " || ".join(parts)
-
 
 _Q39_BITS, _Q39_BAND_BITS, _Q39_DIMS = 32, 8, 64
 

@@ -242,6 +242,30 @@ def test_knn_and_lsh_recall(spark, sf_dir):
     assert len(e & a) >= 3
 
 
+def test_ann_multiprobe_recall_sf01(spark):
+    """Multi-probe LSH recall@3 ≥ 0.9 at sf0.1, and the quality telemetry
+    shows the trade-off: more candidates than single-probe, fewer than the
+    corpus. (The fixture corpus has only mid-similarity neighbors — cosine
+    ≈ 0.4 — the hardest case for LSH; near-dups recall even cheaper.)"""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):  # pragma: no cover
+        import pytest
+
+        pytest.skip("sf0.1 testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    q = O.ann_quality(
+        probes, emb, "vec_id", "embedding", dims=64, k=3,
+        bits=12, band_bits=3, multiprobe=True,
+    ).collect()
+    n = emb.count()
+    avg = sum(r["recall"] for r in q) / len(q)
+    assert avg >= 0.9
+    assert all(0 < r["n_candidates"] < n for r in q)
+
+
 def test_textstats(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox, it jumps over the lazy dog!"), (2, "el la de que y en un 123")],
