@@ -310,3 +310,128 @@ def test_write_canonical_emits_real_workbook(spark, tmp_path, sf_dir):
     assert g.shape[0] == man["rows"] + 1
     edd_col = list(g.iloc[0]).index("Expected Delivery Date")
     assert g.iat[1, edd_col] == "1/7/2026"
+
+
+# --------------------------------------------------------------------------
+# K6 native PDF merge, K7 Graph flow, S6/K8 Sheets transport (un-gated)
+# --------------------------------------------------------------------------
+
+def test_pdf_native_merge(tmp_path):
+    from etl_jetro_spark.sinks.pdf import (
+        combine_pdfs,
+        merged_name,
+        pdf_page_count,
+        write_simple_pdf_bytes,
+    )
+
+    folder = tmp_path / "pdfs"
+    folder.mkdir()
+    (folder / "b-402-1002.pdf").write_bytes(write_simple_pdf_bytes(["PO 1002"]))
+    (folder / "a-114-1001.pdf").write_bytes(
+        write_simple_pdf_bytes(["PO 1001", "PO 1001 p2"])
+    )
+    out = combine_pdfs(str(folder), str(tmp_path), date(2026, 1, 6))
+    assert os.path.basename(out) == merged_name(2, date(2026, 1, 6)) == "2 orders 01-06-26.pdf"
+    data = open(out, "rb").read()
+    assert pdf_page_count(data) == 3
+    # sorted merge order: a-114 pages come before b-402's
+    assert data.index(b"PO 1001") < data.index(b"PO 1002")
+
+
+class FakeHttp:
+    """Records calls; pops scripted (status, payload) responses."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.calls = []
+
+    def __call__(self, method, url, headers=None, form=None, json_body=None):
+        self.calls.append(
+            {"method": method, "url": url, "headers": headers or {},
+             "form": form, "json": json_body}
+        )
+        return self.responses.pop(0)
+
+
+def test_graph_device_code_and_send():
+    """K7 end-to-end against a fake transport: device flow (pending →
+    granted), token reuse, recipient dedupe, default CCs, base64
+    attachment, bearer-authorized sendMail."""
+    from etl_jetro_spark.sinks import notify
+
+    http = FakeHttp([
+        (200, {"user_code": "ABC123", "device_code": "dev-1",
+               "message": "visit https://aka.ms/devicelogin and enter ABC123"}),
+        (400, {"error": "authorization_pending"}),
+        (200, {"access_token": "tok-1"}),
+        (202, {}),
+    ])
+    prompts = []
+    store = {}
+    auth = notify.DeviceCodeAuth(
+        "client-1", "tenant-1", http, token_store=store,
+        on_prompt=prompts.append,
+    )
+    payload = notify.send_email_graph(
+        to=["Buyer@x.com; buyer@X.com, other@y.org"],
+        subject="POs",
+        body_html="<p>hi</p>",
+        attachments=[("orders.pdf", b"%PDF-fake")],
+        default_cc=["cc@x.com"],
+        auth=auth,
+        http=http,
+    )
+    assert prompts and "ABC123" in prompts[0]
+    tos = [r["emailAddress"]["address"] for r in payload["message"]["toRecipients"]]
+    assert tos == ["Buyer@x.com", "other@y.org"]  # ci-dedupe keeps first casing
+    ccs = [r["emailAddress"]["address"] for r in payload["message"]["ccRecipients"]]
+    assert ccs == ["cc@x.com"]
+    att = payload["message"]["attachments"][0]
+    assert att["name"] == "orders.pdf" and att["contentType"] == "application/pdf"
+    import base64 as b64
+
+    assert b64.b64decode(att["contentBytes"]) == b"%PDF-fake"
+    send = http.calls[-1]
+    assert send["url"].endswith("/me/sendMail")
+    assert send["headers"]["Authorization"] == "Bearer tok-1"
+    assert store["access_token"] == "tok-1"  # cached: next send is silent
+    http.responses = [(202, {})]
+    notify.send_email_graph(
+        to=["a@b.co"], subject="s", body_html="x", auth=auth, http=http
+    )
+    assert len([c for c in http.calls if "devicecode" in c["url"]]) == 1
+
+
+def test_sheets_client_fetch_and_writeback(spark):
+    """S6 fetch + F12 tab pick + K8 batch write through the adapter."""
+    from etl_jetro_spark.sinks.notify import write_status_updates
+    from etl_jetro_spark.sources.sheets_client import SheetsClient
+
+    http = FakeHttp([
+        (200, {"sheets": [{"properties": {"title": "Mon Orders"}},
+                          {"properties": {"title": "Tues Orders"}}]}),
+        (200, {"values": [["Note", "Vendor #", "Status"],
+                          ["", "79906", "Ready"]]}),
+        (200, {"sheets": [{"properties": {"title": "Tues Orders"}}]}),
+        (200, {"totalUpdatedCells": 2}),
+    ])
+    c = SheetsClient("sheet-1", http, token="tok")
+    assert c.list_tabs() == ["Mon Orders", "Tues Orders"]
+    grid = c.get_all_values("Tues Orders")
+    assert grid[1] == ["", "79906", "Ready"]
+    assert http.calls[1]["headers"]["Authorization"] == "Bearer tok"
+
+    from datetime import date as _d
+
+    assert c.pick_today_tab(_d(2026, 1, 6)) == "Tues Orders"  # a Tuesday
+
+    updates = spark.createDataFrame(
+        [("C2", "SENDING"), ("C5", "Sent")], ["status_a1", "new_status"]
+    )
+    payload = write_status_updates(updates, client=c)
+    assert payload == [
+        {"range": "C2", "values": [["SENDING"]]},
+        {"range": "C5", "values": [["Sent"]]},
+    ]
+    assert http.calls[-1]["json"]["data"] == payload
+    assert http.calls[-1]["json"]["valueInputOption"] == "RAW"
