@@ -1865,3 +1865,20 @@ def q56_store_from_pdf_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", EF.extract_store_from_pdf_name(path).alias("store")
     )
+
+
+@query(
+    "q59_pipeline_leavins",
+    FX.ALLOCATION_ORACLE.replace("81214", "79906")
+    .replace("'P2E'", "'P2M'")
+    .replace("DATE '2026-01-07'", "DATE '2026-01-09'"),
+)
+def q59_pipeline_leavins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leavins allocation end-to-end: the 247 clone that REQUIRES an
+    explicit EDD (no today+2 default — reference
+    Leavins/tools/allocation_tool.py:133-134) with its own constants
+    (79906/P2M). Same grid shape as q47; EDD passed explicitly."""
+    wide = B.clean_allocation(FX.allocation_grid(sf_dir))
+    return B.build_allocation(
+        spark, wide, "leavins", edd=F.lit("2026-01-09").cast("date")
+    )

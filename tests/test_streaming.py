@@ -221,6 +221,48 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
         assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-6
 
 
+def test_orchestrate_tick_through_sheets_transport(spark, tmp_path):
+    """The whole control loop against the REST adapter: fetch today's tab
+    grid through the (fake) transport, run the tick, write both payloads
+    back through batch_update — the reference main() shape end-to-end."""
+    from datetime import date
+
+    from etl_jetro_spark.sources.sheets_client import SheetsClient
+
+    class Http:
+        def __init__(self):
+            self.calls = []
+
+        def __call__(self, method, url, headers=None, form=None, json_body=None):
+            self.calls.append({"method": method, "url": url, "json": json_body})
+            if url.endswith("fields=sheets.properties.title"):
+                return 200, {"sheets": [{"properties": {"title": "Tues Orders"}}]}
+            if "/values/" in url:
+                return 200, {"values": CONTROL_GRID}
+            return 200, {"totalUpdatedCells": 1}
+
+    http = Http()
+    client = SheetsClient("cp-1", http, token="t")
+    watch = tmp_path / "w"
+    dest = tmp_path / "d"
+    watch.mkdir()
+    dest.mkdir()
+    (watch / "79906-114-88101.pdf").write_bytes(b"x")
+    (watch / "79906-114-88102.pdf").write_bytes(b"y")
+    (dest / "44602-86-88104.pdf").write_bytes(b"z")
+
+    tab = client.pick_today_tab(date(2026, 1, 6))  # a Tuesday
+    grid = client.get_all_values(tab)
+    m = orch.orchestrate_tick(spark, grid, [str(watch)], str(dest), deadline_polls=3)
+    client.batch_update(m["lock"])
+    client.batch_update(m["final"])
+    finals = {p["range"]: p["values"][0][0] for p in m["final"]}
+    assert finals == {"G2": "Sent", "E7": "Sent"}
+    posted = [c for c in http.calls if c["url"].endswith("values:batchUpdate")]
+    assert posted[0]["json"]["data"] == m["lock"]
+    assert posted[1]["json"]["data"] == m["final"]
+
+
 def test_orchestrate_tick_full_loop(spark, tmp_path):
     """The whole sheet_bot tick: parse -> lock -> watch -> finalize."""
     watch = tmp_path / "w"
