@@ -692,10 +692,18 @@ def q20_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector.
-    Expression-only scoring; TakeOrdered top-k (no global sort)."""
+    Expression-only scoring; TakeOrdered top-k (no global sort). The query
+    vector stays IN-PLAN — a broadcast join against the 1-row probe
+    selection — so building the plan launches no driver job (the engine
+    API `cosine_topk` also accepts an explicit vector parameter)."""
+    from etl_jetro_spark.operators.similarity import cosine, _vec
+
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    top = O.cosine_topk(emb, "vec_id", "embedding", qvec, k=10)
+    probe = emb.filter(F.col("vec_id") == 0).select(_vec("embedding").alias("_qv"))
+    scored = emb.crossJoin(F.broadcast(probe)).select(
+        "vec_id", cosine(_vec("embedding"), F.col("_qv")).alias("score")
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10)
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 

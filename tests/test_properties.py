@@ -101,3 +101,77 @@ def test_parse_money_never_errors_and_sign_rule(spark, s):
         stripped = s.strip()
         if stripped.startswith("(") and stripped.endswith(")"):
             assert out <= 0
+
+
+grid_cells = st.one_of(
+    st.none(),
+    st.integers(-10**6, 10**6),
+    st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=12,
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.lists(grid_cells, min_size=1, max_size=6), min_size=1, max_size=8))
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    """write_xlsx → read_xlsx_grid preserves every cell value and type
+    (None cells read back as None; ints stay int, floats float)."""
+    from etl_jetro_spark.sources.xlsx import read_xlsx_grid, write_xlsx
+
+    p = str(tmp_path_factory.mktemp("xl") / "t.xlsx")
+    write_xlsx(p, {"S": rows})
+    got = read_xlsx_grid(p)
+    width = max(len(r) for r in rows)
+    for ri, row in enumerate(rows):
+        for ci in range(width):
+            want = row[ci] if ci < len(row) else None
+            have = got.iat[ri, ci] if ri < got.shape[0] and ci < got.shape[1] else None
+            if isinstance(want, float) and want.is_integer() and want == int(want):
+                # xlsx numbers are decimal text: 3.0 round-trips as int 3
+                assert have == want
+            else:
+                assert have == want, (ri, ci, want, have)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.text(max_size=20), min_size=1, max_size=3), min_size=1, max_size=4))
+def test_pdf_merge_page_count_property(docs):
+    """Merging any set of generated PDFs yields exactly the sum of their
+    page counts, in input order."""
+    from etl_jetro_spark.sinks.pdf import (
+        merge_pdfs_bytes,
+        pdf_page_count,
+        write_simple_pdf_bytes,
+    )
+
+    blobs = [write_simple_pdf_bytes(pages) for pages in docs]
+    merged = merge_pdfs_bytes(blobs)
+    assert pdf_page_count(merged) == sum(len(p) for p in docs)
+
+
+@slow_ok
+@given(st.lists(st.integers(0, 10**12), min_size=2, max_size=12), st.integers(1, 10**9))
+def test_range_join_matches_bruteforce(spark, keys, dist):
+    """Bucketed range join finds exactly the |a-b| <= d pairs a brute-force
+    cross join finds — including bucket-boundary values."""
+    from etl_jetro_spark.operators.rangejoin import range_join
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, ts long").withColumn("g", F.lit(1))
+    pairs = (
+        range_join(df, df, ["g"], "ts", dist)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a, ka in rows
+        for b, kb in rows
+        if a < b and abs(ka - kb) <= dist
+    }
+    assert got == want
