@@ -21,6 +21,10 @@ from etl_jetro_spark.operators.joins import (  # noqa: F401
     map_join,
     semi_join,
 )
+from etl_jetro_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_keep_canonical,
+)
 from etl_jetro_spark.operators.similarity import (  # noqa: F401
     ann_quality,
     cosine,

@@ -1890,3 +1890,40 @@ def q59_pipeline_leavins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.build_allocation(
         spark, wide, "leavins", edd=F.lit("2026-01-09").cast("date")
     )
+
+
+@query(
+    "q60_dedup_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT l_orderkey AS a, l_partkey + 1000000000 AS b
+      FROM lineitem WHERE l_orderkey < 200 AND l_partkey < 100
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+    reach(s, t) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t
+    )
+    SELECT s AS id, min(t) AS component
+    FROM reach GROUP BY s
+    """,
+)
+def q60_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a real multi-hop graph (orders↔parts
+    bipartite edges from lineitem — parts shared across orders chain
+    components together), by iterative min-label propagation
+    (operators/graph.py). The oracle computes the same min-reachable
+    labels with a recursive CTE — an iterative DataFrame algorithm under
+    the full hash gate."""
+    from etl_jetro_spark.operators.graph import connected_components
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.filter(
+        (F.col("l_orderkey") < 200) & (F.col("l_partkey") < 100)
+    ).select(
+        F.col("l_orderkey").alias("id_a"),
+        (F.col("l_partkey") + F.lit(1000000000)).alias("id_b"),
+    )
+    return connected_components(edges)

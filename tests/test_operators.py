@@ -346,3 +346,24 @@ def test_salted_broadcast_join_equals_plain(spark, sf_dir):
     a = {r["s_name"]: r["count"] for r in plain.collect()}
     b = {r["s_name"]: r["count"] for r in salted.collect()}
     assert a == b
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain (worst diameter) collapses to one component labeled
+    by its minimum id; an isolated pair stays its own component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["component"] for r in O.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical(spark):
+    """Near-dup pairs chain: A~B, B~C => one survivor (min id); isolated
+    docs untouched."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a'"), (3, "a''"), (7, "unique")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in O.dedup_keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 7]

@@ -175,3 +175,31 @@ def test_range_join_matches_bruteforce(spark, keys, dist):
         if a < b and abs(ka - kb) <= dist
     }
     assert got == want
+
+
+@slow_ok
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=20))
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-propagation components equal a Python union-find oracle on
+    arbitrary small graphs (self-loops and duplicates included)."""
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in O.connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        comp = min(m for m in parent if find(m) == find(n))
+        want[n] = comp
+    assert got == want
