@@ -1927,3 +1927,31 @@ def q60_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + F.lit(1000000000)).alias("id_b"),
     )
     return connected_components(edges)
+
+
+@query(
+    "q61_salted_hot_key_sum",
+    """
+    SELECT l_returnflag,
+           CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT)               AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q61_salted_hot_key_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-phase salted path
+    (operators/skew.salted_sum_by): 3 distinct keys over the whole fact
+    table is the worst reducer skew possible — the salt spreads each key
+    over 16 reducers in phase 1, the final combine sees 16 partials per
+    key. The oracle is the PLAIN group-sum: salting must be
+    result-identical (integral values, so sums are order-exact)."""
+    from etl_jetro_spark.operators.skew import salted_sum_by
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "q", F.floor("l_quantity")
+    )
+    sums = salted_sum_by(li, ["l_returnflag"], "q", out="sum_qty")
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return sums.join(counts, "l_returnflag").select(
+        "l_returnflag", F.col("sum_qty").cast("long").alias("sum_qty"), "n"
+    )
