@@ -1230,11 +1230,36 @@ def q58_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q34_multimodal_features")  # rows-only: Pandas-UDF path, no SQL oracle
+@query(
+    "q34_multimodal_features",
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id, md5(text) AS hx,
+             CAST(strlen(text) AS BIGINT) AS n
+      FROM documents
+    ),
+    d AS (
+      SELECT media_id, hx, n,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1
+      FROM h
+    )
+    SELECT media_id, hx AS feature, n AS n_bytes,
+           CAST(64 + b0 % 192 AS INT) AS thumb_w,
+           CAST(64 + b1 % 192 AS INT) AS thumb_h
+    FROM d
+    """,
+)
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on real data: documents.text bytes as an opaque
     binary 'media' column → typed metadata struct → Arrow mapInPandas
-    feature extraction (decode stubbed deterministically)."""
+    feature extraction. The decode stub derives thumb dims from the md5
+    digest's first two bytes, so the WHOLE Pandas-UDF path — Arrow batch
+    shapes included — is verifiable in SQL: the oracle recomputes
+    feature/dims from md5(text) (DuckDB hashes the same utf-8 bytes the
+    Python worker sees)."""
     from etl_jetro_spark.operators import multimodal as MM
     from etl_jetro_spark.operators.util import spread
 
@@ -1246,10 +1271,19 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_meta(media))
 
 
-@query("q35_frame_sample_plan")  # rows-only: plan generator for video decode
+@query(
+    "q35_frame_sample_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 100)) AS frame_ts_ms
+    FROM documents WHERE n_chars > 0
+    """,
+)
 def q35_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan rows from synthetic duration metadata
-    (duration := n_chars ms — deterministic stand-in)."""
+    (duration := n_chars ms — deterministic stand-in); one row per
+    (media_id, frame_ts) at a 100 ms cadence, generated partition-locally
+    (Expand, no shuffle)."""
     from etl_jetro_spark.operators import multimodal as MM
 
     d = load(spark, sf_dir, "documents")
