@@ -61,6 +61,46 @@ def hourly_counts_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time SESSION windows per user (gap-based — the streaming
+    counterpart of the batch q44 sessionization): Spark's native
+    ``session_window`` merges events closer than ``gap`` into one growing
+    window, state bounded by the watermark horizon, append mode emits each
+    session once closed. Per-key session state is exactly the 100 TB shape
+    (state partitions by user)."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.session_window("ts_utc", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "session_rollup",
+):
+    """Wire the session-window stream into an in-memory sink."""
+    agg = session_counts_stream(events_stream(spark, events_dir))
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_hourly_rollup(
     spark: SparkSession,
     events_dir: str,

