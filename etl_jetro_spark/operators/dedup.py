@@ -41,36 +41,35 @@ def shingle_rows(
     n: int,
     distinct: bool,
 ) -> DataFrame:
-    """Exploded (_id, _sh) word-n-gram shingle rows.
-
-    Built with posexplode + window lead instead of array higher-order
-    functions: HOFs are CodegenFallback (interpreted), and the interpreted
-    shingle walk measured 13.4 s vs 1.9 s for this codegen'd shape at
-    sf0.1. Shingle SETS are identical to functions.hashing.word_shingles.
+    """Exploded (_id, _sh) word-n-gram shingle rows, generated
+    PARTITION-LOCALLY: ``arrays_zip`` of the word array with its own
+    shifted slices, exploded, tail rows filtered — zero shuffle, full
+    whole-stage codegen. (The lambda HOF walk is CodegenFallback and
+    measured 7× slower; the previous window-lead shape was codegen but
+    shuffled every word of the corpus by doc id — this form measured
+    0.27 s vs its 0.93 s at sf0.1 and removes that shuffle entirely,
+    which is the difference that matters at 100 TB.) Shingle SETS are
+    identical to functions.hashing.word_shingles.
     """
-    from pyspark.sql import Window
-
     from etl_jetro_spark.functions.hashing import norm_text
 
-    words = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(norm_text(text_col), " ")).alias("_pos", "_w"),
-        )
-        .filter(F.col("_w") != "")
+    _MAX = 2147483647
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), F.split(norm_text(text_col), " ").alias("_w")
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
+    cols = [F.col("_w").alias("c0")] + [
+        F.slice("_w", k + 1, _MAX - k).alias(f"c{k}") for k in range(1, n)
+    ]
+    z = F.arrays_zip(*cols)
     sh = (
-        words.select(
-            "_id",
-            F.concat_ws(
-                " ", "_w", *[F.lead("_w", k).over(w) for k in range(1, n)]
-            ).alias("_sh"),
-            F.lead("_w", n - 1).over(w).alias("_last"),
+        base.select("_id", F.explode(z).alias("_z"))
+        .filter(
+            F.col(f"_z.c{n - 1}").isNotNull() & (F.col("_z.c0") != "")
         )
-        .filter(F.col("_last").isNotNull())
-        .select("_id", "_sh")
+        .select(
+            "_id",
+            F.concat_ws(" ", *[F.col(f"_z.c{i}") for i in range(n)]).alias("_sh"),
+        )
     )
     return sh.distinct() if distinct else sh
 
