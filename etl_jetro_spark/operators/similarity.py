@@ -317,9 +317,11 @@ def ann_quality(
     exact = knn_join(probes, corpus, id_col, vec_col, k=k).select(
         "probe_id", "neighbor_id"
     )
+    # barrier: the candidate set feeds BOTH the top-k ranking and the
+    # per-probe count — without it Catalyst re-executes the banded join
     cand = lsh_candidates(
         probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe
-    )
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy("probe_id").orderBy(

@@ -27,7 +27,7 @@ def canonical_ordered(df: DataFrame) -> DataFrame:
     return df.orderBy("Branch", "Item", "Distro Size")
 
 
-def _df_rows(df: DataFrame, date_fmt: str = "%-m/%-d/%Y") -> list[list[object]]:
+def _df_rows(df: DataFrame) -> list[list[object]]:
     """Header + data rows for the workbook render: dates formatted
     m/d/yyyy (the reference's K1 cell format), NaN→blank."""
     import datetime
@@ -48,18 +48,20 @@ def write_canonical(df: DataFrame, out_dir: str, name: str = "order_sheet") -> d
     """K1: Parquet + the reference's workbook — sheet ``Scripting`` plus
     empty ``ANOMALY``/``STORE CLUSTER`` (247/tools/allocation_tool.py:168-207).
 
-    Returns a manifest {parquet: path, xlsx: path, rows: n}.
+    Returns a manifest {parquet: path, xlsx: path, rows: n}. The ordered
+    result executes twice (parquet write + one collect for the render);
+    the row count is derived from the collected rows, not a third job.
     """
     ordered = canonical_ordered(df)
     pq_path = os.path.join(out_dir, f"{name}.parquet")
     ordered.write.mode("overwrite").parquet(pq_path)
-    n = ordered.count()
     xlsx_path = os.path.join(out_dir, f"{name}.xlsx")
-    sheets: dict[str, list[list[object]]] = {"Scripting": _df_rows(ordered)}
+    scripting = _df_rows(ordered)
+    sheets: dict[str, list[list[object]]] = {"Scripting": scripting}
     for s in AUX_SHEETS:
         sheets[s] = []
     write_xlsx(xlsx_path, sheets)
-    return {"parquet": pq_path, "xlsx": xlsx_path, "rows": n}
+    return {"parquet": pq_path, "xlsx": xlsx_path, "rows": len(scripting) - 1}
 
 
 def write_audit_workbook(sheets: dict[str, DataFrame], out_path: str) -> dict:

@@ -162,7 +162,11 @@ class DeviceCodeAuth:
     device flow otherwise, cache persisted).
 
     ``token_store`` is any dict-like; ``on_prompt`` receives the
-    user-facing 'visit URL, enter code' message."""
+    user-facing 'visit URL, enter code' message. Polling honors the
+    endpoint's ``interval`` (AAD default 5 s) via ``sleep_fn``, backs off
+    on ``slow_down``, and the silent path checks expiry (``expires_in``
+    with a 60 s safety margin) before reusing a cached token —
+    ``clock_fn``/``sleep_fn`` are injectable for tests."""
 
     def __init__(
         self,
@@ -172,17 +176,25 @@ class DeviceCodeAuth:
         token_store: dict | None = None,
         on_prompt: Callable[[str], None] | None = None,
         max_polls: int = 60,
+        sleep_fn: Callable[[float], None] | None = None,
+        clock_fn: Callable[[], float] | None = None,
     ):
+        import time as _time
+
         self.client_id = client_id
         self.authority = f"https://login.microsoftonline.com/{tenant_id}"
         self.http = http
         self.store = token_store if token_store is not None else {}
         self.on_prompt = on_prompt or (lambda msg: None)
         self.max_polls = max_polls
+        self.sleep = sleep_fn or _time.sleep
+        self.clock = clock_fn or _time.time
 
     def token(self) -> str:
-        if self.store.get("access_token"):  # silent path
-            return self.store["access_token"]
+        if self.store.get("access_token") and self.clock() < self.store.get(
+            "expires_at", float("inf")
+        ):
+            return self.store["access_token"]  # silent path, not expired
         status, flow = self.http(
             "POST",
             f"{self.authority}/oauth2/v2.0/devicecode",
@@ -191,7 +203,10 @@ class DeviceCodeAuth:
         if status != 200 or "user_code" not in flow:
             raise RuntimeError(f"failed to create device flow: {flow}")
         self.on_prompt(flow.get("message", ""))
-        for _ in range(self.max_polls):
+        interval = float(flow.get("interval", 5))
+        for poll in range(self.max_polls):
+            if poll:
+                self.sleep(interval)
             status, res = self.http(
                 "POST",
                 f"{self.authority}/oauth2/v2.0/token",
@@ -203,8 +218,15 @@ class DeviceCodeAuth:
             )
             if "access_token" in res:
                 self.store["access_token"] = res["access_token"]
+                self.store["expires_at"] = (
+                    self.clock() + float(res.get("expires_in", 3600)) - 60
+                )
                 return res["access_token"]
-            if res.get("error") != "authorization_pending":
+            err = res.get("error")
+            if err == "slow_down":
+                interval += 5  # AAD's prescribed backoff
+                continue
+            if err != "authorization_pending":
                 raise RuntimeError(f"auth failed: {res.get('error_description', res)}")
         raise RuntimeError("device-code flow timed out")
 

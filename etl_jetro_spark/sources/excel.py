@@ -77,7 +77,7 @@ def grid_from_excel(path: str, sheet: str | int | None = None) -> pd.DataFrame:
         )
     from etl_jetro_spark.sources.xlsx import read_xlsx_grid
 
-    return read_xlsx_grid(path, sheet=sheet if isinstance(sheet, str) else None)
+    return read_xlsx_grid(path, sheet=sheet)
 
 
 def read_allocation_pricesheet(

@@ -47,7 +47,9 @@ class SheetsClient:
         """The tab's 2-D string grid (reference ``get_all_values()``) —
         rows right-padded to equal width (the REST API trims trailing
         blanks; the grid contract is rectangular)."""
-        body = self._get(f"{API}/{self.sid}/values/{tab}")
+        from urllib.parse import quote
+
+        body = self._get(f"{API}/{self.sid}/values/{quote(tab, safe='')}")
         values = body.get("values", [])
         width = max((len(r) for r in values), default=0)
         return [[str(v) for v in r] + [""] * (width - len(r)) for r in values]

@@ -94,7 +94,8 @@ def _workbook_info(zf: zipfile.ZipFile) -> WorkbookInfo:
     rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
     target_by_rid = {}
     for rel in rels.findall("rel:Relationship", _NS):
-        t = rel.get("Target", "")
+        # targets are relative to xl/; some writers emit absolute "/xl/..."
+        t = rel.get("Target", "").lstrip("/")
         target_by_rid[rel.get("Id")] = t if t.startswith("xl/") else f"xl/{t}"
     sheets = []
     for sh in wb.findall(".//m:sheets/m:sheet", _NS):
@@ -141,16 +142,21 @@ def _sheet_grid(zf: zipfile.ZipFile, part: str, shared: list[str]) -> pd.DataFra
     return pd.DataFrame(data, dtype=object)
 
 
-def read_xlsx_grid(path: str, sheet: str | None = None) -> pd.DataFrame:
+def read_xlsx_grid(path: str, sheet: str | int | None = None) -> pd.DataFrame:
     """Raw positional grid from a worksheet.
 
     ``sheet`` named → that sheet, error when absent (SouthernCross
-    'IBT FORMAT' behavior). Unnamed → the ACTIVE sheet if visible, else
-    the first visible sheet; hidden/veryHidden sheets are never picked
-    (reference read_file_tool.py:83-101)."""
+    'IBT FORMAT' behavior); integer → that position (visibility ignored,
+    like ``read_excel(sheet_name=N)``). Unnamed → the ACTIVE sheet if
+    visible, else the first visible sheet; hidden/veryHidden sheets are
+    never picked (reference read_file_tool.py:83-101)."""
     with zipfile.ZipFile(path) as zf:
         info = _workbook_info(zf)
         shared = _shared_strings(zf)
+        if isinstance(sheet, int):
+            if sheet >= len(info.sheets):
+                raise ValueError(f"worksheet index {sheet} out of range in {path}")
+            return _sheet_grid(zf, info.sheets[sheet][2], shared)
         if sheet is not None:
             for name, _state, part in info.sheets:
                 if name == sheet:
@@ -239,7 +245,7 @@ def write_xlsx(
             "</Relationships>",
         )
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}"'
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" sheetId="{i + 1}"'
             + (
                 f' state="{states[n]}"'
                 if states.get(n, "visible") != "visible"

@@ -262,15 +262,23 @@ def run_po_watch(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect()
+        keep = []
         for row in rows:
             if row["status"] == "done":
                 move_file_idempotent(
                     row["found_path"].removeprefix("file:"), dest_dir
                 )
                 progress["done"].add(row["po"])
+                keep.append(row)
             elif row["status"] == "error":
-                progress["errored"].add(row["po"])
-        _append_memory_rows(r.asDict() for r in rows)
+                # exactly-once ERROR: the state-level timeout and the sink
+                # deadline can both fire — first reporter wins
+                if row["po"] not in progress["errored"]:
+                    progress["errored"].add(row["po"])
+                    keep.append(row)
+            else:
+                keep.append(row)
+        _append_memory_rows(r.asDict() for r in keep)
         if not available_now and _time.time() >= progress["deadline"]:
             now = _time.time()
             for po in sorted(

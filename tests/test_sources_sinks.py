@@ -435,3 +435,51 @@ def test_sheets_client_fetch_and_writeback(spark):
     ]
     assert http.calls[-1]["json"]["data"] == payload
     assert http.calls[-1]["json"]["valueInputOption"] == "RAW"
+
+
+def test_xlsx_int_sheet_index_and_quoted_names(tmp_path):
+    from etl_jetro_spark.sources.excel import grid_from_excel
+    from etl_jetro_spark.sources.xlsx import read_xlsx_grid, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, {'He said "hi"': [["A"]], "second": [["B"]]})
+    assert read_xlsx_grid(p, sheet=1).iat[0, 0] == "B"
+    assert grid_from_excel(p, sheet=1).iat[0, 0] == "B"
+    assert read_xlsx_grid(p, sheet='He said "hi"').iat[0, 0] == "A"
+    with pytest.raises(ValueError, match="out of range"):
+        read_xlsx_grid(p, sheet=5)
+
+
+def test_graph_auth_slow_down_backoff_and_expiry():
+    from etl_jetro_spark.sinks import notify
+
+    sleeps = []
+    now = {"t": 1000.0}
+    http = FakeHttp([
+        (200, {"user_code": "X", "device_code": "d", "interval": 2}),
+        (400, {"error": "authorization_pending"}),
+        (400, {"error": "slow_down"}),
+        (200, {"access_token": "tok-a", "expires_in": 120}),
+    ])
+    auth = notify.DeviceCodeAuth(
+        "c", "t", http, sleep_fn=sleeps.append, clock_fn=lambda: now["t"]
+    )
+    assert auth.token() == "tok-a"
+    # first poll is immediate; then the interval; then +5 after slow_down
+    assert sleeps == [2.0, 7.0]
+    # silent reuse while valid; expired -> new device flow
+    assert auth.token() == "tok-a" and len(http.calls) == 4
+    now["t"] = 1000.0 + 120  # past expires_at (margin 60)
+    http.responses = [
+        (200, {"user_code": "Y", "device_code": "d2", "interval": 1}),
+        (200, {"access_token": "tok-b", "expires_in": 3600}),
+    ]
+    assert auth.token() == "tok-b"
+
+
+def test_sheets_client_url_encodes_tab():
+    from etl_jetro_spark.sources.sheets_client import SheetsClient
+
+    http = FakeHttp([(200, {"values": [["x"]]})])
+    SheetsClient("s", http).get_all_values("Tues 8/12")
+    assert http.calls[0]["url"].endswith("/values/Tues%208%2F12")
