@@ -41,6 +41,11 @@ from etl_jetro_spark.operators.sort import (  # noqa: F401
     numeric_first_key,
     sort_numeric_first,
 )
+from etl_jetro_spark.operators.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
+    split_assign,
+)
 from etl_jetro_spark.operators.textstats import (  # noqa: F401
     bpe_ish_token_count,
     fingerprint,
@@ -49,6 +54,7 @@ from etl_jetro_spark.operators.textstats import (  # noqa: F401
     quality_score,
     stopword_hits,
     token_count,
+    vocab_doc_freq,
 )
 from etl_jetro_spark.operators.dedup import (  # noqa: F401
     shingle_rows,

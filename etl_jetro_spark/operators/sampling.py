@@ -1,0 +1,61 @@
+"""Deterministic sampling and dataset splits for training pipelines.
+
+Random `df.sample()` is seed- and partitioning-dependent — useless for
+reproducible train/val splits or cross-engine parity. These operators
+derive the decision from a content hash (md5, the engine's shared hash):
+the same row lands in the same split on any cluster, any partitioning,
+any engine, forever. This is how large corpus pipelines actually assign
+splits (hash-mod bucketing), and it's embarrassingly parallel — a pure
+projection, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: str | Column, buckets: int = 10_000, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key (+ salt). The salt
+    decorrelates independent sampling decisions over the same keys."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    # first 8 hex digits -> 32-bit int, non-negative
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keeps rows whose hash bucket
+    falls under the rate. Same input → same sample, always."""
+    buckets = 10_000
+    return df.filter(hash_bucket(id_col, buckets, salt) < int(fraction * buckets))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to exactly one named split by cumulative hash-mod
+    ranges (e.g. {'train': 0.9, 'val': 0.05, 'test': 0.05}). Fractions
+    must sum to 1 (±1e-9)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    buckets = 10_000
+    b = hash_bucket(id_col, buckets, salt)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = b < int(acc * buckets)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out, expr)

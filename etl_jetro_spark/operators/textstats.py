@@ -111,3 +111,22 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint) — md5 of normalized text (exact-dedup key)."""
     return df.select(_c(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+
+
+def vocab_doc_freq(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the vocab/stopword
+    builder of a training pipeline. Tokens come from the same normalized
+    split the dedup shingles use; one shuffle (groupBy token) over
+    per-doc-distinct token rows. Returns (token, doc_freq)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return out.filter(F.col("doc_freq") >= min_df)

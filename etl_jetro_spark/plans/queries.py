@@ -1989,3 +1989,66 @@ def q61_salted_hot_key_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.join(counts, "l_returnflag").select(
         "l_returnflag", F.col("sum_qty").cast("long").alias("sum_qty"), "n"
     )
+
+
+@query(
+    "q62_split_assignment",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)) % 10000 AS bkt
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN bkt < 9000 THEN 'train'
+                WHEN bkt < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q62_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash-mod bucketing
+    (operators/sampling.split_assign) — the reproducible-split primitive a
+    training pipeline needs instead of seed-dependent sample(). The oracle
+    recomputes the same md5 buckets digit-by-digit; same row → same split
+    on any engine, any partitioning."""
+    from etl_jetro_spark.operators.sampling import split_assign
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split:"
+    )
+
+
+@query(
+    "q63_vocab_doc_freq",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split({DK_NORM.format(c='text')}, ' ')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM toks WHERE token <> ''
+    GROUP BY token HAVING count(*) >= 5
+    """,
+)
+def q63_vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies (min_df=5) — vocab /
+    stopword-list construction over the same normalized tokenization the
+    dedup shingles use."""
+    from etl_jetro_spark.operators.textstats import vocab_doc_freq
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_doc_freq(d, "doc_id", "text", min_df=5)

@@ -367,3 +367,32 @@ def test_dedup_keep_canonical(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     kept = sorted(r["doc_id"] for r in O.dedup_keep_canonical(docs, pairs, "doc_id").collect())
     assert kept == [1, 7]
+
+
+def test_split_assign_and_hash_sample(spark, sf_dir):
+    """Deterministic splits: every row in exactly one split, proportions
+    near the requested fractions, and byte-identical across invocations
+    (the reproducibility contract seed-based sample() can't give)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    s1 = O.split_assign(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert 0.6 * n < counts["train"] < 0.95 * n
+    s2 = O.split_assign(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+    samp = O.hash_sample(d, "doc_id", 0.2)
+    m = samp.count()
+    assert 0.05 * n < m < 0.4 * n
+    assert samp.exceptAll(d).count() == 0  # strict subset
+    # different salt -> different (decorrelated) sample
+    samp2 = O.hash_sample(d, "doc_id", 0.2, salt="other")
+    assert sorted(r["doc_id"] for r in samp.collect()) != sorted(
+        r["doc_id"] for r in samp2.collect()
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        O.split_assign(d, "doc_id", {"a": 0.5, "b": 0.4})
