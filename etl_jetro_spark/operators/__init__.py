@@ -45,15 +45,28 @@ from etl_jetro_spark.operators.sampling import (  # noqa: F401
     hash_bucket,
     hash_sample,
     split_assign,
+    stratified_sample,
+)
+from etl_jetro_spark.operators.chunking import (  # noqa: F401
+    chunk_tokens,
+    pack_offsets,
+)
+from etl_jetro_spark.operators.pii import (  # noqa: F401
+    pii_counts,
+    pii_scan,
+    redact_pii,
 )
 from etl_jetro_spark.operators.textstats import (  # noqa: F401
     bpe_ish_token_count,
     fingerprint,
     lang_id,
+    ngram_repetition,
     quality_features,
     quality_score,
     stopword_hits,
+    tfidf_top_terms,
     token_count,
+    unigram_lm_scores,
     vocab_doc_freq,
 )
 from etl_jetro_spark.operators.dedup import (  # noqa: F401

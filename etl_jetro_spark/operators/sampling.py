@@ -33,6 +33,42 @@ def hash_sample(
     return df.filter(hash_bucket(id_col, buckets, salt) < int(fraction * buckets))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Exact per-stratum quota sample: within each stratum, rank rows by
+    (md5(salt||id), id) and keep the first ceil(fraction·|stratum|). Unlike
+    ``hash_sample`` (expected fraction), every stratum contributes its exact
+    quota — the per-language / per-source rebalancing step of corpus
+    curation. Deterministic and engine-portable (md5 ranking).
+
+    One shuffle on the stratum key. Skew note: a window over a stratum puts
+    that stratum in one task; strata here are coarse dataset shards
+    (languages, sources), whose count is small and sizes are bounded by
+    design — for per-key quotas over millions of keys use hash_sample.
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from pyspark.sql import Window
+
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), idc.cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, idc)
+    quota = F.ceil(
+        F.count(F.lit(1)).over(Window.partitionBy(strata_col)) * F.lit(fraction)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_q", quota)
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_rk", "_q")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

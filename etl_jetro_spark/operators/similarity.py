@@ -349,3 +349,44 @@ def ann_quality(
             (F.coalesce("n_hit", F.lit(0)) / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, ndp: int = 6
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage /
+    ANN-index compression step of an embedding pipeline (4× smaller than
+    float32, 8× than float64). Per vector: scale = max|v|/127, q_i =
+    round(v_i/scale) ∈ [-127, 127]; all-zero vectors quantize to zeros with
+    scale 0.
+
+    Pure per-row expressions (transform/aggregate in codegen): no shuffle,
+    no UDF — 100 TB of vectors quantize at scan speed. Deterministic
+    cross-engine: max/comparison and division are exactly-rounded IEEE ops,
+    and half-away-from-zero rounding matches DuckDB's round().
+
+    Output (id, scale round ndp, q_csv, mse round ndp): q_csv is the int8
+    vector as a CSV string (hashable for the parity gate); mse is the
+    reconstruction error per dimension.
+    """
+    v = _vec(vec_col)
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.round(x / scale, 0))
+        .otherwise(0.0)
+        .cast("int"),
+    )
+    err2 = F.zip_with(
+        v, q, lambda x, qi: (x - qi.cast("double") * scale) ** 2
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    return df.select(
+        idc.alias(id_col),
+        F.round(scale, ndp).alias("scale"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
+        F.round(mse, ndp).alias("mse"),
+    )

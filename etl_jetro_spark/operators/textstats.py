@@ -113,6 +113,111 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(_c(id_col), doc_fingerprint(text_col).alias("fingerprint"))
 
 
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition features per document: the fraction of word
+    n-grams that are repeats of an earlier n-gram in the same doc. High
+    dup_frac flags boilerplate/degenerate text for filtering.
+
+    Expression-only (shingle array → array_distinct) — per-row work, zero
+    shuffles; the 100 TB path is a pure scan. Returns
+    (id, n_ngrams, n_distinct, dup_frac round 6).
+    """
+    from etl_jetro_spark.functions.hashing import word_shingles
+
+    grams = word_shingles(text_col, n)
+    n_g = F.size(grams)
+    n_d = F.size(F.array_distinct(grams))
+    return df.select(
+        _c(id_col).alias(id_col),
+        n_g.cast("bigint").alias("n_ngrams"),
+        n_d.cast("bigint").alias("n_distinct"),
+        F.round(
+            F.when(n_g > 0, 1.0 - n_d / n_g.cast("double")).otherwise(0.0), 6
+        ).alias("dup_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf with *linear* idf
+    (idf = N/df). Linear idf keeps the score a product/quotient of exact
+    integers — +,*,/ are correctly-rounded IEEE ops in every engine, so the
+    ranking is bit-deterministic cross-engine (log-idf is libm-dependent).
+
+    Output is integer/string-only (id, rank, token): rank by score desc
+    then token asc — a total order, safe to hash. Two shuffles (doc-token
+    agg, token df) plus a per-doc window; df is corpus-wide metadata, tiny
+    next to the corpus itself, and broadcast to the tf side.
+    """
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    toks = df.select(
+        _c(id_col).alias("_id"),
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size stays in-plan (broadcast 1-row agg) — no driver job at
+    # plan-build time
+    ndocs = df.agg(F.countDistinct(_c(id_col)).cast("double").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.col("tf") * (F.col("_n") / F.col("df")))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col), F.col("rank").cast("int"), "token"
+        )
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, ndp: int = 4
+) -> DataFrame:
+    """Unigram language-model fluency proxy: mean inverse corpus probability
+    of the document's tokens (low = tokens are common = fluent-ish; high =
+    rare-token soup). The classic perplexity proxy without libm: every term
+    is total_tokens/count — exact-rounded division — and only the final
+    per-doc mean is order-sensitive, so it is rounded (ndp) on both engines.
+
+    Two shuffles: corpus unigram counts (tiny, broadcast back), per-doc agg.
+    """
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    toks = df.select(
+        _c(id_col).alias("_id"),
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    scored = (
+        toks.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("inv_p", F.col("_total") / F.col("cnt"))
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("inv_p"), ndp).alias("mean_inv_prob"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("bigint"),
+            "mean_inv_prob",
+        )
+    )
+
+
 def vocab_doc_freq(
     df: DataFrame, id_col: str, text_col: str, min_df: int = 1
 ) -> DataFrame:

@@ -2052,3 +2052,344 @@ def q63_vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return vocab_doc_freq(d, "doc_id", "text", min_df=5)
+
+
+# --------------------------------------------------------------------------
+# 13. Training-data surface, round 2 extension: chunking, packing, PII,
+#     repetition filters, TF-IDF, LM scoring, stratified sampling,
+#     embedding quantization
+# --------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 40, 30
+
+
+@query(
+    "q64_doc_chunks",
+    f"""
+    WITH wrds AS (
+      SELECT doc_id, {{dk_words}} AS w FROM documents WHERE {{dk_norm}} <> ''
+    ),
+    st AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {_STRIDE})) AS s
+      FROM wrds
+    )
+    SELECT doc_id,
+           CAST(s // {_STRIDE} AS INTEGER)                    AS chunk_id,
+           array_to_string(w[s + 1 : s + {_CHUNK}], ' ')      AS chunk_text,
+           CAST(least({_CHUNK}, len(w) - s) AS INTEGER)       AS n_tokens
+    FROM st
+    """,
+)
+def q64_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size 40, stride 30 → 10-token overlap) — the
+    context-window splitter of an LLM training pipeline. Expression-only
+    until the explode: zero shuffles, chunks at parquet-scan speed."""
+    from etl_jetro_spark.operators.chunking import chunk_tokens
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text", chunk_size=_CHUNK, stride=_STRIDE)
+
+
+@query(
+    "q65_chunk_packing",
+    f"""
+    WITH wrds AS (
+      SELECT doc_id, {{dk_words}} AS w FROM documents WHERE {{dk_norm}} <> ''
+    ),
+    st AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {_STRIDE})) AS s
+      FROM wrds
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(s // {_STRIDE} AS INTEGER)              AS chunk_id,
+             CAST(least({_CHUNK}, len(w) - s) AS INTEGER) AS n_tokens,
+             doc_id % 8                                   AS shard
+      FROM st
+    )
+    SELECT doc_id, chunk_id, shard, n_tokens,
+           CAST((sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id, chunk_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT)
+             AS pack_id
+    FROM ch
+    """,
+)
+def q65_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay each shard's chunks end-to-end and assign every
+    chunk the 256-token bin its first token falls in (offset packing, the
+    concat-and-chunk strategy). Packing is per-shard by design — the window
+    partitions on the shard key, so no task ever holds a global order."""
+    from etl_jetro_spark.operators.chunking import chunk_tokens, pack_offsets
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_tokens(
+        d, "doc_id", "text", chunk_size=_CHUNK, stride=_STRIDE
+    ).withColumn("shard", F.col("doc_id") % 8)
+    out = pack_offsets(
+        ch, "shard", ["doc_id", "chunk_id"], "n_tokens", budget=256
+    )
+    return out.select("doc_id", "chunk_id", "shard", "n_tokens", "pack_id")
+
+
+def _pii_raw_spark(c: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing text derived from the customer table (the
+    testdata has no natural PII): every customer gets an email, 1-in-3 get
+    a phone, 1-in-4 an IPv4, 1-in-5 an SSN-shaped id."""
+    k = F.col("c_custkey")
+    email = F.concat(F.lit("user"), k.cast("string"), F.lit("@example.com"))
+    phone = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("+1-"),
+            F.lpad((k % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-555-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit("none"))
+    ip = F.when(
+        k % 4 == 0,
+        F.concat(
+            F.lit("10.0."),
+            (k % 256).cast("string"),
+            F.lit("."),
+            ((k * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit("none"))
+    ssn = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lpad((k % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((k % 90 + 10).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit("none"))
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            " ", F.col("c_name"), F.lit("contact"), email,
+            F.lit("tel"), phone, F.lit("host"), ip, F.lit("id"), ssn,
+        ).alias("raw"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from etl_jetro_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        "CAST(len(regexp_extract_all(raw, '(" + pat + ")', 1)) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    red = "raw"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"""
+    WITH src AS (
+      SELECT c_custkey,
+             concat_ws(' ', c_name, 'contact',
+               'user' || CAST(c_custkey AS VARCHAR) || '@example.com',
+               'tel',
+               CASE WHEN c_custkey % 3 = 0 THEN
+                 '+1-' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+                 || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               ELSE 'none' END,
+               'host',
+               CASE WHEN c_custkey % 4 = 0 THEN
+                 '10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                 || CAST((c_custkey * 7) % 256 AS VARCHAR)
+               ELSE 'none' END,
+               'id',
+               CASE WHEN c_custkey % 5 = 0 THEN
+                 lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'
+                 || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               ELSE 'none' END) AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           {counts},
+           {red} AS redacted
+    FROM src
+    """
+
+
+@query("q66_pii_scan", None)  # oracle attached below (built from PII_PATTERNS)
+def q66_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over customer-derived text: per-class counts (email, ipv4,
+    phone, ssn) + canonical-order redaction. The oracle runs the SAME
+    pattern strings through DuckDB's RE2 — the patterns themselves are
+    parity-checked, not a reimplementation. Expression-only scan."""
+    from etl_jetro_spark.operators.pii import pii_scan
+
+    c = load(spark, sf_dir, "customer")
+    return pii_scan(_pii_raw_spark(c), "c_custkey", "raw")
+
+
+ORACLES["q66_pii_scan"] = _pii_oracle_sql()
+
+
+@query(
+    "q67_ngram_repetition",
+    f"""
+    WITH {{sh2}},
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct
+      FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_ngrams, 0)   AS n_ngrams,
+           coalesce(agg.n_distinct, 0) AS n_distinct,
+           round(CASE WHEN coalesce(agg.n_ngrams, 0) > 0
+                 THEN 1.0 - agg.n_distinct / CAST(agg.n_ngrams AS DOUBLE)
+                 ELSE 0.0 END, 6)      AS dup_frac
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def q67_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter features: per-doc bigram dup fraction
+    (1 - distinct/total). Expression-only (shingle array → array_distinct):
+    a pure scan, no shuffle — the cheapest quality gate in the stack."""
+    from etl_jetro_spark.operators.textstats import ngram_repetition
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_repetition(d, "doc_id", "text", n=2)
+
+
+@query(
+    "q68_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{dk_words}}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf * (nd.n / dfq.df) AS score
+      FROM tf JOIN dfq USING (token) CROSS JOIN nd
+    ),
+    rk AS (
+      SELECT doc_id, token,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, token
+    FROM rk WHERE rank <= 3
+    """,
+)
+def q68_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·idf with LINEAR idf (N/df):
+    the score stays a product/quotient of exact integers, so the ranking is
+    bit-deterministic cross-engine (log-idf would hang parity on libm).
+    Integer/string output only — hash-safe."""
+    from etl_jetro_spark.operators.textstats import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@query(
+    "q69_unigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{dk_words}}) AS token FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE token <> ''),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(tot.total / cnt.cnt), 4) AS mean_inv_prob
+    FROM t2 JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q69_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency proxy: mean inverse corpus probability per doc
+    (the perplexity stand-in without libm — every term is an exact IEEE
+    division; only the per-doc mean is order-sensitive, rounded 4dp both
+    sides). Corpus counts broadcast back to the token stream."""
+    from etl_jetro_spark.operators.textstats import unigram_lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_lm_scores(d, "doc_id", "text", ndp=4)
+
+
+@query(
+    "q70_stratified_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= ceil(n * 0.2)
+    """,
+)
+def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum 20% quota sample by md5 rank within language — the
+    per-language rebalancing step of corpus curation. Same rows selected on
+    any engine/partitioning (md5 ranking, doc_id tiebreak)."""
+    from etl_jetro_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample(d, "doc_id", "lang", 0.2, salt="strat:")
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "q71_quantize_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sc AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM e GROUP BY vec_id),
+    q AS (
+      SELECT e.vec_id, e.i, e.x, sc.scale,
+             CAST(round(CASE WHEN sc.scale > 0 THEN e.x / sc.scale
+                             ELSE 0 END) AS INTEGER) AS qi
+      FROM e JOIN sc USING (vec_id)
+    )
+    SELECT vec_id,
+           round(any_value(scale), 9)                        AS scale,
+           array_to_string(list(qi ORDER BY i), ',')         AS q_csv,
+           round(sum((x - qi * scale) * (x - qi * scale)) / count(*), 9)
+                                                             AS mse
+    FROM q GROUP BY vec_id
+    """,
+)
+def q71_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (scale =
+    max|v|/127) with reconstruction MSE — the compression step before an
+    ANN index ships. Pure per-row expressions, no shuffle; the int8 vector
+    is emitted as CSV so the parity gate hashes it exactly."""
+    from etl_jetro_spark.operators.similarity import quantize_int8
+
+    e = load(spark, sf_dir, "embeddings")
+    return quantize_int8(e, "vec_id", "embedding", ndp=9)
+
+
+# Substitute the shared SQL fragments into the round-2-extension oracles
+# (kept as placeholders above so the query bodies stay readable).
+for _qn in list(ORACLES):
+    _sql = ORACLES[_qn]
+    if "{dk_words}" in _sql or "{dk_norm}" in _sql or "{sh2}" in _sql:
+        ORACLES[_qn] = (
+            _sql.replace("{dk_words}", DK_WORDS)
+            .replace("{dk_norm}", DK_NORM_TEXT)
+            .replace("{sh2}", _dk_shingles_cte(2))
+        )
+del _qn, _sql

@@ -396,3 +396,127 @@ def test_split_assign_and_hash_sample(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         O.split_assign(d, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_chunk_tokens_windows(spark):
+    from etl_jetro_spark.operators.chunking import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, ""), (4, "solo")],
+        "id long, text string",
+    )
+    out = rows(chunk_tokens(df, "id", "text", chunk_size=4, stride=3))
+    # doc 1: starts 0,3,6,9 -> sizes 4,4,4,1; doc 3 empty -> no chunks
+    assert [r for r in out if r[0] == 1] == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+    ]
+    assert [r for r in out if r[0] == 2] == [(2, 0, "a b", 2)]
+    assert [r for r in out if r[0] == 3] == []
+    assert [r for r in out if r[0] == 4] == [(4, 0, "solo", 1)]
+
+
+def test_pack_offsets_bins(spark):
+    from etl_jetro_spark.operators.chunking import pack_offsets
+
+    df = spark.createDataFrame(
+        [("s", 1, 60), ("s", 2, 60), ("s", 3, 60), ("t", 1, 200)],
+        "shard string, seq int, n_tokens int",
+    )
+    out = rows(pack_offsets(df, "shard", ["seq"], budget=100), "shard", "seq", "pack_id")
+    # shard s offsets 0,60,120 -> bins 0,0,1; shard t independent -> bin 0
+    assert out == [("s", 1, 0), ("s", 2, 0), ("s", 3, 1), ("t", 1, 0)]
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from etl_jetro_spark.operators.pii import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk ip 10.0.0.1 tel +1-555-123-4567 ssn 123-45-6789"),
+            (2, "nothing personal here 1234"),
+        ],
+        "id long, text string",
+    )
+    out = {r[0]: r for r in pii_scan(df, "id", "text").collect()}
+    assert tuple(out[1][1:5]) == (1, 1, 1, 1)
+    assert out[1].redacted == "mail [EMAIL] ip [IPV4] tel [PHONE] ssn [SSN]"
+    assert tuple(out[2][1:5]) == (0, 0, 0, 0)
+    assert out[2].redacted == "nothing personal here 1234"
+
+
+def test_ngram_repetition_dup_frac(spark):
+    from etl_jetro_spark.operators.textstats import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "q")],
+        "id long, text string",
+    )
+    out = {r[0]: r for r in ngram_repetition(df, "id", "text", n=2).collect()}
+    # doc 1 bigrams: ab,ba,ab,ba -> 4 total, 2 distinct -> dup 0.5
+    assert (out[1].n_ngrams, out[1].n_distinct, out[1].dup_frac) == (4, 2, 0.5)
+    assert (out[2].n_ngrams, out[2].n_distinct, out[2].dup_frac) == (2, 2, 0.0)
+    assert (out[3].n_ngrams, out[3].dup_frac) == (0, 0.0)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from etl_jetro_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "rare rare common"), (2, "common other"), (3, "common third")],
+        "id long, text string",
+    )
+    out = rows(tfidf_top_terms(df, "id", "text", k=2))
+    by_doc = {}
+    for i, rk, tok in out:
+        by_doc.setdefault(i, []).append((rk, tok))
+    # 'rare' df=1 tf=2 -> score 6; 'common' df=3 tf=1 -> score 1
+    assert by_doc[1] == [(1, "rare"), (2, "common")]
+    # doc 2: 'other' df=1 score 3 beats 'common' score 1
+    assert by_doc[2] == [(1, "other"), (2, "common")]
+
+
+def test_unigram_lm_scores(spark):
+    from etl_jetro_spark.operators.textstats import unigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")],
+        "id long, text string",
+    )
+    out = {r[0]: r for r in unigram_lm_scores(df, "id", "text").collect()}
+    # corpus: a=2, b=2, total=4 -> every inv_p = 2.0
+    assert (out[1].n_tokens, out[1].mean_inv_prob) == (3, 2.0)
+    assert (out[2].n_tokens, out[2].mean_inv_prob) == (1, 2.0)
+
+
+def test_stratified_sample_quota(spark, sf_dir):
+    from etl_jetro_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r[0]: r[1] for r in d.groupBy("lang").count().collect()}
+    out = stratified_sample(d, "doc_id", "lang", 0.3, salt="t:")
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    import math
+
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == math.ceil(n * 0.3)
+    # deterministic: same call -> same rows
+    a = rows(out.select("doc_id"))
+    b = rows(stratified_sample(d, "doc_id", "lang", 0.3, salt="t:").select("doc_id"))
+    assert a == b
+
+
+def test_quantize_int8_roundtrip(spark):
+    from etl_jetro_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r[0]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert out[1].q_csv == "127,-64,32,0"  # -0.5/scale = -63.5 -> half-away -> -64
+    assert abs(out[1].scale - 1.0 / 127) < 1e-6  # scale emitted rounded (ndp)
+    assert out[1].mse < (out[1].scale / 2) ** 2  # bounded by half-step^2
+    assert out[2].q_csv == "0,0,0,0" and out[2].scale == 0.0 and out[2].mse == 0.0
