@@ -301,3 +301,49 @@ def simhash_fingerprints(
             F.coalesce(fp, F.lit("0" * 64)).alias("simhash"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation/benchmark set (the n-gram-overlap rule
+    used to scrub eval leakage from pretraining corpora).
+
+    Scale shape: eval sets are tiny next to the corpus, so the eval shingle
+    set is BROADCAST — the train side streams through a broadcast hash join
+    with no shuffle of the corpus; per-doc hit counts then aggregate on the
+    already-exploded (id, shingle) rows. Returns (id, n_shared) for flagged
+    docs only.
+    """
+    ev = shingle_rows(eval_df, id_col, text_col, n, distinct=True).select(
+        "_sh"
+    ).distinct()
+    tr = shingle_rows(train, id_col, text_col, n, distinct=True)
+    return (
+        tr.join(F.broadcast(ev), "_sh")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("_id").alias(id_col), "n_shared")
+    )
+
+
+def top_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Top-k corpus n-grams by occurrence count (deterministic tiebreak:
+    count desc, ngram asc) — the corpus-statistics pass behind boilerplate
+    lists and repetition caps. One shuffle (groupBy shingle) with map-side
+    partial agg; top-k via TakeOrdered, no global sort."""
+    counts = (
+        shingle_rows(df, id_col, text_col, n, distinct=False)
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("_sh"))
+        .limit(k)
+        .select(F.col("_sh").alias("ngram"), F.col("cnt").cast("bigint"))
+    )

@@ -2393,3 +2393,46 @@ for _qn in list(ORACLES):
             .replace("{sh2}", _dk_shingles_cte(2))
         )
 del _qn, _sql
+
+
+@query(
+    "q72_decontamination",
+    f"""
+    WITH {_dk_shingles_cte(5)},
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+    tr AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 10)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def q72_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id >= 10) sharing any
+    word 5-gram with the eval set (doc_id < 10). The eval shingle set is
+    broadcast — the corpus side never shuffles; at 100 TB this is a pure
+    scan + broadcast semi-join."""
+    from etl_jetro_spark.operators.dedup import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") >= 10), d.filter(F.col("doc_id") < 10),
+        "doc_id", "text", n=5,
+    )
+
+
+@query(
+    "q73_top_ngrams",
+    f"""
+    WITH {_dk_shingles_cte(2)}
+    SELECT sh AS ngram, CAST(count(*) AS BIGINT) AS cnt
+    FROM sh GROUP BY sh
+    ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+)
+def q73_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams (count desc, ngram asc tiebreak) — the corpus
+    boilerplate-list builder. Map-side partial agg + TakeOrdered top-k."""
+    from etl_jetro_spark.operators.dedup import top_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    return top_ngrams(d, "doc_id", "text", n=2, k=20)

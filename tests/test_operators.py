@@ -520,3 +520,34 @@ def test_quantize_int8_roundtrip(spark):
     assert abs(out[1].scale - 1.0 / 127) < 1e-6  # scale emitted rounded (ndp)
     assert out[1].mse < (out[1].scale / 2) ** 2  # bounded by half-step^2
     assert out[2].q_csv == "0,0,0,0" and out[2].scale == 0.0 and out[2].mse == 0.0
+
+
+def test_decontaminate_broadcast(spark):
+    from etl_jetro_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated training text sample words here"),
+        ],
+        "id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "quick brown fox jumps over me")], "id long, text string"
+    )
+    out = rows(decontaminate(train, ev, "id", "text", n=5))
+    assert out == [(10, 1)]  # shares 'quick brown fox jumps over'
+    plan = decontaminate(train, ev, "id", "text", n=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side broadcast, corpus never shuffles
+
+
+def test_top_ngrams_tiebreak(spark):
+    from etl_jetro_spark.operators.dedup import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "id long, text string"
+    )
+    out = top_ngrams(df, "id", "text", n=2, k=3).collect()
+    # bigrams: doc1 {a b, b a, a b}, doc2 {b c}; 'a b'x2 first, then asc ties
+    assert [(r.ngram, r.cnt) for r in out] == [("a b", 2), ("b a", 1), ("b c", 1)]
