@@ -323,9 +323,14 @@ def decontaminate(
     ev = shingle_rows(eval_df, id_col, text_col, n, distinct=True).select(
         "_sh"
     ).distinct()
-    tr = shingle_rows(train, id_col, text_col, n, distinct=True)
+    # Join BEFORE de-duplicating the train shingles: the broadcast join
+    # filters the corpus stream down to the (rare) contaminated rows, so the
+    # distinct shuffles only hits — never the whole corpus's shingles.
+    tr = shingle_rows(train, id_col, text_col, n, distinct=False)
     return (
         tr.join(F.broadcast(ev), "_sh")
+        .select("_id", "_sh")
+        .distinct()
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("_id").alias(id_col), "n_shared")

@@ -360,10 +360,17 @@ def quantize_int8(
     round(v_i/scale) ∈ [-127, 127]; all-zero vectors quantize to zeros with
     scale 0.
 
-    Pure per-row expressions (transform/aggregate in codegen): no shuffle,
-    no UDF — 100 TB of vectors quantize at scan speed. Deterministic
-    cross-engine: max/comparison and division are exactly-rounded IEEE ops,
-    and half-away-from-zero rounding matches DuckDB's round().
+    Pure per-row expressions: no shuffle, no UDF — 100 TB of vectors
+    quantize at scan speed. Deterministic cross-engine: max/comparison and
+    division are exactly-rounded IEEE ops, and half-away-from-zero rounding
+    matches DuckDB's round().
+
+    Plan note: the scale must be materialized ONCE per row before the
+    per-element lambdas reference it — in a single projection Catalyst's
+    CollapseProject re-inlines the (CodegenFallback) max-abs fold into
+    every one of the dim lambda bodies, an O(dim²) interpreted walk
+    (measured 3.4 s → 0.9 s at sf0.1). A one-element explode (Generate)
+    between the two projections is a collapse barrier with zero data cost.
 
     Output (id, scale round ndp, q_csv, mse round ndp): q_csv is the int8
     vector as a CSV string (hashable for the parity gate); mse is the
@@ -371,22 +378,23 @@ def quantize_int8(
     """
     v = _vec(vec_col)
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
-    scale = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    ) / F.lit(127.0)
-    q = F.transform(
-        v,
-        lambda x: F.when(scale > 0, F.round(x / scale, 0))
-        .otherwise(0.0)
-        .cast("int"),
-    )
-    err2 = F.zip_with(
-        v, q, lambda x, qi: (x - qi.cast("double") * scale) ** 2
-    )
-    mse = F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
-    return df.select(
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    staged = df.select(
         idc.alias(id_col),
-        F.round(scale, ndp).alias("scale"),
+        F.explode(F.array(F.struct(v.alias("v"), scale.alias("scale")))).alias(
+            "_s"
+        ),
+    ).select(id_col, F.col("_s.v").alias("_v"), F.col("_s.scale").alias("_sc"))
+    vv, sc = F.col("_v"), F.col("_sc")
+    q = F.transform(
+        vv,
+        lambda x: F.when(sc > 0, F.round(x / sc, 0)).otherwise(0.0).cast("int"),
+    )
+    err2 = F.zip_with(vv, q, lambda x, qi: (x - qi.cast("double") * sc) ** 2)
+    mse = F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size(vv)
+    return staged.select(
+        id_col,
+        F.round(sc, ndp).alias("scale"),
         F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
         F.round(mse, ndp).alias("mse"),
     )
