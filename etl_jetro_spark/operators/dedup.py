@@ -352,3 +352,54 @@ def top_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 2
         .limit(k)
         .select(F.col("_sh").alias("ngram"), F.col("cnt").cast("bigint"))
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental ingestion dedup: drop new documents whose content
+    fingerprint already exists in the seen-corpus index, AND dedup the new
+    batch against itself (keep min-id per fingerprint). This is the
+    production shape — the corpus is never rescanned; only its fingerprint
+    index (32 bytes/doc) is joined.
+
+    ``seen_fingerprints`` needs a ``fingerprint`` column (e.g. from a
+    previous ``exact_dedup`` run's sink). Scale: anti-join on the
+    fingerprint — map-side partial agg for the in-batch dedup, and the
+    index side is amenable to broadcast when the batch ⋘ corpus is false;
+    at full scale both sides shuffle on the fingerprint, the classic
+    hash-anti-join.
+    """
+    fp = spread(new_df).withColumn("fingerprint", doc_fingerprint(text_col))
+    survivors = (
+        fp.groupBy("fingerprint")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .join(
+            seen_fingerprints.select("fingerprint").distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+    )
+    return survivors.select(id_col, "fingerprint")
+
+
+def keep_best_by(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_cols: list,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Canonical-representative selection: one row per group, the minimum
+    under ``order_cols`` (use descending-encoded keys, e.g. -quality, for
+    arg-max). Min-struct aggregation — single shuffle with map-side
+    partial agg, NO window sort (a window would sort every group; the
+    struct-min carries one candidate per map task)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    s = F.struct(*order_cols, *[F.col(c) for c in keep_cols])
+    out = df.groupBy(*groups).agg(F.min(s).alias("_best"))
+    return out.select(
+        *groups, *[F.col(f"_best.{c}").alias(c) for c in keep_cols]
+    )

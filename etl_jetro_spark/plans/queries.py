@@ -2436,3 +2436,93 @@ def q73_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return top_ngrams(d, "doc_id", "text", n=2, k=20)
+
+
+@query(
+    "q74_incremental_dedup",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({DK_NORM_TEXT}) AS f FROM documents),
+    batch AS (
+      SELECT doc_id, f FROM fp WHERE doc_id >= 400
+      UNION ALL SELECT doc_id + 1000, f FROM fp WHERE doc_id < 50
+      UNION ALL SELECT doc_id + 2000, f FROM fp
+        WHERE doc_id >= 450 AND doc_id < 460
+    ),
+    seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 400),
+    mins AS (SELECT f, CAST(min(doc_id) AS BIGINT) AS doc_id
+             FROM batch GROUP BY f)
+    SELECT doc_id, f AS fingerprint
+    FROM mins WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.f = mins.f)
+    """,
+)
+def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the production corpus-update shape:
+    a new batch (fresh docs + 50 re-crawled copies of already-seen docs +
+    10 in-batch duplicate pairs, all planted deterministically) is deduped
+    against ITSELF (min-id per fingerprint) and against the seen-corpus
+    fingerprint INDEX (anti-join on 32-byte keys — the corpus text is
+    never rescanned)."""
+    from etl_jetro_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    fresh = d.filter(k >= 400).select("doc_id", "text")
+    leaked = d.filter(k < 50).select((k + 1000).alias("doc_id"), "text")
+    indup = d.filter((k >= 450) & (k < 460)).select(
+        (k + 2000).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(leaked).unionByName(indup)
+    seen = exact_dedup(d.filter(k < 400), "doc_id", "text").select("fingerprint")
+    return incremental_dedup(batch, seen, "doc_id", "text")
+
+
+@query(
+    "q75_keep_best_quality",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, lang, source,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             round(least(n_tokens / 20.0, 1.0) * 0.4
+                   + (1 - least(CAST(n_punct AS DOUBLE) / n_chars * 2
+                                + CAST(n_digit AS DOUBLE) / n_chars * 2, 1.0)) * 0.3
+                   + least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0) * 0.3, 6)
+               AS quality_score
+      FROM feat WHERE n_chars > 0 AND n_tokens > 0
+    ),
+    rk AS (
+      SELECT lang, source, doc_id, quality_score,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY quality_score DESC, doc_id) AS r
+      FROM scored
+    )
+    SELECT lang, source, doc_id, quality_score FROM rk WHERE r = 1
+    """,
+)
+def q75_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation representative pick: the single best-quality document per
+    (lang, source) cell, arg-max via min-struct aggregation (one shuffle
+    with map-side partials — no window sort touches the corpus). Ranking
+    uses the ROUNDED quality score (deterministic cross-engine) with
+    doc_id as total-order tiebreak."""
+    from etl_jetro_spark.operators.dedup import keep_best_by
+
+    d = load(spark, sf_dir, "documents")
+    scored = O.quality_score(d, "text").filter(
+        (F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0)
+    ).select("doc_id", "lang", "source", "quality_score")
+    return keep_best_by(
+        scored,
+        ["lang", "source"],
+        [(-F.col("quality_score")).alias("_negq"), F.col("doc_id").alias("_tid")],
+        ["doc_id", "quality_score"],
+    )

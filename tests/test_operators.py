@@ -551,3 +551,37 @@ def test_top_ngrams_tiebreak(spark):
     out = top_ngrams(df, "id", "text", n=2, k=3).collect()
     # bigrams: doc1 {a b, b a, a b}, doc2 {b c}; 'a b'x2 first, then asc ties
     assert [(r.ngram, r.cnt) for r in out] == [("a b", 2), ("b a", 1), ("b c", 1)]
+
+
+def test_incremental_dedup(spark):
+    from etl_jetro_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    old = spark.createDataFrame(
+        [(1, "seen text one"), (2, "seen text two")], "doc_id long, text string"
+    )
+    seen = exact_dedup(old, "doc_id", "text").select("fingerprint")
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new content"),
+            (11, "seen text one"),          # already in corpus -> dropped
+            (12, "another new thing"),
+            (13, "another new thing"),      # in-batch dup -> min id wins
+        ],
+        "doc_id long, text string",
+    )
+    out = rows(incremental_dedup(batch, seen, "doc_id", "text").select("doc_id"))
+    assert out == [(10,), (12,)]
+
+
+def test_keep_best_by_argmax(spark):
+    from etl_jetro_spark.operators.dedup import keep_best_by
+
+    df = spark.createDataFrame(
+        [("g1", 1, 0.5), ("g1", 2, 0.9), ("g1", 3, 0.9), ("g2", 4, 0.1)],
+        "g string, id long, q double",
+    )
+    out = rows(
+        keep_best_by(df, "g", [(-F.col("q")).alias("_n"), F.col("id").alias("_i")], ["id", "q"])
+    )
+    # g1: q=0.9 tie -> min id 2; struct-min not window
+    assert out == [("g1", 2, 0.9), ("g2", 4, 0.1)]
