@@ -118,3 +118,41 @@ def run_hourly_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def deduped_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    time_col: str = "ts_utc",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the ingestion-time counterpart of
+    ``operators.dedup.exact_dedup``: drop rows whose ``id_cols`` were
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). State is bounded by (horizon ×
+    distinct keys in the horizon), evicted as the watermark advances —
+    unbounded-retention dropDuplicates would leak state forever on a
+    100 TB/day feed; the horizon cap is what makes streaming dedup
+    deployable. Keys partition across the cluster like any keyed state."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+def run_deduped_count(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "dedup_stream",
+    glob: str = "events.parquet",
+):
+    """Wire the deduped stream into an in-memory sink (append)."""
+    out = deduped_stream(events_stream(spark, events_dir, glob), ["event_id"])
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

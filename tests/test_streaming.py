@@ -313,3 +313,25 @@ def test_orchestrate_tick_full_loop(spark, tmp_path):
     finals = {p["range"]: p["values"][0][0] for p in m["final"]}
     assert finals == {"G2": "ERROR", "E7": "Sent"}
     assert (dest / "79906-114-88101.pdf").exists()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops re-delivered event_ids: feed the
+    events file TWICE (two files, same rows — at-least-once redelivery);
+    the deduped stream must emit each event_id once."""
+    import shutil
+
+    from etl_jetro_spark.streaming.windows import run_deduped_count
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
+    q = run_deduped_count(
+        spark, str(src), str(tmp_path / "ck"), queryName="dedup_t", glob="*.parquet"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, count(*) AS c FROM dedup_t GROUP BY event_id")
+    n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert got.count() == n_events                      # every id present once
+    assert got.filter("c > 1").count() == 0             # no duplicates emitted
