@@ -9,11 +9,15 @@ from etl_jetro_spark.operators.canonical import (  # noqa: F401
     to_canonical,
 )
 from etl_jetro_spark.operators.dedup import (  # noqa: F401
+    decontaminate,
     exact_dedup,
     exact_dup_groups,
+    incremental_dedup,
+    keep_best_by,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_candidates,
+    top_ngrams,
 )
 from etl_jetro_spark.operators.joins import (  # noqa: F401
     anti_join,
@@ -34,6 +38,7 @@ from etl_jetro_spark.operators.similarity import (  # noqa: F401
     lsh_bucket_histogram,
     lsh_bucket_knn,
     lsh_candidates,
+    quantize_int8,
 )
 from etl_jetro_spark.operators.sort import (  # noqa: F401
     lot_last4_key,

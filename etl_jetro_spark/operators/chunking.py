@@ -101,5 +101,9 @@ def pack_offsets(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offset = F.sum(_c(ntokens_col)).over(w) - _c(ntokens_col)
-    return chunks.withColumn(out, (offset / budget).cast("long"))
+    offset = (F.sum(_c(ntokens_col)).over(w) - _c(ntokens_col)).cast("long")
+    # exact integer division (DIV) — double division + cast truncates, loses
+    # exactness past 2^53 and can round x.99999999999999 up before the cast
+    return chunks.withColumn("_pack_off", offset).withColumn(
+        out, F.expr(f"_pack_off DIV {int(budget)}")
+    ).drop("_pack_off")

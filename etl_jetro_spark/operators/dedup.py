@@ -320,7 +320,7 @@ def decontaminate(
     already-exploded (id, shingle) rows. Returns (id, n_shared) for flagged
     docs only.
     """
-    ev = shingle_rows(eval_df, id_col, text_col, n, distinct=True).select(
+    ev = shingle_rows(eval_df, id_col, text_col, n, distinct=False).select(
         "_sh"
     ).distinct()
     # Join BEFORE de-duplicating the train shingles: the broadcast join
@@ -374,11 +374,14 @@ def incremental_dedup(
     hash-anti-join.
     """
     fp = spread(new_df).withColumn("fingerprint", doc_fingerprint(text_col))
+    # no .distinct() on the index side: anti-join results are unaffected by
+    # right-side duplicates, and a distinct would re-shuffle the whole
+    # corpus index every batch for nothing.
     survivors = (
         fp.groupBy("fingerprint")
         .agg(F.min(F.col(id_col)).alias(id_col))
         .join(
-            seen_fingerprints.select("fingerprint").distinct(),
+            seen_fingerprints.select("fingerprint"),
             "fingerprint",
             "left_anti",
         )

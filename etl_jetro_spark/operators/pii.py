@@ -30,10 +30,19 @@ def _c(col) -> Column:
 # PHONE (dotted quads would otherwise half-match phone fragments), SSN last
 # of the digit shapes. Each pattern is valid and identical in Java regex and
 # RE2 (DuckDB).
+#
+# Phone shape: optional +CC, then 3-3-4 with '-'/'.' group separators or a
+# parenthesized area code. The country code is OPTIONAL (local formats like
+# 555-123-4567 are the common case), and bare spaces are NOT accepted as
+# group separators — '1 999 2000 2001' is a list of years, not a phone.
+# SSN (3-2-4) stays disjoint from phone (3-3-4) by group widths.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
-    ("phone", r"\+?[0-9]{1,2}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"),
+    (
+        "phone",
+        r"(\+[0-9]{1,2}[-. ])?(\([0-9]{3}\) ?|\b[0-9]{3}[-.])[0-9]{3}[-.][0-9]{4}\b",
+    ),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
 )
 

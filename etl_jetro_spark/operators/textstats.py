@@ -120,8 +120,9 @@ def ngram_repetition(
     n-grams that are repeats of an earlier n-gram in the same doc. High
     dup_frac flags boilerplate/degenerate text for filtering.
 
-    Expression-only (shingle array → array_distinct) — per-row work, zero
-    shuffles; the 100 TB path is a pure scan. Returns
+    Total counts are pure expressions; the DISTINCT count aggregates the
+    exploded codegen shingle rows (one shuffle on doc id) and joins back —
+    two shuffles of (id, small ints), never of the text itself. Returns
     (id, n_ngrams, n_distinct, dup_frac round 6).
     """
     from etl_jetro_spark.functions.hashing import norm_text

@@ -437,6 +437,8 @@ def test_pii_scan_counts_and_redaction(spark):
         [
             (1, "mail a.b+c@ex-ample.co.uk ip 10.0.0.1 tel +1-555-123-4567 ssn 123-45-6789"),
             (2, "nothing personal here 1234"),
+            (3, "local 555-123-4567 paren (212) 555-0187 dotted 555.123.4567"),
+            (4, "years 1 999 2000 2001 sizes 12 345 678 9012"),
         ],
         "id long, text string",
     )
@@ -445,6 +447,11 @@ def test_pii_scan_counts_and_redaction(spark):
     assert out[1].redacted == "mail [EMAIL] ip [IPV4] tel [PHONE] ssn [SSN]"
     assert tuple(out[2][1:5]) == (0, 0, 0, 0)
     assert out[2].redacted == "nothing personal here 1234"
+    # local, parenthesized, and dotted formats all detected (no +CC needed)
+    assert out[3].n_phone == 3
+    assert out[3].redacted == "local [PHONE] paren [PHONE] dotted [PHONE]"
+    # space-separated number runs are NOT phones
+    assert out[4].n_phone == 0 and "[PHONE]" not in out[4].redacted
 
 
 def test_ngram_repetition_dup_frac(spark):
