@@ -372,9 +372,11 @@ def quantize_int8(
     (measured 3.4 s → 0.9 s at sf0.1). A one-element explode (Generate)
     between the two projections is a collapse barrier with zero data cost.
 
-    Output (id, scale round ndp, q_csv, mse round ndp): q_csv is the int8
-    vector as a CSV string (hashable for the parity gate); mse is the
-    reconstruction error per dimension.
+    Output (id, scale, q_csv, mse round ndp): scale is emitted UNROUNDED —
+    it is bit-deterministic (max + one division), and rounding it would
+    emit an inconsistent (scale=0, q≠0) pair for max|v| < 127·5e-10; only
+    mse (an order-sensitive sum) is rounded. q_csv is the int8 vector as a
+    CSV string (hashable for the parity gate).
     """
     v = _vec(vec_col)
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
@@ -394,7 +396,7 @@ def quantize_int8(
     mse = F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x) / F.size(vv)
     return staged.select(
         id_col,
-        F.round(sc, ndp).alias("scale"),
+        sc.alias("scale"),
         F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
         F.round(mse, ndp).alias("mse"),
     )

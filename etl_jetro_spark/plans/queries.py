@@ -2372,7 +2372,7 @@ def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e JOIN sc USING (vec_id)
     )
     SELECT vec_id,
-           round(any_value(scale), 9)                        AS scale,
+           any_value(scale)                                  AS scale,
            array_to_string(list(qi ORDER BY i), ',')         AS q_csv,
            round(sum((x - qi * scale) * (x - qi * scale)) / count(*), 9)
                                                              AS mse

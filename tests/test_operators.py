@@ -524,7 +524,7 @@ def test_quantize_int8_roundtrip(spark):
     )
     out = {r[0]: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
     assert out[1].q_csv == "127,-64,32,0"  # -0.5/scale = -63.5 -> half-away -> -64
-    assert abs(out[1].scale - 1.0 / 127) < 1e-6  # scale emitted rounded (ndp)
+    assert out[1].scale == 1.0 / 127  # scale emitted exact (unrounded)
     assert out[1].mse < (out[1].scale / 2) ** 2  # bounded by half-step^2
     assert out[2].q_csv == "0,0,0,0" and out[2].scale == 0.0 and out[2].mse == 0.0
 

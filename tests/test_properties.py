@@ -203,3 +203,90 @@ def test_connected_components_matches_union_find(spark, edges):
         comp = min(m for m in parent if find(m) == find(n))
         want[n] = comp
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=8),
+    st.integers(2, 10),
+    st.integers(1, 10),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_every_token(spark, doc_lens, chunk_size, stride):
+    """Every token of every doc lands in ≥1 chunk; with stride ≤ chunk_size
+    there are no gaps, chunk ids are dense from 0, and token counts sum to
+    ≥ the doc's token count (overlap duplicates are expected)."""
+    from etl_jetro_spark.operators.chunking import chunk_tokens
+
+    stride = min(stride, chunk_size)  # overlap or exact tiling only
+    docs = [
+        (i, " ".join(f"t{i}x{j}" for j in range(ln))) for i, ln in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = chunk_tokens(df, "id", "text", chunk_size=chunk_size, stride=stride)
+    got = out.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, ln in enumerate(doc_lens):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if ln == 0:
+            assert chunks == []
+            continue
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        seen = set()
+        for c in chunks:
+            toks = c["chunk_text"].split(" ")
+            assert len(toks) == c["n_tokens"] <= chunk_size
+            seen.update(toks)
+        assert seen == {f"t{i}x{j}" for j in range(ln)}  # full coverage
+
+
+@given(st.lists(st.integers(1, 300), min_size=1, max_size=30), st.integers(2, 512))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_offsets_matches_prefix_sums(spark, sizes, budget):
+    """pack_id equals floor(prefix_sum/budget) computed in Python, is
+    monotonically non-decreasing in order, and starts at 0."""
+    from etl_jetro_spark.operators.chunking import pack_offsets
+
+    df = spark.createDataFrame(
+        [("s", i, n) for i, n in enumerate(sizes)], "shard string, seq int, n int"
+    )
+    got = {
+        r["seq"]: r["pack_id"]
+        for r in pack_offsets(df, "shard", ["seq"], "n", budget=budget).collect()
+    }
+    off = 0
+    for i, n in enumerate(sizes):
+        assert got[i] == off // budget
+        off += n
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantize_int8_error_bound(spark, vecs):
+    """Quantized values stay in [-127,127]; reconstruction error per
+    element is ≤ scale/2 (+eps), so mse ≤ (scale/2)²; zero vectors give
+    zero scale and zero error."""
+    from etl_jetro_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for r in quantize_int8(df, "vec_id", "embedding", ndp=9).collect():
+        q = [int(x) for x in r["q_csv"].split(",")]
+        assert all(-127 <= x <= 127 for x in q)
+        if r["scale"] == 0.0:
+            assert all(x == 0 for x in q) and r["mse"] == 0.0
+        else:
+            assert r["mse"] <= (r["scale"] / 2) ** 2 * 1.0000001 + 1e-9
