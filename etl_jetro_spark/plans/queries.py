@@ -2534,3 +2534,123 @@ def q75_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-F.col("quality_score")).alias("_negq"), F.col("doc_id").alias("_tid")],
         ["doc_id", "quality_score"],
     )
+
+
+@query(
+    "q76_pivot_returnflag",
+    """
+    SELECT l_suppkey,
+           CAST(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0)
+                AS BIGINT) AS qty_A,
+           CAST(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0)
+                AS BIGINT) AS qty_N,
+           CAST(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0)
+                AS BIGINT) AS qty_R
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q76_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (the inverse of the engine's melt): per-supplier
+    quantity by return flag through Spark's native ``groupBy().pivot()``
+    with EXPLICIT pivot values — without them Spark runs an extra
+    distinct-values job and the output schema becomes data-dependent, both
+    wrong at scale. One shuffle (partial aggs per flag map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_suppkey",
+        *[
+            F.coalesce(F.col(flag), F.lit(0)).cast("bigint").alias(f"qty_{flag}")
+            for flag in ("A", "N", "R")
+        ],
+    )
+
+
+@query(
+    "q77_grouping_sets",
+    """
+    SELECT coalesce(r_name, '(all)') AS region,
+           coalesce(n_name, '(all)') AS nation,
+           CAST(count(*) AS BIGINT)  AS n_customers
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate in ONE pass (GROUPING SETS / rollup): customer
+    counts by (region, nation), by region, and grand total — Spark's Expand
+    emits one row per grouping set per input row before a single shuffle;
+    three separate aggregations would scan and shuffle three times."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = c.join(
+        F.broadcast(n), n.n_nationkey == c.c_nationkey
+    ).join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+    out = j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return out.select(
+        F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+        "n_customers",
+    )
+
+
+@query(
+    "q78_moving_average",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM orders
+    """,
+)
+def q78_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order trailing moving average of spend per customer — the windowed
+    analytics shape (bounded ROWS frame; state is 3 rows per partition
+    cursor). One shuffle on the partition key; the frame bound keeps
+    memory O(frame), not O(partition)."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+    )
+
+
+@query(
+    "q79_fuzzy_name_match",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(levenshtein(lower(s_name), 'supplier#000000001') AS BIGINT)
+             AS dist
+    FROM supplier
+    WHERE levenshtein(lower(s_name), 'supplier#000000001') <= 3
+    """,
+)
+def q79_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching by edit distance (native ``levenshtein`` in
+    both engines — JVM codegen, no UDF): suppliers within distance 3 of a
+    probe name. The classic record-linkage primitive; at scale the probe
+    side is a broadcast dim and the distance is a post-join filter."""
+    s = load(spark, sf_dir, "supplier")
+    d = F.levenshtein(F.lower(F.col("s_name")), F.lit("supplier#000000001"))
+    return (
+        s.select("s_suppkey", "s_name", d.cast("bigint").alias("dist"))
+        .filter(F.col("dist") <= 3)
+    )
