@@ -156,3 +156,68 @@ def run_deduped_count(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def correlated_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: pair each ``right_type``
+    event with same-user ``left_type`` events in the preceding ``within``
+    horizon (click→purchase attribution). Both sides carry watermarks and
+    the join condition bounds event-time distance — that pair is what lets
+    Spark evict join state: a side's row is dropped once the other side's
+    watermark passes its latest possible match. Without the time bound the
+    state store grows forever; this is THE constraint that makes
+    stream-stream joins deployable on an unbounded feed.
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark("ts_utc", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts_utc").alias("l_ts"),
+        )
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark("ts_utc", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts_utc").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts"
+    )
+
+
+def run_attribution_join(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "attribution",
+    glob: str = "events.parquet",
+):
+    """Wire the click→purchase attribution join into an in-memory sink."""
+    ev = events_stream(spark, events_dir, glob)
+    out = correlated_stream_join(ev, ev)
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

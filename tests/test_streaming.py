@@ -335,3 +335,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert got.count() == n_events                      # every id present once
     assert got.filter("c > 1").count() == 0             # no duplicates emitted
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream click→purchase join emits exactly the
+    pairs the equivalent batch join produces (availableNow lets every
+    watermark advance past the data, so no pair is withheld)."""
+    from etl_jetro_spark.streaming.windows import run_attribution_join
+
+    sf = "/root/testdata/sf0.001"
+    q = run_attribution_join(spark, sf, str(tmp_path / "ck"), queryName="attr_t")
+    q.awaitTermination(120)
+    got = {
+        (r["l_event"], r["r_event"])
+        for r in spark.sql("SELECT * FROM attr_t").collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts_utc", F.expr("timestamp_micros(ts div 1000)")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("ce"), F.col("ts_utc").alias("ct")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pe"), F.col("ts_utc").alias("pt")
+    )
+    batch = {
+        (r["ce"], r["pe"])
+        for r in c.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("ct") <= F.col("pt"))
+            & (F.col("pt") <= F.col("ct") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert batch, "fixture must produce at least one attribution pair"
+    assert got == batch
