@@ -1,11 +1,15 @@
-"""CLI: run a supplier pipeline end-to-end.
+"""CLI: run a supplier pipeline end-to-end, or any declared query.
 
     python -m etl_jetro_spark run <pipeline> <in_folder> <out_dir> \
         [--date YYYY-MM-DD] [--edd YYYY-MM-DD] [--po-folder DIR] \
         [--carrier-dir DIR]
+    python -m etl_jetro_spark query <name|list> [--sf DIR] [--out DIR] \
+        [--show N] [--explain]
 
 Pipelines: 247, acme, leavins, southern_cross, flips_big, flips_baby.
 The run date defaults to today; pass --date for reproducible outputs.
+`query list` prints the declared query names; `--out` writes parquet,
+otherwise the first `--show` rows print to stdout.
 """
 
 from __future__ import annotations
@@ -29,9 +33,36 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--edd", default=None)
     run.add_argument("--po-folder", default=None)
     run.add_argument("--carrier-dir", default=None)
+    qry = sub.add_parser("query", help="run a declared query (or 'list')")
+    qry.add_argument("name")
+    qry.add_argument("--sf", default="/root/testdata/sf0.01")
+    qry.add_argument("--out", default=None)
+    qry.add_argument("--show", type=int, default=20)
+    qry.add_argument("--explain", action="store_true")
     args = p.parse_args(argv)
 
     from etl_jetro_spark.session import get_spark
+
+    if args.cmd == "query":
+        from etl_jetro_spark.plans.queries import QUERIES
+
+        if args.name == "list":
+            print("\n".join(QUERIES))
+            return 0
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; try 'list'", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"etl-jetro-{args.name}")
+        df = QUERIES[args.name](spark, args.sf)
+        if args.explain:
+            df.explain("formatted")
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"query": args.name, "out": args.out}))
+        else:
+            df.show(args.show, truncate=False)
+        return 0
+
     from etl_jetro_spark.pipelines import runner as R
 
     run_date = date.fromisoformat(args.run_date) if args.run_date else date.today()
