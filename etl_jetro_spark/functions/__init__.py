@@ -10,6 +10,7 @@ from pyspark.sql import SparkSession
 
 from etl_jetro_spark.functions.dates import (  # noqa: F401
     default_edd,
+    epoch_seconds_ntz,
     fmt_mdy2,
     fmt_mdy_no_pad,
     next_mwf,

@@ -92,3 +92,22 @@ def weekday_prefix(col: str | Column) -> Column:
         cond = abbrev == k
         out = F.when(cond, v) if out is None else out.when(cond, v)
     return out.otherwise(None)
+
+
+def epoch_seconds_ntz(col: str | Column) -> Column:
+    """Epoch seconds (BIGINT, floor) of a timestamp WITHOUT timezone,
+    treating the wall clock as UTC — engine-portable: matches DuckDB's
+    ``floor(epoch(ts))`` on naive timestamps regardless of the Spark
+    session timezone (which is pinned to the reference's business tz,
+    see session.SESSION_TZ). A plain ``cast("long")`` is rejected for
+    TIMESTAMP_NTZ and ``unix_timestamp`` would re-interpret the wall
+    clock in the session zone; ``unix_date`` + wall-clock fields are
+    tz-free by construction.
+    """
+    c = _c(col)
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c) * 3600
+        + F.minute(c) * 60
+        + F.second(c)
+    ).cast("long")

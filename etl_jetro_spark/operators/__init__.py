@@ -79,6 +79,28 @@ from etl_jetro_spark.operators.dedup import (  # noqa: F401
     simhash_fingerprints,
 )
 from etl_jetro_spark.operators.rangejoin import range_join  # noqa: F401
+from etl_jetro_spark.operators.timeseries import (  # noqa: F401
+    cohort_retention,
+    funnel,
+    funnel_df,
+    gap_fill_linear,
+    gap_fill_locf,
+    time_bucket,
+    time_spine,
+    value_histogram,
+)
+from etl_jetro_spark.operators.cdc import (  # noqa: F401
+    apply_changelog,
+    scd2_from_log,
+)
+from etl_jetro_spark.operators.profile import (  # noqa: F401
+    RowRule,
+    check_foreign_key,
+    check_rows,
+    check_unique,
+    profile_table,
+    run_checks,
+)
 from etl_jetro_spark.operators.skew import (  # noqa: F401
     salted_broadcast_join,
     salted_sum_by,

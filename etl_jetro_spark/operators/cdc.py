@@ -1,0 +1,92 @@
+"""Change-data-capture shapes: SCD type-2 history and changelog apply.
+
+Warehouse maintenance primitives for a 100 TB lakehouse: turning an
+append-only change log into (a) a type-2 dimension history with effective
+ranges, and (b) the current snapshot under upsert/delete semantics.
+
+Both are single-shuffle window shapes on the business key. No MERGE
+statement is needed: the log is reduced declaratively, which Catalyst can
+pipeline with up/downstream stages (a MERGE would force a write barrier).
+
+Scale: the windows partition by business key — per-key state is O(1)
+(lag/lead cursors) or one argmax struct. Key-skew (one entity with
+millions of changes) is the AQE skew-split case; the compress step's
+output is bounded by the number of VALUE CHANGES, usually orders below
+the log row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_log(
+    log: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    order_cols: list[str],
+    eff_col: str,
+) -> DataFrame:
+    """Compress an attribute change log into SCD type-2 history rows.
+
+    Consecutive rows (in ``order_cols`` order, per key) with an unchanged
+    ``attr_col`` collapse into one version; each version carries
+    ``eff_from`` (its first ``eff_col``), ``eff_to`` (the next version's
+    ``eff_from``, null for the open version) and ``is_current``.
+
+    Two window passes over the SAME (key, order) sort — lag to detect
+    changes, lead over the compressed rows for the closing bound — so
+    Catalyst reuses a single shuffle+sort.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = (
+        log.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return changed.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(eff_col).alias("eff_from"),
+        F.lead(eff_col).over(w2).alias("eff_to"),
+        F.lead(eff_col).over(w2).isNull().cast("int").alias("is_current"),
+    )
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str,
+    order_cols: list[str],
+    payload_cols: list[str],
+    delete_op: str = "D",
+    snapshot: DataFrame | None = None,
+) -> DataFrame:
+    """Reduce an upsert/delete changelog to the current snapshot:
+    latest-wins per key (by ``order_cols``), keys whose latest op is a
+    delete drop out. With a base ``snapshot``, its rows participate as
+    the oldest upserts (classic compaction of snapshot + incremental).
+
+    One shuffle: ``max_by`` argmax on a struct order key — no window
+    sort, partial aggregation runs map-side.
+    """
+    cols = [*key_cols, op_col, *order_cols, *payload_cols]
+    log = changes.select(*cols)
+    if snapshot is not None:
+        base = snapshot.select(
+            *key_cols,
+            F.lit("U").alias(op_col),
+            *[F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in order_cols],
+            *payload_cols,
+        )
+        # nulls-first struct ordering makes snapshot rows the oldest
+        log = base.unionByName(log)
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    latest = log.groupBy(*key_cols).agg(
+        F.max_by(F.struct(op_col, *payload_cols), ordk).alias("_last")
+    )
+    return latest.filter(F.col(f"_last.{op_col}") != delete_op).select(
+        *key_cols, *[F.col(f"_last.{c}").alias(c) for c in payload_cols]
+    )

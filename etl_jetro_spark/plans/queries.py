@@ -2654,3 +2654,410 @@ def q79_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select("s_suppkey", "s_name", d.cast("bigint").alias("dist"))
         .filter(F.col("dist") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# 12. Time-series regularization, CDC, data quality, event analytics
+#     (round 2 extension: operators/timeseries.py, cdc.py, profile.py)
+# --------------------------------------------------------------------------
+
+_HOURLY_CTE = """
+    WITH hourly AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(hour_epoch) AS mn, max(hour_epoch) AS mx
+      FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS hour_epoch
+      FROM bounds),
+    j AS (
+      SELECT s.user_id, s.hour_epoch, h.v
+      FROM spine s LEFT JOIN hourly h USING (user_id, hour_epoch))
+"""
+
+
+def _hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_jetro_spark.operators.timeseries import time_bucket
+
+    e = load_events(spark, sf_dir)
+    sec = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    return e.groupBy(
+        "user_id", time_bucket(sec, 3600).alias("hour_epoch")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+
+
+@query(
+    "q80_gap_fill_locf",
+    _HOURLY_CTE
+    + """
+    SELECT user_id, hour_epoch,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour_epoch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM j
+    """,
+)
+def q80_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per user with last-observation-carried-forward
+    fill (operators/timeseries.gap_fill_locf): sequence+explode spine
+    (partition-local generation), one window pass with O(1) running
+    state. The regularization step ahead of any rolling feature."""
+    from etl_jetro_spark.operators.timeseries import gap_fill_locf
+
+    hourly = _hourly_buckets(spark, sf_dir)
+    return gap_fill_locf(
+        hourly, ["user_id"], "hour_epoch", "v", 3600, out_col="v_filled"
+    )
+
+
+@query(
+    "q81_gap_fill_linear",
+    _HOURLY_CTE
+    + """
+    , w AS (
+      SELECT user_id, hour_epoch, v,
+             last_value(CAST(round(v * 10000) AS BIGINT) IGNORE NULLS)
+               OVER wpre AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hour_epoch END IGNORE NULLS)
+               OVER wpre AS pb,
+             first_value(CAST(round(v * 10000) AS BIGINT) IGNORE NULLS)
+               OVER wfol AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hour_epoch END IGNORE NULLS)
+               OVER wfol AS nb
+      FROM j
+      WINDOW wpre AS (PARTITION BY user_id ORDER BY hour_epoch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wfol AS (PARTITION BY user_id ORDER BY hour_epoch
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hour_epoch,
+           CASE WHEN v IS NOT NULL
+                  THEN CAST(CAST(round(v * 10000) AS BIGINT) AS DOUBLE) / 10000.0
+                WHEN nv IS NULL THEN CAST(pv AS DOUBLE) / 10000.0
+                WHEN pv IS NULL THEN CAST(nv AS DOUBLE) / 10000.0
+                ELSE CAST(pv * (nb - hour_epoch) + nv * (hour_epoch - pb)
+                          AS DOUBLE)
+                     / CAST(nb - pb AS DOUBLE) / 10000.0 END AS v_interp
+    FROM w
+    """,
+)
+def q81_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the same dense spine
+    (operators/timeseries.gap_fill_linear): two window frames over ONE
+    shuffle+sort (Catalyst reuses the exchange), LOCF tail fallback.
+    Fixed-point mode (scale=10000) keeps the interpolated doubles
+    bit-identical across engines — plain double math can land on decimal
+    rounding boundaries where Spark's and DuckDB's round() disagree."""
+    from etl_jetro_spark.operators.timeseries import gap_fill_linear
+
+    hourly = _hourly_buckets(spark, sf_dir)
+    return gap_fill_linear(
+        hourly,
+        ["user_id"],
+        "hour_epoch",
+        "v",
+        3600,
+        out_col="v_interp",
+        scale=10_000,
+    )
+
+
+@query(
+    "q82_scd2_history",
+    """
+    WITH log AS (
+      SELECT o_custkey, o_orderstatus,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS eff, o_orderkey
+      FROM orders),
+    marked AS (
+      SELECT *, lag(o_orderstatus) OVER w AS prev FROM log
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey)),
+    changes AS (
+      SELECT * FROM marked WHERE prev IS NULL OR prev <> o_orderstatus)
+    SELECT o_custkey, o_orderstatus AS status, eff AS eff_from,
+           lead(eff) OVER w AS eff_to,
+           CAST(lead(eff) OVER w IS NULL AS INT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey)
+    """,
+)
+def q82_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from an append-only change log
+    (operators/cdc.scd2_from_log): consecutive same-status orders per
+    customer collapse into versions with [eff_from, eff_to) ranges and an
+    is_current flag. Lag + lead share one (key, order) shuffle+sort."""
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+    from etl_jetro_spark.operators.cdc import scd2_from_log
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        epoch_seconds_ntz("o_orderdate").alias("eff"),
+        "o_orderkey",
+    )
+    hist = scd2_from_log(
+        o, ["o_custkey"], "o_orderstatus", ["eff", "o_orderkey"], "eff"
+    )
+    return hist.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "eff_from",
+        "eff_to",
+        "is_current",
+    )
+
+
+@query(
+    "q83_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, round(value, 4) AS cur_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q83_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog→snapshot compaction (operators/cdc.apply_changelog):
+    latest-wins upsert per key, delete-wins when the final op is a
+    delete ('error' events model deletes). One max_by argmax shuffle —
+    no window sort, partials combine map-side."""
+    from etl_jetro_spark.operators.cdc import apply_changelog
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    cur = apply_changelog(
+        e, ["user_id"], "op", ["ts", "event_id"], ["value"]
+    )
+    return cur.select("user_id", F.round("value", 4).alias("cur_value"))
+
+
+@query(
+    "q84_table_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(min(CAST(o_orderkey AS DOUBLE)), 4) AS min_num,
+           round(max(CAST(o_orderkey AS DOUBLE)), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(min(CAST(o_custkey AS DOUBLE)), 4),
+           round(max(CAST(o_custkey AS DOUBLE)), 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           round(min(CAST(floor(epoch(o_orderdate)) AS DOUBLE)), 4),
+           round(max(CAST(floor(epoch(o_orderdate)) AS DOUBLE)), 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q84_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile (operators/profile.profile_table):
+    nulls, exact distinct cardinality, bounds — a single aggregation whose
+    multi-column distincts ride Spark's Expand (one shuffle), long form
+    via a literal-struct explode over the 1-row aggregate."""
+    from etl_jetro_spark.operators.profile import profile_table
+
+    o = load(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+        epoch_cols=["o_orderdate"],
+    )
+
+
+@query(
+    "q85_constraint_checks",
+    """
+    SELECT 'li_qty_nonpositive' AS rule,
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_price_negative',
+           CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_null_orderkey',
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_discount_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_pk_dup_rows', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'li_orphan_orderkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q85_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules with violation counts
+    (operators/profile.check_rows/check_unique/check_foreign_key): all
+    row predicates share ONE conditional-sum scan; PK uniqueness is one
+    groupBy counting excess rows; referential integrity is a left-anti
+    join (unbroadcast here — fact⋈fact shape at 100 TB)."""
+    from etl_jetro_spark.operators.profile import (
+        RowRule,
+        check_foreign_key,
+        check_rows,
+        check_unique,
+        run_checks,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rows = check_rows(
+        li,
+        [
+            RowRule("li_qty_nonpositive", F.col("l_quantity") <= 0),
+            RowRule("li_price_negative", F.col("l_extendedprice") < 0),
+            RowRule("li_null_orderkey", F.col("l_orderkey").isNull()),
+            RowRule(
+                "li_discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            ),
+        ],
+    )
+    uniq = check_unique(li, ["l_orderkey", "l_linenumber"], "li_pk_dup_rows")
+    fk = check_foreign_key(
+        li,
+        ["l_orderkey"],
+        o,
+        ["o_orderkey"],
+        "li_orphan_orderkey",
+        broadcast_parent=False,
+    )
+    return run_checks(rows, uniq, fk)
+
+
+@query(
+    "q86_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS p
+      FROM events),
+    f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1)
+    SELECT cohort AS cohort_period, (e.p - cohort) // 86400 AS periods_since,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q86_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle (operators/timeseries.cohort_retention):
+    first-seen min-agg per user, cohort join (user→cohort is a compact
+    dim at any scale), count-distinct per (cohort, offset)."""
+    from etl_jetro_spark.operators.timeseries import cohort_retention
+
+    e = load_events(spark, sf_dir)
+    sec = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    out = cohort_retention(e, "user_id", sec, 86400)
+    return out.select(
+        "cohort_period",
+        "periods_since",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "q87_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t GROUP BY 1)
+    SELECT 1 AS step, 'signup' AS event_type,
+           CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    """,
+)
+def q87_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel in ONE lazy plan
+    (operators/timeseries.funnel_df): per-user time-sorted fold resolves
+    each step's earliest strictly-after reach time; the event stream is
+    filtered to funnel types BEFORE the user shuffle."""
+    from etl_jetro_spark.operators.timeseries import funnel_df
+
+    e = load_events(spark, sf_dir)
+    return funnel_df(
+        e, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+@query(
+    "q88_value_histogram",
+    """
+    SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bucket,
+           round(CAST(floor((value - 0.0) / 25.0) AS BIGINT) * 25.0, 4) AS lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q88_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (operators/timeseries.value_histogram):
+    pure projection + partial-agg count; output cardinality is
+    range/width regardless of row count."""
+    from etl_jetro_spark.operators.timeseries import value_histogram
+
+    e = load_events(spark, sf_dir)
+    return value_histogram(e, "value", 25.0)
