@@ -93,6 +93,11 @@ from etl_jetro_spark.operators.cdc import (  # noqa: F401
     apply_changelog,
     scd2_from_log,
 )
+from etl_jetro_spark.operators.reconcile import (  # noqa: F401
+    diff_summary,
+    schema_diff,
+    table_diff,
+)
 from etl_jetro_spark.operators.profile import (  # noqa: F401
     RowRule,
     check_foreign_key,

