@@ -1,6 +1,12 @@
 """Relational + training-data operators (SURVEY §2.2–§2.7 and beyond)."""
 
-from etl_jetro_spark.operators.aggregate import first_per_group, latest_by, sum_by  # noqa: F401
+from etl_jetro_spark.operators.aggregate import (  # noqa: F401
+    first_per_group,
+    latest_by,
+    merge_partials,
+    partial_sums,
+    sum_by,
+)
 from etl_jetro_spark.operators.canonical import (  # noqa: F401
     CANONICAL_COLS,
     PIPELINES,
@@ -78,7 +84,10 @@ from etl_jetro_spark.operators.dedup import (  # noqa: F401
     shingle_rows,
     simhash_fingerprints,
 )
-from etl_jetro_spark.operators.rangejoin import range_join  # noqa: F401
+from etl_jetro_spark.operators.rangejoin import (  # noqa: F401
+    interval_overlap_join,
+    range_join,
+)
 from etl_jetro_spark.operators.timeseries import (  # noqa: F401
     cohort_retention,
     funnel,

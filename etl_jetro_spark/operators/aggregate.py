@@ -58,6 +58,43 @@ def first_per_group(
     return agg.select(*keys, *[F.col(f"_first.{c}").alias(c) for c in cols])
 
 
+def partial_sums(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    sum_col: str = "psum",
+    cnt_col: str = "pcnt",
+) -> DataFrame:
+    """Algebraic partial aggregate (sum, count) per key — the unit of
+    incremental materialized-view maintenance: partials from disjoint
+    batches merge losslessly (``merge_partials``) without touching the
+    already-aggregated history, so a 100 TB rollup absorbs a daily delta
+    by re-aggregating ONLY the delta plus one merge over partial rows
+    (cardinality = distinct keys, not raw rows)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return df.groupBy(*keys).agg(
+        F.sum(v).alias(sum_col), F.count(v).alias(cnt_col)
+    )
+
+
+def merge_partials(
+    partials: list[DataFrame],
+    keys: list[str],
+    sum_col: str = "psum",
+    cnt_col: str = "pcnt",
+) -> DataFrame:
+    """Merge per-batch partial aggregates: union + re-sum. sum-of-sums and
+    sum-of-counts are exact (algebraic); avg/variance derive from them at
+    read time. The shuffle carries one row per (batch, key), never raw
+    data."""
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy(*keys).agg(
+        F.sum(sum_col).alias(sum_col), F.sum(cnt_col).alias(cnt_col)
+    )
+
+
 def latest_by(df: DataFrame, order_col: str, cols: list[str] | None = None) -> DataFrame:
     """A5: global argmax — the row with the greatest ``order_col`` (newest
     file by mtime). ``max_by`` aggregates without a sort."""

@@ -64,3 +64,63 @@ def range_join(
         F.col(range_col + left_suffix) - F.col(range_col + right_suffix)
     )
     return joined.filter(dist <= max_distance).drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    left_suffix: str = "_a",
+    right_suffix: str = "_b",
+) -> DataFrame:
+    """All (left, right) pairs sharing ``keys`` whose closed intervals
+    ``[start_col, end_col]`` overlap — the temporal-overlap flavor of the
+    range join (e.g. concurrent sessions, overlapping order activity).
+
+    Each interval explodes to every ``bucket_width``-wide bucket it spans,
+    pairs equi-join on (keys, bucket), and a pair is KEPT ONLY in the
+    canonical bucket containing ``greatest(start_a, start_b)`` — exact
+    dedup without a ``distinct`` shuffle. Row amplification is
+    ``len/width + 1`` per side, so pick ``bucket_width`` near the typical
+    interval length; a theta-join formulation would be per-key cartesian.
+    ``start/end`` must be integral (epoch seconds/ns).
+    """
+    def bucketed(df: DataFrame, suffix: str) -> DataFrame:
+        lo = F.expr(
+            f"(`{start_col}` - pmod(`{start_col}`, {bucket_width}))"
+            f" div {bucket_width}"
+        )
+        hi = F.expr(
+            f"(`{end_col}` - pmod(`{end_col}`, {bucket_width}))"
+            f" div {bucket_width}"
+        )
+        b = df.withColumn("_bucket", F.explode(F.sequence(lo, hi)))
+        return b.select(
+            *[F.col(k) for k in keys],
+            "_bucket",
+            *[
+                F.col(c).alias(c + suffix)
+                for c in df.columns
+                if c not in keys
+            ],
+        )
+
+    joined = bucketed(left, left_suffix).join(
+        bucketed(right, right_suffix), keys + ["_bucket"]
+    )
+    sa, sb = F.col(start_col + left_suffix), F.col(start_col + right_suffix)
+    ea, eb = F.col(end_col + left_suffix), F.col(end_col + right_suffix)
+    canon = F.greatest(sa, sb)
+    canon_bucket = F.expr(
+        f"(_canon - pmod(_canon, {bucket_width})) div {bucket_width}"
+    )
+    return (
+        joined.withColumn("_canon", canon)
+        .filter(
+            (sa <= eb) & (sb <= ea) & (F.col("_bucket") == canon_bucket)
+        )
+        .drop("_bucket", "_canon")
+    )

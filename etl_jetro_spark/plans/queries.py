@@ -38,15 +38,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it, so
-    read ns-as-long (session conf, set here too in case the driver's session
-    lacks it) and expose both the raw ns and a usec timestamp column."""
+    """Normalize ``events.ts`` to the engine contract: ``ts`` = epoch
+    nanoseconds (BIGINT, wall clock treated as UTC — tz-free, matching
+    DuckDB's ``epoch_ns`` on naive timestamps), ``ts_utc`` = the timestamp
+    column. Handles both generations of the driver's parquet: legacy
+    TIMESTAMP(NANOS) (readable only ns-as-long) and the current
+    ``timestamp[us]`` (arrives as TIMESTAMP_NTZ). ``timestampdiff`` on two
+    NTZ operands is pure wall-clock arithmetic, immune to the session tz."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes)["ts"] == "bigint":
+    if dict(e.dtypes)["ts"] == "bigint":  # pragma: no cover - legacy data
         e = e.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
-    else:  # pragma: no cover - future driver fix
-        e = e.withColumn("ts_utc", F.col("ts"))
+    else:
+        e = e.withColumn("ts_utc", F.col("ts")).withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"
+            ),
+        )
     return e
 
 
@@ -3118,4 +3128,161 @@ def q89_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return diff_summary(
         o, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# --------------------------------------------------------------------------
+# 15. Incremental maintenance, interval analytics, rank surface, JSON
+# --------------------------------------------------------------------------
+
+@query(
+    "q90_incremental_agg_merge",
+    """
+    SELECT o_custkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS total_spend,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                * 100 // count(*) AS BIGINT) AS avg_spend_e4
+    FROM orders GROUP BY 1
+    """,
+)
+def q90_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/aggregate.partial_sums + merge_partials): history (orders
+    before 1997) is aggregated ONCE into algebraic partials; the delta
+    batch re-aggregates alone and merges by key. The oracle recomputes
+    from scratch — proving merge-of-partials is lossless. At 100 TB the
+    daily refresh touches only the delta plus one merge over
+    distinct-key-cardinality partial rows."""
+    from etl_jetro_spark.operators.aggregate import merge_partials, partial_sums
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    # decimal partials: sum is EXACT, so merge-of-partials is bit-identical
+    # to from-scratch on any engine; the fixed-point avg (1e-4 units,
+    # integer floor division) dodges double-rounding boundary disagreements
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    base = partial_sums(o.filter(F.col("o_orderdate") < cut), ["o_custkey"], v)
+    delta = partial_sums(o.filter(F.col("o_orderdate") >= cut), ["o_custkey"], v)
+    m = merge_partials([base, delta], ["o_custkey"])
+    return m.select(
+        "o_custkey",
+        F.round(F.col("psum").cast("double"), 4).alias("total_spend"),
+        F.col("pcnt").alias("n_orders"),
+        F.expr("CAST(psum * 100 AS BIGINT) * 100 div pcnt").alias("avg_spend_e4"),
+    )
+
+
+@query(
+    "q91_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               + CAST(substr(o_orderpriority, 1, 1) AS BIGINT) * 604800 AS e
+      FROM orders)
+    SELECT a.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+             AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def q91_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-overlap self-join (operators/rangejoin.interval_overlap_join):
+    per-customer order-activity intervals ([orderdate, +priority weeks])
+    that overlap in time, aggregated to pair count + total overlap
+    seconds. Intervals explode to the 5-week buckets they span, pairs
+    equi-join on (key, bucket), and each pair is kept only in the bucket
+    of greatest(start) — exact, no distinct, never per-key cartesian.
+    The oracle is the naive theta join DuckDB can afford at sf0.01."""
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+    from etl_jetro_spark.operators.rangejoin import interval_overlap_join
+
+    WEEK = 604_800
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_seconds_ntz(F.col("o_orderdate").cast("timestamp_ntz")).alias("s"),
+        (
+            epoch_seconds_ntz(F.col("o_orderdate").cast("timestamp_ntz"))
+            + F.substring("o_orderpriority", 1, 1).cast("long") * WEEK
+        ).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        o, o, ["o_custkey"], "s", "e", bucket_width=5 * WEEK
+    ).filter(F.col("o_orderkey_a") < F.col("o_orderkey_b"))
+    return pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).alias("overlap_s"),
+    )
+
+
+@query(
+    "q92_revenue_deciles",
+    """
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT o_custkey, revenue,
+           CAST(ntile(10) OVER w AS BIGINT)      AS decile,
+           round(percent_rank() OVER w, 6)       AS pct_rank,
+           round(cume_dist() OVER w, 6)          AS cume
+    FROM rev
+    WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+    """,
+)
+def q92_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank surface: ntile / percent_rank / cume_dist over
+    per-customer revenue. The unpartitioned window is a deliberate
+    single-sort: input cardinality is already one row per customer
+    (post-agg), so the sort is over keys, not raw rows. At raw-row scale
+    rank against a sampled quantile sketch instead (W-pattern,
+    SCALE.md)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return rev.select(
+        "o_custkey",
+        "revenue",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q93_json_props",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                          AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)  AS sum_k,
+           round(avg(CAST(props->>'k' AS BIGINT)), 4)        AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q93_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction: pull a typed field out of the
+    events.props JSON string and aggregate. ``get_json_object`` runs
+    JVM-side inside codegen (no Python boundary); at 100 TB prefer
+    parsing ONCE into a struct column (``from_json`` at ingest) over
+    repeated per-query path extraction."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
     )

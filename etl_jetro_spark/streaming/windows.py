@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -25,18 +25,27 @@ EVENTS_SCHEMA = (
 def events_stream(
     spark: SparkSession, events_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """Streaming read of events files (ts is ns-since-epoch, matching the
-    testdata's TIMESTAMP(NANOS) read as long). ``events_dir`` must be a
-    directory (file-stream source constraint); ``glob`` selects the files.
+    """Streaming read of events files, normalized to the same contract as
+    ``plans.queries.load_events``: ``ts`` = epoch ns (BIGINT, wall clock as
+    UTC, tz-free). ``ts_utc`` here is the event-time INSTANT
+    (``timestamp_micros`` of that epoch — watermarks reject
+    TIMESTAMP_NTZ), so window/session boundaries bucket on the epoch,
+    independent of the session tz. ``events_dir`` must be a directory
+    (file-stream source constraint); ``glob`` selects the files.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", glob)
         .load(events_dir)
     )
-    return raw.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"
+        ),
+    ).withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def hourly_counts_stream(

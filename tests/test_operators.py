@@ -592,3 +592,66 @@ def test_keep_best_by_argmax(spark):
     )
     # g1: q=0.9 tie -> min id 2; struct-min not window
     assert out == [("g1", 2, 0.9), ("g2", 4, 0.1)]
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Bucketed interval-overlap join = naive theta join, including
+    intervals spanning many buckets, touching endpoints, and negative
+    starts (floor-division bucketing)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    data = [
+        (k, i, s, s + rng.randint(0, 250))
+        for i, (k, s) in enumerate(
+            (rng.choice(["a", "b"]), rng.randint(-300, 300)) for _ in range(60)
+        )
+    ]
+    df = spark.createDataFrame(data, ["k", "id", "s", "e"])
+    got = {
+        (r["k"], r["id_a"], r["id_b"])
+        for r in O.interval_overlap_join(
+            df, df, ["k"], "s", "e", bucket_width=100
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    want = {
+        (ka, ia, ib)
+        for (ka, ia, sa, ea), (kb, ib, sb, eb) in itertools.combinations(data, 2)
+        if ka == kb and sa <= eb and sb <= ea
+    }
+    # combinations() preserves input order, not id order — normalize
+    want = {(k, min(i, j), max(i, j)) for k, i, j in want}
+    assert got == want
+
+
+def test_interval_overlap_join_no_duplicate_pairs(spark):
+    """A pair overlapping across several shared buckets is emitted once
+    (canonical-bucket dedup, no distinct)."""
+    df = spark.createDataFrame(
+        [("k", 1, 0, 1000), ("k", 2, 50, 900)], ["k", "id", "s", "e"]
+    )
+    out = O.interval_overlap_join(df, df, ["k"], "s", "e", bucket_width=10)
+    assert (
+        out.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() == 1
+    )
+
+
+def test_partial_sums_merge_is_exact(spark):
+    """merge_partials over disjoint batches == from-scratch aggregation
+    (decimal values keep the check exact)."""
+    rows_in = [(i % 5, f"{i}.{i % 100:02d}") for i in range(200)]
+    df = spark.createDataFrame(rows_in, ["k", "v"]).select(
+        "k", F.col("v").cast("decimal(18,2)").alias("v")
+    )
+    whole = O.partial_sums(df, ["k"], "v")
+    parts = [
+        O.partial_sums(df.filter(F.col("v") < 100), ["k"], "v"),
+        O.partial_sums(df.filter(F.col("v") >= 100), ["k"], "v"),
+    ]
+    merged = O.merge_partials(parts, ["k"])
+    assert rows(merged.select("k", "psum", "pcnt")) == rows(
+        whole.select("k", "psum", "pcnt")
+    )

@@ -351,10 +351,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attr_t").collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts_utc", F.expr("timestamp_micros(ts div 1000)")
-    )
+    from etl_jetro_spark.plans.queries import load_events
+
+    e = load_events(spark, sf)
     c = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("u"), F.col("event_id").alias("ce"), F.col("ts_utc").alias("ct")
     )
