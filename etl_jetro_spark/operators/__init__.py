@@ -84,6 +84,11 @@ from etl_jetro_spark.operators.dedup import (  # noqa: F401
     shingle_rows,
     simhash_fingerprints,
 )
+from etl_jetro_spark.operators.layout import (  # noqa: F401
+    morton_key,
+    morton_sql,
+    zorder_repartition,
+)
 from etl_jetro_spark.operators.rangejoin import (  # noqa: F401
     interval_overlap_join,
     range_join,

@@ -3286,3 +3286,103 @@ def q93_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 4).alias("avg_k"),
     )
+
+
+@query(
+    "q94_approx_distinct_check",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(1 AS BOOLEAN) AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def q94_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality under the oracle gate: the sketch value
+    itself isn't engine-portable, so the DECLARED output is the exact
+    count plus a boolean asserting the sketch landed within 5% (2.5x the
+    configured 2% rsd) — DuckDB recomputes the exact side and expects the
+    bound to hold. At 100 TB approx_count_distinct is the only affordable
+    distinct: register merges are tiny, order-insensitive, and exact
+    count-distinct's Expand shuffle disappears."""
+    e = load_events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "q95_salted_dim_join",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q95_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join (operators/skew.salted_broadcast_join):
+    the dim replicates x8 salts, the fact salts uniformly, so no task
+    owns a hot customer even when one key is half the fact table. The
+    oracle is the PLAIN join — salting must not change a single row.
+    Revenue in exact integer cents (decimal, not float-sum)."""
+    from etl_jetro_spark.operators.skew import salted_broadcast_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = salted_broadcast_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey"
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )
+
+
+_Q96_ORACLE = """
+    WITH k AS (
+      SELECT (((((xb) >> 0) & 1) << 0) | ((((yb) >> 0) & 1) << 1) | ((((xb) >> 1) & 1) << 2) | ((((yb) >> 1) & 1) << 3) | ((((xb) >> 2) & 1) << 4) | ((((yb) >> 2) & 1) << 5) | ((((xb) >> 3) & 1) << 6) | ((((yb) >> 3) & 1) << 7) | ((((xb) >> 4) & 1) << 8) | ((((yb) >> 4) & 1) << 9) | ((((xb) >> 5) & 1) << 10) | ((((yb) >> 5) & 1) << 11) | ((((xb) >> 6) & 1) << 12) | ((((yb) >> 6) & 1) << 13) | ((((xb) >> 7) & 1) << 14) | ((((yb) >> 7) & 1) << 15) | ((((xb) >> 8) & 1) << 16) | ((((yb) >> 8) & 1) << 17) | ((((xb) >> 9) & 1) << 18) | ((((yb) >> 9) & 1) << 19)) AS zkey
+      FROM (SELECT o_custkey % 1024 AS xb,
+                   (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % 1024
+                     AS yb
+            FROM orders))
+    SELECT CAST(zkey >> 12 AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n
+    FROM k GROUP BY 1
+"""
+
+
+@query("q96_zorder_tiles", _Q96_ORACLE)
+def q96_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.morton_key): interleave
+    customer and order-day bits, count rows per 64-key Z-tile. The oracle
+    evaluates the IDENTICAL generated bit-interleave SQL in DuckDB —
+    bit-for-bit key parity. zorder_repartition uses this key to give
+    every parquet file a tight 2-D bounding box (see
+    test_zorder_layout_bounding_boxes for the min/max-stat pruning
+    evidence); pure projection + one partial agg here."""
+    from etl_jetro_spark.operators.layout import morton_key
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("xb"),
+        F.expr(
+            "(unix_date(CAST(o_orderdate AS DATE)) * 86400 div 86400)"
+            " % 1024"
+        ).cast("long").alias("yb"),
+    )
+    k = o.select(morton_key("xb", "yb", 10).alias("zkey"))
+    return k.groupBy(
+        F.shiftright("zkey", 12).cast("long").alias("tile")
+    ).agg(F.count(F.lit(1)).alias("n"))

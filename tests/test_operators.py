@@ -655,3 +655,61 @@ def test_partial_sums_merge_is_exact(spark):
     assert rows(merged.select("k", "psum", "pcnt")) == rows(
         whole.select("k", "psum", "pcnt")
     )
+
+
+def test_zorder_layout_bounding_boxes(spark, tmp_path):
+    """zorder_repartition gives every parquet file a tight 2-D bounding
+    box: the summed (x-extent * y-extent) area across files must be far
+    below the unsorted layout's (where every file spans ~the full domain).
+    This is the min/max-footer-stat pruning a 2-D range filter relies on."""
+    import pyarrow.parquet as pq
+
+    from etl_jetro_spark.operators.layout import zorder_repartition
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "z")
+    df.repartition(8).write.parquet(plain_dir)
+    zorder_repartition(df, "x", "y", num_files=8, bits=6).write.parquet(z_dir)
+
+    def area(d):
+        import glob as g
+
+        total = 0
+        for f in g.glob(f"{d}/*.parquet"):
+            t = pq.read_table(f)
+            if t.num_rows == 0:
+                continue
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            total += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return total
+
+    a_plain, a_z = area(plain_dir), area(z_dir)
+    # 8 random files each cover ~the whole 64x64 domain (~8*4096); 8
+    # Z-curve segments cover ~1/8 of it each (~4096 total)
+    assert a_z * 4 < a_plain
+    # round-trip: clustering must not add/drop/alter rows
+    assert (
+        spark.read.parquet(z_dir).orderBy("x", "y").collect()
+        == df.orderBy("x", "y").collect()
+    )
+
+
+def test_morton_key_locality(spark):
+    """Adjacent Morton codes differ in at most one dimension step — the
+    key interleaves correctly (spot-check against a Python reference)."""
+    from etl_jetro_spark.operators.layout import morton_key
+
+    def ref(x, y, bits=10):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows_in = [(x, y) for x in range(0, 40, 7) for y in range(0, 40, 11)]
+    df = spark.createDataFrame(rows_in, ["x", "y"]).select(
+        "x", "y", morton_key("x", "y").alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == ref(r["x"], r["y"])

@@ -371,3 +371,49 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert batch, "fixture must produce at least one attribution pair"
     assert got == batch
+
+
+def test_incremental_agg_stream_matches_batch(spark, tmp_path):
+    """The streaming partial-merge view equals the batch aggregate after
+    each ingest: one file, then a second (same rows — counts double)."""
+    import shutil
+
+    from etl_jetro_spark.plans.queries import load_events
+    from etl_jetro_spark.streaming.incremental import (
+        read_incremental_agg,
+        run_incremental_agg,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    run_incremental_agg(spark, str(src), state, ck).awaitTermination(120)
+
+    batch = {
+        r["event_type"]: (r["pcnt"], r["psum"])
+        for r in load_events(spark, "/root/testdata/sf0.001")
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("psum"), F.count("value").alias("pcnt"))
+        .collect()
+    }
+    got1 = {
+        r["event_type"]: (r["pcnt"], r["psum"])
+        for r in read_incremental_agg(spark, state).collect()
+    }
+    assert got1.keys() == batch.keys()
+    for k, (n, s) in batch.items():
+        assert got1[k][0] == n and abs(got1[k][1] - s) < 1e-6
+
+    # second delta: same rows again -> every partial doubles, and the
+    # second epoch lands in its own _batch partition (idempotency unit)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
+    run_incremental_agg(spark, str(src), state, ck).awaitTermination(120)
+    got2 = {
+        r["event_type"]: (r["pcnt"], r["psum"])
+        for r in read_incremental_agg(spark, state).collect()
+    }
+    for k, (n, s) in batch.items():
+        assert got2[k][0] == 2 * n and abs(got2[k][1] - 2 * s) < 1e-5
+    batches = spark.read.parquet(state).select("_batch").distinct().count()
+    assert batches == 2
