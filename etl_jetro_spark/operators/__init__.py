@@ -57,6 +57,7 @@ from etl_jetro_spark.operators.sampling import (  # noqa: F401
     hash_sample,
     split_assign,
     stratified_sample,
+    weighted_hash_sample,
 )
 from etl_jetro_spark.operators.chunking import (  # noqa: F401
     chunk_tokens,

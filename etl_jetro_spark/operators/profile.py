@@ -41,9 +41,16 @@ def profile_table(
     exploding a literal struct array over the 1-row aggregate (no extra
     shuffle, no driver round-trip).
     """
+    from etl_jetro_spark.operators.util import spread
+
     numeric_cols = numeric_cols or []
     string_cols = string_cols or []
     epoch_cols = epoch_cols or []
+    # the Expand for multi-column exact distincts fans every input row
+    # out x(ncols+1) BEFORE the partial agg — on a single-file input that
+    # whole blow-up runs in one task; spread() is a no-op on real
+    # multi-split inputs
+    df = spread(df)
 
     def num(c: str) -> Column:
         if c in epoch_cols:

@@ -95,3 +95,22 @@ def split_assign(
         F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn(out, expr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row weighted Bernoulli keep: row survives iff its
+    hash bucket falls under ``weight`` (in [0, 1]) — the data-mixing
+    primitive (per-source sampling rates) of a training corpus. Unlike
+    ``sample()``, same input → same subset on any cluster/partitioning,
+    and the weight can vary row-by-row (joined from a mixing table).
+    Pure expression filter: embarrassingly parallel, no shuffle."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    buckets = 10_000
+    return df.filter(
+        hash_bucket(id_col, buckets, salt) < (w * buckets).cast("long")
+    )

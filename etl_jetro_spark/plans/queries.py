@@ -3386,3 +3386,56 @@ def q96_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.groupBy(
         F.shiftright("zkey", 12).cast("long").alias("tile")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_Q97_ORACLE = """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS BIGINT) AS src_num,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents),
+    b AS (
+      SELECT source, src_num,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * 1) % 10000 AS bkt
+      FROM h),
+    k AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN bkt < CAST(((src_num % 5) + 1) * 0.2 * 10000
+                                      AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM b GROUP BY 1)
+    SELECT source, n_total, n_kept FROM k
+"""
+
+
+@query("q97_weighted_mixing_sample", _Q97_ORACLE)
+def q97_weighted_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weighted sample (operators/sampling.weighted_hash_sample):
+    each source keeps a deterministic hash-Bernoulli fraction given by its
+    mixing weight ((src_num % 5 + 1) x 0.2) — reproducible on any
+    cluster/partitioning, pure expression filter, no shuffle before the
+    count. The oracle recomputes the md5 buckets digit-by-digit and the
+    same weight rule."""
+    from etl_jetro_spark.operators.sampling import weighted_hash_sample
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "w",
+        ((F.substring("source", 4, 10).cast("long") % 5) + 1) * 0.2,
+    )
+    kept = weighted_hash_sample(d, "doc_id", "w", salt="mix:").groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -713,3 +713,21 @@ def test_morton_key_locality(spark):
     )
     for r in df.collect():
         assert r["z"] == ref(r["x"], r["y"])
+
+
+def test_weighted_hash_sample_extremes_and_determinism(spark):
+    from etl_jetro_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("doc_id")
+    )
+    zero = weighted_hash_sample(df.withColumn("w", F.lit(0.0)), "doc_id", "w")
+    one = weighted_hash_sample(df.withColumn("w", F.lit(1.0)), "doc_id", "w")
+    assert zero.count() == 0 and one.count() == 1000
+    half = weighted_hash_sample(df.withColumn("w", F.lit(0.5)), "doc_id", "w")
+    n = half.count()
+    assert 400 < n < 600                      # ~Binomial(1000, .5)
+    # deterministic: same input -> identical subset
+    a = {r["doc_id"] for r in half.collect()}
+    b = {r["doc_id"] for r in half.collect()}
+    assert a == b
