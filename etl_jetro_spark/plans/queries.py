@@ -3439,3 +3439,151 @@ def q97_weighted_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "q98_small_qty_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q98_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — CORRELATED SCALAR SUBQUERY (small-quantity order
+    revenue): revenue from line items below 20% of their part's average
+    quantity. Declared in SQL so Catalyst's decorrelation rewrites the
+    per-row subquery into one per-part aggregate + join — the plan shows
+    a single lineitem re-scan aggregated by partkey, never a per-row
+    lookup. Exact decimal sum; /7 at the end (the TPC-H convention)."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+@query(
+    "q99_hierarchy_rollup",
+    """
+    WITH RECURSIVE walk(node, root, depth, val) AS (
+      SELECT p_partkey, p_partkey, 0,
+             CAST(p_retailprice AS DECIMAL(18,2))
+      FROM part WHERE p_partkey = 1
+      UNION ALL
+      SELECT p.p_partkey, w.root, w.depth + 1,
+             CAST(p.p_retailprice AS DECIMAL(18,2))
+      FROM part p JOIN walk w ON (p.p_partkey // 2) = w.node
+      WHERE p.p_partkey > 1)
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(CAST(sum(val) AS DOUBLE), 2) AS sum_price
+    FROM walk GROUP BY 1
+    """,
+)
+def q99_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE — hierarchy walk over the implicit binary tree
+    parent(k) = k div 2 on part keys, rolling up node count and price
+    per depth. Spark 4's WITH RECURSIVE executes as iterative joins
+    (one shuffle per level, ~log2(N) levels); each level's frontier is
+    the only state carried forward, so the pattern scales to deep
+    hierarchies without a driver loop. DuckDB runs the same recursion
+    (`//` for `div`)."""
+    for t in ("part",):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, root, depth, val) AS (
+          SELECT p_partkey, p_partkey, 0,
+                 CAST(p_retailprice AS DECIMAL(18,2))
+          FROM part WHERE p_partkey = 1
+          UNION ALL
+          SELECT p.p_partkey, w.root, w.depth + 1,
+                 CAST(p.p_retailprice AS DECIMAL(18,2))
+          FROM part p JOIN walk w ON (p.p_partkey div 2) = w.node
+          WHERE p.p_partkey > 1)
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               round(CAST(sum(val) AS DOUBLE), 2) AS sum_price
+        FROM walk GROUP BY 1
+        """
+    )
+
+
+_Q100_SQL = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+"""
+
+
+@query("q100_waiting_suppliers", _Q100_SQL)
+def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS decorrelation: suppliers
+    whose returned line was the LAST to ship on a multi-supplier order.
+    Catalyst rewrites the correlated EXISTS into a left-semi and the NOT
+    EXISTS into a left-anti join on l_orderkey — set-joins over the
+    shared order key, never a per-row probe. The top-10 carries a full
+    deterministic tiebreak (numwait DESC, s_name) so LIMIT is
+    engine-stable."""
+    for t in ("supplier", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q100_SQL)
+
+
+@query(
+    "q101_group_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           CAST(1 AS BOOLEAN) AS approx_within_2pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q101_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation — matches
+    DuckDB's quantile_cont bit-for-bit) PLUS the approx_percentile
+    sketch's 2% relative-error bound asserted under the oracle, q94
+    style. Exact percentile sorts within each group; at raw-row scale
+    keep groups bounded or switch wholly to the KLL-style sketch — the
+    declared query carries both so the tradeoff is measured, not
+    assumed."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("p50"),
+        F.round("e95", 4).alias("p95"),
+        (
+            F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.col("e50")
+        ).alias("approx_within_2pct"),
+    )
