@@ -400,3 +400,84 @@ def quantize_int8(
         F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
         F.round(mse, ndp).alias("mse"),
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest centroid by cosine (ties -> lowest centroid id). The
+    centroid set is broadcast (it is a model parameter — tiny), scores
+    compute map-side in codegen, and the per-vector argmax is a
+    ``max`` over (score, -cid, ...) structs whose partial aggregation
+    reduces the x|centroids| fan-out BEFORE the one shuffle — the
+    shuffle carries one row per corpus vector regardless of K.
+
+    Returns (id, cid, vec) — the inverted-file layout: at scale,
+    partition/cluster the output by cid so a probe reads only its
+    lists' files.
+    """
+    v = _vec(vec_col)
+    scored = corpus.crossJoin(
+        F.broadcast(centroids.select(cid_col, cvec_col))
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cid_col),
+        cosine(v, _vec(cvec_col)).alias("_s"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_s").alias("s"),
+                (-F.col(cid_col)).alias("nc"),
+                F.col(cid_col).alias("cid"),
+                F.col(vec_col).alias("vec"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_b.cid").alias("cid"),
+        F.col("_b.vec").alias(vec_col),
+    )
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    probe: DataFrame,
+    probe_vec_col: str,
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-flat search: rank centroids against the (1-row, broadcast)
+    probe, keep the top ``nprobe``, scan ONLY vectors assigned to those
+    lists, exact-cosine re-rank to top ``k`` (TakeOrdered — per-partition
+    partial top-k). Sublinear: work is |probed lists|, not |corpus|;
+    recall tunes with nprobe exactly like the LSH path's multi-probe."""
+    pc = (
+        probe.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("cid"), cosine(_vec(probe_vec_col), _vec("cv")).alias("_s")
+        )
+        .orderBy(F.col("_s").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select("cid")
+    )
+    cands = corpus_assigned.join(F.broadcast(pc), "cid")
+    scored = cands.crossJoin(
+        F.broadcast(probe.select(F.col(probe_vec_col).alias("_qv")))
+    ).select(
+        F.col(id_col),
+        F.col("cid"),
+        cosine(_vec(vec_col), _vec("_qv")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

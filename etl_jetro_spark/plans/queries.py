@@ -3587,3 +3587,53 @@ def q101_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.col("e50")
         ).alias("approx_within_2pct"),
     )
+
+
+@query(
+    "q102_ivf_ann",
+    """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 1),
+    assign AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+      FROM emb CROSS JOIN c),
+    inv AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    probed AS (
+      SELECT cid FROM c CROSS JOIN q
+      ORDER BY list_cosine_similarity(qv, cv) DESC, cid LIMIT 4),
+    scored AS (
+      SELECT i.vec_id, i.cid,
+             list_cosine_similarity(i.v, q.qv) AS score
+      FROM inv i JOIN probed p ON i.cid = p.cid CROSS JOIN q)
+    SELECT vec_id, cid, round(score, 4) AS score
+    FROM scored ORDER BY score DESC, vec_id LIMIT 5
+    """,
+)
+def q102_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators/similarity.ivf_assign + ivf_topk) — the
+    second approximate scale path beside sign-LSH (q33): deterministic
+    'trained' centroids (vec_id < 16), coarse assignment whose shuffle
+    carries one row per vector, top-4-list probe, exact re-rank inside
+    the probed lists only. The oracle replays assignment, probing, and
+    re-rank with DuckDB's list_cosine_similarity — same argmax
+    tie-breaks, same top-k order."""
+    from etl_jetro_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    probe = emb.filter(F.col("vec_id") == 1).select("embedding")
+    inv = ivf_assign(emb, "vec_id", "embedding", cents)
+    top = ivf_topk(
+        inv, "vec_id", "embedding", cents, probe, "embedding", nprobe=4, k=5
+    )
+    return top.select(
+        "vec_id", "cid", F.round("score", 4).alias("score")
+    )

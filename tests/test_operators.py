@@ -731,3 +731,33 @@ def test_weighted_hash_sample_extremes_and_determinism(spark):
     a = {r["doc_id"] for r in half.collect()}
     b = {r["doc_id"] for r in half.collect()}
     assert a == b
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF-flat with nprobe=8 of 16 lists must recover most of the exact
+    cosine top-10 (same bar as the sign-LSH path); nprobe=16 IS exact."""
+    from etl_jetro_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    probe = emb.filter(F.col("vec_id") == 1).select("embedding")
+    qv = [float(x) for x in probe.head()[0]]
+    inv = ivf_assign(emb, "vec_id", "embedding", cents)
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", qv, k=10).collect()}
+    got8 = {
+        r["vec_id"]
+        for r in ivf_topk(inv, "vec_id", "embedding", cents, probe, "embedding", nprobe=8, k=10).collect()
+    }
+    assert len(exact & got8) / len(exact) >= 0.5
+    got_all = {
+        r["vec_id"]
+        for r in ivf_topk(inv, "vec_id", "embedding", cents, probe, "embedding", nprobe=16, k=10).collect()
+    }
+    assert got_all == exact
