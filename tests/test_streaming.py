@@ -417,3 +417,49 @@ def test_incremental_agg_stream_matches_batch(spark, tmp_path):
         assert got2[k][0] == 2 * n and abs(got2[k][1] - 2 * s) < 1e-5
     batches = spark.read.parquet(state).select("_batch").distinct().count()
     assert batches == 2
+
+
+def test_running_totals_processor_logic(spark, tmp_path):
+    """transformWithStateInPandas running-totals processor: the
+    accumulate semantics run live against a fake state handle (the
+    protobuf state server is gated in this env — HAS_PROTOBUF; the
+    gated wiring raises a clear NotImplementedError)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from etl_jetro_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeState()
+
+    p = S.RunningTotals("value")
+    p.init(FakeHandle())
+    out1 = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [2.0, 3.0]})]), None
+        )
+    )[0]
+    assert out1.iloc[0].tolist() == [7, 5.0, 2]
+    # second micro-batch accumulates onto persisted state
+    out2 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"value": [5.0]})]), None)
+    )[0]
+    assert out2.iloc[0].tolist() == [7, 10.0, 3]
+
+    if not S.HAS_PROTOBUF:
+        with _pytest.raises(NotImplementedError):
+            S.run_running_totals(spark, str(tmp_path), str(tmp_path / "ck"))
