@@ -3637,3 +3637,53 @@ def q102_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "vec_id", "cid", F.round("score", 4).alias("score")
     )
+
+
+@query(
+    "q103_corr_matrix",
+    """
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS pearson_r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    """,
+)
+def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long form) in ONE aggregation
+    pass — all three corr aggregates share a single scan + partial-agg
+    shuffle (the oracle's UNION of scans is the naive form); the 1-row
+    wide aggregate unpivots via a literal-struct explode, q84-style, so
+    no extra shuffle. Feature-screening primitive for training-data
+    curation."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    one = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"_r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"_r_{i}").alias("pearson_r"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.pearson_r"
+    )
