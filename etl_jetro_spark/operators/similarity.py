@@ -333,15 +333,17 @@ def ann_quality(
         .select("probe_id", "neighbor_id")
     )
     n_cand = cand.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    # every side below is bounded by n_probes x k rows by construction —
+    # broadcast explicitly instead of trusting AQE's runtime conversion
     hits = (
-        approx.join(exact, ["probe_id", "neighbor_id"], "left_semi")
+        approx.join(F.broadcast(exact), ["probe_id", "neighbor_id"], "left_semi")
         .groupBy("probe_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     return (
         probes.select(F.col(id_col).alias("probe_id"))
-        .join(n_cand, "probe_id", "left")
-        .join(hits, "probe_id", "left")
+        .join(F.broadcast(n_cand), "probe_id", "left")
+        .join(F.broadcast(hits), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
