@@ -3687,3 +3687,49 @@ def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(structs).alias("p")).select(
         "p.col_a", "p.col_b", "p.pearson_r"
     )
+
+
+@query(
+    "q104_trailing_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_7d_cents
+    FROM orders
+    """,
+)
+def q104_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: each order's trailing-7-day
+    spend per customer — the frame is VALUE-bounded (epoch seconds), not
+    row-bounded, so irregular order spacing is handled exactly (q78's
+    moving average is the ROWS flavor). One (customer, time) sort serves
+    every frame; exact integer cents keep the running sums
+    engine-identical. RANGE frames evaluate incrementally (sliding two
+    pointers), never O(n_frame) per row."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        epoch_seconds_ntz(F.col("o_orderdate").cast("timestamp_ntz")).alias(
+            "_t"
+        ),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("_t")
+        .rangeBetween(-604_800, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("_cents").over(w).cast("long").alias("trailing_7d_cents"),
+    )

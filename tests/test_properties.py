@@ -290,3 +290,35 @@ def test_quantize_int8_error_bound(spark, vecs):
             assert all(x == 0 for x in q) and r["mse"] == 0.0
         else:
             assert r["mse"] <= (r["scale"] / 2) ** 2 * 1.0000001 + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_key_is_bijective(pairs):
+    """Distinct (x, y) -> distinct Morton codes, and the code decodes
+    back (pure-Python mirror of the generated SQL)."""
+    from etl_jetro_spark.operators.layout import morton_sql
+
+    def py_morton(x, y, bits=10):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    codes = {py_morton(x, y) for x, y in pairs}
+    assert len(codes) == len(pairs)
+    for x, y in pairs:
+        z = py_morton(x, y)
+        dx = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+        dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (dx, dy) == (x, y)
