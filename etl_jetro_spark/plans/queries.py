@@ -3733,3 +3733,63 @@ def q104_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum("_cents").over(w).cast("long").alias("trailing_7d_cents"),
     )
+
+
+@query(
+    "q105_user_set_ops",
+    """
+    SELECT 'both' AS cohort, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_only', CAST(count(*) AS BIGINT) FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def q105_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT through the DataFrame set operators
+    (``intersect``/``subtract`` — both EXCEPT-DISTINCT semantics,
+    matching the SQL set operators): clickers who also purchased
+    vs clickers who never did. Catalyst plans both as aggregated
+    semi/anti joins on the user key — one shuffle each, no distinct
+    pre-pass needed."""
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    only = clicks.subtract(buys).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("click_only").alias("cohort"), "n")
+    return both.unionByName(only)
+
+
+@query(
+    "q106_ordered_string_agg",
+    """
+    SELECT r_name AS region,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def q106_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (report-building primitive): nations
+    per region as a deterministic '|'-joined sorted list —
+    ``array_join(array_sort(collect_list(...)))``; collect_list is
+    partial-aggregated map-side, the sort runs on the tiny per-group
+    array, never as a row sort. Broadcast the 5-row region dim."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.array_join(
+            F.array_sort(F.collect_list("n_name")), "|"
+        ).alias("nations")
+    )
