@@ -3793,3 +3793,56 @@ def q106_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("n_name")), "|"
         ).alias("nations")
     )
+
+
+@query(
+    "q107_topk_per_group",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY cents DESC, o_custkey) AS rn
+      FROM rev)
+    SELECT c_nationkey, o_custkey, cents,
+           CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 2
+    """,
+)
+def q107_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (every nation's top-2 customers by spend): one
+    revenue aggregation, then a rank window over the POST-AGG cardinality
+    (one row per customer) partitioned by nation — the window never sees
+    raw orders. Full tiebreak (cents DESC, custkey) keeps the cut
+    deterministic; exact integer cents. At extreme per-group cardinality
+    swap the window for a bounded per-partition heap (TakeOrdered per
+    key via min-struct aggregation of k slots)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("c_nationkey", "o_custkey", "cents", "rank")
+    )
