@@ -97,7 +97,12 @@ def interval_overlap_join(
             f"(`{end_col}` - pmod(`{end_col}`, {bucket_width}))"
             f" div {bucket_width}"
         )
-        b = df.withColumn("_bucket", F.explode(F.sequence(lo, hi)))
+        # inverted intervals (end < start) must vanish, but
+        # sequence(lo, hi) with hi < lo yields a DESCENDING sequence,
+        # not an empty one — drop them before the explode
+        b = df.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+            "_bucket", F.explode(F.sequence(lo, hi))
+        )
         return b.select(
             *[F.col(k) for k in keys],
             "_bucket",

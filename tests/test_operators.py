@@ -761,3 +761,20 @@ def test_ivf_ann_recall_vs_exact(spark):
         for r in ivf_topk(inv, "vec_id", "embedding", cents, probe, "embedding", nprobe=16, k=10).collect()
     }
     assert got_all == exact
+
+
+def test_interval_overlap_join_drops_inverted_intervals(spark):
+    """end < start is an empty interval, not a descending bucket sweep
+    (sequence(lo, hi) with hi < lo yields a DESCENDING sequence — the
+    operator must filter inverted rows before exploding)."""
+    df = spark.createDataFrame(
+        [("k", 1, 0, 100), ("k", 2, 500, 50)], ["k", "id", "s", "e"]
+    )
+    out = O.interval_overlap_join(df, df, ["k"], "s", "e", bucket_width=60)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in out.filter(F.col("id_a") != F.col("id_b")).collect()
+    }
+    assert pairs == set()        # the inverted row matches nothing
+    self_rows = out.filter((F.col("id_a") == 1) & (F.col("id_b") == 1))
+    assert self_rows.count() == 1  # the valid interval still self-matches
