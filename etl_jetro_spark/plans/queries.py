@@ -3377,10 +3377,9 @@ def q96_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders").select(
         (F.col("o_custkey") % 1024).alias("xb"),
-        F.expr(
-            "(unix_date(CAST(o_orderdate AS DATE)) * 86400 div 86400)"
-            " % 1024"
-        ).cast("long").alias("yb"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) % 1024)
+        .cast("long")
+        .alias("yb"),
     )
     k = o.select(morton_key("xb", "yb", 10).alias("zkey"))
     return k.groupBy(
