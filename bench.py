@@ -40,17 +40,25 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Sidecar first: the stdout line is the contract, but a capture pipeline
+    # that truncates or interleaves stdout can still recover the full JSON.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(sidecar, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as e:
+        print(f"bench: sidecar write failed: {e}", file=sys.stderr)
+    sys.stdout.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

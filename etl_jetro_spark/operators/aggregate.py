@@ -104,3 +104,63 @@ def latest_by(df: DataFrame, order_col: str, cols: list[str] | None = None) -> D
         F.max(order_col).alias(order_col),
     )
     return agg.select(*df.columns)
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    ps: dict[str, float],
+) -> DataFrame:
+    """Distributed EXACT linear-interpolation percentiles per group —
+    the scale-safe replacement for Spark's ``percentile`` aggregate,
+    which buffers each group's whole value multiset in executor memory
+    (ObjectHashAggregate): at raw-row scale a handful of groups means a
+    handful of OOMs. Here no task ever holds a group:
+
+    - pass 1 (one shuffle): hash-partition by group, external SORT by
+      value; ``row_number`` and the per-group ``count`` come out of the
+      same sorted pass (two Window nodes, one Exchange, spill-safe);
+    - pass 2: each percentile p needs only ranks floor(r)/ceil(r) where
+      r = 1 + (n-1)·p — filter to those ≤2 rows per (group, p) and
+      aggregate the interpolation v_lo + frac·(v_hi − v_lo), the same
+      formula DuckDB's ``quantile_cont`` and Spark's ``percentile`` use.
+
+    ``ps`` maps output column name → fraction in [0, 1]. NULL values are
+    excluded (matching both engines' aggregate semantics). Groups where
+    every value is NULL vanish (no rank rows survive) — same as DuckDB
+    returning NULL rows only when other aggregates keep the group alive.
+    """
+    from pyspark.sql import Window
+
+    for name, p in ps.items():
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile {name}={p} outside [0, 1]")
+    v = F.col(value) if isinstance(value, str) else value
+    d = df.filter(v.isNotNull()).select(*keys, v.alias("_v"))
+    w = Window.partitionBy(*keys)
+    ranked = d.withColumn(
+        "_rn", F.row_number().over(w.orderBy(F.col("_v")))
+    ).withColumn("_n", F.count("_v").over(w))
+
+    def bounds(p: float):
+        r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(r)
+        frac = r - lo
+        hi = F.when(frac > 0, lo + 1).otherwise(lo)
+        return lo, hi, frac
+
+    keep = None
+    for p in set(ps.values()):
+        lo, hi, _ = bounds(p)
+        cond = (F.col("_rn") == lo) | (F.col("_rn") == hi)
+        keep = cond if keep is None else (keep | cond)
+    aggs = []
+    for name, p in ps.items():
+        lo, hi, frac = bounds(p)
+        vlo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        vhi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
+        # frac is group-constant (derives from _n); max() lifts it into
+        # the aggregate namespace
+        aggs.append((vlo + F.max(frac) * (vhi - vlo)).alias(name))
+    return ranked.filter(keep).groupBy(*keys).agg(*aggs)

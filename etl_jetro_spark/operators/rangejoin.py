@@ -13,6 +13,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# internal working columns; inputs carrying these (or range keys listed as
+# join keys) would silently produce wrong joins, so both entry points verify
+_RESERVED = ("_bucket", "_canon")
+
+
+def _check_inputs(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    range_cols: tuple[str, ...],
+) -> None:
+    for df, side in ((left, "left"), (right, "right")):
+        clash = [c for c in df.columns if c in _RESERVED]
+        if clash:
+            raise ValueError(
+                f"range join: {side} input carries reserved column(s) {clash};"
+                " rename them before joining"
+            )
+    bad = [c for c in range_cols if c in keys]
+    if bad:
+        raise ValueError(
+            f"range join: range column(s) {bad} cannot also be join keys"
+        )
+
 
 def range_join(
     left: DataFrame,
@@ -29,6 +53,7 @@ def range_join(
     ``range_col`` must be integral (e.g. epoch ns). Output columns carry
     the suffixes except the join keys.
     """
+    _check_inputs(left, right, keys, (range_col,))
     # Bucket index via exact integer floor division. Double division +
     # cast loses precision above 2^53 (epoch-ns keys) and truncates toward
     # zero for negatives (double-width bucket 0); subtracting pmod keeps
@@ -88,6 +113,8 @@ def interval_overlap_join(
     interval length; a theta-join formulation would be per-key cartesian.
     ``start/end`` must be integral (epoch seconds/ns).
     """
+    _check_inputs(left, right, keys, (start_col, end_col))
+
     def bucketed(df: DataFrame, suffix: str) -> DataFrame:
         lo = F.expr(
             f"(`{start_col}` - pmod(`{start_col}`, {bucket_width}))"

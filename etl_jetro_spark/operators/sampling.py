@@ -111,6 +111,9 @@ def weighted_hash_sample(
     Pure expression filter: embarrassingly parallel, no shuffle."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     buckets = 10_000
+    # round, don't truncate: 0.3 * 10000 is 2999.9999999999995 in binary
+    # floating point; a cast would drop a whole bucket while round-tripping
+    # engines (DuckDB CAST rounds) would keep it
     return df.filter(
-        hash_bucket(id_col, buckets, salt) < (w * buckets).cast("long")
+        hash_bucket(id_col, buckets, salt) < F.round(w * buckets).cast("long")
     )

@@ -459,27 +459,85 @@ def ivf_topk(
     probe_vec_col: str,
     nprobe: int = 4,
     k: int = 5,
+    probe_id_col: str | None = None,
 ) -> DataFrame:
-    """IVF-flat search: rank centroids against the (1-row, broadcast)
-    probe, keep the top ``nprobe``, scan ONLY vectors assigned to those
-    lists, exact-cosine re-rank to top ``k`` (TakeOrdered — per-partition
-    partial top-k). Sublinear: work is |probed lists|, not |corpus|;
-    recall tunes with nprobe exactly like the LSH path's multi-probe."""
-    pc = (
-        probe.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col("cid"), cosine(_vec(probe_vec_col), _vec("cv")).alias("_s")
+    """IVF-flat search: rank centroids against the (broadcast) probe,
+    keep the top ``nprobe`` lists per probe, scan ONLY vectors assigned
+    to those lists, exact-cosine re-rank to top ``k``. Sublinear: work is
+    |probed lists|, not |corpus|; recall tunes with nprobe exactly like
+    the LSH path's multi-probe.
+
+    Single-probe mode (``probe_id_col=None``): ``probe`` MUST be exactly
+    one row — enforced with a guard, because a silent multi-row input
+    would merge all probes into one centroid ranking and one top-k.
+    Returns (id, cid, score) via TakeOrdered (per-partition partial
+    top-k, no full sort).
+
+    Batch mode (``probe_id_col`` given): per-probe nprobe cut and
+    per-probe top-k via ``row_number`` windows partitioned by probe id;
+    returns (probe_id, id, cid, score)."""
+    if probe_id_col is None:
+        if len(probe.head(2)) > 1:
+            raise ValueError(
+                "ivf_topk: probe has >1 row; pass probe_id_col= for batch mode"
+            )
+        pc = (
+            probe.crossJoin(F.broadcast(centroids))
+            .select(
+                F.col("cid"), cosine(_vec(probe_vec_col), _vec("cv")).alias("_s")
+            )
+            .orderBy(F.col("_s").desc(), F.col("cid").asc())
+            .limit(nprobe)
+            .select("cid")
         )
-        .orderBy(F.col("_s").desc(), F.col("cid").asc())
-        .limit(nprobe)
-        .select("cid")
+        cands = corpus_assigned.join(F.broadcast(pc), "cid")
+        scored = cands.crossJoin(
+            F.broadcast(probe.select(F.col(probe_vec_col).alias("_qv")))
+        ).select(
+            F.col(id_col),
+            F.col("cid"),
+            cosine(_vec(vec_col), _vec("_qv")).alias("score"),
+        )
+        return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+    from pyspark.sql.window import Window
+
+    probes = probe.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(probe_vec_col).alias("_qv"),
+    )
+    pc = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "probe_id", F.col("cid"), cosine(_vec("_qv"), _vec("cv")).alias("_s")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("_s").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("probe_id", "cid")
     )
     cands = corpus_assigned.join(F.broadcast(pc), "cid")
-    scored = cands.crossJoin(
-        F.broadcast(probe.select(F.col(probe_vec_col).alias("_qv")))
-    ).select(
+    scored = cands.join(F.broadcast(probes), "probe_id").select(
+        "probe_id",
         F.col(id_col),
         F.col("cid"),
         cosine(_vec(vec_col), _vec("_qv")).alias("score"),
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    return (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("score").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -32,23 +32,64 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Small-SF fast path (driver correctness sweeps at sf0.01/sf0.001): the whole
+# dataset is a few MB, so per-query cost is pure constant overhead — shuffle
+# task count and repeated parquet scans. Tune the session once (8 shuffle
+# partitions instead of a cluster-sized default) and memory-cache each table
+# per session so 107 back-to-back queries pay the scan once. At real scale
+# neither kicks in: the path is keyed on the sf dir name.
+_SMALL_SF_MARKERS = ("sf0.01", "sf0.001")
+_SMALL_TUNED: set[str] = set()
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _is_small_sf(sf_dir: str) -> bool:
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return tail in _SMALL_SF_MARKERS
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not _is_small_sf(sf_dir):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    if app not in _SMALL_TUNED:
+        try:  # runtime confs; harmless if the session disallows them
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            # AQE materializes every shuffle stage as its own job — pure
+            # fixed overhead on KB inputs (measured 2.2x per-query cost at
+            # sf0.01). It stays ON for every non-small path.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            pass
+        _SMALL_TUNED.add(app)
+    key = (app, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").cache()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize ``events.ts`` to the engine contract: ``ts`` = epoch
     nanoseconds (BIGINT, wall clock treated as UTC — tz-free, matching
     DuckDB's ``epoch_ns`` on naive timestamps), ``ts_utc`` = the timestamp
-    column. Handles both generations of the driver's parquet: legacy
+    column as TIMESTAMP_NTZ wall clock in BOTH branches (a tz-typed
+    instant here would shift wall-clock bucketing by the session offset).
+    Handles both generations of the driver's parquet: legacy
     TIMESTAMP(NANOS) (readable only ns-as-long) and the current
     ``timestamp[us]`` (arrives as TIMESTAMP_NTZ). ``timestampdiff`` on two
     NTZ operands is pure wall-clock arithmetic, immune to the session tz."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = load(spark, sf_dir, "events")
     if dict(e.dtypes)["ts"] == "bigint":  # pragma: no cover - legacy data
-        e = e.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
+        e = e.withColumn(
+            "ts_utc",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " timestamp_ntz'1970-01-01 00:00:00')"
+            ),
+        )
     else:
         e = e.withColumn("ts_utc", F.col("ts")).withColumn(
             "ts",
@@ -1700,14 +1741,28 @@ def q44_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q45_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark percentile ==
-    DuckDB quantile_cont, both linear interpolation)."""
+    """Exact interpolated percentiles per group via the DISTRIBUTED
+    two-pass rank formulation (operators/aggregate.exact_group_percentiles):
+    external sort + rank lookup, no per-group value buffering — Spark's
+    ``percentile`` aggregate would hold each group's whole multiset in one
+    task's memory (OOM with 5 groups at raw-row scale). min/max are the
+    p=0/p=1 rank lookups of the same sorted pass. Matches DuckDB's
+    quantile_cont (same linear interpolation)."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
     e = load_events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.round(F.min("value"), 6).alias("vmin"),
-        F.round(F.max("value"), 6).alias("vmax"),
+    pct = exact_group_percentiles(
+        e,
+        ["event_type"],
+        "value",
+        {"p50": 0.5, "p95": 0.95, "vmin": 0.0, "vmax": 1.0},
+    )
+    return pct.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
     )
 
 
@@ -3565,20 +3620,22 @@ def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q101_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group percentiles (linear interpolation — matches
-    DuckDB's quantile_cont bit-for-bit) PLUS the approx_percentile
-    sketch's 2% relative-error bound asserted under the oracle, q94
-    style. Exact percentile sorts within each group; at raw-row scale
-    keep groups bounded or switch wholly to the KLL-style sketch — the
-    declared query carries both so the tradeoff is measured, not
-    assumed."""
+    """Exact per-group percentiles via the distributed two-pass rank
+    formulation (external sort + rank lookup — NO per-group multiset
+    buffering; linear interpolation matches DuckDB's quantile_cont),
+    PLUS the approx_percentile sketch's 2% relative-error bound asserted
+    under the oracle, q94 style. The sketch agg joins back on the group
+    key (3 groups — broadcast)."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
     li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
+    exact = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", {"e50": 0.5, "e95": 0.95}
     )
-    return agg.select(
+    sketch = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50")
+    )
+    return exact.join(F.broadcast(sketch), "l_returnflag").select(
         "l_returnflag",
         F.round("e50", 4).alias("p50"),
         F.round("e95", 4).alias("p95"),

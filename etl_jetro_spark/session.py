@@ -60,8 +60,10 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long ns and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # local mode: keep the UI off and the driver quiet
+        # local mode: keep the UI off and the driver quiet; progress bars
+        # would interleave with stdout and corrupt one-line JSON artifacts
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     if extra_conf:

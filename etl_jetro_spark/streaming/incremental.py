@@ -80,7 +80,35 @@ def read_incremental_agg(
 def compact_state(
     spark: SparkSession, state_dir: str, keys: list[str] | None = None
 ) -> DataFrame:
-    """Fold all partials into one merged frame (write it back as the new
-    epoch-0 state out-of-band to bound partial growth). Returned, not
-    written — the caller owns the swap."""
-    return read_incremental_agg(spark, state_dir, keys)
+    """Fold all partials into one merged frame, MATERIALIZED
+    (localCheckpoint) before returning — the lazy plan would still read
+    ``state_dir``, so a caller writing the result back in place would
+    otherwise overwrite the very files the plan reads. For the full
+    fold-and-swap, use :func:`compact_state_inplace`."""
+    return read_incremental_agg(spark, state_dir, keys).localCheckpoint(eager=True)
+
+
+def compact_state_inplace(
+    spark: SparkSession, state_dir: str, keys: list[str] | None = None
+) -> None:
+    """Fold all partials and swap them in as the new epoch-0 state:
+    write the merged frame to a sibling temp dir, then replace
+    ``state_dir`` (rename-shuffle — the closest a directory swap gets to
+    atomic on a generic filesystem; on restart an orphaned ``.tmp`` /
+    ``.old`` sibling is inert and re-compaction is idempotent)."""
+    import shutil
+
+    merged = compact_state(spark, state_dir, keys)
+    tmp = state_dir.rstrip("/") + ".compact.tmp"
+    old = state_dir.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        merged.withColumn("_batch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("_batch")
+        .parquet(tmp)
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(state_dir, old)
+    shutil.move(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)

@@ -778,3 +778,160 @@ def test_interval_overlap_join_drops_inverted_intervals(spark):
     assert pairs == set()        # the inverted row matches nothing
     self_rows = out.filter((F.col("id_a") == 1) & (F.col("id_b") == 1))
     assert self_rows.count() == 1  # the valid interval still self-matches
+
+
+def test_exact_group_percentiles_matches_spark_percentile(spark):
+    """Rank-based exact percentile == Spark's buffering `percentile`
+    aggregate (which == DuckDB quantile_cont), incl. min/max as p=0/p=1,
+    null exclusion, and a 1-row group."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [5, 1, 9, 3, 7, 2]]
+        + [("b", 42.0)]
+        + [("c", 1.0), ("c", None), ("c", 2.0)],
+        ["g", "v"],
+    )
+    got = {
+        r["g"]: (r["p50"], r["p95"], r["lo"], r["hi"])
+        for r in exact_group_percentiles(
+            df, ["g"], "v", {"p50": 0.5, "p95": 0.95, "lo": 0.0, "hi": 1.0}
+        ).collect()
+    }
+    ref = {
+        r["g"]: (r["p50"], r["p95"], r["lo"], r["hi"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for g in ref:
+        for x, y in zip(got[g], ref[g]):
+            assert abs(x - y) < 1e-9, (g, got[g], ref[g])
+
+
+def test_exact_group_percentiles_plan_has_no_percentile_buffering(spark):
+    """The point of the operator: the physical plan must be SortExec +
+    window rank lookup, never the ObjectHashAggregate Percentile that
+    buffers a group's whole multiset."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    plan = (
+        exact_group_percentiles(df, ["g"], "v", {"p50": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile" not in plan.lower()
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_ivf_topk_multi_row_probe_guard_and_batch_mode(spark):
+    from etl_jetro_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    inv = ivf_assign(emb, "vec_id", "embedding", cents)
+    probes = emb.filter(F.col("vec_id").isin(1, 2)).select("vec_id", "embedding")
+
+    # multi-row probe without probe_id_col must raise, not merge silently
+    with pytest.raises(ValueError, match="probe_id_col"):
+        ivf_topk(inv, "vec_id", "embedding", cents, probes.select("embedding"), "embedding")
+
+    # batch mode == per-probe single mode
+    batch = ivf_topk(
+        inv, "vec_id", "embedding", cents, probes, "embedding",
+        nprobe=4, k=5, probe_id_col="vec_id",
+    ).collect()
+    for pid in (1, 2):
+        single = ivf_topk(
+            inv, "vec_id", "embedding", cents,
+            probes.filter(F.col("vec_id") == pid).select("embedding"),
+            "embedding", nprobe=4, k=5,
+        ).collect()
+        got = sorted(
+            (r["vec_id"], round(r["score"], 6))
+            for r in batch if r["probe_id"] == pid
+        )
+        want = sorted((r["vec_id"], round(r["score"], 6)) for r in single)
+        assert got == want
+
+
+def test_range_join_rejects_reserved_and_key_collisions(spark):
+    from etl_jetro_spark.operators.rangejoin import interval_overlap_join, range_join
+
+    df = spark.createDataFrame([("k", 1, 10)], ["k", "ts", "_bucket"])
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(df, df, ["k"], "ts", 60)
+    clean = spark.createDataFrame([("k", 1, 5)], ["k", "s", "e"])
+    with pytest.raises(ValueError, match="join keys"):
+        interval_overlap_join(clean, clean, ["k", "s"], "s", "e", 10)
+
+
+def test_weighted_hash_sample_threshold_rounds_not_truncates(spark):
+    """0.3 * 10000 is 2999.999... in binary floating point; the keep
+    threshold must round to 3000 (cross-engine CAST parity), so rows in
+    bucket 2999 survive."""
+    from etl_jetro_spark.operators.sampling import hash_bucket, weighted_hash_sample
+
+    df = spark.range(0, 20000).select(F.col("id").cast("string").alias("doc_id"))
+    on_boundary = df.filter(hash_bucket("doc_id", 10_000) == 2999)
+    assert on_boundary.count() > 0          # fixture actually hits the bucket
+    kept = weighted_hash_sample(df.withColumn("w", F.lit(0.3)), "doc_id", "w")
+    got = {r["doc_id"] for r in kept.collect()}
+    for r in on_boundary.collect():
+        assert r["doc_id"] in got
+
+
+def test_compact_state_inplace_swaps_safely(tmp_path, spark):
+    """compact_state materializes before returning (write-back can't
+    corrupt the files the plan reads); compact_state_inplace folds the
+    partials into a single epoch-0 partition with identical totals."""
+    from etl_jetro_spark.streaming.incremental import (
+        compact_state,
+        compact_state_inplace,
+        read_incremental_agg,
+    )
+
+    state = str(tmp_path / "state")
+    for batch, rows in enumerate([[("a", 1.0), ("b", 2.0)], [("a", 3.0)]]):
+        df = spark.createDataFrame(rows, ["event_type", "value"])
+        (
+            df.groupBy("event_type")
+            .agg(F.sum("value").alias("psum"), F.count("value").alias("pcnt"))
+            .withColumn("_batch", F.lit(batch))
+            .write.mode("append")
+            .partitionBy("_batch")
+            .parquet(state)
+        )
+    before = {
+        r["event_type"]: (r["psum"], r["pcnt"])
+        for r in read_incremental_agg(spark, state).collect()
+    }
+    merged = compact_state(spark, state)
+    # the returned frame must survive state_dir being overwritten
+    import shutil
+
+    compact_state_inplace(spark, state)
+    after = {
+        r["event_type"]: (r["psum"], r["pcnt"])
+        for r in read_incremental_agg(spark, state).collect()
+    }
+    assert after == before == {"a": (4.0, 2), "b": (2.0, 1)}
+    # exactly one _batch partition remains
+    batches = {r["_batch"] for r in spark.read.parquet(state).select("_batch").collect()}
+    assert batches == {0}
+    # and the pre-swap materialized frame still reads correctly
+    still = {r["event_type"]: (r["psum"], r["pcnt"]) for r in merged.collect()}
+    assert still == before
+    shutil.rmtree(state, ignore_errors=True)
