@@ -1,10 +1,13 @@
 """Multimodal column handling: image/audio/video as opaque binary columns.
 
-The Spark-side plumbing is fully real — schema, partition sizing, Arrow
-batch shape, mapInPandas signatures — while the codec step itself is stubbed
-(image/audio libraries are not in this container): ``decode_image`` either
-raises NotImplementedError (strict mode) or produces a deterministic fake
-derived from the bytes, so the distributed pipeline around it is testable.
+The Spark-side plumbing — schema, partition sizing, Arrow batch shape,
+mapInPandas signatures — and the codecs are both real:
+``extract_media_features`` decodes PNG and RIFF-WAVE bytes with the
+pure-stdlib codecs in ``operators/codecs.py`` (dimensions, channels,
+sample rate, exact pixel/sample statistics) and RAISES on bytes it cannot
+read. The md5-derived fake decode survives only behind an explicit
+``codec="fake"`` opt-in (plumbing tests / SQL-oracle parity for arbitrary
+bytes) — fakes never ship silently.
 
 Scale notes: binary payloads dominate row size, so
 - `spark.sql.files.maxPartitionBytes` governs scan parallelism (set in
@@ -62,20 +65,68 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-STRICT_DECODE = False  # flip to surface NotImplementedError instead of fakes
+MEDIA_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("value_count", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("value_min", IntegerType()),
+        StructField("value_max", IntegerType()),
+    ]
+)
 
 
-def decode_image(content: bytes) -> tuple[int, int]:
-    """STUB: real decode needs an image library not present in this
-    container. Deterministic fake: dimensions derived from the content hash
-    so downstream logic (resize ratios, filters) is exercised realistically.
-    """
-    if STRICT_DECODE:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this environment"
-        )
+def fake_dims_from_hash(content: bytes) -> tuple[int, int]:
+    """Deterministic FAKE dimensions from the content hash — only for
+    exercising the distributed plumbing with arbitrary (non-media) bytes,
+    and only ever reached via an explicit ``codec="fake"``."""
     h = hashlib.md5(content or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192  # (w, h) in [64, 256)
+
+
+def extract_media_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL media feature extraction: Arrow-batched mapInPandas over the
+    blob column, decoding PNG/WAV bytes with the stdlib codecs
+    (operators/codecs.py) into typed metadata + exact value statistics.
+    Unrecognized or corrupt bytes raise (fail the task) rather than emit
+    fabricated features. Iterator contract: memory stays at one Arrow
+    batch regardless of partition size."""
+    from etl_jetro_spark.operators.codecs import decode_media
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(content) if content is not None else b""
+                meta = decode_media(blob)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "format": meta["format"],
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "channels": meta["channels"],
+                        "sample_rate": meta["sample_rate"],
+                        "duration_ms": meta["duration_ms"],
+                        "n_bytes": len(blob),
+                        "value_count": meta["value_count"],
+                        "value_sum": meta["value_sum"],
+                        "value_min": meta["value_min"],
+                        "value_max": meta["value_max"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(run, MEDIA_FEATURES)
 
 
 def attach_meta(df: DataFrame, content_col: str = "content", media_type: str = "image") -> DataFrame:
@@ -94,17 +145,37 @@ def attach_meta(df: DataFrame, content_col: str = "content", media_type: str = "
     )
 
 
-def extract_features(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    codec: str = "strict",
+) -> DataFrame:
     """Arrow-batched feature extraction over the blob column via mapInPandas.
 
+    ``codec="strict"`` (default) decodes real media bytes (PNG/WAV) for the
+    thumb dimensions and raises on anything else; ``codec="fake"`` derives
+    dimensions from the content hash — an explicit opt-in for plumbing
+    tests and SQL-oracle parity over arbitrary bytes, never a default.
     The iterator contract keeps memory at one Arrow batch regardless of
     partition size — the correct shape for multi-GB media partitions.
     """
+    if codec not in ("strict", "fake"):
+        raise ValueError(f"codec must be 'strict' or 'fake', got {codec!r}")
+    if codec == "strict":
+        from etl_jetro_spark.operators.codecs import decode_media
+
+        def dims_of(blob: bytes) -> tuple[int, int]:
+            m = decode_media(blob)
+            return (m["width"] or 0, m["height"] or 0)
+
+    else:
+        dims_of = fake_dims_from_hash
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf[content_col]
-            dims = [decode_image(c if c is not None else b"") for c in content]
+            dims = [dims_of(bytes(c) if c is not None else b"") for c in content]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),

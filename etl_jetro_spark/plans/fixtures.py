@@ -390,3 +390,79 @@ BABY_FLIP_ORACLE = """
            'C' || CAST(k AS VARCHAR)              AS "carrier code"
     FROM vals
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic REAL media fixtures (q108/q109): encoded PNG / WAV bytes
+# generated per documents row inside mapInPandas, so the decode queries
+# exercise the actual codecs (operators/codecs.py) end-to-end and a DuckDB
+# oracle can recompute every derived statistic analytically from doc_id.
+# --------------------------------------------------------------------------
+
+def media_png_frame(docs):
+    """One real PNG per document: grayscale w=4+id%13, h=3+id%11, pixel
+    raster (id*31 + i) % 256 — dims and every pixel are pure functions of
+    doc_id, so the oracle derives them in SQL."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_jetro_spark.operators.codecs import encode_png
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 11
+                a = (did * 31) % 256
+                px = bytes((a + i) % 256 for i in range(w * h))
+                rows.append({"media_id": did, "content": encode_png(w, h, px)})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def media_wav_frame(docs):
+    """One real 16-bit PCM mono WAV per document: 8 kHz,
+    n=50+id%100 samples, s_i = ((id*7919 + i*104729) % 65536) - 32768."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_jetro_spark.operators.codecs import encode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 100
+                c = did * 7919
+                samples = [((c + i * 104729) % 65536) - 32768 for i in range(n)]
+                rows.append(
+                    {"media_id": did, "content": encode_wav(8000, samples)}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(gen, schema)

@@ -1310,7 +1310,8 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest's first two bytes, so the WHOLE Pandas-UDF path — Arrow batch
     shapes included — is verifiable in SQL: the oracle recomputes
     feature/dims from md5(text) (DuckDB hashes the same utf-8 bytes the
-    Python worker sees)."""
+    Python worker sees). codec="fake" is the EXPLICIT opt-in: these blobs
+    are utf-8 text, not media — the real decode path is q108/q109."""
     from etl_jetro_spark.operators import multimodal as MM
     from etl_jetro_spark.operators.util import spread
 
@@ -1319,7 +1320,7 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
     )
-    return MM.extract_features(MM.attach_meta(media))
+    return MM.extract_features(MM.attach_meta(media), codec="fake")
 
 
 @query(
@@ -3901,4 +3902,113 @@ def q107_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 2)
         .select("c_nationkey", "o_custkey", "cents", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# 30. Real media decode under the oracle gate (q108 PNG, q109 WAV)
+# --------------------------------------------------------------------------
+
+@query(
+    "q108_png_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 11 AS h,
+             (doc_id * 31) % 256 AS a
+      FROM documents
+    ),
+    ex AS (
+      SELECT media_id, w, h,
+             (a + unnest(generate_series(0, w * h - 1))) % 256 AS v
+      FROM dims
+    )
+    SELECT media_id,
+           CAST(max(w) AS INT)    AS width,
+           CAST(max(h) AS INT)    AS height,
+           CAST(1 AS INT)         AS channels,
+           CAST(count(*) AS BIGINT) AS value_count,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           CAST(min(v) AS INT)    AS value_min,
+           CAST(max(v) AS INT)    AS value_max
+    FROM ex GROUP BY media_id
+    """,
+)
+def q108_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: the fixture encodes one grayscale PNG
+    per document row (dims and raster are pure functions of doc_id —
+    plans/fixtures.media_png_frame), and extract_media_features decodes
+    the actual bytes (signature, IHDR, CRC, inflate, unfilter) inside
+    Arrow mapInPandas. The oracle recomputes width/height and the exact
+    pixel statistics analytically — a wrong byte anywhere in the codec
+    path breaks the hash match. Scale: one Python codec call per blob
+    inside a streaming Arrow batch iterator; partition sizing is governed
+    by maxPartitionBytes over the binary column."""
+    from etl_jetro_spark.operators.multimodal import extract_media_features
+    from etl_jetro_spark.operators.util import spread
+    from etl_jetro_spark.plans.fixtures import media_png_frame
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    media = media_png_frame(docs)
+    return extract_media_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "value_count",
+        "value_sum",
+        "value_min",
+        "value_max",
+    )
+
+
+@query(
+    "q109_wav_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             50 + doc_id % 100 AS n,
+             doc_id * 7919     AS c
+      FROM documents
+    ),
+    ex AS (
+      SELECT media_id, n,
+             ((c + unnest(generate_series(0, n - 1)) * 104729) % 65536)
+               - 32768 AS v
+      FROM dims
+    )
+    SELECT media_id,
+           CAST(1 AS INT)            AS channels,
+           CAST(8000 AS INT)         AS sample_rate,
+           CAST(max(n) // 8 AS BIGINT) AS duration_ms,
+           CAST(count(*) AS BIGINT)  AS value_count,
+           CAST(sum(v) AS BIGINT)    AS value_sum,
+           CAST(min(v) AS INT)       AS value_min,
+           CAST(max(v) AS INT)       AS value_max
+    FROM ex GROUP BY media_id
+    """,
+)
+def q109_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode end-to-end: fixture encodes one 8 kHz 16-bit PCM
+    mono WAV per document (samples are a pure function of doc_id), the
+    codec parses RIFF/fmt/data chunks and unpacks PCM, and the oracle
+    recomputes sample rate, duration, and exact sample statistics.
+    duration_ms = frames*1000/rate with both engines flooring (n // 8 at
+    8 kHz)."""
+    from etl_jetro_spark.operators.multimodal import extract_media_features
+    from etl_jetro_spark.operators.util import spread
+    from etl_jetro_spark.plans.fixtures import media_wav_frame
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    media = media_wav_frame(docs)
+    return extract_media_features(media).select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        "duration_ms",
+        "value_count",
+        "value_sum",
+        "value_min",
+        "value_max",
     )
