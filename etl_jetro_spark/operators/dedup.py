@@ -246,18 +246,40 @@ def ngram_jaccard_pairs(
         sh = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
             eager=False
         )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    if max_doc_freq is not None:
-        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq).select("_sh"), "_sh")
-    a = sh.select(F.col("_id").alias("id_a"), "_sh")
-    b = sh.select(F.col("_id").alias("id_b"), "_sh")
-    common = (
-        a.join(b, "_sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
+    # sizes feeds BOTH the na and nb joins below; it is a per-doc count
+    # (tiny next to the index) — checkpoint so the partial-agg pass over
+    # the full index runs once, not once per alias
+    sizes = (
+        sh.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
+    if max_doc_freq is not None:
+        # skew guard, inverted for scale: the shingles OVER the cap are
+        # the tiny set (hot boilerplate) — aggregate partials, keep the
+        # violators, broadcast ANTI-join them out. The index itself never
+        # shuffles for the cap, and nothing vocabulary-sized is ever
+        # broadcast (the under-cap vocab grows with the corpus; the hot
+        # set is bounded by definition).
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_sh")
+        )
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    # canonical self-join: identical children on both sides (alias, not
+    # pre-renamed projections) lets ReuseExchange serve the second side
+    # from the first side's shuffle
+    pair = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a._sh") == F.col("b._sh"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    common = pair.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_common"))
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))

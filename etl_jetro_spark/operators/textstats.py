@@ -158,7 +158,11 @@ def ngram_repetition(
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf with *linear* idf
     (idf = N/df). Linear idf keeps the score a product/quotient of exact
@@ -178,11 +182,21 @@ def tfidf_top_terms(
         _c(id_col).alias("_id"),
         F.explode(F.split(norm_text(text_col), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # barrier: tf feeds BOTH the df aggregation and the scored join —
+    # without it the tokenize+explode+agg subtree executes twice
+    tf = (
+        toks.groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # corpus size stays in-plan (broadcast 1-row agg) — no driver job at
-    # plan-build time
-    ndocs = df.agg(F.countDistinct(_c(id_col)).cast("double").alias("_n"))
+    # plan-build time; when the caller guarantees id uniqueness (a table
+    # primary key) a plain count skips the distinct's hash shuffle
+    if ids_unique:
+        ndocs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    else:
+        ndocs = df.agg(F.countDistinct(_c(id_col)).cast("double").alias("_n"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(ndocs))
@@ -211,16 +225,32 @@ def unigram_lm_scores(
     """
     from etl_jetro_spark.functions.hashing import norm_text
 
-    toks = df.select(
-        _c(id_col).alias("_id"),
-        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
-    ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
-    scored = (
-        toks.join(F.broadcast(counts), "token")
-        .crossJoin(F.broadcast(total))
-        .withColumn("inv_p", F.col("_total") / F.col("cnt"))
+    # barrier: the token stream feeds BOTH the corpus counts and the
+    # scored join — materialize once (localCheckpoint, GC-reclaimed)
+    # instead of re-tokenizing the corpus per consumer
+    toks = (
+        df.select(
+            _c(id_col).alias("_id"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    # corpus total rides the counts frame (one all-rows window over the
+    # tiny aggregated vocab) — one broadcast instead of two, no separate
+    # single-partition aggregate pass
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "_total",
+            F.sum("cnt").over(Window.partitionBy()).cast("double"),
+        )
+    )
+    scored = toks.join(F.broadcast(counts), "token").withColumn(
+        "inv_p", F.col("_total") / F.col("cnt")
     )
     return (
         scored.groupBy("_id")

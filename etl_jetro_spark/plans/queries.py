@@ -2367,7 +2367,8 @@ def q68_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.textstats import tfidf_top_terms
 
     d = load(spark, sf_dir, "documents")
-    return tfidf_top_terms(d, "doc_id", "text", k=3)
+    # doc_id is the table primary key -> plain count for N, no distinct
+    return tfidf_top_terms(d, "doc_id", "text", k=3, ids_unique=True)
 
 
 @query(

@@ -287,12 +287,15 @@ def test_multimodal_plumbing(spark):
         [(1, bytearray(b"fakepng")), (2, bytearray(b"other")), (3, None)],
         "media_id long, content binary",
     )
-    feats = MM.extract_features(MM.attach_meta(df))
+    feats = MM.extract_features(MM.attach_meta(df), codec="fake")
     got = {r["media_id"]: r for r in feats.collect()}
     assert got[1]["n_bytes"] == 7 and 64 <= got[1]["thumb_w"] < 256
     assert got[3]["n_bytes"] == 0
     # deterministic across runs
-    again = {r["media_id"]: r["feature"] for r in MM.extract_features(df).collect()}
+    again = {
+        r["media_id"]: r["feature"]
+        for r in MM.extract_features(df, codec="fake").collect()
+    }
     assert again[1] == got[1]["feature"]
 
 
@@ -935,3 +938,48 @@ def test_compact_state_inplace_swaps_safely(tmp_path, spark):
     still = {r["event_type"]: (r["psum"], r["pcnt"]) for r in merged.collect()}
     assert still == before
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_star_cc_path_graph_converges_sublinearly(spark):
+    """10^4-node path graph: diameter 9999 would need ~10^4 min-propagation
+    rounds; large-star/small-star must finish within 40 (O(log^2 n)) and
+    label every node with the global min."""
+    from etl_jetro_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components(edges, max_iter=40, method="star")
+    rows = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("ncomp"),
+        F.min("component").alias("m"),
+        F.max("component").alias("mx"),
+    ).head()
+    assert rows["n"] == n
+    assert rows["ncomp"] == 1 and rows["m"] == 0 and rows["mx"] == 0
+
+
+def test_star_cc_matches_min_propagation(spark):
+    """Both methods must produce identical labels on an assorted graph
+    (two chains, a triangle, an isolated self-loop node)."""
+    from etl_jetro_spark.operators.graph import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(10, 15)]        # chain A
+        + [(30, 31), (31, 32), (32, 30)]           # triangle
+        + [(50, 51), (52, 51)]                     # chain B (zigzag)
+        + [(99, 99)]                               # isolated self-loop
+    )
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, method="min").collect()
+    }
+    b = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert a == b
+    assert b[14] == 10 and b[32] == 30 and b[52] == 50 and b[99] == 99

@@ -463,3 +463,62 @@ def test_running_totals_processor_logic(spark, tmp_path):
     if not S.HAS_PROTOBUF:
         with _pytest.raises(NotImplementedError):
             S.run_running_totals(spark, str(tmp_path), str(tmp_path / "ck"))
+
+
+def test_orchestrate_tick_wall_clock_soak(spark, tmp_path):
+    """T1 cadence + T4 timeout together under REAL wall-clock triggers:
+    the poll loop sleeps a 0.4 s cadence while a background thread drops
+    one expected PDF mid-watch (arrive -> settle -> done -> moved) and a
+    second PO never arrives (deadline -> ERROR exactly once). The whole
+    soak completes in a few seconds."""
+    import threading
+
+    from etl_jetro_spark.streaming import snapshot as S
+
+    watch = tmp_path / "w"
+    dest = tmp_path / "d"
+    watch.mkdir()
+    dest.mkdir()
+    # pre-satisfy vendor 44602 so only 79906's 88101/88102 are in play
+    (dest / "44602-86-88104.pdf").write_bytes(b"y")
+
+    def drop_late():
+        time.sleep(1.0)
+        (watch / "79906-114-88101.pdf").write_bytes(b"late arrival")
+
+    t = threading.Thread(target=drop_late)
+    t.start()
+
+    cadence = 0.4
+    ticks = []
+
+    def poll_fn(st, dest_dir):
+        while st.pending() and st.polls < st.deadline_polls:
+            ticks.append(time.time())
+            S.poll_step(st, S.list_dir(str(watch)), dest_dir)
+            time.sleep(cadence)
+
+    t0 = time.time()
+    m = orch.orchestrate_tick(
+        spark,
+        CONTROL_GRID,
+        [str(watch)],
+        str(dest),
+        deadline_polls=10,       # 10 ticks x 0.4 s = 4 s deadline (T4)
+        poll_fn=poll_fn,
+    )
+    t.join()
+    elapsed = time.time() - t0
+    assert elapsed < 30
+    # T1: the cadence actually ran on the wall clock (>= 3 spaced ticks)
+    gaps = [b - a for a, b in zip(ticks, ticks[1:])]
+    assert len(ticks) >= 3 and all(g >= cadence * 0.8 for g in gaps)
+    # T4 + arrival: late PO settled to done and moved; missing PO errored
+    assert m["po_status"]["88101"] == "done"
+    assert m["po_status"]["88102"] == "error"
+    assert (dest / "79906-114-88101.pdf").exists()
+    finals = {p["range"]: p["values"][0][0] for p in m["final"]}
+    assert finals == {"G2": "ERROR", "E7": "Sent"}
+    # exactly-once ERROR in the status map (dict by construction, and the
+    # error set is only the never-arrived PO)
+    assert [po for po, s in m["po_status"].items() if s == "error"] == ["88102"]
