@@ -3950,7 +3950,7 @@ def q108_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.util import spread
     from etl_jetro_spark.plans.fixtures import media_png_frame
 
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
     media = media_png_frame(docs)
     return extract_media_features(media).select(
         "media_id",
@@ -4001,7 +4001,7 @@ def q109_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.util import spread
     from etl_jetro_spark.plans.fixtures import media_wav_frame
 
-    docs = spread(load(spark, sf_dir, "documents"))
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
     media = media_wav_frame(docs)
     return extract_media_features(media).select(
         "media_id",

@@ -103,3 +103,47 @@ def run_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_running_totals_gks(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "running_totals_gks",
+    glob: str = "*.parquet",
+):
+    """The SAME running-totals semantics on the protobuf-free arbitrary
+    state API (``applyInPandasWithState``, GroupState) — the live-executed
+    twin of :func:`run_running_totals`. Exists so the per-key
+    stateful-streaming semantics have an end-to-end path in THIS
+    environment; when protobuf is present the transformWithState version
+    is preferred (typed state handles, RocksDB TTL, timers)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_jetro_spark.streaming.windows import events_stream
+
+    def update(key, pdfs, state):
+        psum, pcnt = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            v = pdf["value"].dropna()
+            psum += float(v.sum())
+            pcnt += int(v.count())
+        state.update((psum, pcnt))
+        yield pd.DataFrame({"user_id": [key[0]], "psum": [psum], "pcnt": [pcnt]})
+
+    ev = events_stream(spark, events_dir, glob).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType="psum double, pcnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -522,3 +522,44 @@ def test_orchestrate_tick_wall_clock_soak(spark, tmp_path):
     # exactly-once ERROR in the status map (dict by construction, and the
     # error set is only the never-arrived PO)
     assert [po for po, s in m["po_status"].items() if s == "error"] == ["88102"]
+
+
+def test_stateful_running_totals_live_matches_batch(spark, tmp_path):
+    """Arbitrary per-key state executed LIVE end-to-end (GroupState /
+    applyInPandasWithState — the protobuf-free twin of the
+    transformWithState processor): running (sum, count) per user over the
+    real events stream must equal the batch aggregate. Update mode emits
+    per micro-batch; pcnt is monotone, so each key's final row is its
+    max-pcnt emission."""
+    import shutil
+
+    from etl_jetro_spark.streaming.stateful import run_running_totals_gks
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+
+    q = run_running_totals_gks(
+        spark, str(src), str(tmp_path / "ck"), queryName="rt_gks", glob="*.parquet"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (round(r["psum"], 6), r["pcnt"])
+        for r in spark.sql(
+            """
+            SELECT user_id, psum, pcnt FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY pcnt DESC) AS rn
+              FROM rt_gks) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = spark.read.parquet(str(src / "a.parquet"))
+    want = {
+        r["user_id"]: (round(r["s"], 6), r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
+        .collect()
+    }
+    assert got == want
