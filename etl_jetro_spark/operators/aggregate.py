@@ -111,25 +111,36 @@ def exact_group_percentiles(
     keys: list[str],
     value: str | Column,
     ps: dict[str, float],
+    num_range_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed EXACT linear-interpolation percentiles per group —
     the scale-safe replacement for Spark's ``percentile`` aggregate,
     which buffers each group's whole value multiset in executor memory
     (ObjectHashAggregate): at raw-row scale a handful of groups means a
-    handful of OOMs. Here no task ever holds a group:
+    handful of OOMs. Here no task ever holds a group, and — unlike a
+    per-group window sort, which serializes each group into one task —
+    no task even holds a group's SORT:
 
-    - pass 1 (one shuffle): hash-partition by group, external SORT by
-      value; ``row_number`` and the per-group ``count`` come out of the
-      same sorted pass (two Window nodes, one Exchange, spill-safe);
-    - pass 2: each percentile p needs only ranks floor(r)/ceil(r) where
-      r = 1 + (n-1)·p — filter to those ≤2 rows per (group, p) and
-      aggregate the interpolation v_lo + frac·(v_hi − v_lo), the same
+    - pass 1 (the only full-data shuffle): range-partition by
+      (keys..., value) into ``num_range_partitions`` splits and sort
+      within partitions — a parallel external sort where a 20 TB group
+      spreads across the cluster. ``monotonically_increasing_id`` over
+      the sorted stream encodes (partition, local position).
+    - pass 2 (metadata-sized): per-(partition, group) counts + first
+      local position — at most splits x groups rows — yield each cell's
+      global rank offset via a cumulative window; broadcast back, so
+      global rank = local position - cell start + offset + 1.
+    - pass 3: each percentile p needs only ranks floor(r)/ceil(r) where
+      r = 1 + (n-1)*p — filter to those <=2 rows per (group, p) and
+      aggregate the interpolation v_lo + frac*(v_hi - v_lo), the same
       formula DuckDB's ``quantile_cont`` and Spark's ``percentile`` use.
 
-    ``ps`` maps output column name → fraction in [0, 1]. NULL values are
-    excluded (matching both engines' aggregate semantics). Groups where
-    every value is NULL vanish (no rank rows survive) — same as DuckDB
-    returning NULL rows only when other aggregates keep the group alive.
+    ``ps`` maps output column name -> fraction in [0, 1]. NULL values
+    are excluded (matching both engines' aggregate semantics). Groups
+    where every value is NULL vanish. ``keys`` may be empty for global
+    percentiles. The sorted+id frame is localCheckpoint'ed: the row ids
+    are position-derived, so they must be frozen before feeding two
+    consumers (the metadata pass and the rank lookup).
     """
     from pyspark.sql import Window
 
@@ -138,10 +149,40 @@ def exact_group_percentiles(
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
     v = F.col(value) if isinstance(value, str) else value
     d = df.filter(v.isNotNull()).select(*keys, v.alias("_v"))
-    w = Window.partitionBy(*keys)
-    ranked = d.withColumn(
-        "_rn", F.row_number().over(w.orderBy(F.col("_v")))
-    ).withColumn("_n", F.count("_v").over(w))
+    spark = df.sparkSession
+    nparts = num_range_partitions or max(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    base = (
+        d.repartitionByRange(nparts, *keys, "_v")
+        .sortWithinPartitions(*keys, "_v")
+        .select(
+            *keys,
+            "_v",
+            F.spark_partition_id().alias("_pid"),
+            # pid * 2^33 + local position over the sorted stream
+            (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("_lidx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # metadata pass: counts + first local index per (partition, group) —
+    # partial aggregation, at most nparts x |groups| rows survive
+    pc = base.groupBy("_pid", *keys).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_lidx").alias("_start")
+    )
+    woff = Window.partitionBy(*keys).orderBy("_pid") if keys else (
+        Window.partitionBy().orderBy("_pid")
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    meta = pc.withColumn("_off", F.sum("_c").over(woff) - F.col("_c")).withColumn(
+        "_n", F.sum("_c").over(wall)
+    )
+    ranked = base.join(
+        F.broadcast(meta.select("_pid", *keys, "_start", "_off", "_n")),
+        ["_pid", *keys],
+    ).withColumn(
+        "_rn", F.col("_lidx") - F.col("_start") + F.col("_off") + F.lit(1)
+    )
 
     def bounds(p: float):
         r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)

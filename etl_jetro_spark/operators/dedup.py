@@ -291,6 +291,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-set CONTAINMENT: C(A,B) = |A∩B| / min(|A|, |B|) —
+    the near-SUBSET detector Jaccard misses. A short document quoted
+    wholesale inside a long one has low Jaccard (the union is huge) but
+    containment ~1; corpus dedup needs both signals (Broder's
+    containment, the resemblance/containment pair).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted shingle
+    index, checkpointed once; optional hot-shingle ANTI-join cap;
+    aliased self-join sharing one shuffle. Returns
+    (id_a, id_b, containment) with id_a < id_b, containment >= threshold.
+    """
+    sh = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
+        eager=False
+    )
+    sizes = (
+        sh.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_sh")
+        )
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    pair = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a._sh") == F.col("b._sh"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    common = pair.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_common"))
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    cont = F.col("_common") / F.least(F.col("_na"), F.col("_nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, shingle_words: int = 2
 ) -> DataFrame:

@@ -4013,3 +4013,210 @@ def q109_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+# --------------------------------------------------------------------------
+# 31. Round-3 extensions: containment dedup, CMS heavy hitters,
+#     feature standardization, equi-depth histogram (q110-q113)
+# --------------------------------------------------------------------------
+
+def _dk_hex8(hx: str) -> str:
+    """DuckDB digit-walk: integer value of the first 8 hex chars of ``hx``
+    (mirror of Spark's conv(substring(md5, 1, 8), 16, 10))."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {k + 1}, 1)) - 1)"
+        + (f" * {16 ** (7 - k)}" if k < 7 else "")
+        for k in range(8)
+    ) + ")"
+
+
+@query(
+    "q110_containment_pairs",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+    freq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh),
+    capped AS (SELECT dsh.doc_id, dsh.sh FROM dsh JOIN freq USING (sh) WHERE freq.df <= 100),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(c / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.8
+    """,
+)
+def q110_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set CONTAINMENT pairs (Broder's containment measure):
+    C = common / min(|A|,|B|) >= 0.8 — catches near-subset duplication
+    (a doc quoted wholesale inside a longer one) that Jaccard's
+    union-denominator dilutes. Same inverted-index shape as q19, same
+    hot-shingle ANTI-join cap."""
+    from etl_jetro_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    out = containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=100
+    )
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+@query(
+    "q111_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({DK_WORDS}) AS token FROM documents
+    ),
+    t2 AS (SELECT token FROM toks WHERE token <> ''),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM t2 GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 10
+    ),
+    coords AS (
+      SELECT token, r.i AS row,
+             md5('cms' || r.i || ':' || token) AS hx
+      FROM t2, (SELECT unnest(generate_series(0, 3)) AS i) r
+    ),
+    cnt AS (
+      SELECT row, {_dk_hex8('hx')} % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM coords GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT e.token, e.exact_cnt, r.i AS row,
+             {_dk_hex8("md5('cms' || r.i || ':' || e.token)")} % 1024 AS bucket
+      FROM exact e, (SELECT unnest(generate_series(0, 3)) AS i) r
+    )
+    SELECT p.token, p.exact_cnt,
+           CAST(min(coalesce(cnt.c, 0)) AS BIGINT) AS est_cnt,
+           CAST(min(coalesce(cnt.c, 0)) >= p.exact_cnt AS BOOLEAN) AS est_ge_exact
+    FROM probe p LEFT JOIN cnt ON cnt.row = p.row AND cnt.bucket = p.bucket
+    GROUP BY p.token, p.exact_cnt
+    """,
+)
+def q111_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024) vs the exact top-10 token
+    counts: the sketch builds in ONE partial-agg shuffle bounded by
+    depth x width per task (the vocabulary-sized exact table is the thing
+    the sketch replaces at web scale), and the one-sided guarantee
+    est >= exact is ASSERTED per row under the oracle, which rebuilds the
+    identical md5-addressed sketch digit-by-digit in SQL."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.sketch import cms_build, cms_estimate
+    from etl_jetro_spark.operators.util import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = (
+        d.select(F.explode(F.split(norm_text("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)  # feeds sketch build AND exact counts
+    )
+    cms = cms_build(toks, "token", depth=4, width=1024)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(10)
+    )
+    est = cms_estimate(cms, exact.select("token"), "token", depth=4, width=1024)
+    return exact.join(F.broadcast(est), "token").select(
+        "token",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("est_ge_exact"),
+    )
+
+
+@query(
+    "q112_group_zscore",
+    """
+    WITH stats AS (
+      SELECT lang,
+             avg(CAST(n_chars AS DOUBLE))    AS mu,
+             stddev_samp(CAST(n_chars AS DOUBLE)) AS sigma
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           round((d.n_chars - s.mu) / s.sigma, 4) AS z
+    FROM documents d JOIN stats s ON d.lang = s.lang
+    WHERE s.sigma > 0
+    """,
+)
+def q112_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score by language) — the
+    normalize-before-training primitive. Group stats are a partial-agg
+    shuffle over group cardinality; the fact side joins them via
+    broadcast and never reshuffles. stddev_samp matches DuckDB's;
+    z rounded 4dp (one subtraction + division past the agg)."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.avg(F.col("n_chars").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n_chars").cast("double")).alias("sigma"),
+    )
+    return (
+        d.join(F.broadcast(stats.filter(F.col("sigma") > 0)), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round((F.col("n_chars") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "q113_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.50) AS p50,
+             quantile_cont(l_extendedprice, 0.75) AS p75
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice < p25 THEN 0
+                WHEN l_extendedprice < p50 THEN 1
+                WHEN l_extendedprice < p75 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(min(l_extendedprice), 4) AS lo,
+           round(max(l_extendedprice), 4) AS hi
+    FROM lineitem CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q113_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram: boundaries from the DISTRIBUTED
+    exact percentile operator (two-pass rank lookup — no per-group
+    buffering, q45's machinery reused groupless), broadcast back as a
+    1-row frame; bucket assignment + counts are one partial-agg pass.
+    Exact interpolation parity with quantile_cont makes the boundaries —
+    and therefore every bucket count — bit-stable cross-engine."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    li = load(spark, sf_dir, "lineitem").withColumn("_g", F.lit(1))
+    bounds = exact_group_percentiles(
+        li, ["_g"], "l_extendedprice", {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+    ).drop("_g")
+    v = F.col("l_extendedprice")
+    bucket = (
+        F.when(v < F.col("p25"), 0)
+        .when(v < F.col("p50"), 1)
+        .when(v < F.col("p75"), 2)
+        .otherwise(3)
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.min(v), 4).alias("lo"),
+            F.round(F.max(v), 4).alias("hi"),
+        )
+    )

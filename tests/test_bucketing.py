@@ -129,3 +129,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """Spark injects a runtime bloom filter on the fact side of a
+    selective fact-dim join (the shuffle-reduction path when neither
+    bucketing nor broadcast applies): with thresholds lowered, the
+    optimized plan must contain bloom_filter_agg + might_contain."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.range(0, 200_000).selectExpr(
+                "id % 1000 AS k", "id AS a"
+            ).write.mode("overwrite").parquet(td + "/fact")
+            spark.range(0, 1000).selectExpr(
+                "id AS k", "id * 2 AS b"
+            ).write.mode("overwrite").parquet(td + "/dim")
+            fact = spark.read.parquet(td + "/fact")
+            dim = spark.read.parquet(td + "/dim").filter(F.col("k") < 5)
+            j = fact.join(dim, "k")
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan and "might_contain" in plan
+            # and the result is exact (bloom only pre-filters)
+            assert j.count() == 5 * 200
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

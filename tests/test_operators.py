@@ -983,3 +983,46 @@ def test_star_cc_matches_min_propagation(spark):
     }
     assert a == b
     assert b[14] == 10 and b[32] == 30 and b[52] == 50 and b[99] == 99
+
+
+def test_cms_one_sided_guarantee_and_unseen_zero(spark):
+    """Count-min: estimate >= exact for every probed token; a token the
+    stream never contained estimates 0 (all its counters empty) unless
+    collisions fill them — with width >> distinct tokens here, exactly 0."""
+    from etl_jetro_spark.operators.sketch import cms_build, cms_estimate
+
+    toks = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)], ["token"]
+    )
+    cms = cms_build(toks, "token", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("never",)], ["token"]
+    )
+    est = {r["token"]: r["est_cnt"] for r in cms_estimate(cms, probes, "token", depth=4, width=4096).collect()}
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1, "never": 0}
+    for t, x in exact.items():
+        assert est[t] >= x, (t, est[t], x)
+    # width 4096 vs 4 distinct tokens: collision-free, so estimates exact
+    assert est == exact
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from etl_jetro_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "unrelated words entirely different")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0     # full subset
+    assert not any(3 in p for p in cont)
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac                          # Jaccard dilution
