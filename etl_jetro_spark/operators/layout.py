@@ -60,3 +60,39 @@ def zorder_repartition(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def compaction_plan(
+    df: DataFrame,
+    group_cols: list[str],
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction assignment: within each group (a hive
+    partition directory), order files deterministically and fill bins by
+    running cumulative size — ``bin = (cumsum - size) div target`` — so
+    every bin lands within one file of ``target_bytes``. The per-group
+    window cumsum is the whole cost: one shuffle over the FILE LISTING
+    (metadata, millions of rows at 100 TB — not data); the actual
+    rewrite job then reads each bin's files and writes one output file
+    per bin. Deterministic: same listing -> same plan on any cluster.
+    Returns (group..., file, size, bin)."""
+    from pyspark.sql import Window
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    w = (
+        Window.partitionBy(*group_cols).orderBy(file_col)
+        if group_cols
+        else Window.partitionBy().orderBy(file_col)
+    )
+    cum = F.sum(size_col).over(w)
+    # integer `div`, not double division: a cumulative byte count can
+    # exceed 2^53 on a real listing and double arithmetic would mis-bin
+    return (
+        df.select(*group_cols, F.col(file_col), F.col(size_col))
+        .withColumn("_fill", (cum - F.col(size_col)).cast("long"))
+        .withColumn("bin", F.expr(f"_fill div {int(target_bytes)}"))
+        .drop("_fill")
+    )

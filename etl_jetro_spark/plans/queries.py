@@ -4220,3 +4220,182 @@ def q113_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(v), 4).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 32. End-to-end dedup pipeline, compaction planning, skew diagnosis
+#     (q114-q116)
+# --------------------------------------------------------------------------
+
+@query(
+    "q114_dedup_pipeline",
+    f"""
+    WITH RECURSIVE {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+      HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 >= 0.5
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+    reach(s, t) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t
+    ),
+    comp AS (SELECT s AS id, min(t) AS component FROM reach GROUP BY s)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+           CAST(coalesce(c.component, d.doc_id) = d.doc_id AS BOOLEAN) AS kept
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q114_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE near-dup pipeline in one declared query: MinHash+LSH
+    candidates (q18 machinery) -> est-Jaccard >= 0.5 edge filter ->
+    connected-components clustering (q60 machinery) -> canonical keep
+    (cluster-min id survives; isolated docs keep themselves). The oracle
+    replays every stage — signatures, banding, candidate join, edge
+    threshold, recursive min-label reachability, keep decision — so the
+    COMPOSITION is hash-verified, not just each part. Scale: each stage
+    is the operator already proven individually; the composition adds
+    only the CC rounds (O(cluster diameter), dedup clusters are
+    shallow)."""
+    from etl_jetro_spark.operators.dedup import minhash_lsh_candidates
+    from etl_jetro_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    edges = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(edges)
+    return (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+            (
+                F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+            ).alias("kept"),
+        )
+    )
+
+
+@query(
+    "q115_compaction_plan",
+    """
+    WITH files AS (
+      SELECT o_orderpriority AS part_dir,
+             'part-' || CAST(o_orderkey AS VARCHAR) || '.parquet' AS file,
+             CAST(floor(o_totalprice) AS BIGINT) AS size
+      FROM orders
+    ),
+    planned AS (
+      SELECT part_dir, file, size,
+             CAST((sum(size) OVER (PARTITION BY part_dir ORDER BY file
+                    ROWS UNBOUNDED PRECEDING) - size) // 1000000 AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT part_dir, CAST(sum(cnt) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(max(bin_total) AS BIGINT) AS max_bin_bytes
+    FROM (
+      SELECT part_dir, bin, sum(size) AS bin_total, count(*) AS cnt
+      FROM planned GROUP BY part_dir, bin
+    ) b
+    GROUP BY part_dir
+    """,
+)
+def q115_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/layout.compaction_plan):
+    a synthetic file listing (one 'file' per order, sized by total
+    price) is binned per partition dir by running-cumsum fill to a 1 MB
+    target; the query reports per-dir file count, bin count, and the
+    largest planned bin. The window cumsum runs over the METADATA
+    listing — at 100 TB that is millions of rows, not data. Integer
+    `div` binning (a real cumulative byte count can pass 2^53)."""
+    from etl_jetro_spark.operators.layout import compaction_plan
+
+    o = load(spark, sf_dir, "orders")
+    files = o.select(
+        F.col("o_orderpriority").alias("part_dir"),
+        F.concat(
+            F.lit("part-"), F.col("o_orderkey").cast("string"), F.lit(".parquet")
+        ).alias("file"),
+        F.floor("o_totalprice").cast("long").alias("size"),
+    )
+    plan = compaction_plan(files, ["part_dir"], "file", "size", 1_000_000)
+    bins = plan.groupBy("part_dir", "bin").agg(
+        F.sum("size").alias("bin_total"), F.count(F.lit(1)).alias("cnt")
+    )
+    return bins.groupBy("part_dir").agg(
+        F.sum("cnt").cast("long").alias("n_files"),
+        F.countDistinct("bin").cast("long").alias("n_bins"),
+        F.max("bin_total").cast("long").alias("max_bin_bytes"),
+    )
+
+
+@query(
+    "q116_heavy_keys",
+    """
+    WITH c AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT l_partkey) AS BIGINT) AS k
+          FROM lineitem)
+    SELECT l_partkey, cnt,
+           round(cnt * k / CAST(n AS DOUBLE), 4) AS skew_ratio
+    FROM c CROSS JOIN t
+    WHERE cnt * k > 1.5 * n
+    """,
+)
+def q116_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: join/agg keys whose row count exceeds 1.5x the
+    mean per-key load — the detector that decides when to salt
+    (operators/skew.py) or let AQE split. One partial-agg pass for
+    per-key counts; totals ride a broadcast 1-row frame; the predicate
+    is integer arithmetic (cnt*k > 1.5n as 2*cnt*k > 3n exact) with the
+    reported ratio rounded."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("l_partkey").cast("long").alias("k"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("cnt") * F.col("k") * 2 > F.col("n") * 3)
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.col("k") / F.col("n").cast("double"), 4
+            ).alias("skew_ratio"),
+        )
+    )

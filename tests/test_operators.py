@@ -1026,3 +1026,31 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     }
     assert (1, 2) not in jac                          # Jaccard dilution
+
+
+def test_compaction_plan_bins_respect_target(spark):
+    """Sequential-fill bins: every bin's total stays under target + its
+    largest file (fill overshoot is bounded by one file), assignment is
+    deterministic, groups never mix."""
+    from etl_jetro_spark.operators.layout import compaction_plan
+
+    rows_in = [
+        ("a", f"f{i:03d}", s)
+        for i, s in enumerate([50, 120, 80, 200, 10, 90, 60, 150, 40, 30])
+    ] + [("b", f"g{i}", 500) for i in range(3)]
+    df = spark.createDataFrame(rows_in, ["dir", "file", "size"])
+    plan = compaction_plan(df, ["dir"], "file", "size", target_bytes=200)
+    got = plan.collect()
+    assert len(got) == len(rows_in)
+    bins = {}
+    for r in got:
+        bins.setdefault((r["dir"], r["bin"]), []).append(r["size"])
+    for (d, b), sizes in bins.items():
+        assert sum(sizes) <= 200 + max(sizes), (d, b, sizes)
+    # deterministic re-plan
+    again = {(r["dir"], r["file"]): r["bin"] for r in compaction_plan(
+        df, ["dir"], "file", "size", target_bytes=200).collect()}
+    first = {(r["dir"], r["file"]): r["bin"] for r in got}
+    assert again == first
+    with pytest.raises(ValueError):
+        compaction_plan(df, ["dir"], "file", "size", target_bytes=0)
