@@ -86,7 +86,11 @@ def bench_ops(spark, events_path: str, docs_path: str) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def run(name, df):
+        # accept a thunk for operators that execute eagerly at build time
+        # (iterative driver loops) — otherwise their work escapes the timer
         t0 = time.perf_counter()
+        if callable(df):
+            df = df()
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
 
@@ -111,6 +115,38 @@ def bench_ops(spark, events_path: str, docs_path: str) -> dict[str, float]:
             ((F.col("ts") / 1_000_000_000).cast("long") / 3600).cast("long"),
             "event_type",
         ).agg(F.count(F.lit(1)), F.sum("value")),
+    )
+
+    # round-3 heavy operators
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+    from etl_jetro_spark.operators.dedup import containment_pairs
+    from etl_jetro_spark.operators.graph import connected_components
+    from etl_jetro_spark.operators.sketch import cms_build
+
+    run(
+        "exact_percentiles",
+        exact_group_percentiles(
+            e, ["event_type"], "value", {"p50": 0.5, "p95": 0.95}
+        ),
+    )
+    run(
+        "containment_dfcap",
+        containment_pairs(
+            d, "doc_id", "text", n=3, threshold=0.8, max_doc_freq=50
+        ),
+    )
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    run("cms_build", cms_build(toks, "token", depth=4, width=1024))
+    # star CC on a chain within each doc-id block: rounds are O(log^2 n),
+    # data per round is the edge set — wall time should track data ratio
+    edges = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    run(
+        "star_cc_chain",
+        lambda: connected_components(edges, max_iter=60, method="star"),
     )
     return out
 
