@@ -205,3 +205,34 @@ def exact_group_percentiles(
         # the aggregate namespace
         aggs.append((vlo + F.max(frac) * (vhi - vlo)).alias(name))
     return ranked.filter(keep).groupBy(*keys).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier census via the Median Absolute Deviation:
+    med = exact median of the group, mad = exact median of |v - med|,
+    outlier ⇔ |v - med| > z·mad. Both medians run through
+    :func:`exact_group_percentiles` (range-partitioned parallel sort — no
+    per-group multiset buffering, no per-group serial sort), so the
+    operator holds at raw-row scale where ``percentile``-style aggregates
+    OOM. The two median frames are groups-sized and broadcast back.
+    Returns (keys..., n, med, mad, n_outliers)."""
+    v = F.col(value)
+    med = exact_group_percentiles(df, keys, value, {"_med": 0.5})
+    dev = df.join(F.broadcast(med), keys).withColumn(
+        "_absdev", F.abs(v - F.col("_med"))
+    )
+    mad = exact_group_percentiles(dev, keys, "_absdev", {"_mad": 0.5})
+    j = dev.join(F.broadcast(mad), keys)
+    return j.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.any_value(F.col("_med")).alias("med"),
+        F.any_value(F.col("_mad")).alias("mad"),
+        F.sum(
+            (F.col("_absdev") > F.lit(z) * F.col("_mad")).cast("long")
+        ).cast("long").alias("n_outliers"),
+    )

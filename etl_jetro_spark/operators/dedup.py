@@ -481,3 +481,108 @@ def keep_best_by(
     return out.select(
         *groups, *[F.col(f"_best.{c}").alias(c) for c in keep_cols]
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm). Each char
+    ``k``-gram of the normalized text is hashed; every window of ``w``
+    consecutive k-gram hashes contributes its MINIMUM as a fingerprint;
+    the distinct per-document fingerprint set is returned as
+    ``(id, fingerprint)`` rows. Guarantee: any substring match of length
+    >= k + w - 1 between two documents shares at least one fingerprint,
+    and the expected density is 2/(w+1) of the k-gram count — a bounded
+    fraction of the corpus feeds any downstream join.
+
+    Scale shape: k-gram hashing is expression-only (no UDF, no shuffle);
+    ONE shuffle partitions k-gram hashes by doc for the sliding-window
+    min (docs are small relative to partitions — no skew); the distinct
+    collapses on the same (id, fingerprint) partitioning with map-side
+    partial agg. No reference counterpart (the reference has no
+    fingerprinting); this is the rolling-hash fingerprint surface of the
+    training-data brief.
+    """
+    from pyspark.sql import Window
+
+    g = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(char_shingles(text_col, k)).alias("_pos", "_g"),
+    )
+    win = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(w - 1), 0)
+    fp = (
+        g.select("_id", "_pos", F.min(F.md5("_g")).over(win).alias("fingerprint"))
+        # winnowing emits only FULL windows; the first w-1 positions are
+        # prefixes of the first full window
+        .filter(F.col("_pos") >= w - 1)
+    )
+    return fp.select(F.col("_id").alias(id_col), "fingerprint").distinct()
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_words: int = 10,
+) -> DataFrame:
+    """Corpus-level line dedup (the CCNet / RefinedWeb paragraph-hash
+    shape, Wenzek et al. 2020): documents split into fixed
+    ``line_words``-word lines; every line whose hash already occurred
+    earlier in the corpus (order: (doc id, line index) lexicographic — the
+    deterministic stand-in for ingest order) is dropped; survivors
+    reassemble in document order. Returns
+    ``(id, n_lines, n_kept, text_kept)`` for every input document
+    (documents with no lines keep an empty string).
+
+    Scale shape: line generation is expression-only; the first-occurrence
+    decision is ONE shuffle partitioning lines by line-hash (row_number
+    over (hash; doc,idx) — state per key is a counter, and hot duplicate
+    lines are exactly the rows the operator deletes); reassembly is a
+    second shuffle by doc id with map-side partial agg of (idx, line)
+    structs. Both shuffles carry the line rows once — the canonical
+    two-pass corpus-dedup cost.
+    """
+    from pyspark.sql import Window
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    words = F.filter(F.split(norm_text(text_col), " "), lambda x: x != "")
+    base = spread(df).select(F.col(id_col).alias("_id"), words.alias("_w"))
+    arr = F.when(
+        F.size("_w") == 0, F.expr("CAST(array() AS array<string>)")
+    ).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("_w") / F.lit(line_words)).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice("_w", i * line_words + 1, line_words)
+            ),
+        )
+    )
+    ln = base.select("_id", F.posexplode(arr).alias("_idx", "_line"))
+    w = Window.partitionBy(F.md5("_line")).orderBy("_id", "_idx")
+    kept = ln.withColumn("_keep", F.row_number().over(w) == 1)
+    per_doc = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN _keep THEN struct(_idx, _line) END)), x -> x._line), ' ')"
+        ).alias("text_kept"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

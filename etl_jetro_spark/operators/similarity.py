@@ -552,3 +552,49 @@ def ivf_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def segment_overlap(
+    df: DataFrame, seg_col: str, member_col: str
+) -> DataFrame:
+    """Pairwise audience overlap between segments: for every segment pair
+    (a < b), the exact distinct-member intersection size and Jaccard.
+    One distinct pass (partial-agg shuffle), then a self-equi-join ON THE
+    MEMBER — per-member fan-out is (#segments carrying the member)², so
+    cost is bounded by #segments² per member, never |members|²; segment
+    sizes ride back on a broadcast dim. Returns
+    (seg_a, seg_b, n_a, n_b, n_both, jaccard)."""
+    m = df.select(
+        F.col(seg_col).alias("seg"), F.col(member_col).alias("member")
+    ).distinct()
+    sizes = m.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = m.withColumnRenamed("seg", "seg_a")
+    b = m.withColumnRenamed("seg", "seg_b")
+    inter = (
+        a.join(b, ["member"])
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a")),
+            "seg_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b")),
+            "seg_b",
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

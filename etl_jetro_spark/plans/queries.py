@@ -4399,3 +4399,297 @@ def q116_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 10. Round-3 widening: fingerprinting, corpus-line dedup, sketch surfaces,
+#     skyline/overlap/robust-outlier analytics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q117_winnow_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {DK_NORM_TEXT} AS t FROM documents),
+    g AS (
+      SELECT doc_id, i.i AS pos, md5(substr(t, CAST(i.i AS INT), 8)) AS h
+      FROM t, UNNEST(generate_series(1, greatest(length(t) - 7, 0))) AS i(i)
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fingerprint FROM w WHERE pos >= 4
+    """,
+)
+def q117_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (operators/dedup.
+    winnow_fingerprints — the MOSS algorithm, Schleimer et al. SIGMOD'03):
+    char 8-gram hashes, window-of-4 minima, distinct per doc. Guarantees
+    any >= 11-char shared substring leaves a shared fingerprint at ~2/5
+    k-gram density. k-gram hashing is expression-only; ONE shuffle
+    (partition by doc) feeds both the sliding min and the distinct."""
+    from etl_jetro_spark.operators.dedup import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=8, w=4)
+
+
+@query(
+    "q118_line_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {DK_NORM_TEXT} AS t FROM documents),
+    wds AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ws
+            FROM t),
+    idx AS (
+      SELECT doc_id, ws, i.i AS idx
+      FROM wds,
+           UNNEST(generate_series(0, CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS i(i)
+      WHERE len(ws) > 0
+    ),
+    ln AS (SELECT doc_id, idx,
+                  array_to_string(list_slice(ws, idx * 10 + 1, idx * 10 + 10), ' ') AS line
+           FROM idx),
+    k AS (SELECT doc_id, idx, line,
+                 row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
+          FROM ln),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY idx),
+                      '') AS text_kept
+      FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.text_kept, '') AS text_kept
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q118_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (operators/dedup.line_dedup — the CCNet
+    paragraph-hash shape): 10-word lines, first occurrence by (doc, idx)
+    survives, documents reassemble in order. Two line-row shuffles total
+    (hash-partition for first-occurrence, doc-partition for reassembly)."""
+    from etl_jetro_spark.operators.dedup import line_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return line_dedup(d, "doc_id", "text", line_words=10)
+
+
+@query(
+    "q119_kmv_source_jaccard",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    ssh AS (
+      SELECT d.source AS grp, md5(s.sh) AS h
+      FROM sh s JOIN documents d USING (doc_id)
+      GROUP BY d.source, md5(s.sh)
+    ),
+    kmv AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM ssh) WHERE rn <= 32
+    ),
+    pairs AS (
+      SELECT a.grp AS group_a, b.grp AS group_b
+      FROM (SELECT DISTINCT grp FROM kmv) a
+      JOIN (SELECT DISTINCT grp FROM kmv) b ON a.grp < b.grp
+    ),
+    m AS (
+      SELECT p.group_a, p.group_b, k.h,
+             max(CASE WHEN k.grp = p.group_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN k.grp = p.group_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN kmv k ON k.grp = p.group_a OR k.grp = p.group_b
+      GROUP BY 1, 2, 3
+    ),
+    bot AS (
+      SELECT * FROM (
+        SELECT m.*, row_number() OVER (PARTITION BY group_a, group_b
+                                       ORDER BY h) AS rn FROM m)
+      WHERE rn <= 32
+    )
+    SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_union_k,
+           round(sum(in_a * in_b) / CAST(count(*) AS DOUBLE), 6) AS est_jaccard
+    FROM bot GROUP BY 1, 2
+    """,
+)
+def q119_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap triage from K-minimum-values sketches
+    (operators/sketch.kmv_bottom_k / kmv_pairwise_jaccard): the corpus is
+    shingled ONCE; every pairwise estimate runs on k=32-hash sketches, so
+    the quadratic term is #sources², never corpus-sized. The oracle
+    replays sketch build, union-bottom-k, and the estimator exactly."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+    from etl_jetro_spark.operators.sketch import kmv_pairwise_jaccard
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "source", "text", 3, distinct=False).select(
+        F.col("_id").alias("source"), F.col("_sh").alias("sh")
+    )
+    return kmv_pairwise_jaccard(sh, "source", "sh", k=32)
+
+
+@query(
+    "q120_pareto_parts",
+    """
+    SELECT x.p_partkey, x.p_retailprice, x.p_size
+    FROM part x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part y
+      WHERE y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
+        AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+    )
+    """,
+)
+def q120_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline (operators/frontier.pareto_frontier):
+    parts where no other part is cheaper-and-bigger. The oracle runs the
+    quadratic NOT EXISTS definition; the engine runs the sweep
+    decomposition — per-distinct-price maxima (partial agg), one
+    NDV-sized window for the strictly-cheaper running max, then per-row
+    arithmetic. No self-join of the table against itself."""
+    from etl_jetro_spark.operators.frontier import pareto_frontier
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(p, "p_retailprice", "p_size")
+
+
+@query(
+    "q121_audience_overlap",
+    """
+    WITH m AS (SELECT DISTINCT event_type AS seg, user_id AS member FROM events),
+    s AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+    i AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM m a JOIN m b ON a.member = b.member AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_both,
+           round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+    FROM i JOIN s sa ON sa.seg = i.seg_a JOIN s sb ON sb.seg = i.seg_b
+    """,
+)
+def q121_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event-type segments
+    (operators/similarity.segment_overlap): distinct membership pass, then
+    a member-keyed self-join whose fan-out is #segments² PER MEMBER (a
+    constant), never |members|²; sizes ride a broadcast dim."""
+    from etl_jetro_spark.operators.similarity import segment_overlap
+
+    e = load_events(spark, sf_dir)
+    return segment_overlap(e, "event_type", "user_id")
+
+
+@query(
+    "q122_mad_outliers",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+            FROM events e JOIN med m USING (event_type)),
+    madt AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+             FROM dev GROUP BY 1)
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(t.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.d > 3.0 * t.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN madt t USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q122_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type via Median Absolute Deviation
+    (operators/aggregate.mad_outliers): BOTH medians run through the
+    distributed exact-percentile operator (range-partitioned parallel
+    sort — no per-group multiset buffering), so the robust statistic
+    survives raw-row scale; the group-sized median frames broadcast."""
+    from etl_jetro_spark.operators.aggregate import mad_outliers
+
+    e = load_events(spark, sf_dir)
+    out = mad_outliers(e, ["event_type"], "value", z=3.0)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+    )
+
+
+_BLOOM_WORDS = 1024
+_BLOOM_BITS = _BLOOM_WORDS * 32
+
+
+@query(
+    "q123_bloom_membership",
+    f"""
+    WITH coords AS (
+      SELECT {_dk_hex8("md5('bloom' || i.i || ':' || CAST(l_partkey AS VARCHAR))")}
+               % {_BLOOM_BITS} AS pos
+      FROM lineitem, (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    bloom AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM coords GROUP BY 1
+    ),
+    probes AS (
+      SELECT p_partkey AS probe_key FROM part
+      UNION ALL SELECT p_partkey + 1000000000 FROM part
+    ),
+    pc AS (
+      SELECT probe_key,
+             {_dk_hex8("md5('bloom' || i.i || ':' || CAST(probe_key AS VARCHAR))")}
+               % {_BLOOM_BITS} AS pos
+      FROM probes, (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    hits AS (
+      SELECT probe_key,
+             min(CASE WHEN (coalesce(b.bits, 0) &
+                    (CAST(1 AS BIGINT) << CAST(pc.pos % 32 AS INT))) <> 0
+                 THEN 1 ELSE 0 END) AS hit
+      FROM pc LEFT JOIN bloom b ON b.word = pc.pos // 32
+      GROUP BY 1
+    ),
+    tru AS (SELECT DISTINCT l_partkey AS probe_key FROM lineitem)
+    SELECT h.probe_key, (t.probe_key IS NOT NULL) AS truly_present,
+           (h.hit = 1) AS maybe_present,
+           ((t.probe_key IS NULL) OR h.hit = 1) AS one_sided_ok
+    FROM hits h LEFT JOIN tru t USING (probe_key)
+    """,
+)
+def q123_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership (operators/sketch.bloom_build /
+    bloom_contains): the filter is a (word, bits) table built in ONE
+    partial-agg shuffle bounded by 1024 rows per task regardless
+    of fact size, then broadcast to probes — the engine-level primitive
+    behind runtime join pruning. The oracle rebuilds the identical md5-
+    addressed bitset in SQL and ASSERTS the one-sided guarantee (present
+    keys are never reported absent) per row."""
+    from etl_jetro_spark.operators.sketch import bloom_build, bloom_contains
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    probes = p.select(F.col("p_partkey").alias("probe_key")).unionByName(
+        p.select((F.col("p_partkey") + F.lit(1000000000)).alias("probe_key"))
+    )
+    bloom = bloom_build(li, "l_partkey", m_words=_BLOOM_WORDS, k_hashes=4)
+    maybe = bloom_contains(
+        bloom, probes, "probe_key", m_words=_BLOOM_WORDS, k_hashes=4
+    )
+    tru = li.select(F.col("l_partkey").alias("probe_key")).distinct()
+    return (
+        maybe.join(tru.withColumn("_t", F.lit(1)), "probe_key", "left")
+        .select(
+            "probe_key",
+            F.col("_t").isNotNull().alias("truly_present"),
+            "maybe_present",
+            (F.col("_t").isNull() | F.col("maybe_present")).alias("one_sided_ok"),
+        )
+    )

@@ -1054,3 +1054,159 @@ def test_compaction_plan_bins_respect_target(spark):
     assert again == first
     with pytest.raises(ValueError):
         compaction_plan(df, ["dir"], "file", "size", target_bytes=0)
+
+
+# --- round-3 widening: winnowing, line dedup, KMV, bloom, skyline, MAD ----
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from etl_jetro_spark.operators.dedup import winnow_fingerprints
+
+    # any shared substring of length >= k + w - 1 = 11 must share a
+    # fingerprint (the winnowing guarantee)
+    shared = "zqxjkwvbnmp"  # 11 chars, appears in both docs
+    df = spark.createDataFrame(
+        [
+            (1, f"aaaa {shared} bbbb"),
+            (2, f"cccc {shared} dddd"),
+            (3, "entirely different text with nothing in common at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
+    by_doc = {
+        r["doc_id"]: {x["fingerprint"] for x in fp.collect() if x["doc_id"] == r["doc_id"]}
+        for r in fp.select("doc_id").distinct().collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared 11-char substring must share a fingerprint"
+    # density: fingerprints are a strict subset of k-gram count
+    n_grams = len("aaaa zqxjkwvbnmp bbbb") - 7
+    assert 0 < len(by_doc[1]) < n_grams
+
+
+def test_winnow_short_text_yields_nothing(spark):
+    from etl_jetro_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "short")], ["doc_id", "text"])
+    assert winnow_fingerprints(df, "doc_id", "text", k=8, w=4).count() == 0
+
+
+def test_line_dedup_first_occurrence_survives(spark):
+    from etl_jetro_spark.operators.dedup import line_dedup
+
+    dup = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"{dup} unique alpha beta gamma delta"),
+            (2, f"{dup} other words entirely here now"),
+            (3, "totally fresh content nothing repeated"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = line_dedup(df, "doc_id", "text", line_words=5)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # doc 1 keeps both its lines; doc 2 loses the duplicated first line
+    assert got[1]["n_lines"] == 2 and got[1]["n_kept"] == 2
+    assert got[2]["n_lines"] == 2 and got[2]["n_kept"] == 1
+    assert got[2]["text_kept"] == "other words entirely here now"
+    assert got[3]["n_kept"] == 1
+    # reassembly preserves order
+    assert got[1]["text_kept"].startswith(dup)
+
+
+def test_line_dedup_empty_text_row_kept(spark):
+    from etl_jetro_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, ""), (2, "some words here")], ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(df, "doc_id", "text").collect()}
+    assert got[1] == {"doc_id": 1, "n_lines": 0, "n_kept": 0, "text_kept": ""}
+    assert got[2]["n_kept"] == 1
+
+
+def test_kmv_jaccard_exact_on_small_sets(spark):
+    from etl_jetro_spark.operators.sketch import kmv_pairwise_jaccard
+
+    # unions smaller than k: the estimator degenerates to EXACT Jaccard
+    rows_ = [("a", x) for x in "pqrs"] + [("b", x) for x in "rstu"] + [
+        ("c", x) for x in "xyz"
+    ]
+    df = spark.createDataFrame(rows_, ["grp", "item"])
+    got = {
+        (r["group_a"], r["group_b"]): r["est_jaccard"]
+        for r in kmv_pairwise_jaccard(df, "grp", "item", k=32).collect()
+    }
+    assert got[("a", "b")] == pytest.approx(2 / 6)  # {r,s} / {p..u}
+    assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
+
+
+def test_kmv_estimate_close_on_large_overlap(spark):
+    from etl_jetro_spark.operators.sketch import kmv_pairwise_jaccard
+
+    a = [("a", f"tok{i}") for i in range(400)]
+    b = [("b", f"tok{i}") for i in range(200, 600)]  # true J = 200/600
+    df = spark.createDataFrame(a + b, ["grp", "item"])
+    est = kmv_pairwise_jaccard(df, "grp", "item", k=64).collect()[0]["est_jaccard"]
+    assert abs(est - 200 / 600) < 0.15
+
+
+def test_bloom_no_false_negatives_and_some_rejection(spark):
+    from etl_jetro_spark.operators.sketch import bloom_build, bloom_contains
+
+    present = spark.range(0, 500).withColumnRenamed("id", "k")
+    bloom = bloom_build(present, "k", m_words=256, k_hashes=4)
+    probes = spark.range(0, 1000).withColumnRenamed("id", "k")
+    got = {r["k"]: r["maybe_present"] for r in bloom_contains(
+        bloom, probes, "k", m_words=256, k_hashes=4
+    ).collect()}
+    assert all(got[k] for k in range(500)), "false negative — never allowed"
+    absent_hits = sum(got[k] for k in range(500, 1000))
+    assert absent_hits < 250, f"FPP implausibly high: {absent_hits}/500"
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    import random
+
+    from etl_jetro_spark.operators.frontier import pareto_frontier
+
+    rnd = random.Random(7)
+    pts = [(i, rnd.randrange(0, 50), rnd.randrange(0, 50)) for i in range(300)]
+    # include exact ties on both axes
+    pts += [(1000, 5, 40), (1001, 5, 40)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {r["id"] for r in pareto_frontier(df, "x", "y").collect()}
+    brute = {
+        i
+        for (i, x, y) in pts
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for (_, x2, y2) in pts
+        )
+    }
+    assert got == brute
+
+
+def test_segment_overlap_counts(spark):
+    from etl_jetro_spark.operators.similarity import segment_overlap
+
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 2), ("s1", 2), ("s2", 2), ("s2", 3), ("s3", 9)],
+        ["seg", "member"],
+    )
+    got = {
+        (r["seg_a"], r["seg_b"]): r.asDict() for r in segment_overlap(df, "seg", "member").collect()
+    }
+    r = got[("s1", "s2")]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (2, 2, 1)
+    assert r["jaccard"] == pytest.approx(1 / 3)
+    assert ("s1", "s3") not in got  # zero-intersection pairs drop out
+
+
+def test_mad_outliers_flags_injected_spike(spark):
+    from etl_jetro_spark.operators.aggregate import mad_outliers
+
+    vals = [("g", float(v)) for v in range(1, 101)] + [("g", 1e6)]
+    df = spark.createDataFrame(vals, ["grp", "v"])
+    r = mad_outliers(df, ["grp"], "v", z=3.0).collect()[0]
+    assert r["n"] == 101
+    assert r["med"] == pytest.approx(51.0)
+    assert r["n_outliers"] == 1  # only the spike exceeds 3 MAD
