@@ -28,15 +28,20 @@ def main() -> None:
     # warm the JVM/codegen path once on the smallest table
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Short keys ("q1", not "q1_pricing_summary"): the stdout line must stay
+    # small enough to survive tail-truncating capture pipelines (the r02
+    # artifact lost the line's head once 107 long names pushed it past the
+    # driver's buffer). The full-name map lives in the sidecar only.
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        short = name.split("_", 1)[0]
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[short] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep benching; a failure shows as null
             print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = None
+            timings[short] = None
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -55,6 +60,13 @@ def main() -> None:
     try:
         with open(sidecar, "w") as fh:
             fh.write(payload + "\n")
+        keymap = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_KEYS.json"
+        )
+        with open(keymap, "w") as fh:
+            fh.write(
+                json.dumps({n.split("_", 1)[0]: n for n in QUERIES}) + "\n"
+            )
     except OSError as e:
         print(f"bench: sidecar write failed: {e}", file=sys.stderr)
     sys.stdout.flush()

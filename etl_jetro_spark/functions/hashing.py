@@ -42,8 +42,23 @@ def doc_fingerprint(col: str | Column) -> Column:
 
 def char_shingles(col: str | Column, n: int = 8) -> Column:
     """Array of character n-grams of the normalized text (empty array if the
-    text is shorter than n). Expression-only — no explode, no shuffle."""
-    s = norm_text(col)
+    text is shorter than n). Expression-only — no explode, no shuffle.
+
+    PERF: the normalization expression is embedded in the transform
+    lambda, so it re-evaluates PER ELEMENT (two regex passes × every
+    k-gram position — measured 38× overhead on the winnowing path at
+    sf0.1). Callers on a hot path should project ``norm_text`` into a
+    real column first and use :func:`char_shingles_normed` on the
+    attribute instead."""
+    return char_shingles_normed(norm_text(col), n)
+
+
+def char_shingles_normed(s: Column, n: int = 8) -> Column:
+    """:func:`char_shingles` over an ALREADY-MATERIALIZED normalized
+    string column (an attribute, not an expression tree): the lambda then
+    reads a computed value per element instead of recomputing its input.
+    CollapseProject won't re-inline the normalization (regexp_replace is
+    not a cheap expression), so a plain ``.select`` boundary is enough."""
     # NB: F.sequence(1, 0) yields a DESCENDING [1, 0], not [], so short texts
     # need an explicit empty-array branch.
     return F.when(

@@ -238,10 +238,24 @@ def ngram_jaccard_pairs(
     # GC-reclaimed (no cache accumulation across calls). Word shingles use
     # the codegen'd exploded path; char shingles keep the array form.
     if use_chars:
-        sh = spread(df).select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(char_shingles(text_col, n))).alias("_sh"),
-        ).localCheckpoint(eager=False)
+        from etl_jetro_spark.functions.hashing import (
+            char_shingles_normed,
+            norm_text,
+        )
+
+        # norm materialized BEFORE the k-gram lambda (else it re-runs per
+        # position — see winnow_fingerprints)
+        sh = (
+            spread(df)
+            .select(F.col(id_col).alias("_id"), norm_text(text_col).alias("_t"))
+            .select(
+                "_id",
+                F.explode(
+                    F.array_distinct(char_shingles_normed(F.col("_t"), n))
+                ).alias("_sh"),
+            )
+            .localCheckpoint(eager=False)
+        )
     else:
         sh = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
             eager=False
@@ -510,9 +524,17 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    g = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(char_shingles(text_col, k)).alias("_pos", "_g"),
+    from etl_jetro_spark.functions.hashing import char_shingles_normed, norm_text
+
+    # materialize the normalization BEFORE the k-gram lambda — an inlined
+    # norm_text re-runs its regexes per k-gram position (measured 66 s ->
+    # 1.7 s for this operator at sf0.1)
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), norm_text(text_col).alias("_t")
+    )
+    g = base.select(
+        "_id",
+        F.posexplode(char_shingles_normed(F.col("_t"), k)).alias("_pos", "_g"),
     )
     win = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(w - 1), 0)
     fp = (
@@ -585,4 +607,85 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
         )
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard pairs >= ``threshold`` via PREFIX FILTERING (the
+    All-Pairs / PPJoin candidate bound — Chaudhuri et al. ICDE'06, Bayardo
+    et al. WWW'07): under any global total order on shingles, two sets
+    with J >= t MUST share an element among each set's first
+    |S| - ceil(t·|S|) + 1 shingles. Only those prefixes enter the
+    inverted-index self-join, so candidate volume shrinks by ~(1-t)² and
+    — with the order chosen as (document frequency asc, shingle asc) —
+    hot boilerplate shingles land OUTSIDE every prefix, killing the join
+    skew that ``max_doc_freq`` merely caps (and unlike the cap, the
+    filter is LOSSLESS: the output provably equals the full inverted
+    index's).
+
+    Verification is per-candidate set intersection on collected shingle
+    arrays: per-DOC arrays are bounded by document length (never
+    corpus-sized), so the verify stage is O(|A|+|B|) per candidate with
+    no further shuffle of the index. Returns (id_a, id_b, jaccard).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
+        eager=False
+    )
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    # verify arrays carry 60-bit hashes, not shingle strings: the
+    # per-candidate intersection is exact up to in-pair collisions at
+    # ~|doc|²/2^60 (≈1e-16 — doc-bounded, scale-independent), and the
+    # candidate join ships 8-byte elements instead of ~25-byte strings
+    sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    # NOT checkpointed: both verify-join sides alias this same subplan and
+    # its exchange hash-partitions on _id either way, so ReuseExchange
+    # serves the second side from the first side's shuffle
+    sets = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list(sh_h)).alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # global canonical order (df asc, shingle asc); the per-doc rank is a
+    # doc-partitioned window — bounded by doc length. The set size rides
+    # the SAME window partitioning (count over the doc partition), so the
+    # prefix cut costs one shuffle past the df join, not two.
+    wdoc = Window.partitionBy("_id")
+    ranked = (
+        sh.join(dfreq, "_sh")
+        .withColumn("_rk", F.row_number().over(wdoc.orderBy("_df", "_sh")))
+        .withColumn("_n", F.count(F.lit(1)).over(wdoc))
+    )
+    # NOT checkpointed: the candidate self-join aliases one subplan; the
+    # second side rides ReusedExchange (same shape as ngram_jaccard_pairs)
+    pref = ranked.filter(
+        F.col("_rk")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("_id", "_sh")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), F.col("a._sh") == F.col("b._sh"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("_na")
+    )
+    b = sets.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = common / (F.col("_na") + F.col("_nb") - common)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -283,3 +283,66 @@ def vocab_doc_freq(
     )
     out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     return out.filter(F.col("doc_freq") >= min_df)
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores for a fixed query-term list
+    (Robertson/Sparck Jones; idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    the Lucene-style non-negative variant). Returns one row per document
+    containing >= 1 query term: (id, score).
+
+    Scale shape: tokens are FILTERED TO THE QUERY TERMS before any
+    aggregation, so every frame after the scan is per-(query-term, doc) —
+    corpus-wide state is the query-term df vector (|q| rows, broadcast)
+    and the 1-row (N, avgdl) aggregate, also broadcast. One shuffle for
+    tf, one for the final per-doc sum; nothing vocabulary-sized exists
+    anywhere."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(norm_text(text_col), " "), lambda x: x != "").alias("_w"),
+    ).localCheckpoint(eager=False)  # feeds stats AND the tf pass
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.avg(F.size("_w")).alias("_avgdl"),
+    )
+    toks = base.select(
+        "_id",
+        F.size("_w").alias("_dl"),
+        F.explode("_w").alias("_t"),
+    ).filter(F.array_contains(terms, F.col("_t")))
+    tf = toks.groupBy("_id", "_t").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_s").alias("score")
+    )

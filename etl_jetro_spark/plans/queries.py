@@ -4693,3 +4693,81 @@ def q123_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_t").isNull() | F.col("maybe_present")).alias("one_sided_ok"),
         )
     )
+
+
+@query(
+    "q124_prefix_filter_jaccard",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           c / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+    """,
+)
+def q124_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 via PREFIX FILTERING (operators/dedup.
+    prefix_filter_jaccard_pairs): only each set's first
+    |S|-ceil(0.5|S|)+1 shingles — under the (df asc, shingle asc) global
+    order — enter the inverted-index join, so hot boilerplate shingles
+    never join and candidates shrink ~(1-t)². LOSSLESS, unlike q19's df
+    cap: the oracle is the UNCAPPED brute-force inverted index, and the
+    hash match proves the filter drops no qualifying pair. Verification
+    is per-candidate array intersection on doc-bounded shingle arrays."""
+    from etl_jetro_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+_BM25_TERMS = ("spark", "window", "hash")
+
+
+@query(
+    "q125_bm25_retrieval",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({DK_NORM_TEXT}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(w)) AS avgdl FROM base),
+    toks AS (
+      SELECT doc_id, len(w) AS dl, t.t AS t
+      FROM base, UNNEST(w) AS t(t)
+      WHERE t.t IN {_BM25_TERMS!r}
+    ),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (
+      SELECT tf.doc_id,
+             ln((stats.N - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfq USING (t) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS score FROM s GROUP BY doc_id
+    """,
+)
+def q125_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/textstats.bm25_scores, Lucene-style
+    non-negative idf; k1=1.2, b=0.75) for a fixed 3-term query. Tokens
+    filter to the query terms BEFORE any aggregation, so post-scan state
+    is per-(term, doc); corpus-wide frames are the |q|-row df vector and
+    the 1-row (N, avgdl) aggregate, both broadcast. The oracle replays
+    the formula term-by-term in SQL."""
+    from etl_jetro_spark.operators.textstats import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = bm25_scores(d, "doc_id", "text", list(_BM25_TERMS))
+    return out.select("doc_id", F.round("score", 6).alias("score"))

@@ -1210,3 +1210,80 @@ def test_mad_outliers_flags_injected_spike(spark):
     assert r["n"] == 101
     assert r["med"] == pytest.approx(51.0)
     assert r["n_outliers"] == 1  # only the spike exceeds 3 MAD
+
+
+def test_prefix_filter_jaccard_lossless_vs_full_index(spark):
+    from etl_jetro_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (4, "one two three four five six seven eight nine"),
+        (5, "completely different words appear in this document here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == full and (1, 3) in pref and (1, 2) in pref
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # a hot shingle shared by every doc must NOT put every doc pair in the
+    # candidate set: with df-ascending prefix order the hot shingle sorts
+    # last and stays outside the prefixes of dissimilar docs
+    from etl_jetro_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    hot = "common shared boiler plate"
+    docs = [(i, f"{hot} unique{i} word{i} token{i} item{i} thing{i}") for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = prefix_filter_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    assert out.count() == 0  # no pair reaches 0.8
+
+
+def test_bm25_ranks_term_dense_doc_higher(spark):
+    from etl_jetro_spark.operators.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine runs fine today ok"),
+            (3, "nothing relevant here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(
+        df, "doc_id", "text", ["spark"]
+    ).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no query term
+    assert got[1] > got[2] > 0  # higher tf, shorter doc wins
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from etl_jetro_spark.operators.textstats import bm25_scores
+
+    texts = {1: "a b c a", 2: "a d e f g h", 3: "x y z"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(
+        df, "doc_id", "text", ["a", "x"], k1=1.2, b=0.75
+    ).collect()}
+    N, avgdl = 3, (4 + 6 + 3) / 3
+    def bm25(tf, dfreq, dl):
+        idf = math.log((N - dfreq + 0.5) / (dfreq + 0.5) + 1)
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert got[1] == pytest.approx(bm25(2, 2, 4))
+    assert got[2] == pytest.approx(bm25(1, 2, 6))
+    assert got[3] == pytest.approx(bm25(1, 1, 3))
