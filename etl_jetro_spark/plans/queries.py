@@ -2107,7 +2107,7 @@ def q62_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
     FROM toks WHERE token <> ''
-    GROUP BY token HAVING count(*) >= 5
+    GROUP BY token HAVING count(*) >= 30
     """,
 )
 def q63_vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4771,3 +4771,83 @@ def q125_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     out = bm25_scores(d, "doc_id", "text", list(_BM25_TERMS))
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "q126_sliding_distinct_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day AS wday, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def q126_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day sliding distinct users per active day — the rolling-MAU
+    shape, distributed: distinct (day,user) first (one partial-agg shuffle
+    over day-granular rows, not raw events), each contribution EXPLODES to
+    the <=7 window-days it serves, second distinct + count. No per-day
+    self-join over the event log, no window holding user sets in memory;
+    row volume after the first distinct is active-days x users x 7 max.
+    The oracle runs the quadratic day x range join definition."""
+    e = load_events(spark, sf_dir)
+    day = (F.col("ts") / F.lit(1_000_000_000)).cast("long") / F.lit(86400)
+    du = e.select(day.cast("long").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "wday")
+    return (
+        contrib.join(days, "wday")
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_7d"))
+    )
+
+
+@query(
+    "q127_winnow_overlap_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {DK_NORM_TEXT} AS t FROM documents),
+    g AS (
+      SELECT doc_id, i.i AS pos, md5(substr(t, CAST(i.i AS INT), 8)) AS h
+      FROM t, UNNEST(generate_series(1, greatest(length(t) - 7, 0))) AS i(i)
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+      FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, fingerprint FROM w WHERE pos >= 4)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 30
+    """,
+)
+def q127_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy detection on winnowed fingerprints: pairs sharing
+    >= 30 fingerprints with the shared count. The inverted-index self-join
+    runs on the WINNOWED set (~2/(w+1) of the k-grams — the density bound
+    is what makes corpus-scale substring-match detection affordable);
+    the count threshold keeps the output pair list sparse (this corpus'
+    short shared word-grams make low thresholds dense)."""
+    from etl_jetro_spark.operators.dedup import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, "doc_id", "text", k=8, w=4).localCheckpoint(
+        eager=False
+    )
+    a = fp.withColumnRenamed("doc_id", "id_a")
+    b = fp.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 30)
+    )
