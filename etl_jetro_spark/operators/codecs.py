@@ -252,12 +252,111 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, 24-bpp uncompressed)
+# --------------------------------------------------------------------------
+
+def encode_bmp24(width: int, height: int, pixels_bgr: bytes) -> bytes:
+    """Minimal bottom-up 24-bpp BMP encoder (fixture/test side).
+    ``pixels_bgr`` is the top-down raster, 3 bytes/pixel."""
+    if len(pixels_bgr) != width * height * 3:
+        raise ValueError("BMP: raster size mismatch")
+    rowlen = width * 3
+    pad = (4 - rowlen % 4) % 4
+    raster = b"".join(
+        pixels_bgr[y * rowlen : (y + 1) * rowlen] + b"\x00" * pad
+        for y in range(height - 1, -1, -1)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    return hdr + dib + raster
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Decode a 24-bpp uncompressed bottom-up BMP: dims + exact stats over
+    every raster byte (B,G,R samples). Compressed/paletted/top-down
+    variants raise — the honest envelope."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("BMP: bad signature")
+    (off,) = struct.unpack_from("<I", data, 10)
+    size, width, height, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if size < 40:
+        raise ValueError("BMP: pre-BITMAPINFOHEADER DIB unsupported")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"BMP: unsupported bpp={bpp}/compression={comp}")
+    if height <= 0 or width <= 0:
+        raise ValueError("BMP: top-down or degenerate dims unsupported")
+    rowlen = width * 3
+    stride = rowlen + (4 - rowlen % 4) % 4
+    if off + stride * height > len(data):
+        raise ValueError("BMP: truncated raster")
+    px = bytearray()
+    for y in range(height - 1, -1, -1):
+        start = off + y * stride
+        px += data[start : start + rowlen]
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_count": len(px),
+        "value_sum": sum(px),
+        "value_min": min(px) if px else None,
+        "value_max": max(px) if px else None,
+    }
+
+
+# --------------------------------------------------------------------------
+# GIF (logical-screen header only — metadata extraction, no LZW raster)
+# --------------------------------------------------------------------------
+
+def encode_gif_header(width: int, height: int) -> bytes:
+    """Minimal GIF89a shell (fixture side): logical screen descriptor, no
+    global color table, immediate trailer. Enough for metadata sniffing;
+    carries no raster by design."""
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height) + bytes([0, 0, 0]) + b"\x3b"
+    )
+
+
+def decode_gif_header(data: bytes) -> dict:
+    """GIF logical-screen metadata (width/height). HEADER-ONLY by design:
+    pixel stats are reported empty (count 0), never fabricated — LZW
+    raster decode is outside this codec set's envelope."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    width, height = struct.unpack_from("<HH", data, 6)
+    return {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "channels": None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_count": 0,
+        "value_sum": 0,
+        "value_min": None,
+        "value_max": None,
+    }
+
+
 def sniff_format(data: bytes) -> str | None:
     """Cheap magic-byte dispatch; None for unrecognized bytes."""
     if data.startswith(_PNG_SIG):
         return "png"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if len(data) >= 13 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if len(data) >= 54 and data[:2] == b"BM":
+        return "bmp"
     return None
 
 
@@ -269,7 +368,11 @@ def decode_media(data: bytes) -> dict:
         return decode_png(data)
     if kind == "wav":
         return decode_wav(data)
+    if kind == "gif":
+        return decode_gif_header(data)
+    if kind == "bmp":
+        return decode_bmp(data)
     raise ValueError(
-        "unrecognized media bytes (supported: PNG, RIFF WAVE); "
+        "unrecognized media bytes (supported: PNG, RIFF WAVE, GIF, BMP); "
         "use extract_features(codec='fake') only for plumbing tests"
     )

@@ -466,3 +466,53 @@ def media_wav_frame(docs):
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def media_image_frame(docs):
+    """Mixed-format image blobs, one per document, format by doc_id % 3:
+    0 -> grayscale PNG (w=4+id%13, h=3+id%11, px=(id*31+i)%256),
+    1 -> 24-bpp BMP    (w=2+id%9,  h=2+id%7,  bytes=(id*17+i)%256 BGR),
+    2 -> GIF89a shell  (w=1+id%200, h=1+id%100, header-only).
+    Every byte is a pure function of doc_id, so the q128 oracle derives
+    format, dims, and exact value statistics analytically."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_jetro_spark.operators.codecs import (
+        encode_bmp24,
+        encode_gif_header,
+        encode_png,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m == 0:
+                    w, h = 4 + did % 13, 3 + did % 11
+                    a = (did * 31) % 256
+                    blob = encode_png(w, h, bytes((a + i) % 256 for i in range(w * h)))
+                elif m == 1:
+                    w, h = 2 + did % 9, 2 + did % 7
+                    blob = encode_bmp24(
+                        w, h, bytes(((did * 17) + i) % 256 for i in range(w * h * 3))
+                    )
+                else:
+                    blob = encode_gif_header(1 + did % 200, 1 + did % 100)
+                rows.append({"media_id": did, "content": blob})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(gen, schema)

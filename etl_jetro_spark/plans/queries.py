@@ -4851,3 +4851,75 @@ def q127_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 30)
     )
+
+
+@query(
+    "q128_image_sniff",
+    """
+    WITH base AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+    png AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+                   (doc_id * 31) % 256 AS a
+            FROM base WHERE m = 0),
+    pngex AS (SELECT doc_id, w, h,
+                     (a + unnest(generate_series(0, w * h - 1))) % 256 AS v
+              FROM png),
+    pngagg AS (
+      SELECT doc_id, 'png' AS format, max(w) AS w, max(h) AS h,
+             1 AS channels, CAST(count(*) AS BIGINT) AS value_count,
+             CAST(sum(v) AS BIGINT) AS value_sum,
+             CAST(min(v) AS INT) AS value_min, CAST(max(v) AS INT) AS value_max
+      FROM pngex GROUP BY doc_id
+    ),
+    bmp AS (SELECT doc_id, 2 + doc_id % 9 AS w, 2 + doc_id % 7 AS h,
+                   (doc_id * 17) % 256 AS a
+            FROM base WHERE m = 1),
+    bmpex AS (SELECT doc_id, w, h,
+                     (a + unnest(generate_series(0, w * h * 3 - 1))) % 256 AS v
+              FROM bmp),
+    bmpagg AS (
+      SELECT doc_id, 'bmp' AS format, max(w) AS w, max(h) AS h,
+             3 AS channels, CAST(count(*) AS BIGINT) AS value_count,
+             CAST(sum(v) AS BIGINT) AS value_sum,
+             CAST(min(v) AS INT) AS value_min, CAST(max(v) AS INT) AS value_max
+      FROM bmpex GROUP BY doc_id
+    ),
+    gifagg AS (
+      SELECT doc_id, 'gif' AS format, 1 + doc_id % 200 AS w,
+             1 + doc_id % 100 AS h, CAST(NULL AS INT) AS channels,
+             CAST(0 AS BIGINT) AS value_count, CAST(0 AS BIGINT) AS value_sum,
+             CAST(NULL AS INT) AS value_min, CAST(NULL AS INT) AS value_max
+      FROM base WHERE m = 2
+    ),
+    u AS (SELECT * FROM pngagg UNION ALL SELECT * FROM bmpagg
+          UNION ALL SELECT * FROM gifagg)
+    SELECT doc_id AS media_id, format, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, channels, value_count, value_sum,
+           value_min, value_max
+    FROM u
+    """,
+)
+def q128_image_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format image metadata extraction: one Arrow mapInPandas pass
+    magic-byte-dispatches PNG (full decode incl. raster stats), 24-bpp
+    BMP (full decode: padded bottom-up raster re-ordered, stats over BGR
+    samples), and GIF (header-only logical-screen dims — stats honestly
+    empty, never fabricated). The oracle derives format, dims, and exact
+    value statistics analytically per blob. The corpus-scan shape is the
+    production one: sniff+decode in one pass, no per-format re-read."""
+    from etl_jetro_spark.operators.multimodal import extract_media_features
+    from etl_jetro_spark.operators.util import spread
+    from etl_jetro_spark.plans.fixtures import media_image_frame
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
+    media = media_image_frame(docs)
+    return extract_media_features(media).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "value_count",
+        "value_sum",
+        "value_min",
+        "value_max",
+    )

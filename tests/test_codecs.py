@@ -136,3 +136,72 @@ def test_extract_media_features_mixed_formats(spark):
     assert rows[2]["format"] == "wav"
     assert rows[2]["sample_rate"] == 8000 and rows[2]["width"] is None
     assert rows[2]["value_sum"] == sum(range(-40, 40))
+
+
+# --- GIF / BMP (round-3 second wave) --------------------------------------
+
+
+def test_bmp_roundtrip_with_row_padding():
+    from etl_jetro_spark.operators.codecs import decode_bmp, encode_bmp24
+
+    # width 3 -> 9-byte rows padded to 12; bottom-up reorder must undo
+    w, h = 3, 4
+    px = bytes((i * 11) % 256 for i in range(w * h * 3))
+    meta = decode_bmp(encode_bmp24(w, h, px))
+    assert (meta["width"], meta["height"], meta["channels"]) == (w, h, 3)
+    assert meta["value_count"] == w * h * 3
+    assert meta["value_sum"] == sum(px)
+    assert meta["value_min"] == min(px) and meta["value_max"] == max(px)
+
+
+def test_bmp_rejects_unsupported_variants():
+    import struct
+
+    import pytest
+
+    from etl_jetro_spark.operators.codecs import decode_bmp, encode_bmp24
+
+    good = bytearray(encode_bmp24(2, 2, bytes(12)))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(good[2:]))  # bad signature
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)  # 8-bpp paletted
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -2)  # negative height
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(topdown))
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(good[:-4]))  # truncated raster
+
+
+def test_gif_header_roundtrip_and_honest_empty_stats():
+    import pytest
+
+    from etl_jetro_spark.operators.codecs import (
+        decode_gif_header,
+        encode_gif_header,
+    )
+
+    meta = decode_gif_header(encode_gif_header(320, 200))
+    assert (meta["width"], meta["height"]) == (320, 200)
+    # header-only: stats must be EMPTY, never fabricated
+    assert meta["value_count"] == 0 and meta["value_min"] is None
+    with pytest.raises(ValueError):
+        decode_gif_header(b"GIF99a" + bytes(7))
+
+
+def test_decode_media_dispatches_all_four_formats():
+    from etl_jetro_spark.operators.codecs import (
+        decode_media,
+        encode_bmp24,
+        encode_gif_header,
+        encode_png,
+        encode_wav,
+    )
+
+    assert decode_media(encode_png(2, 2, bytes(4)))["format"] == "png"
+    assert decode_media(encode_wav(8000, [0, 1, -1]))["format"] == "wav"
+    assert decode_media(encode_bmp24(2, 2, bytes(12)))["format"] == "bmp"
+    assert decode_media(encode_gif_header(9, 9))["format"] == "gif"

@@ -148,6 +148,26 @@ def bench_ops(spark, events_path: str, docs_path: str) -> dict[str, float]:
         "star_cc_chain",
         lambda: connected_components(edges, max_iter=60, method="star"),
     )
+
+    # round-3 second wave
+    from etl_jetro_spark.operators.dedup import (
+        line_dedup,
+        prefix_filter_jaccard_pairs,
+        winnow_fingerprints,
+    )
+    from etl_jetro_spark.operators.sketch import kmv_pairwise_jaccard
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    run("winnow_fps", winnow_fingerprints(d, "doc_id", "text", k=8, w=4))
+    run("line_dedup", line_dedup(d, "doc_id", "text", line_words=10))
+    run(
+        "prefix_jaccard",
+        prefix_filter_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5),
+    )
+    sh = shingle_rows(d, "source", "text", 3, distinct=False).select(
+        F.col("_id").alias("source"), F.col("_sh").alias("sh")
+    )
+    run("kmv_pairwise", kmv_pairwise_jaccard(sh, "source", "sh", k=32))
     return out
 
 
