@@ -52,7 +52,70 @@ def scd2_from_log(
         F.col(eff_col).alias("eff_from"),
         F.lead(eff_col).over(w2).alias("eff_to"),
         F.lead(eff_col).over(w2).isNull().cast("int").alias("is_current"),
+        # deterministic version ordinal per key: same-instant versions
+        # (two changes sharing one eff value) stay totally ordered, which
+        # point_in_time_join needs for an unambiguous as-of pick
+        F.row_number().over(w2).alias("version_seq"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    keys: list[str],
+    fact_time: str,
+    version_time: str,
+    version_seq: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Point-in-time (as-of validity) enrichment — the feature-store /
+    warehouse temporal-correctness join: each fact row receives the
+    LATEST dimension version with ``version_time`` <= ``fact_time``
+    (same-instant versions resolved by ``version_seq``; facts before the
+    first version get NULL attrs).
+
+    Union-sweep shape instead of a range join: version rows and fact
+    rows union into one stream, ONE shuffle+sort per key on
+    (t, is_fact, seq), and ``last(attr, ignoreNulls)`` over the running
+    frame assigns the in-effect version. No interval theta-join, no
+    per-fact probe; sweep state is one attr row. NULL attr values inside
+    a version are not representable (they read as 'no version yet') —
+    encode them with a sentinel if needed.
+    """
+    fcols = [c for c in facts.columns]
+    f = facts.select(
+        *fcols,
+        F.col(fact_time).cast("long").alias("_t"),
+        F.lit(1).alias("_isf"),
+        F.lit(None).cast("long").alias("_seq"),
+        *[F.lit(None).cast(dict(versions.dtypes)[a]).alias(f"_a_{a}") for a in attrs],
+        F.lit(None).cast("long").alias("_a__vt"),
+    )
+    v = versions.select(
+        *[F.lit(None).cast(dict(facts.dtypes).get(c, "string")).alias(c) for c in fcols if c not in keys],
+        *keys,
+        F.col(version_time).cast("long").alias("_t"),
+        F.lit(0).alias("_isf"),
+        F.col(version_seq).cast("long").alias("_seq"),
+        *[F.col(a).alias(f"_a_{a}") for a in attrs],
+        F.col(version_time).cast("long").alias("_a__vt"),
+    ).select(*f.columns)
+    u = f.unionByName(v)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_isf", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *fcols,
+        "_isf",
+        *[
+            F.last(f"_a_{a}", ignorenulls=True).over(w).alias(a)
+            for a in attrs
+        ],
+        F.last("_a__vt", ignorenulls=True).over(w).alias("version_from"),
+    )
+    return filled.filter(F.col("_isf") == 1).drop("_isf")
 
 
 def apply_changelog(

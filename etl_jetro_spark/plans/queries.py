@@ -2111,13 +2111,15 @@ def q62_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q63_vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary with document frequencies (min_df=5) — vocab /
+    """Corpus vocabulary with document frequencies (min_df=30, matching
+    the oracle's HAVING bound exactly — a looser Spark-side cut stayed
+    latent until the round-3 testdata grew a token in the gap) — vocab /
     stopword-list construction over the same normalized tokenization the
     dedup shingles use."""
     from etl_jetro_spark.operators.textstats import vocab_doc_freq
 
     d = load(spark, sf_dir, "documents")
-    return vocab_doc_freq(d, "doc_id", "text", min_df=5)
+    return vocab_doc_freq(d, "doc_id", "text", min_df=30)
 
 
 # --------------------------------------------------------------------------
@@ -4922,4 +4924,74 @@ def q128_image_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum",
         "value_min",
         "value_max",
+    )
+
+
+@query(
+    "q129_point_in_time_join",
+    """
+    WITH log AS (
+      SELECT o_custkey, o_orderstatus,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS eff, o_orderkey
+      FROM orders),
+    marked AS (
+      SELECT *, lag(o_orderstatus) OVER w AS prev FROM log
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY eff, o_orderkey)),
+    changes AS (
+      SELECT * FROM marked WHERE prev IS NULL OR prev <> o_orderstatus),
+    hist AS (
+      SELECT o_custkey, o_orderstatus AS status, eff AS eff_from,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY eff, o_orderkey) AS seq
+      FROM changes)
+    SELECT o.o_orderkey, o.o_custkey,
+           v.status AS status_asof,
+           CAST(v.eff_from AS BIGINT) AS version_from
+    FROM orders o
+    LEFT JOIN LATERAL (
+      SELECT h.status, h.eff_from FROM hist h
+      WHERE h.o_custkey = o.o_custkey
+        AND h.eff_from <= CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+      ORDER BY h.eff_from DESC, h.seq DESC LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def q129_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness join (operators/cdc.point_in_time_join):
+    every order is enriched with the customer-status SCD2 version in
+    effect AS OF its order date (latest version_time <= fact time,
+    same-instant versions by version_seq). The engine runs the
+    union-sweep — one (key, time) shuffle+sort, last-non-null carry — vs
+    the oracle's per-fact LATERAL top-1 probe, the semantics the
+    feature-store pattern demands with no interval theta-join."""
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+    from etl_jetro_spark.operators.cdc import point_in_time_join, scd2_from_log
+
+    o = load(spark, sf_dir, "orders")
+    log = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        epoch_seconds_ntz("o_orderdate").alias("eff"),
+        "o_orderkey",
+    )
+    hist = scd2_from_log(
+        log, ["o_custkey"], "o_orderstatus", ["eff", "o_orderkey"], "eff"
+    ).withColumnRenamed("o_orderstatus", "status")
+    facts = o.select(
+        "o_orderkey", "o_custkey", epoch_seconds_ntz("o_orderdate").alias("_ft")
+    )
+    out = point_in_time_join(
+        facts,
+        hist,
+        ["o_custkey"],
+        "_ft",
+        "eff_from",
+        "version_seq",
+        ["status"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("status").alias("status_asof"),
+        F.col("version_from").cast("long").alias("version_from"),
     )

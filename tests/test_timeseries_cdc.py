@@ -245,3 +245,41 @@ def test_value_histogram_buckets(spark):
     out = value_histogram(df, "v", 25.0)
     got = {r.bucket: (r.lo, r.n) for r in out.collect()}
     assert got == {0: (0.0, 2), 1: (25.0, 1), 10: (250.0, 1)}
+
+
+def test_point_in_time_join_picks_version_in_effect(spark):
+    from etl_jetro_spark.operators.cdc import point_in_time_join, scd2_from_log
+
+    import pyspark.sql.functions as F
+
+    log = spark.createDataFrame(
+        [
+            # key k1: bronze@10, silver@20, gold@20 (same instant — seq
+            # breaks the tie), platinum@40
+            ("k1", "bronze", 10, 1),
+            ("k1", "silver", 20, 2),
+            ("k1", "gold", 20, 3),
+            ("k1", "platinum", 40, 4),
+            ("k2", "basic", 100, 5),
+        ],
+        ["k", "tier", "eff", "rid"],
+    )
+    hist = scd2_from_log(log, ["k"], "tier", ["eff", "rid"], "eff").withColumnRenamed(
+        "tier", "tier_v"
+    )
+    facts = spark.createDataFrame(
+        [("k1", 5, "f0"), ("k1", 15, "f1"), ("k1", 20, "f2"),
+         ("k1", 39, "f3"), ("k1", 40, "f4"), ("k2", 500, "f5")],
+        ["k", "t", "fid"],
+    )
+    out = point_in_time_join(
+        facts, hist, ["k"], "t", "eff_from", "version_seq", ["tier_v"]
+    )
+    got = {r["fid"]: (r["tier_v"], r["version_from"]) for r in out.collect()}
+    assert got["f0"] == (None, None)       # before any version
+    assert got["f1"] == ("bronze", 10)
+    assert got["f2"] == ("gold", 20)       # same-instant tie -> latest seq
+    assert got["f3"] == ("gold", 20)
+    assert got["f4"] == ("platinum", 40)   # boundary is inclusive
+    assert got["f5"] == ("basic", 100)
+    assert out.count() == facts.count()    # every fact survives exactly once
