@@ -598,3 +598,39 @@ def segment_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2003):
+    out_j = Σ_i v_i · s_ij with s_ij ∈ {±1} derived deterministically
+    from md5(seed:j:i) — dimensionality reduction that preserves pairwise
+    distances within (1±ε) whp, the standard pre-step before LSH/ANN at
+    scale. Pure per-row expressions: the sign matrix is a constant folded
+    into the plan (out_dims × in_dims literals), zero shuffle, and the
+    explicit left-fold sum makes the float addition order engine-portable
+    for the SQL oracle. Returns (id, p0..p{out_dims-1})."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    v = F.col(vec_col)
+    outs = []
+    for j in range(out_dims):
+        signs = F.array(*[F.lit(float(sign(j, i))) for i in range(in_dims)])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"p{j}")
+        )
+    return df.select(F.col(id_col), *outs)

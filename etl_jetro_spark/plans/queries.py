@@ -4995,3 +4995,98 @@ def q129_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("status_asof"),
         F.col("version_from").cast("long").alias("version_from"),
     )
+
+
+@query(
+    "q130_random_projection",
+    """
+    SELECT vec_id,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * 1.0 + CAST(embedding[2] AS DOUBLE) * 1.0 + CAST(embedding[3] AS DOUBLE) * 1.0 + CAST(embedding[4] AS DOUBLE) * -1.0 + CAST(embedding[5] AS DOUBLE) * 1.0 + CAST(embedding[6] AS DOUBLE) * 1.0 + CAST(embedding[7] AS DOUBLE) * 1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * -1.0 + CAST(embedding[10] AS DOUBLE) * -1.0 + CAST(embedding[11] AS DOUBLE) * -1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * 1.0 + CAST(embedding[14] AS DOUBLE) * 1.0 + CAST(embedding[15] AS DOUBLE) * -1.0 + CAST(embedding[16] AS DOUBLE) * -1.0 + CAST(embedding[17] AS DOUBLE) * -1.0 + CAST(embedding[18] AS DOUBLE) * -1.0 + CAST(embedding[19] AS DOUBLE) * -1.0 + CAST(embedding[20] AS DOUBLE) * -1.0 + CAST(embedding[21] AS DOUBLE) * 1.0 + CAST(embedding[22] AS DOUBLE) * -1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * 1.0 + CAST(embedding[25] AS DOUBLE) * 1.0 + CAST(embedding[26] AS DOUBLE) * -1.0 + CAST(embedding[27] AS DOUBLE) * 1.0 + CAST(embedding[28] AS DOUBLE) * 1.0 + CAST(embedding[29] AS DOUBLE) * 1.0 + CAST(embedding[30] AS DOUBLE) * -1.0 + CAST(embedding[31] AS DOUBLE) * 1.0 + CAST(embedding[32] AS DOUBLE) * 1.0 + CAST(embedding[33] AS DOUBLE) * 1.0 + CAST(embedding[34] AS DOUBLE) * -1.0 + CAST(embedding[35] AS DOUBLE) * 1.0 + CAST(embedding[36] AS DOUBLE) * -1.0 + CAST(embedding[37] AS DOUBLE) * 1.0 + CAST(embedding[38] AS DOUBLE) * -1.0 + CAST(embedding[39] AS DOUBLE) * -1.0 + CAST(embedding[40] AS DOUBLE) * 1.0 + CAST(embedding[41] AS DOUBLE) * -1.0 + CAST(embedding[42] AS DOUBLE) * 1.0 + CAST(embedding[43] AS DOUBLE) * 1.0 + CAST(embedding[44] AS DOUBLE) * 1.0 + CAST(embedding[45] AS DOUBLE) * -1.0 + CAST(embedding[46] AS DOUBLE) * 1.0 + CAST(embedding[47] AS DOUBLE) * -1.0 + CAST(embedding[48] AS DOUBLE) * 1.0 + CAST(embedding[49] AS DOUBLE) * -1.0 + CAST(embedding[50] AS DOUBLE) * -1.0 + CAST(embedding[51] AS DOUBLE) * -1.0 + CAST(embedding[52] AS DOUBLE) * -1.0 + CAST(embedding[53] AS DOUBLE) * -1.0 + CAST(embedding[54] AS DOUBLE) * -1.0 + CAST(embedding[55] AS DOUBLE) * -1.0 + CAST(embedding[56] AS DOUBLE) * 1.0 + CAST(embedding[57] AS DOUBLE) * 1.0 + CAST(embedding[58] AS DOUBLE) * 1.0 + CAST(embedding[59] AS DOUBLE) * 1.0 + CAST(embedding[60] AS DOUBLE) * 1.0 + CAST(embedding[61] AS DOUBLE) * 1.0 + CAST(embedding[62] AS DOUBLE) * -1.0 + CAST(embedding[63] AS DOUBLE) * -1.0 + CAST(embedding[64] AS DOUBLE) * 1.0, 4) AS p0,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * 1.0 + CAST(embedding[2] AS DOUBLE) * -1.0 + CAST(embedding[3] AS DOUBLE) * 1.0 + CAST(embedding[4] AS DOUBLE) * -1.0 + CAST(embedding[5] AS DOUBLE) * 1.0 + CAST(embedding[6] AS DOUBLE) * -1.0 + CAST(embedding[7] AS DOUBLE) * -1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * -1.0 + CAST(embedding[10] AS DOUBLE) * 1.0 + CAST(embedding[11] AS DOUBLE) * -1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * -1.0 + CAST(embedding[14] AS DOUBLE) * 1.0 + CAST(embedding[15] AS DOUBLE) * 1.0 + CAST(embedding[16] AS DOUBLE) * 1.0 + CAST(embedding[17] AS DOUBLE) * 1.0 + CAST(embedding[18] AS DOUBLE) * 1.0 + CAST(embedding[19] AS DOUBLE) * 1.0 + CAST(embedding[20] AS DOUBLE) * 1.0 + CAST(embedding[21] AS DOUBLE) * -1.0 + CAST(embedding[22] AS DOUBLE) * -1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * -1.0 + CAST(embedding[25] AS DOUBLE) * -1.0 + CAST(embedding[26] AS DOUBLE) * -1.0 + CAST(embedding[27] AS DOUBLE) * -1.0 + CAST(embedding[28] AS DOUBLE) * 1.0 + CAST(embedding[29] AS DOUBLE) * 1.0 + CAST(embedding[30] AS DOUBLE) * -1.0 + CAST(embedding[31] AS DOUBLE) * -1.0 + CAST(embedding[32] AS DOUBLE) * -1.0 + CAST(embedding[33] AS DOUBLE) * -1.0 + CAST(embedding[34] AS DOUBLE) * -1.0 + CAST(embedding[35] AS DOUBLE) * -1.0 + CAST(embedding[36] AS DOUBLE) * 1.0 + CAST(embedding[37] AS DOUBLE) * 1.0 + CAST(embedding[38] AS DOUBLE) * 1.0 + CAST(embedding[39] AS DOUBLE) * -1.0 + CAST(embedding[40] AS DOUBLE) * -1.0 + CAST(embedding[41] AS DOUBLE) * -1.0 + CAST(embedding[42] AS DOUBLE) * 1.0 + CAST(embedding[43] AS DOUBLE) * -1.0 + CAST(embedding[44] AS DOUBLE) * 1.0 + CAST(embedding[45] AS DOUBLE) * 1.0 + CAST(embedding[46] AS DOUBLE) * -1.0 + CAST(embedding[47] AS DOUBLE) * -1.0 + CAST(embedding[48] AS DOUBLE) * -1.0 + CAST(embedding[49] AS DOUBLE) * -1.0 + CAST(embedding[50] AS DOUBLE) * -1.0 + CAST(embedding[51] AS DOUBLE) * -1.0 + CAST(embedding[52] AS DOUBLE) * -1.0 + CAST(embedding[53] AS DOUBLE) * -1.0 + CAST(embedding[54] AS DOUBLE) * 1.0 + CAST(embedding[55] AS DOUBLE) * -1.0 + CAST(embedding[56] AS DOUBLE) * -1.0 + CAST(embedding[57] AS DOUBLE) * 1.0 + CAST(embedding[58] AS DOUBLE) * 1.0 + CAST(embedding[59] AS DOUBLE) * -1.0 + CAST(embedding[60] AS DOUBLE) * -1.0 + CAST(embedding[61] AS DOUBLE) * 1.0 + CAST(embedding[62] AS DOUBLE) * -1.0 + CAST(embedding[63] AS DOUBLE) * -1.0 + CAST(embedding[64] AS DOUBLE) * -1.0, 4) AS p1,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * 1.0 + CAST(embedding[2] AS DOUBLE) * -1.0 + CAST(embedding[3] AS DOUBLE) * -1.0 + CAST(embedding[4] AS DOUBLE) * -1.0 + CAST(embedding[5] AS DOUBLE) * 1.0 + CAST(embedding[6] AS DOUBLE) * -1.0 + CAST(embedding[7] AS DOUBLE) * -1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * 1.0 + CAST(embedding[10] AS DOUBLE) * -1.0 + CAST(embedding[11] AS DOUBLE) * -1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * 1.0 + CAST(embedding[14] AS DOUBLE) * 1.0 + CAST(embedding[15] AS DOUBLE) * 1.0 + CAST(embedding[16] AS DOUBLE) * 1.0 + CAST(embedding[17] AS DOUBLE) * -1.0 + CAST(embedding[18] AS DOUBLE) * -1.0 + CAST(embedding[19] AS DOUBLE) * 1.0 + CAST(embedding[20] AS DOUBLE) * 1.0 + CAST(embedding[21] AS DOUBLE) * -1.0 + CAST(embedding[22] AS DOUBLE) * -1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * -1.0 + CAST(embedding[25] AS DOUBLE) * -1.0 + CAST(embedding[26] AS DOUBLE) * -1.0 + CAST(embedding[27] AS DOUBLE) * -1.0 + CAST(embedding[28] AS DOUBLE) * 1.0 + CAST(embedding[29] AS DOUBLE) * -1.0 + CAST(embedding[30] AS DOUBLE) * -1.0 + CAST(embedding[31] AS DOUBLE) * -1.0 + CAST(embedding[32] AS DOUBLE) * -1.0 + CAST(embedding[33] AS DOUBLE) * 1.0 + CAST(embedding[34] AS DOUBLE) * -1.0 + CAST(embedding[35] AS DOUBLE) * 1.0 + CAST(embedding[36] AS DOUBLE) * 1.0 + CAST(embedding[37] AS DOUBLE) * -1.0 + CAST(embedding[38] AS DOUBLE) * 1.0 + CAST(embedding[39] AS DOUBLE) * 1.0 + CAST(embedding[40] AS DOUBLE) * -1.0 + CAST(embedding[41] AS DOUBLE) * 1.0 + CAST(embedding[42] AS DOUBLE) * -1.0 + CAST(embedding[43] AS DOUBLE) * -1.0 + CAST(embedding[44] AS DOUBLE) * 1.0 + CAST(embedding[45] AS DOUBLE) * 1.0 + CAST(embedding[46] AS DOUBLE) * -1.0 + CAST(embedding[47] AS DOUBLE) * -1.0 + CAST(embedding[48] AS DOUBLE) * -1.0 + CAST(embedding[49] AS DOUBLE) * 1.0 + CAST(embedding[50] AS DOUBLE) * 1.0 + CAST(embedding[51] AS DOUBLE) * -1.0 + CAST(embedding[52] AS DOUBLE) * 1.0 + CAST(embedding[53] AS DOUBLE) * -1.0 + CAST(embedding[54] AS DOUBLE) * -1.0 + CAST(embedding[55] AS DOUBLE) * 1.0 + CAST(embedding[56] AS DOUBLE) * 1.0 + CAST(embedding[57] AS DOUBLE) * -1.0 + CAST(embedding[58] AS DOUBLE) * -1.0 + CAST(embedding[59] AS DOUBLE) * -1.0 + CAST(embedding[60] AS DOUBLE) * -1.0 + CAST(embedding[61] AS DOUBLE) * -1.0 + CAST(embedding[62] AS DOUBLE) * 1.0 + CAST(embedding[63] AS DOUBLE) * -1.0 + CAST(embedding[64] AS DOUBLE) * -1.0, 4) AS p2,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * 1.0 + CAST(embedding[2] AS DOUBLE) * -1.0 + CAST(embedding[3] AS DOUBLE) * -1.0 + CAST(embedding[4] AS DOUBLE) * 1.0 + CAST(embedding[5] AS DOUBLE) * -1.0 + CAST(embedding[6] AS DOUBLE) * 1.0 + CAST(embedding[7] AS DOUBLE) * 1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * 1.0 + CAST(embedding[10] AS DOUBLE) * 1.0 + CAST(embedding[11] AS DOUBLE) * -1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * -1.0 + CAST(embedding[14] AS DOUBLE) * -1.0 + CAST(embedding[15] AS DOUBLE) * 1.0 + CAST(embedding[16] AS DOUBLE) * -1.0 + CAST(embedding[17] AS DOUBLE) * -1.0 + CAST(embedding[18] AS DOUBLE) * 1.0 + CAST(embedding[19] AS DOUBLE) * -1.0 + CAST(embedding[20] AS DOUBLE) * -1.0 + CAST(embedding[21] AS DOUBLE) * 1.0 + CAST(embedding[22] AS DOUBLE) * 1.0 + CAST(embedding[23] AS DOUBLE) * -1.0 + CAST(embedding[24] AS DOUBLE) * -1.0 + CAST(embedding[25] AS DOUBLE) * 1.0 + CAST(embedding[26] AS DOUBLE) * 1.0 + CAST(embedding[27] AS DOUBLE) * -1.0 + CAST(embedding[28] AS DOUBLE) * -1.0 + CAST(embedding[29] AS DOUBLE) * 1.0 + CAST(embedding[30] AS DOUBLE) * 1.0 + CAST(embedding[31] AS DOUBLE) * 1.0 + CAST(embedding[32] AS DOUBLE) * -1.0 + CAST(embedding[33] AS DOUBLE) * 1.0 + CAST(embedding[34] AS DOUBLE) * -1.0 + CAST(embedding[35] AS DOUBLE) * -1.0 + CAST(embedding[36] AS DOUBLE) * -1.0 + CAST(embedding[37] AS DOUBLE) * -1.0 + CAST(embedding[38] AS DOUBLE) * 1.0 + CAST(embedding[39] AS DOUBLE) * 1.0 + CAST(embedding[40] AS DOUBLE) * 1.0 + CAST(embedding[41] AS DOUBLE) * 1.0 + CAST(embedding[42] AS DOUBLE) * -1.0 + CAST(embedding[43] AS DOUBLE) * 1.0 + CAST(embedding[44] AS DOUBLE) * 1.0 + CAST(embedding[45] AS DOUBLE) * -1.0 + CAST(embedding[46] AS DOUBLE) * 1.0 + CAST(embedding[47] AS DOUBLE) * -1.0 + CAST(embedding[48] AS DOUBLE) * -1.0 + CAST(embedding[49] AS DOUBLE) * -1.0 + CAST(embedding[50] AS DOUBLE) * -1.0 + CAST(embedding[51] AS DOUBLE) * 1.0 + CAST(embedding[52] AS DOUBLE) * 1.0 + CAST(embedding[53] AS DOUBLE) * 1.0 + CAST(embedding[54] AS DOUBLE) * 1.0 + CAST(embedding[55] AS DOUBLE) * 1.0 + CAST(embedding[56] AS DOUBLE) * 1.0 + CAST(embedding[57] AS DOUBLE) * 1.0 + CAST(embedding[58] AS DOUBLE) * -1.0 + CAST(embedding[59] AS DOUBLE) * -1.0 + CAST(embedding[60] AS DOUBLE) * -1.0 + CAST(embedding[61] AS DOUBLE) * -1.0 + CAST(embedding[62] AS DOUBLE) * 1.0 + CAST(embedding[63] AS DOUBLE) * -1.0 + CAST(embedding[64] AS DOUBLE) * 1.0, 4) AS p3,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * 1.0 + CAST(embedding[2] AS DOUBLE) * -1.0 + CAST(embedding[3] AS DOUBLE) * -1.0 + CAST(embedding[4] AS DOUBLE) * -1.0 + CAST(embedding[5] AS DOUBLE) * -1.0 + CAST(embedding[6] AS DOUBLE) * 1.0 + CAST(embedding[7] AS DOUBLE) * -1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * -1.0 + CAST(embedding[10] AS DOUBLE) * 1.0 + CAST(embedding[11] AS DOUBLE) * -1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * 1.0 + CAST(embedding[14] AS DOUBLE) * 1.0 + CAST(embedding[15] AS DOUBLE) * -1.0 + CAST(embedding[16] AS DOUBLE) * -1.0 + CAST(embedding[17] AS DOUBLE) * 1.0 + CAST(embedding[18] AS DOUBLE) * 1.0 + CAST(embedding[19] AS DOUBLE) * 1.0 + CAST(embedding[20] AS DOUBLE) * -1.0 + CAST(embedding[21] AS DOUBLE) * 1.0 + CAST(embedding[22] AS DOUBLE) * -1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * -1.0 + CAST(embedding[25] AS DOUBLE) * 1.0 + CAST(embedding[26] AS DOUBLE) * -1.0 + CAST(embedding[27] AS DOUBLE) * -1.0 + CAST(embedding[28] AS DOUBLE) * 1.0 + CAST(embedding[29] AS DOUBLE) * -1.0 + CAST(embedding[30] AS DOUBLE) * -1.0 + CAST(embedding[31] AS DOUBLE) * 1.0 + CAST(embedding[32] AS DOUBLE) * 1.0 + CAST(embedding[33] AS DOUBLE) * 1.0 + CAST(embedding[34] AS DOUBLE) * 1.0 + CAST(embedding[35] AS DOUBLE) * 1.0 + CAST(embedding[36] AS DOUBLE) * 1.0 + CAST(embedding[37] AS DOUBLE) * 1.0 + CAST(embedding[38] AS DOUBLE) * 1.0 + CAST(embedding[39] AS DOUBLE) * 1.0 + CAST(embedding[40] AS DOUBLE) * -1.0 + CAST(embedding[41] AS DOUBLE) * 1.0 + CAST(embedding[42] AS DOUBLE) * -1.0 + CAST(embedding[43] AS DOUBLE) * 1.0 + CAST(embedding[44] AS DOUBLE) * -1.0 + CAST(embedding[45] AS DOUBLE) * -1.0 + CAST(embedding[46] AS DOUBLE) * 1.0 + CAST(embedding[47] AS DOUBLE) * -1.0 + CAST(embedding[48] AS DOUBLE) * 1.0 + CAST(embedding[49] AS DOUBLE) * -1.0 + CAST(embedding[50] AS DOUBLE) * -1.0 + CAST(embedding[51] AS DOUBLE) * 1.0 + CAST(embedding[52] AS DOUBLE) * -1.0 + CAST(embedding[53] AS DOUBLE) * 1.0 + CAST(embedding[54] AS DOUBLE) * -1.0 + CAST(embedding[55] AS DOUBLE) * 1.0 + CAST(embedding[56] AS DOUBLE) * -1.0 + CAST(embedding[57] AS DOUBLE) * -1.0 + CAST(embedding[58] AS DOUBLE) * 1.0 + CAST(embedding[59] AS DOUBLE) * 1.0 + CAST(embedding[60] AS DOUBLE) * 1.0 + CAST(embedding[61] AS DOUBLE) * -1.0 + CAST(embedding[62] AS DOUBLE) * 1.0 + CAST(embedding[63] AS DOUBLE) * 1.0 + CAST(embedding[64] AS DOUBLE) * 1.0, 4) AS p4,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * 1.0 + CAST(embedding[2] AS DOUBLE) * 1.0 + CAST(embedding[3] AS DOUBLE) * -1.0 + CAST(embedding[4] AS DOUBLE) * -1.0 + CAST(embedding[5] AS DOUBLE) * -1.0 + CAST(embedding[6] AS DOUBLE) * 1.0 + CAST(embedding[7] AS DOUBLE) * -1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * 1.0 + CAST(embedding[10] AS DOUBLE) * 1.0 + CAST(embedding[11] AS DOUBLE) * 1.0 + CAST(embedding[12] AS DOUBLE) * -1.0 + CAST(embedding[13] AS DOUBLE) * 1.0 + CAST(embedding[14] AS DOUBLE) * 1.0 + CAST(embedding[15] AS DOUBLE) * 1.0 + CAST(embedding[16] AS DOUBLE) * 1.0 + CAST(embedding[17] AS DOUBLE) * 1.0 + CAST(embedding[18] AS DOUBLE) * 1.0 + CAST(embedding[19] AS DOUBLE) * 1.0 + CAST(embedding[20] AS DOUBLE) * 1.0 + CAST(embedding[21] AS DOUBLE) * 1.0 + CAST(embedding[22] AS DOUBLE) * -1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * -1.0 + CAST(embedding[25] AS DOUBLE) * -1.0 + CAST(embedding[26] AS DOUBLE) * -1.0 + CAST(embedding[27] AS DOUBLE) * -1.0 + CAST(embedding[28] AS DOUBLE) * -1.0 + CAST(embedding[29] AS DOUBLE) * -1.0 + CAST(embedding[30] AS DOUBLE) * 1.0 + CAST(embedding[31] AS DOUBLE) * 1.0 + CAST(embedding[32] AS DOUBLE) * 1.0 + CAST(embedding[33] AS DOUBLE) * -1.0 + CAST(embedding[34] AS DOUBLE) * 1.0 + CAST(embedding[35] AS DOUBLE) * 1.0 + CAST(embedding[36] AS DOUBLE) * -1.0 + CAST(embedding[37] AS DOUBLE) * -1.0 + CAST(embedding[38] AS DOUBLE) * 1.0 + CAST(embedding[39] AS DOUBLE) * -1.0 + CAST(embedding[40] AS DOUBLE) * -1.0 + CAST(embedding[41] AS DOUBLE) * 1.0 + CAST(embedding[42] AS DOUBLE) * -1.0 + CAST(embedding[43] AS DOUBLE) * 1.0 + CAST(embedding[44] AS DOUBLE) * -1.0 + CAST(embedding[45] AS DOUBLE) * 1.0 + CAST(embedding[46] AS DOUBLE) * -1.0 + CAST(embedding[47] AS DOUBLE) * 1.0 + CAST(embedding[48] AS DOUBLE) * 1.0 + CAST(embedding[49] AS DOUBLE) * -1.0 + CAST(embedding[50] AS DOUBLE) * 1.0 + CAST(embedding[51] AS DOUBLE) * 1.0 + CAST(embedding[52] AS DOUBLE) * -1.0 + CAST(embedding[53] AS DOUBLE) * 1.0 + CAST(embedding[54] AS DOUBLE) * -1.0 + CAST(embedding[55] AS DOUBLE) * 1.0 + CAST(embedding[56] AS DOUBLE) * -1.0 + CAST(embedding[57] AS DOUBLE) * -1.0 + CAST(embedding[58] AS DOUBLE) * -1.0 + CAST(embedding[59] AS DOUBLE) * 1.0 + CAST(embedding[60] AS DOUBLE) * 1.0 + CAST(embedding[61] AS DOUBLE) * -1.0 + CAST(embedding[62] AS DOUBLE) * -1.0 + CAST(embedding[63] AS DOUBLE) * 1.0 + CAST(embedding[64] AS DOUBLE) * -1.0, 4) AS p5,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * -1.0 + CAST(embedding[2] AS DOUBLE) * -1.0 + CAST(embedding[3] AS DOUBLE) * 1.0 + CAST(embedding[4] AS DOUBLE) * -1.0 + CAST(embedding[5] AS DOUBLE) * -1.0 + CAST(embedding[6] AS DOUBLE) * -1.0 + CAST(embedding[7] AS DOUBLE) * 1.0 + CAST(embedding[8] AS DOUBLE) * -1.0 + CAST(embedding[9] AS DOUBLE) * -1.0 + CAST(embedding[10] AS DOUBLE) * 1.0 + CAST(embedding[11] AS DOUBLE) * -1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * -1.0 + CAST(embedding[14] AS DOUBLE) * -1.0 + CAST(embedding[15] AS DOUBLE) * 1.0 + CAST(embedding[16] AS DOUBLE) * -1.0 + CAST(embedding[17] AS DOUBLE) * 1.0 + CAST(embedding[18] AS DOUBLE) * 1.0 + CAST(embedding[19] AS DOUBLE) * -1.0 + CAST(embedding[20] AS DOUBLE) * 1.0 + CAST(embedding[21] AS DOUBLE) * -1.0 + CAST(embedding[22] AS DOUBLE) * 1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * 1.0 + CAST(embedding[25] AS DOUBLE) * 1.0 + CAST(embedding[26] AS DOUBLE) * 1.0 + CAST(embedding[27] AS DOUBLE) * 1.0 + CAST(embedding[28] AS DOUBLE) * 1.0 + CAST(embedding[29] AS DOUBLE) * -1.0 + CAST(embedding[30] AS DOUBLE) * -1.0 + CAST(embedding[31] AS DOUBLE) * 1.0 + CAST(embedding[32] AS DOUBLE) * -1.0 + CAST(embedding[33] AS DOUBLE) * -1.0 + CAST(embedding[34] AS DOUBLE) * -1.0 + CAST(embedding[35] AS DOUBLE) * 1.0 + CAST(embedding[36] AS DOUBLE) * -1.0 + CAST(embedding[37] AS DOUBLE) * -1.0 + CAST(embedding[38] AS DOUBLE) * -1.0 + CAST(embedding[39] AS DOUBLE) * 1.0 + CAST(embedding[40] AS DOUBLE) * -1.0 + CAST(embedding[41] AS DOUBLE) * 1.0 + CAST(embedding[42] AS DOUBLE) * -1.0 + CAST(embedding[43] AS DOUBLE) * -1.0 + CAST(embedding[44] AS DOUBLE) * 1.0 + CAST(embedding[45] AS DOUBLE) * 1.0 + CAST(embedding[46] AS DOUBLE) * 1.0 + CAST(embedding[47] AS DOUBLE) * 1.0 + CAST(embedding[48] AS DOUBLE) * -1.0 + CAST(embedding[49] AS DOUBLE) * 1.0 + CAST(embedding[50] AS DOUBLE) * 1.0 + CAST(embedding[51] AS DOUBLE) * 1.0 + CAST(embedding[52] AS DOUBLE) * 1.0 + CAST(embedding[53] AS DOUBLE) * 1.0 + CAST(embedding[54] AS DOUBLE) * -1.0 + CAST(embedding[55] AS DOUBLE) * -1.0 + CAST(embedding[56] AS DOUBLE) * 1.0 + CAST(embedding[57] AS DOUBLE) * -1.0 + CAST(embedding[58] AS DOUBLE) * 1.0 + CAST(embedding[59] AS DOUBLE) * -1.0 + CAST(embedding[60] AS DOUBLE) * -1.0 + CAST(embedding[61] AS DOUBLE) * 1.0 + CAST(embedding[62] AS DOUBLE) * 1.0 + CAST(embedding[63] AS DOUBLE) * 1.0 + CAST(embedding[64] AS DOUBLE) * 1.0, 4) AS p6,
+           round(0.0 + CAST(embedding[1] AS DOUBLE) * -1.0 + CAST(embedding[2] AS DOUBLE) * -1.0 + CAST(embedding[3] AS DOUBLE) * -1.0 + CAST(embedding[4] AS DOUBLE) * 1.0 + CAST(embedding[5] AS DOUBLE) * -1.0 + CAST(embedding[6] AS DOUBLE) * 1.0 + CAST(embedding[7] AS DOUBLE) * 1.0 + CAST(embedding[8] AS DOUBLE) * 1.0 + CAST(embedding[9] AS DOUBLE) * 1.0 + CAST(embedding[10] AS DOUBLE) * 1.0 + CAST(embedding[11] AS DOUBLE) * 1.0 + CAST(embedding[12] AS DOUBLE) * 1.0 + CAST(embedding[13] AS DOUBLE) * 1.0 + CAST(embedding[14] AS DOUBLE) * 1.0 + CAST(embedding[15] AS DOUBLE) * 1.0 + CAST(embedding[16] AS DOUBLE) * 1.0 + CAST(embedding[17] AS DOUBLE) * -1.0 + CAST(embedding[18] AS DOUBLE) * 1.0 + CAST(embedding[19] AS DOUBLE) * -1.0 + CAST(embedding[20] AS DOUBLE) * -1.0 + CAST(embedding[21] AS DOUBLE) * -1.0 + CAST(embedding[22] AS DOUBLE) * 1.0 + CAST(embedding[23] AS DOUBLE) * 1.0 + CAST(embedding[24] AS DOUBLE) * -1.0 + CAST(embedding[25] AS DOUBLE) * -1.0 + CAST(embedding[26] AS DOUBLE) * 1.0 + CAST(embedding[27] AS DOUBLE) * 1.0 + CAST(embedding[28] AS DOUBLE) * 1.0 + CAST(embedding[29] AS DOUBLE) * 1.0 + CAST(embedding[30] AS DOUBLE) * -1.0 + CAST(embedding[31] AS DOUBLE) * -1.0 + CAST(embedding[32] AS DOUBLE) * 1.0 + CAST(embedding[33] AS DOUBLE) * -1.0 + CAST(embedding[34] AS DOUBLE) * -1.0 + CAST(embedding[35] AS DOUBLE) * 1.0 + CAST(embedding[36] AS DOUBLE) * 1.0 + CAST(embedding[37] AS DOUBLE) * -1.0 + CAST(embedding[38] AS DOUBLE) * 1.0 + CAST(embedding[39] AS DOUBLE) * 1.0 + CAST(embedding[40] AS DOUBLE) * -1.0 + CAST(embedding[41] AS DOUBLE) * 1.0 + CAST(embedding[42] AS DOUBLE) * 1.0 + CAST(embedding[43] AS DOUBLE) * 1.0 + CAST(embedding[44] AS DOUBLE) * 1.0 + CAST(embedding[45] AS DOUBLE) * -1.0 + CAST(embedding[46] AS DOUBLE) * 1.0 + CAST(embedding[47] AS DOUBLE) * 1.0 + CAST(embedding[48] AS DOUBLE) * 1.0 + CAST(embedding[49] AS DOUBLE) * 1.0 + CAST(embedding[50] AS DOUBLE) * 1.0 + CAST(embedding[51] AS DOUBLE) * 1.0 + CAST(embedding[52] AS DOUBLE) * -1.0 + CAST(embedding[53] AS DOUBLE) * -1.0 + CAST(embedding[54] AS DOUBLE) * -1.0 + CAST(embedding[55] AS DOUBLE) * -1.0 + CAST(embedding[56] AS DOUBLE) * -1.0 + CAST(embedding[57] AS DOUBLE) * 1.0 + CAST(embedding[58] AS DOUBLE) * -1.0 + CAST(embedding[59] AS DOUBLE) * -1.0 + CAST(embedding[60] AS DOUBLE) * 1.0 + CAST(embedding[61] AS DOUBLE) * 1.0 + CAST(embedding[62] AS DOUBLE) * 1.0 + CAST(embedding[63] AS DOUBLE) * 1.0 + CAST(embedding[64] AS DOUBLE) * -1.0, 4) AS p7
+    FROM embeddings
+    """,
+)
+def q130_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection 64 -> 8 (operators/similarity.
+    random_projection, Achlioptas/JL): the +-1 matrix is md5-derived and
+    constant-folded into the plan; zero shuffle, pure codegen row work —
+    the distance-preserving shrink step ahead of LSH/ANN at corpus
+    scale. The oracle carries the identical literal matrix with the same
+    left-fold addition order, so values match to the bit before the
+    4 dp round."""
+    from etl_jetro_spark.operators.similarity import random_projection
+
+    e = load(spark, sf_dir, "embeddings")
+    out = random_projection(e, "vec_id", "embedding", out_dims=8, in_dims=64)
+    return out.select(
+        "vec_id", *[F.round(f"p{j}", 4).alias(f"p{j}") for j in range(8)]
+    )
+
+
+@query(
+    "q131_group_regression",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                            AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)   AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)      AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q131_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression line (price vs quantity) via the
+    algebraic regr_* aggregates — slope/intercept/R² from one partial-agg
+    pass (sums and cross-moments combine associatively; no per-group
+    matrix, no second scan). The canonical distributed-regression shape
+    at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@query(
+    "q132_group_mode",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event, cnt FROM r WHERE rn = 1
+    """,
+)
+def q132_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC per-group mode (most frequent event type per user,
+    ties by smallest type): count partial-agg, then a min-struct argmax —
+    one candidate per map task, NO window sort and no reliance on the
+    engines' tie-arbitrary ``mode()`` aggregates."""
+    e = load_events(spark, sf_dir)
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    best = c.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("_negc"), F.col("event_type").alias("_t"))).alias("_b")
+    )
+    return best.select(
+        "user_id",
+        F.col("_b._t").alias("mode_event"),
+        (-F.col("_b._negc")).cast("long").alias("cnt"),
+    )
