@@ -5090,3 +5090,47 @@ def q132_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b._t").alias("mode_event"),
         (-F.col("_b._negc")).cast("long").alias("cnt"),
     )
+
+
+@query(
+    "q133_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS winsor_mean,
+           round(avg(e.value), 6) AS raw_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q133_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: values clip to the group's exact
+    [p05, p95] before the mean — the robust-stats companion to q122's
+    MAD. Bounds come from the DISTRIBUTED exact-percentile operator
+    (range-partitioned parallel sort, no per-group multiset buffering)
+    and broadcast back as a groups-sized dim; the clip+mean is one
+    partial-agg pass."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    e = load_events(spark, sf_dir)
+    b = exact_group_percentiles(
+        e, ["event_type"], "value", {"lo": 0.05, "hi": 0.95}
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("long")
+        ).cast("long").alias("n_clipped"),
+        F.round(F.avg(clipped), 6).alias("winsor_mean"),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+    )
