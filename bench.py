@@ -38,7 +38,8 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[short] = round(time.perf_counter() - t0, 3)
+            # 2 dp: keeps the one-line JSON under tail-capture buffers
+            timings[short] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # keep benching; a failure shows as null
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[short] = None
