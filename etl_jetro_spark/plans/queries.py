@@ -5134,3 +5134,134 @@ def q133_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(clipped), 6).alias("winsor_mean"),
         F.round(F.avg("value"), 6).alias("raw_mean"),
     )
+
+
+@query(
+    "q134_token_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.t AS token
+      FROM (SELECT doc_id, {DK_WORDS} AS w FROM documents) d,
+           UNNEST(w) AS t(t)
+      WHERE t.t <> ''
+    ),
+    c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def q134_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution
+    (H = ln n − Σ c·ln c / n) — the repetition/diversity quality signal
+    next to q24/q67. Two partial-agg shuffles over (doc, token) counts;
+    nothing vocabulary-wide is ever held."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(norm_text("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    c = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q135_sorted_neighborhood",
+    f"""
+    WITH t AS (SELECT doc_id, lang, substr({DK_NORM_TEXT}, 1, 20) AS sk
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rk
+          FROM t),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(b.rk - a.rk AS BIGINT) AS rank_dist
+      FROM r a JOIN r b ON a.lang = b.lang AND b.rk - a.rk BETWEEN 1 AND 3
+    ),
+    {_dk_shingles_cte(3)},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS c
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.id_a
+      JOIN dsh y ON y.doc_id = c.id_b AND y.sh = x.sh
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.rank_dist,
+           round(coalesce(cm.c, 0) / CAST(na.n + nb.n - coalesce(cm.c, 0)
+                 AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+    JOIN sizes na ON na.doc_id = c.id_a
+    JOIN sizes nb ON nb.doc_id = c.id_b
+    """,
+)
+def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood candidate generation (Hernández/Stolfo
+    1995, the entity-resolution classic): within each lang block, docs
+    sort by a 20-char normalized prefix key; each doc pairs with its <=3
+    sort neighbors (lead over the per-block window — a PARTITIONED sort,
+    never a single-task global one), then exact word-3-gram Jaccard is
+    verified on doc-bounded hashed shingle arrays. The complementary
+    candidate family to LSH (q18) and prefix filtering (q124): O(n·w)
+    candidates from one sort, catching prefix-similar pairs that banding
+    can miss."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", F.substring(norm_text("text"), 1, 20).alias("sk")
+    )
+    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(w))
+    cands = None
+    for k in (1, 2, 3):
+        c = ranked.select(
+            F.col("doc_id").alias("id_a"),
+            F.lead("doc_id", k).over(w).alias("id_b"),
+            F.lit(k).cast("long").alias("rank_dist"),
+        ).filter(F.col("id_b").isNotNull())
+        cands = c if cands is None else cands.unionByName(c)
+    sh = shingle_rows(d, "doc_id", "text", 3, distinct=True)
+    sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    sets = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list(sh_h)).alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("_na")
+    )
+    b = sets.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "rank_dist",
+            F.round(
+                common / (F.col("_na") + F.col("_nb") - common), 6
+            ).alias("jaccard"),
+        )
+    )
