@@ -4,8 +4,11 @@
 classic sweep decomposition instead of the quadratic NOT-EXISTS self-join:
 
 - one partial-agg pass collapses rows to per-distinct-x maxima (at most
-  |distinct x| rows — at 100 TB this is the column's NDV, not the table);
-- one window over the x-ordering computes the strictly-before running max;
+  |distinct x| rows — the column's NDV, not the table);
+- the strictly-before running max over the x-ordering runs as a
+  DISTRIBUTED two-pass sweep (range-partition by x, partition-local
+  running max, metadata-sized cross-partition prefix) — no single-task
+  global window even when x is near-unique;
 - the dominance test is then per-row arithmetic on the joined-back frame.
 
 A row (x, y) is dominated iff some row has x' < x with y' >= y (caught by
@@ -21,22 +24,45 @@ from pyspark.sql import functions as F
 
 
 def pareto_frontier(
-    df: DataFrame, min_col: str, max_col: str
+    df: DataFrame, min_col: str, max_col: str, num_range_partitions: int | None = None
 ) -> DataFrame:
     """Rows of ``df`` not dominated under (minimize ``min_col``, maximize
     ``max_col``). Keeps all input columns."""
+    spark = df.sparkSession
+    nparts = num_range_partitions or max(
+        spark.sparkContext.defaultParallelism, 8
+    )
     per_x = df.groupBy(F.col(min_col).alias("_x")).agg(
         F.max(F.col(max_col)).alias("_xmax")
     )
-    w = (
-        Window.orderBy("_x")
+    # distributed sweep: equal x values land in one range partition, so a
+    # partition-local running max plus the previous partitions' prefix max
+    # (metadata-sized: one row per partition) IS the global running max
+    parted = (
+        per_x.repartitionByRange(nparts, "_x")
+        .sortWithinPartitions("_x")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # freeze pid/order for both consumers
+    )
+    pmax = parted.groupBy("_pid").agg(F.max("_xmax").alias("_pmax"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # nparts rows — the only unpartitioned window, over metadata
+    prefix = pmax.select("_pid", F.max("_pmax").over(woff).alias("_prev"))
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # per_x is NDV-sized; the unpartitioned window sorts keys, not rows
-    bounds = per_x.select(
-        "_x",
-        "_xmax",
-        F.max("_xmax").over(w).alias("_premax"),
+    bounds = (
+        parted.withColumn("_locmax", F.max("_xmax").over(wloc))
+        .join(F.broadcast(prefix), "_pid")
+        .select(
+            "_x",
+            "_xmax",
+            # greatest() skips NULLs (null only when both are) — exactly
+            # the "no strictly-smaller x yet" semantics
+            F.greatest("_locmax", "_prev").alias("_premax"),
+        )
     )
     # equi-join back on x; AQE promotes to broadcast when the NDV frame is
     # small (it usually is), and falls back to hash join when x is near-unique
