@@ -142,11 +142,50 @@ def exact_group_percentiles(
     are position-derived, so they must be frozen before feeding two
     consumers (the metadata pass and the rank lookup).
     """
-    from pyspark.sql import Window
-
     for name, p in ps.items():
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
+    ranked = group_ranked(df, keys, value, num_range_partitions)
+
+    def bounds(p: float):
+        r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(r)
+        frac = r - lo
+        hi = F.when(frac > 0, lo + 1).otherwise(lo)
+        return lo, hi, frac
+
+    keep = None
+    for p in set(ps.values()):
+        lo, hi, _ = bounds(p)
+        cond = (F.col("_rn") == lo) | (F.col("_rn") == hi)
+        keep = cond if keep is None else (keep | cond)
+    aggs = []
+    for name, p in ps.items():
+        lo, hi, frac = bounds(p)
+        vlo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+        vhi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
+        # frac is group-constant (derives from _n); max() lifts it into
+        # the aggregate namespace
+        aggs.append((vlo + F.max(frac) * (vhi - vlo)).alias(name))
+    return ranked.filter(keep).groupBy(*keys).agg(*aggs)
+
+
+def group_ranked(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """The distributed per-group rank frame behind
+    :func:`exact_group_percentiles` (passes 1–2 of its docstring),
+    reusable by any bottom-k / rank-cut operator: returns
+    ``(keys..., _v, _rn, _n)`` where ``_rn`` is the 1-based rank of
+    ``_v`` within its group's ascending order and ``_n`` the group size.
+    No task ever holds a group or a group's sort — range partitioning
+    spreads each group across the cluster; the per-cell offsets are
+    metadata-sized and broadcast. NULL values are excluded."""
+    from pyspark.sql import Window
+
     v = F.col(value) if isinstance(value, str) else value
     d = df.filter(v.isNotNull()).select(*keys, v.alias("_v"))
     spark = df.sparkSession
@@ -177,34 +216,12 @@ def exact_group_percentiles(
     meta = pc.withColumn("_off", F.sum("_c").over(woff) - F.col("_c")).withColumn(
         "_n", F.sum("_c").over(wall)
     )
-    ranked = base.join(
+    return base.join(
         F.broadcast(meta.select("_pid", *keys, "_start", "_off", "_n")),
         ["_pid", *keys],
     ).withColumn(
         "_rn", F.col("_lidx") - F.col("_start") + F.col("_off") + F.lit(1)
-    )
-
-    def bounds(p: float):
-        r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
-        lo = F.floor(r)
-        frac = r - lo
-        hi = F.when(frac > 0, lo + 1).otherwise(lo)
-        return lo, hi, frac
-
-    keep = None
-    for p in set(ps.values()):
-        lo, hi, _ = bounds(p)
-        cond = (F.col("_rn") == lo) | (F.col("_rn") == hi)
-        keep = cond if keep is None else (keep | cond)
-    aggs = []
-    for name, p in ps.items():
-        lo, hi, frac = bounds(p)
-        vlo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
-        vhi = F.max(F.when(F.col("_rn") == hi, F.col("_v")))
-        # frac is group-constant (derives from _n); max() lifts it into
-        # the aggregate namespace
-        aggs.append((vlo + F.max(frac) * (vhi - vlo)).alias(name))
-    return ranked.filter(keep).groupBy(*keys).agg(*aggs)
+    ).drop("_pid", "_lidx", "_start", "_off")
 
 
 def mad_outliers(

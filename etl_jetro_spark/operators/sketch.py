@@ -84,10 +84,11 @@ def kmv_bottom_k(
     ``k`` smallest DISTINCT md5 hashes of the group's items, as
     ``(group, h)`` rows (k x groups total — sketch-sized, not
     corpus-sized). Distinct is one partial-agg shuffle; the bottom-k cut
-    is a row_number over the group's hash order — a distributed external
-    sort of the DISTINCT hash set (already a fraction of the corpus), the
-    same cost class as any per-group top-k."""
-    from pyspark.sql import Window
+    rides the DISTRIBUTED rank frame (aggregate.group_ranked: range
+    partition + metadata offsets) — with few groups a per-group window
+    would serialize each group's whole distinct hash set into one task,
+    exactly the shape the percentile machinery exists to avoid."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
 
     h = (
         df.select(
@@ -96,11 +97,9 @@ def kmv_bottom_k(
         )
         .distinct()
     )
-    w = Window.partitionBy("group").orderBy("h")
-    return (
-        h.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    ranked = group_ranked(h, ["group"], "h")
+    return ranked.filter(F.col("_rn") <= k).select(
+        "group", F.col("_v").alias("h")
     )
 
 
