@@ -175,29 +175,34 @@ def group_ranked(
     keys: list[str],
     value: str | Column,
     num_range_partitions: int | None = None,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """The distributed per-group rank frame behind
     :func:`exact_group_percentiles` (passes 1–2 of its docstring),
     reusable by any bottom-k / rank-cut operator: returns
-    ``(keys..., _v, _rn, _n)`` where ``_rn`` is the 1-based rank of
-    ``_v`` within its group's ascending order and ``_n`` the group size.
-    No task ever holds a group or a group's sort — range partitioning
-    spreads each group across the cluster; the per-cell offsets are
-    metadata-sized and broadcast. NULL values are excluded."""
+    ``(keys..., [tiebreak...,] _v, _rn, _n)`` where ``_rn`` is the
+    1-based rank of ``_v`` within its group's ascending order and ``_n``
+    the group size. ``tiebreak`` columns extend the sort so equal values
+    rank deterministically (and ride along in the output). No task ever
+    holds a group or a group's sort — range partitioning spreads each
+    group across the cluster; the per-cell offsets are metadata-sized
+    and broadcast. NULL values are excluded."""
     from pyspark.sql import Window
 
+    tb = list(tiebreak or [])
     v = F.col(value) if isinstance(value, str) else value
-    d = df.filter(v.isNotNull()).select(*keys, v.alias("_v"))
+    d = df.filter(v.isNotNull()).select(*keys, v.alias("_v"), *tb)
     spark = df.sparkSession
     nparts = num_range_partitions or max(
         spark.sparkContext.defaultParallelism, 8
     )
     base = (
-        d.repartitionByRange(nparts, *keys, "_v")
-        .sortWithinPartitions(*keys, "_v")
+        d.repartitionByRange(nparts, *keys, "_v", *tb)
+        .sortWithinPartitions(*keys, "_v", *tb)
         .select(
             *keys,
             "_v",
+            *tb,
             F.spark_partition_id().alias("_pid"),
             # pid * 2^33 + local position over the sorted stream
             (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("_lidx"),

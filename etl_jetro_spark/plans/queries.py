@@ -5221,24 +5221,33 @@ def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate family to LSH (q18) and prefix filtering (q124): O(n·w)
     candidates from one sort, catching prefix-similar pairs that banding
     can miss."""
-    from pyspark.sql import Window
-
     from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.aggregate import group_ranked
     from etl_jetro_spark.operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", "lang", F.substring(norm_text("text"), 1, 20).alias("sk")
     )
-    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
-    ranked = keyed.withColumn("rk", F.row_number().over(w))
+    # ranks from the DISTRIBUTED rank frame (range partition + metadata
+    # offsets): a per-lang window would serialize each block — with a
+    # handful of langs that is a handful of tasks however big the corpus.
+    # Neighbor pairs come from rank-equi-joins (rk+d = rk), hash-
+    # distributed on (lang, rk), not window lead()s.
+    ranked = group_ranked(
+        keyed, ["lang"], "sk", tiebreak=["doc_id"]
+    ).select("lang", "doc_id", "_rn").localCheckpoint(eager=False)
     cands = None
     for k in (1, 2, 3):
-        c = ranked.select(
+        a = ranked.select(
+            "lang",
             F.col("doc_id").alias("id_a"),
-            F.lead("doc_id", k).over(w).alias("id_b"),
-            F.lit(k).cast("long").alias("rank_dist"),
-        ).filter(F.col("id_b").isNotNull())
+            (F.col("_rn") + k).alias("_rn"),
+        )
+        b = ranked.select("lang", F.col("doc_id").alias("id_b"), "_rn")
+        c = a.join(b, ["lang", "_rn"]).select(
+            "id_a", "id_b", F.lit(k).cast("long").alias("rank_dist")
+        )
         cands = c if cands is None else cands.unionByName(c)
     sh = shingle_rows(d, "doc_id", "text", 3, distinct=True)
     sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
