@@ -5274,3 +5274,43 @@ def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q136_topk_orders_ranked",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q136_topk_orders_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer through the DISTRIBUTED rank frame
+    (aggregate.group_ranked on descending-encoded price, orderkey
+    tiebreak) — the raw-row-scale form of q107's window top-k: a group
+    whose rows dwarf one executor still ranks, because range
+    partitioning spreads it and only metadata offsets cross tasks."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (-F.col("o_totalprice")).alias("_negp"),
+    )
+    ranked = group_ranked(o, ["o_custkey"], "_negp", tiebreak=["o_orderkey"])
+    return (
+        ranked.filter(F.col("_rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round((-F.col("_v")), 2).alias("totalprice"),
+            F.col("_rn").cast("long").alias("rk"),
+        )
+    )

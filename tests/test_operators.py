@@ -1287,3 +1287,34 @@ def test_bm25_matches_reference_formula(spark):
     assert got[1] == pytest.approx(bm25(2, 2, 4))
     assert got[2] == pytest.approx(bm25(1, 2, 6))
     assert got[3] == pytest.approx(bm25(1, 1, 3))
+
+
+def test_group_ranked_dense_unique_and_tiebreak(spark):
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    rows_ = [("g1", 5, 1), ("g1", 5, 2), ("g1", 3, 3), ("g2", 7, 4)]
+    df = spark.createDataFrame(rows_, ["g", "v", "id"])
+    got = {
+        (r["g"], r["id"]): (r["_rn"], r["_n"])
+        for r in group_ranked(df, ["g"], "v", tiebreak=["id"]).collect()
+    }
+    # ranks are 1..n per group; equal values ordered by the tiebreak
+    assert got[("g1", 3)] == (1, 3)
+    assert got[("g1", 1)] == (2, 3)
+    assert got[("g1", 2)] == (3, 3)
+    assert got[("g2", 4)] == (1, 1)
+
+
+def test_group_ranked_many_partitions_still_contiguous(spark):
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    out = group_ranked(df, ["g"], "v", num_range_partitions=16)
+    agg = out.groupBy("g").agg(
+        F.min("_rn").alias("lo"), F.max("_rn").alias("hi"),
+        F.count(F.lit(1)).alias("n"), F.countDistinct("_rn").alias("nd"),
+    ).collect()
+    for r in agg:
+        assert r["lo"] == 1 and r["hi"] == r["n"] == r["nd"]
