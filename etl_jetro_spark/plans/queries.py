@@ -5314,3 +5314,96 @@ def q136_topk_orders_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rn").cast("long").alias("rk"),
         )
     )
+
+
+@query(
+    "q137_shingle_novelty",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM dsh GROUP BY sh)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM dsh d JOIN firsts f USING (sh)
+    GROUP BY d.doc_id
+    """,
+)
+def q137_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty — the fraction of a doc's distinct shingles
+    appearing for the FIRST time in corpus order (min doc id as the
+    deterministic ingest-order stand-in): the curation signal that
+    separates fresh content from recombined boilerplate. One first-seen
+    partial agg over the shingle index joined back on the shingle —
+    both frames shuffle once on the shingle key."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    dsh = shingle_rows(d, "doc_id", "text", 3, distinct=True).localCheckpoint(
+        eager=False
+    )
+    firsts = dsh.groupBy("_sh").agg(F.min("_id").alias("_first"))
+    j = dsh.join(firsts, "_sh")
+    return j.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum((F.col("_first") == F.col("_id")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum((F.col("_first") == F.col("_id")).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )
+
+
+@query(
+    "q138_event_runs",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+      FROM events
+    ),
+    m AS (
+      SELECT *, lag(event_type) OVER w AS prev FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           CAST(count(*) AS BIGINT) AS run_len,
+           CAST(min(t) AS BIGINT) AS run_start
+    FROM s GROUP BY user_id, run_id, event_type
+    """,
+)
+def q138_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of consecutive same-type events per user (the
+    lag-mark-cumsum idiom shared with sessionization/SCD2): per-user
+    windows over (time, id) — one shuffle+sort reused by both window
+    passes, group cardinality = users, no serialization hotspot."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    t = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    o = e.select("user_id", "event_type", t.alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = o.withColumn("_prev", F.lag("event_type").over(w))
+    runs = marked.withColumn(
+        "run_id",
+        F.sum(
+            (F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))).cast("long")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("t").cast("long").alias("run_start"),
+    )
