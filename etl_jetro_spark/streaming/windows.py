@@ -174,6 +174,7 @@ def correlated_stream_join(
     right_type: str = "purchase",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream INTERVAL join: pair each ``right_type``
     event with same-user ``left_type`` events in the preceding ``within``
@@ -207,8 +208,19 @@ def correlated_stream_join(
         & (F.col("l_ts") <= F.col("r_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
-        F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts"
+    # how="leftOuter": clicks that never attribute emit ONCE, null-padded,
+    # when the right watermark passes their last possible match — the
+    # state-eviction moment doubles as the no-match decision, so outer
+    # results are exactly-once without any reprocessing. (Outer rows
+    # surface on the trigger AFTER the watermark advances: a drained
+    # availableNow run needs one more run once later data has pushed the
+    # watermark — see test_stream_stream_left_outer_join_emits_unmatched.)
+    return l.join(r, cond, how).select(
+        F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+        "l_event",
+        "r_event",
+        "l_ts",
+        "r_ts",
     )
 
 
@@ -218,10 +230,13 @@ def run_attribution_join(
     checkpoint_dir: str,
     queryName: str = "attribution",
     glob: str = "events.parquet",
+    how: str = "inner",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
 ):
     """Wire the click→purchase attribution join into an in-memory sink."""
     ev = events_stream(spark, events_dir, glob)
-    out = correlated_stream_join(ev, ev)
+    out = correlated_stream_join(ev, ev, within=within, watermark=watermark, how=how)
     return (
         out.writeStream.outputMode("append")
         .format("memory")

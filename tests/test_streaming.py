@@ -563,3 +563,96 @@ def test_stateful_running_totals_live_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """leftOuter attribution: a click with no purchase in its horizon
+    emits ONCE, null-padded, after the watermark passes its window — the
+    second availableNow run (with a watermark-pushing later file) is
+    what surfaces the outer rows; the inner pairs still match batch."""
+    import datetime as dt
+
+    from etl_jetro_spark.streaming.windows import run_attribution_join
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, typ):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    first = spark.createDataFrame(
+        [
+            ev(1, 0, 10, "click"),      # matched by purchase 3
+            ev(2, 5, 20, "click"),      # never matched -> outer row
+            ev(3, 30, 10, "purchase"),
+            ev(4, 40, 30, "purchase"),  # purchase with no click (dropped: left outer)
+        ],
+        cols,
+    )
+    def ship(df, name):
+        # the file-stream source globs files directly under src, so stage
+        # the single part file and move it in as <name>.parquet
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    ship(first, "a")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    # parquet sink: unlike the memory sink it RESUMES from the checkpoint,
+    # which the second drain needs to keep the join state
+    from etl_jetro_spark.streaming.windows import correlated_stream_join, events_stream
+
+    def drain():
+        ev_s = events_stream(spark, str(src), "*.parquet")
+        j = correlated_stream_join(ev_s, ev_s, how="leftOuter")
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # push the watermark far past every click's horizon, then drain again
+    # BOTH event types must advance: each side carries its own watermark
+    # node and the global watermark is their MINIMUM — later clicks alone
+    # leave the purchase side (and thus outer-emission) held back
+    later = spark.createDataFrame(
+        [ev(99, 60 * 24, 99, "click"), ev(98, 60 * 24, 99, "purchase")], cols
+    )
+    ship(later, "b")
+    drain()
+    # outer rows flush on the batch AFTER the watermark advance — one more
+    # file + drain triggers the state-eviction emit
+    ship(
+        spark.createDataFrame(
+            [ev(100, 60 * 25, 99, "click"), ev(101, 60 * 25, 99, "purchase")], cols
+        ),
+        "c",
+    )
+    drain()
+
+    rows = spark.read.parquet(out_dir).collect()
+    inner = {(r["l_event"], r["r_event"]) for r in rows if r["r_event"] is not None}
+    outer = {r["l_event"] for r in rows if r["r_event"] is None}
+    # core fixture: click 1 attributes to purchase 3; click 2 never does
+    # (watermark-pusher events pair among themselves — ignore those)
+    assert (1, 3) in inner
+    assert not any(a == 2 for (a, _) in inner)
+    assert 2 in outer, f"unmatched click must emit null-padded: {rows}"
+    assert 4 not in {r["r_event"] for r in rows if r["l_event"] is None}, (
+        "leftOuter must not emit right-side-only rows"
+    )
+    # the outer row for click 2 appears exactly once across both drains
+    assert sum(1 for r in rows if r["l_event"] == 2 and r["r_event"] is None) == 1
