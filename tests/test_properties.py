@@ -322,3 +322,42 @@ def test_morton_key_is_bijective(pairs):
         dx = sum(((z >> (2 * i)) & 1) << i for i in range(10))
         dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
         assert (dx, dy) == (x, y)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("ab"),
+            st.integers(0, 5),
+            st.integers(0, 99),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_group_ranked_equals_window_row_number(spark, rows):
+    """The distributed rank frame is EXACTLY row_number over
+    (group ORDER BY value, tiebreak) — ranks, tie resolution, and group
+    sizes — on arbitrary duplicate-heavy inputs and any partition count."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        (r["g"], r["id"]): (r["_rn"], r["_n"])
+        for r in group_ranked(
+            df, ["g"], "v", num_range_partitions=5, tiebreak=["id"]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    wn = Window.partitionBy("g")
+    exp = {
+        (r["g"], r["id"]): (r["rn"], r["n"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .collect()
+    }
+    assert got == exp
