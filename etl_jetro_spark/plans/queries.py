@@ -5407,3 +5407,98 @@ def q138_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("run_len"),
         F.min("t").cast("long").alias("run_start"),
     )
+
+
+@query(
+    "q139_revenue_share",
+    """
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS region_share,
+           round(revenue / sum(revenue) OVER (), 6) AS global_share
+    FROM rev
+    """,
+)
+def q139_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution analysis: nation revenue with its
+    share of region and of the world — window sums over the POST-AGG
+    frame (25 rows at any raw scale: the unpartitioned window is over
+    group cardinality, the q92 pattern). Joins ride broadcast dims."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(Window.partitionBy("region")),
+            6,
+        ).alias("region_share"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 6
+        ).alias("global_share"),
+    )
+
+
+@query(
+    "q140_priority_transitions",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t, o_orderkey
+      FROM orders
+    ),
+    m AS (
+      SELECT o_custkey, o_orderpriority AS to_p,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY t, o_orderkey) AS from_p
+      FROM o
+    )
+    SELECT from_p, to_p, CAST(count(*) AS BIGINT) AS n
+    FROM m WHERE from_p IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q140_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority transition matrix (the Markov-count shape behind
+    behavioral next-step models): per-customer lag over (date, key),
+    then a 25-cell aggregate. One (key, time) shuffle+sort; the matrix
+    is alphabet², never data-sized."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        epoch_seconds_ntz("o_orderdate").alias("t"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    m = o.select(
+        F.col("o_orderpriority").alias("to_p"),
+        F.lag("o_orderpriority").over(w).alias("from_p"),
+    ).filter(F.col("from_p").isNotNull())
+    return m.groupBy("from_p", "to_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
