@@ -242,8 +242,14 @@ def mad_outliers(
     per-group multiset buffering, no per-group serial sort), so the
     operator holds at raw-row scale where ``percentile``-style aggregates
     OOM. The two median frames are groups-sized and broadcast back.
-    Returns (keys..., n, med, mad, n_outliers)."""
+    NULL values are excluded up front (matching
+    :func:`exact_group_percentiles`), so ``n`` counts exactly the rows the
+    medians were computed over — a NULL-heavy group can't report a
+    denominator inconsistent with its statistic, and all-NULL groups are
+    absent rather than half-joined. Returns (keys..., n, med, mad,
+    n_outliers)."""
     v = F.col(value)
+    df = df.filter(v.isNotNull())
     med = exact_group_percentiles(df, keys, value, {"_med": 0.5})
     dev = df.join(F.broadcast(med), keys).withColumn(
         "_absdev", F.abs(v - F.col("_med"))

@@ -82,6 +82,15 @@ def point_in_time_join(
     a version are not representable (they read as 'no version yet') —
     encode them with a sentinel if needed.
     """
+    # the output selects *facts.columns plus the attrs and `version_from`
+    # under bare names — a collision would surface only later as an
+    # ambiguous-column error (or worse, a silent duplicate), so fail fast
+    clash = sorted((set(attrs) | {"version_from"}) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            "point_in_time_join output columns collide with fact columns: "
+            f"{clash}; rename the fact column(s) or the enrichment attrs"
+        )
     fcols = [c for c in facts.columns]
     f = facts.select(
         *fcols,

@@ -664,9 +664,17 @@ def prefix_filter_jaccard_pairs(
     )
     # NOT checkpointed: the candidate self-join aliases one subplan; the
     # second side rides ReusedExchange (same shape as ngram_jaccard_pairs)
+    # rounding-safe ceil: for t not exactly representable in binary (0.7,
+    # 0.1, ...) the float product can land just ABOVE the true integer
+    # (0.7*10 = 7.000000000000001), inflating ceil by 1 and shortening the
+    # prefix — which would silently break losslessness for that (t, n).
+    # Nudging down by 1e-9 (far below any t*n quantum at doc-set sizes)
+    # only ever LENGTHENS the prefix, which is always safe.
     pref = ranked.filter(
         F.col("_rk")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        <= F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+        + 1
     ).select("_id", "_sh")
     cand = (
         pref.alias("a")

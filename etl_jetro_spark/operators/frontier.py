@@ -27,11 +27,20 @@ def pareto_frontier(
     df: DataFrame, min_col: str, max_col: str, num_range_partitions: int | None = None
 ) -> DataFrame:
     """Rows of ``df`` not dominated under (minimize ``min_col``, maximize
-    ``max_col``). Keeps all input columns."""
+    ``max_col``). Keeps all input columns.
+
+    NULL coordinates follow the NOT-EXISTS definition: a row with NULL in
+    either coordinate is never dominated (every comparison against NULL is
+    non-TRUE) and dominates nothing, so such rows are always kept — they
+    bypass the sweep entirely rather than feeding NULLs into it.
+    """
     spark = df.sparkSession
     nparts = num_range_partitions or max(
         spark.sparkContext.defaultParallelism, 8
     )
+    coords_ok = F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+    null_rows = df.filter(~coords_ok)
+    df = df.filter(coords_ok)
     per_x = df.groupBy(F.col(min_col).alias("_x")).agg(
         F.max(F.col(max_col)).alias("_xmax")
     )
@@ -70,4 +79,4 @@ def pareto_frontier(
     keep = (
         F.col("_premax").isNull() | (F.col("_premax") < F.col(max_col))
     ) & (F.col("_xmax") <= F.col(max_col))
-    return j.filter(keep).select(*df.columns)
+    return j.filter(keep).select(*df.columns).unionByName(null_rows)

@@ -4590,10 +4590,12 @@ def q121_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q122_mad_outliers",
     """
-    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-                 FROM events GROUP BY 1),
+    WITH ev AS (SELECT event_type, value FROM events
+                WHERE value IS NOT NULL),
+    med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM ev GROUP BY 1),
     dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
-            FROM events e JOIN med m USING (event_type)),
+            FROM ev e JOIN med m USING (event_type)),
     madt AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
              FROM dev GROUP BY 1)
     SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1318,3 +1318,94 @@ def test_group_ranked_many_partitions_still_contiguous(spark):
     ).collect()
     for r in agg:
         assert r["lo"] == 1 and r["hi"] == r["n"] == r["nd"]
+
+
+def test_pareto_frontier_keeps_null_coordinate_rows(spark):
+    # NOT-EXISTS semantics: NULL in either coordinate means every dominance
+    # comparison is non-TRUE — the row is never dominated and dominates
+    # nothing. Such rows bypass the sweep and are always kept.
+    from etl_jetro_spark.operators.frontier import pareto_frontier
+
+    rows = [
+        (1, 1.0, 9.0),   # frontier
+        (2, 2.0, 5.0),   # dominated by (1,9)
+        (3, None, 7.0),  # NULL x — kept
+        (4, 3.0, None),  # NULL y — kept
+        (5, None, None), # both NULL — kept
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    got = {r["id"] for r in pareto_frontier(df, "x", "y").collect()}
+    assert got == {1, 3, 4, 5}
+
+
+def test_prefix_filter_lossless_at_inexact_threshold(spark):
+    # t=0.7 is not binary-representable: 0.7*|S| can float just above an
+    # integer and an unguarded ceil() would shorten the prefix, losing
+    # pairs. The guarded bound must stay lossless vs the full index.
+    from etl_jetro_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    # docs engineered so distinct 3-gram set sizes hit n=10 and n=20,
+    # where 0.7*n lands exactly on an integer (the rounding hazard)
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"       # 10 3-grams
+    near = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 x11"       # 9 shared
+    long = " ".join(f"u{i}" for i in range(22))            # 20 3-grams
+    docs = [(1, base), (2, near), (3, base), (4, long)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.7, 0.1, 0.3):
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert pref == full, f"prefix filter lost pairs at t={t}"
+
+
+def test_point_in_time_join_rejects_column_collisions(spark):
+    from etl_jetro_spark.operators.cdc import point_in_time_join
+
+    facts = spark.createDataFrame(
+        [(1, 100, "x")], ["k", "t", "price"]
+    )
+    versions = spark.createDataFrame(
+        [(1, 50, 0, "a")], ["k", "vt", "seq", "price"]
+    )
+    with pytest.raises(ValueError, match="price"):
+        point_in_time_join(
+            facts, versions, ["k"], "t", "vt", "seq", ["price"]
+        )
+    facts2 = facts.withColumnRenamed("price", "version_from")
+    versions2 = versions.withColumnRenamed("price", "attr")
+    with pytest.raises(ValueError, match="version_from"):
+        point_in_time_join(
+            facts2, versions2, ["k"], "t", "vt", "seq", ["attr"]
+        )
+
+
+def test_mad_outliers_excludes_nulls_from_n(spark):
+    # n must count exactly the rows the medians were computed over;
+    # all-NULL groups drop out entirely instead of half-joining
+    from etl_jetro_spark.operators.aggregate import mad_outliers
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [
+        ("g", 1e6),
+        ("g", None),
+        ("g", None),
+        ("allnull", None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r.asDict() for r in mad_outliers(df, ["grp"], "v").collect()}
+    assert "allnull" not in out
+    r = out["g"]
+    assert r["n"] == 101  # NULLs not counted
+    assert r["med"] == pytest.approx(51.0)
+    assert r["n_outliers"] == 1
