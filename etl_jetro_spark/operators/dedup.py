@@ -74,6 +74,37 @@ def shingle_rows(
     return sh.distinct() if distinct else sh
 
 
+def capped_index(
+    index: DataFrame, key_col: str, max_doc_freq: int
+) -> DataFrame:
+    """Drop inverted-index keys whose document frequency exceeds
+    ``max_doc_freq`` — THE skew guard every pair-generating self-join
+    needs before it ships (a key shared by f documents contributes f²
+    candidate pairs; boilerplate keys carry no discriminative signal for
+    dedup/copy detection yet dominate the join cost quadratically).
+
+    Inverted for scale: the keys OVER the cap are the tiny set (hot
+    boilerplate — bounded by definition, regardless of corpus size), so
+    aggregate partials, keep the violators, broadcast ANTI-join them out.
+    The index itself never shuffles for the cap and nothing
+    vocabulary-sized is ever broadcast (the under-cap vocabulary grows
+    with the corpus; the over-cap set does not).
+
+    ``index`` is any (doc, key) frame — one row per posting;
+    ``key_col`` names the index key. Used by
+    :func:`ngram_jaccard_pairs`, :func:`containment_pairs`,
+    :func:`prefix_filter_jaccard_pairs` (optional — it is lossless
+    WITHOUT a cap) and :func:`winnow_overlap_pairs`.
+    """
+    hot = (
+        index.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select(key_col)
+    )
+    return index.join(F.broadcast(hot), key_col, "left_anti")
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one row per distinct normalized text: the minimum id wins
     (deterministic). Returns (id, fingerprint, dup_count)."""
@@ -269,19 +300,7 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     if max_doc_freq is not None:
-        # skew guard, inverted for scale: the shingles OVER the cap are
-        # the tiny set (hot boilerplate) — aggregate partials, keep the
-        # violators, broadcast ANTI-join them out. The index itself never
-        # shuffles for the cap, and nothing vocabulary-sized is ever
-        # broadcast (the under-cap vocab grows with the corpus; the hot
-        # set is bounded by definition).
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
-            .select("_sh")
-        )
-        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+        sh = capped_index(sh, "_sh", max_doc_freq)
     # canonical self-join: identical children on both sides (alias, not
     # pre-renamed projections) lets ReuseExchange serve the second side
     # from the first side's shuffle
@@ -333,13 +352,7 @@ def containment_pairs(
         .localCheckpoint(eager=False)
     )
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
-            .select("_sh")
-        )
-        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+        sh = capped_index(sh, "_sh", max_doc_freq)
     pair = (
         sh.alias("a")
         .join(sh.alias("b"), F.col("a._sh") == F.col("b._sh"))
@@ -514,36 +527,96 @@ def winnow_fingerprints(
     and the expected density is 2/(w+1) of the k-gram count — a bounded
     fraction of the corpus feeds any downstream join.
 
-    Scale shape: k-gram hashing is expression-only (no UDF, no shuffle);
-    ONE shuffle partitions k-gram hashes by doc for the sliding-window
-    min (docs are small relative to partitions — no skew); the distinct
-    collapses on the same (id, fingerprint) partitioning with map-side
-    partial agg. No reference counterpart (the reference has no
-    fingerprinting); this is the rolling-hash fingerprint surface of the
-    training-data brief.
+    Scale shape: positions explode as an INT sequence and the k-gram
+    substring + md5 evaluate ROW-LEVEL inside whole-stage codegen — the
+    k-gram string array is never materialized (the previous
+    array-of-substrings HOF shape was interpreted per element; this form
+    measured 4-6 s -> 1.4 s at sf0.1). ONE shuffle partitions k-gram
+    hashes by doc for the sliding-window min (streaming window state of w
+    rows — no per-doc array, so a pathologically long document costs
+    bandwidth, not executor memory); the distinct collapses on the same
+    (id, fingerprint) partitioning with map-side partial agg. No
+    reference counterpart (the reference has no fingerprinting); this is
+    the rolling-hash fingerprint surface of the training-data brief.
     """
     from pyspark.sql import Window
 
-    from etl_jetro_spark.functions.hashing import char_shingles_normed, norm_text
+    from etl_jetro_spark.functions.hashing import norm_text
 
-    # materialize the normalization BEFORE the k-gram lambda — an inlined
+    # materialize the normalization BEFORE position explosion — an inlined
     # norm_text re-runs its regexes per k-gram position (measured 66 s ->
     # 1.7 s for this operator at sf0.1)
     base = spread(df).select(
         F.col(id_col).alias("_id"), norm_text(text_col).alias("_t")
     )
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0], not [] — texts
+    # shorter than k need the explicit empty branch
+    positions = F.when(
+        F.length("_t") < k, F.expr("CAST(array() AS array<int>)")
+    ).otherwise(F.sequence(F.lit(1), F.length("_t") - (k - 1)))
     g = base.select(
         "_id",
-        F.posexplode(char_shingles_normed(F.col("_t"), k)).alias("_pos", "_g"),
+        "_t",
+        F.posexplode(positions).alias("_pos", "_p1"),
+    ).select(
+        "_id",
+        "_pos",
+        F.md5(F.substring(F.col("_t"), F.col("_p1"), k)).alias("_h"),
     )
     win = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(w - 1), 0)
     fp = (
-        g.select("_id", "_pos", F.min(F.md5("_g")).over(win).alias("fingerprint"))
+        g.select("_id", "_pos", F.min("_h").over(win).alias("fingerprint"))
         # winnowing emits only FULL windows; the first w-1 positions are
         # prefixes of the first full window
         .filter(F.col("_pos") >= w - 1)
     )
     return fp.select(F.col("_id").alias(id_col), "fingerprint").distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 30,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """MOSS-style copy detection: document pairs sharing at least
+    ``min_shared`` winnowed fingerprints, with the shared count. The
+    inverted-index self-join runs on the winnowed set (~2/(w+1) of the
+    k-grams — the density bound that makes corpus-scale substring-match
+    detection affordable).
+
+    ``max_doc_freq`` routes the fingerprint index through
+    :func:`capped_index` before the self-join. Winnowing bounds TOTAL
+    index volume but NOT per-key skew: one boilerplate substring shared
+    by f documents still yields f² candidate rows in that fingerprint's
+    bucket, so at web scale an uncapped self-join degrades quadratically
+    on boilerplate while everything around it stays linear. Fingerprints
+    over the cap carry no copy-detection signal (shared by "everyone"
+    means "template", not "copied from"), so capping changes reported
+    counts only for boilerplate pairs — the same argument as
+    :func:`ngram_jaccard_pairs`' shingle cap. Returns
+    (id_a, id_b, n_shared).
+    """
+    # barrier FIRST: the winnowed index feeds the cap's hot-set aggregate,
+    # the anti-join probe side, AND both self-join sides — checkpoint once
+    # so the k-gram hashing + window min run once, not once per consumer
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
+    if max_doc_freq is not None:
+        fp = capped_index(fp, "fingerprint", max_doc_freq)
+    a = fp.withColumnRenamed(id_col, "id_a")
+    b = fp.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def line_dedup(
@@ -616,6 +689,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs >= ``threshold`` via PREFIX FILTERING (the
     All-Pairs / PPJoin candidate bound — Chaudhuri et al. ICDE'06, Bayardo
@@ -636,9 +710,17 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
-        eager=False
-    )
+    sh = shingle_rows(df, id_col, text_col, n, distinct=True)
+    if max_doc_freq is not None:
+        # optional belt-and-braces cap (routes through capped_index like
+        # every other pair operator). The prefix filter already keeps hot
+        # shingles out of the INDEX by construction; a cap additionally
+        # removes them from the verify sets — at which point the output is
+        # Jaccard over the CAPPED shingle universe, no longer lossless
+        # against the uncapped definition. Default None preserves the
+        # lossless guarantee.
+        sh = capped_index(sh, "_sh", max_doc_freq)
+    sh = sh.localCheckpoint(eager=False)
     dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
     # verify arrays carry 60-bit hashes, not shingle strings: the
     # per-candidate intersection is exact up to in-pair collisions at

@@ -1409,3 +1409,36 @@ def test_mad_outliers_excludes_nulls_from_n(spark):
     assert r["n"] == 101  # NULLs not counted
     assert r["med"] == pytest.approx(51.0)
     assert r["n_outliers"] == 1
+
+
+def test_capped_index_drops_planted_hot_key(spark):
+    # a key shared by every doc (boilerplate) must vanish; rare keys stay
+    from etl_jetro_spark.operators.dedup import capped_index
+
+    rows = [(i, "HOT") for i in range(50)] + [(1, "rare"), (2, "rare")]
+    idx = spark.createDataFrame(rows, ["doc", "k"])
+    out = capped_index(idx, "k", max_doc_freq=10)
+    got = {(r["doc"], r["k"]) for r in out.collect()}
+    assert got == {(1, "rare"), (2, "rare")}
+
+
+def test_winnow_overlap_cap_bounds_boilerplate_pairs(spark):
+    # 40 docs sharing one long boilerplate block + one genuinely copied
+    # pair. Uncapped, the boilerplate fingerprints alone connect all
+    # 40*39/2 pairs; with the cap only the copied pair (whose shared
+    # fingerprints come from its own long unique text) survives.
+    from etl_jetro_spark.operators.dedup import winnow_overlap_pairs
+
+    boiler = "this footer is identical across every page of the site " * 3
+    docs = [(i, f"{boiler} unique content {i} " + " ".join(f"tok{i}x{j}" for j in range(10))) for i in range(40)]
+    copied = "a very long original passage that someone copied wholesale into another document verbatim " * 3
+    docs += [(100, copied + " tail alpha"), (101, copied + " tail beta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = winnow_overlap_pairs(df, "doc_id", "text", min_shared=5)
+    capped = winnow_overlap_pairs(
+        df, "doc_id", "text", min_shared=5, max_doc_freq=10
+    )
+    n_unc = uncapped.count()
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert n_unc >= 40 * 39 // 2  # boilerplate connects everything
+    assert got == {(100, 101)}  # cap keeps only the real copy
