@@ -200,6 +200,38 @@ def band_key_exprs(
     return keys
 
 
+def _sig_base(
+    df: DataFrame, id_col: str, vec_col: str, dims: int, bits: int
+) -> DataFrame:
+    """(id_col, _v, _sig): the signature frame — the expensive part of the
+    LSH path (bits × dims hyperplane dot products per row). Computed once
+    and checkpointed by callers whose probe side derives from the corpus,
+    so signatures are never evaluated per consumer."""
+    v = _vec(vec_col)
+    return df.select(
+        F.col(id_col), v.alias("_v"), signature_bits(v, dims, bits).alias("_sig")
+    )
+
+
+def _band_explode(
+    base: DataFrame,
+    id_col: str,
+    role: str,
+    bits: int,
+    band_bits: int,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Explode a signature frame into (role_id, _rolev, _band) bucket rows —
+    cheap substring/concat work over the already-computed signature."""
+    return base.select(
+        F.col(id_col).alias(f"{role}_id"),
+        F.col("_v").alias(f"_{role}v"),
+        F.explode(
+            F.array(*band_key_exprs(F.col("_sig"), bits, band_bits, multiprobe))
+        ).alias("_band"),
+    )
+
+
 def _banded(
     df: DataFrame,
     id_col: str,
@@ -210,16 +242,13 @@ def _banded(
     role: str,
     multiprobe: bool = False,
 ) -> DataFrame:
-    v = _vec(vec_col)
-    sig = signature_bits(v, dims, bits)
-    return df.select(
-        F.col(id_col).alias(f"{role}_id"), v.alias(f"_{role}v"), sig.alias("_sig")
-    ).select(
-        f"{role}_id",
-        f"_{role}v",
-        F.explode(
-            F.array(*band_key_exprs(F.col("_sig"), bits, band_bits, multiprobe))
-        ).alias("_band"),
+    return _band_explode(
+        _sig_base(df, id_col, vec_col, dims, bits),
+        id_col,
+        role,
+        bits,
+        band_bits,
+        multiprobe,
     )
 
 
@@ -232,13 +261,38 @@ def lsh_candidates(
     bits: int = 12,
     band_bits: int = 4,
     multiprobe: bool = False,
+    probe_pred=None,
 ) -> DataFrame:
     """Bucket-join candidate pairs (probe_id, neighbor_id, score) — shared
     by :func:`lsh_bucket_knn` (top-k) and the quality telemetry (candidate
     counts). Multi-probe applies to the PROBE side only: the corpus is
-    bucketed once, probes also look in Hamming-1 buckets."""
-    p = _banded(probes, id_col, vec_col, dims, bits, band_bits, "probe", multiprobe)
-    c = _banded(corpus, id_col, vec_col, dims, bits, band_bits, "neighbor")
+    bucketed once, probes also look in Hamming-1 buckets.
+
+    ``probe_pred`` (a Column predicate over the corpus' own columns)
+    declares probes ⊆ corpus: the signature frame is then computed ONCE
+    over the corpus and checkpointed, and both join sides (plus any
+    downstream re-rank) derive from it — without it, each side's scan
+    re-evaluates the bits × dims signature expressions. ``probes`` is
+    ignored when ``probe_pred`` is given."""
+    if probe_pred is not None:
+        base = _sig_base(corpus, id_col, vec_col, dims, bits).localCheckpoint(
+            eager=False
+        )
+        p = _band_explode(
+            base.filter(probe_pred), id_col, "probe", bits, band_bits, multiprobe
+        )
+        c = _band_explode(base, id_col, "neighbor", bits, band_bits)
+    else:
+        p = _banded(
+            probes, id_col, vec_col, dims, bits, band_bits, "probe", multiprobe
+        )
+        c = _banded(corpus, id_col, vec_col, dims, bits, band_bits, "neighbor")
+    return _candidate_join(p, c)
+
+
+def _candidate_join(p: DataFrame, c: DataFrame) -> DataFrame:
+    """Band-bucket equi-join (probe side broadcast — probe sets are
+    model-parameter-sized) + exact-cosine scoring of distinct pairs."""
     return (
         c.join(F.broadcast(p), "_band")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -261,6 +315,7 @@ def lsh_bucket_knn(
     bits: int = 12,
     band_bits: int = 4,
     multiprobe: bool = False,
+    probe_pred=None,
 ) -> DataFrame:
     """Approximate k-NN: candidates must share ≥1 of bits/band_bits signature
     bands (Hamming-1 neighbors too under ``multiprobe``); exact cosine
@@ -268,12 +323,15 @@ def lsh_bucket_knn(
 
     Returns (probe_id, neighbor_id, score, rank) like :func:`knn_join` —
     recall < 1 by construction; multi-probe lifts it at ~(band_bits+1)×
-    probe-side bucket lookups.
+    probe-side bucket lookups. ``probe_pred`` declares probes ⊆ corpus
+    and shares one checkpointed signature frame (see
+    :func:`lsh_candidates`).
     """
     from pyspark.sql import Window
 
     cand = lsh_candidates(
-        probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe
+        probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe,
+        probe_pred=probe_pred,
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -311,17 +369,37 @@ def ann_quality(
     bits: int = 12,
     band_bits: int = 4,
     multiprobe: bool = True,
+    probe_pred=None,
 ) -> DataFrame:
     """Per-probe ANN quality telemetry vs the exact kNN baseline:
-    (probe_id, n_candidates, n_hit, recall). recall = |approx∩exact| / k."""
-    exact = knn_join(probes, corpus, id_col, vec_col, k=k).select(
-        "probe_id", "neighbor_id"
-    )
+    (probe_id, n_candidates, n_hit, recall). recall = |approx∩exact| / k.
+
+    With ``probe_pred`` (probes ⊆ corpus), ONE checkpointed signature
+    frame serves the exact baseline's vectors, both banded join sides,
+    and the probe id list — the corpus parquet is scanned and the
+    signature expressions evaluated exactly once."""
+    if probe_pred is not None:
+        base = _sig_base(corpus, id_col, vec_col, dims, bits).localCheckpoint(
+            eager=False
+        )
+        pb = base.filter(probe_pred)
+        probes = pb.select(F.col(id_col), F.col("_v"))
+        exact = knn_join(
+            probes, base.select(F.col(id_col), F.col("_v")), id_col, "_v", k=k
+        ).select("probe_id", "neighbor_id")
+        p = _band_explode(pb, id_col, "probe", bits, band_bits, multiprobe)
+        c = _band_explode(base, id_col, "neighbor", bits, band_bits)
+        cand_plan = _candidate_join(p, c)
+    else:
+        exact = knn_join(probes, corpus, id_col, vec_col, k=k).select(
+            "probe_id", "neighbor_id"
+        )
+        cand_plan = lsh_candidates(
+            probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe
+        )
     # barrier: the candidate set feeds BOTH the top-k ranking and the
     # per-probe count — without it Catalyst re-executes the banded join
-    cand = lsh_candidates(
-        probes, corpus, id_col, vec_col, dims, bits, band_bits, multiprobe
-    ).localCheckpoint(eager=False)
+    cand = cand_plan.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     # Two shuffles over cand, each bytes-minimal: the rank window ships

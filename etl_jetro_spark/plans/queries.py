@@ -1188,10 +1188,13 @@ def q33_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly (same literals), so the approximate candidate set itself
     is verified, not just row counts."""
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 3)
+    # probes ⊆ corpus: probe_pred shares ONE checkpointed signature frame
+    # between the probe and corpus branches (the signature expressions are
+    # the dominant per-row cost of this query)
     out = O.lsh_bucket_knn(
-        probes, emb, "vec_id", "embedding", dims=64, k=3,
+        None, emb, "vec_id", "embedding", dims=64, k=3,
         bits=_Q33_BITS, band_bits=_Q33_BAND_BITS, multiprobe=True,
+        probe_pred=F.col("vec_id") < 3,
     )
     return out.select(
         "probe_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
@@ -1253,10 +1256,12 @@ def q57_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence) and recall@3 vs the exact kNN baseline — oracle-verified via
     the mirrored signature/banding literals."""
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 3)
+    # probes ⊆ corpus: one checkpointed signature frame serves the exact
+    # baseline, both banded sides, and the probe id list
     return O.ann_quality(
-        probes, emb, "vec_id", "embedding", dims=64, k=3,
+        None, emb, "vec_id", "embedding", dims=64, k=3,
         bits=_Q33_BITS, band_bits=_Q33_BAND_BITS, multiprobe=True,
+        probe_pred=F.col("vec_id") < 3,
     )
 
 
