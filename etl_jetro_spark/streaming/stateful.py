@@ -16,6 +16,8 @@ boundary, so the per-key python work is vectorized, not per-row.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.stateful_processor import (
@@ -35,6 +37,56 @@ try:  # pragma: no cover - environment probe
     HAS_PROTOBUF = True
 except ImportError:  # pragma: no cover
     HAS_PROTOBUF = False
+
+# Publicly-distributed tools that vendor the (BSD-licensed, pure-Python)
+# protobuf runtime. Probed ONLY when `import google.protobuf` fails, so a
+# pip-installed protobuf always wins.
+_VENDORED_PROTOBUF_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable, falling back to a vendored
+    pure-Python runtime when the pip package is absent. Must run BEFORE
+    the SparkSession is created: the executor Python workers inherit
+    ``PYTHONPATH`` and the version-skew opt-out through the JVM's
+    environment, and the state server runs inside those workers. Returns
+    True when protobuf is importable (and updates ``HAS_PROTOBUF``)."""
+    global HAS_PROTOBUF
+    import importlib
+    import sys
+
+    try:
+        importlib.import_module("google.protobuf")
+        HAS_PROTOBUF = True
+        return True
+    except ImportError:
+        pass
+    for d in _VENDORED_PROTOBUF_DIRS:
+        if not os.path.isfile(
+            os.path.join(d, "google", "protobuf", "__init__.py")
+        ):
+            continue
+        # append, never prepend: a vendored runtime must not shadow any
+        # real site-packages google.* namespace package
+        sys.path.append(d)
+        os.environ["PYTHONPATH"] = (
+            os.environ.get("PYTHONPATH", "") + os.pathsep + d
+        ).lstrip(os.pathsep)
+        # Spark's generated gencode can be one minor ahead of the vendored
+        # runtime; protobuf's own escape hatch accepts that skew (the wire
+        # format is stable across it)
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        try:
+            importlib.import_module("google.protobuf")
+            HAS_PROTOBUF = True
+            return True
+        except ImportError:  # pragma: no cover - broken vendor tree
+            sys.path.remove(d)
+    return False
 
 
 class RunningTotals(StatefulProcessor):
@@ -75,12 +127,13 @@ def run_running_totals(
     transformWithState requires the RocksDB state store provider."""
     from etl_jetro_spark.streaming.windows import events_stream
 
-    if not HAS_PROTOBUF:
+    if not ensure_protobuf():
         raise NotImplementedError(
-            "transformWithStateInPandas needs google.protobuf (absent in "
-            "this environment); the applyInPandasWithState path "
-            "(streaming/watcher.py) and the foreachBatch incremental view "
-            "(streaming/incremental.py) cover stateful streaming here"
+            "transformWithStateInPandas needs google.protobuf (no pip "
+            "package and no vendored pure-Python runtime found); the "
+            "applyInPandasWithState path (streaming/watcher.py) and the "
+            "foreachBatch incremental view (streaming/incremental.py) "
+            "cover stateful streaming without it"
         )
 
     spark.conf.set(

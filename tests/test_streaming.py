@@ -460,7 +460,10 @@ def test_running_totals_processor_logic(spark, tmp_path):
     )[0]
     assert out2.iloc[0].tolist() == [7, 10.0, 3]
 
-    if not S.HAS_PROTOBUF:
+    # when NO protobuf runtime exists anywhere (pip or vendored), the
+    # wiring must refuse with a clear error; the live end-to-end path is
+    # covered by test_transform_with_state_live_matches_batch
+    if not S.ensure_protobuf():
         with _pytest.raises(NotImplementedError):
             S.run_running_totals(spark, str(tmp_path), str(tmp_path / "ck"))
 
@@ -656,3 +659,64 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     )
     # the outer row for click 2 appears exactly once across both drains
     assert sum(1 for r in rows if r["l_event"] == 2 and r["r_event"] is None) == 1
+
+
+def test_transform_with_state_live_matches_batch(tmp_path):
+    """transformWithStateInPandas executed LIVE end-to-end on the RocksDB
+    state store provider — the stream≡batch parity its
+    applyInPandasWithState twin has. Runs in a SUBPROCESS because
+    ensure_protobuf() must export PYTHONPATH / the protobuf version-skew
+    opt-out BEFORE the JVM starts (executor Python workers inherit the
+    JVM's environment, and the state server runs inside them). Skips only
+    when no protobuf runtime (pip or vendored) exists on this host."""
+    import json
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import json, os, shutil, sys
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-live", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "a.parquet"))
+from etl_jetro_spark.streaming.stateful import run_running_totals
+q = run_running_totals(spark, src, os.path.join(tmp, "ck"), queryName="rt_tws")
+q.awaitTermination(180)
+got = {
+    r["user_id"]: (round(r["psum"], 6), r["pcnt"])
+    for r in spark.sql(
+        "SELECT user_id, psum, pcnt FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY pcnt DESC) rn FROM rt_tws) WHERE rn = 1"
+    ).collect()
+}
+ev = spark.read.parquet(os.path.join(src, "a.parquet"))
+want = {
+    r["user_id"]: (round(r["s"], 6), r["c"])
+    for r in ev.groupBy("user_id")
+    .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
+    .collect()
+}
+assert got == want, (got, want)
+print("TWS_PARITY_OK", json.dumps({"keys": len(got)}))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_PARITY_OK" in r.stdout
+    assert json.loads(r.stdout.split("TWS_PARITY_OK ")[1].splitlines()[0])["keys"] == 15
