@@ -1442,3 +1442,40 @@ def test_winnow_overlap_cap_bounds_boilerplate_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert n_unc >= 40 * 39 // 2  # boilerplate connects everything
     assert got == {(100, 101)}  # cap keeps only the real copy
+
+
+def test_group_ranked_boundaries_straddle_partitions_heavy_dups(spark):
+    # adversarial layout for the range-partitioned rank frame: 3 groups
+    # over 64 range partitions, so every group SPANS many partitions and
+    # every partition boundary falls inside a group; values are heavily
+    # duplicated (only 7 distinct per group) so duplicate runs straddle
+    # partition boundaries too. Ranks must still be the exact per-group
+    # 1..n permutation row_number() would give under the same tiebreak.
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    rnd = random.Random(42)
+    rows = [
+        (f"g{i % 3}", float(rnd.randrange(0, 7)), i)  # i = unique tiebreak
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "tb"]).repartition(13)
+    out = group_ranked(
+        df, ["g"], "v", num_range_partitions=64, tiebreak=["tb"]
+    )
+    w = Window.partitionBy("g").orderBy("v", "tb")
+    want = {
+        (r["g"], r["tb"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    sizes = {}
+    for g, _, _ in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    got = out.collect()
+    assert len(got) == 20_000
+    for r in got:
+        assert r["_rn"] == want[(r["g"], r["tb"])], (r["g"], r["tb"])
+        assert r["_n"] == sizes[r["g"]]
