@@ -52,14 +52,25 @@ def chunk_tokens(
         raise ValueError("chunk_size and stride must be positive")
     toks = F.split(norm_text(text_col) if normalize else F.trim(_c(text_col)), " ")
     toks = F.filter(toks, lambda w: w != "")
-    n = F.size(toks)
+    # every later expression references the BOUND COLUMN _toks, never the
+    # python expression tree (reusing `toks` inlined the norm+split+filter
+    # work at 8 sites = 16 regexp_replace nodes in the plan, re-run per
+    # exploded chunk — the q117 lesson). A select boundary alone is NOT
+    # enough here: the column feeds consumers on both sides of the
+    # Generate and CollapseProject re-inlines it into each, so the barrier
+    # is physical — localCheckpoint materializes (doc, tokens) once,
+    # partition-local, zero shuffle (measured 26 s -> 3.4 s at 50 k docs).
+    base = df.select(*df.columns, toks.alias("_toks")).localCheckpoint(
+        eager=False
+    )
+    n = F.size(F.col("_toks"))
     # chunk start offsets 0, stride, 2*stride, ... < n  (sequence is
     # inclusive and yields a DESCENDING range when stop < start, so guard
     # the empty-document case explicitly).
     starts = F.when(n <= 0, F.expr("CAST(array() AS array<int>)")).otherwise(
         F.sequence(F.lit(0), n - 1, F.lit(stride))
     )
-    base = df.withColumn("_toks", toks).withColumn("_starts", starts)
+    base = base.withColumn("_starts", starts)
     out = (
         base.select(
             _c(id_col).alias(id_col),

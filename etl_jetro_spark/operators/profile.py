@@ -159,3 +159,89 @@ def run_checks(*checks: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def distribution_drift_tvd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split_col: str,
+    bins: int = 10,
+    ndp: int = 6,
+) -> DataFrame:
+    """Per-group distribution drift between the two time halves of a
+    stream — the PSI-style data-quality monitor, scored as TOTAL
+    VARIATION DISTANCE (0.5·Σ|p_i − q_i| over equi-width value bins)
+    instead of PSI's log-ratio so every term is count arithmetic and
+    exactly-rounded IEEE division (deterministic cross-engine; PSI's ln
+    is libm-dependent). TVD ∈ [0, 1]: 0 = identical histograms, 1 =
+    disjoint support.
+
+    The split point is the midpoint of ``split_col``'s global [min, max];
+    bin edges are equi-width over ``value_col``'s global [min, max] (one
+    metadata-sized bounds row, broadcast). Groups present in only one
+    half are dropped (their TVD is trivially 1 and their appearance /
+    disappearance is a volume alarm, not a drift score). Returns
+    (group, n_first, n_second, tvd) — ONE wide shuffle (group × half ×
+    bin partial agg), then group-sized frames only.
+    """
+    v = F.col(value_col)
+    t = F.col(split_col)
+    bounds = df.agg(
+        F.min(t).alias("_tmin"),
+        F.max(t).alias("_tmax"),
+        F.min(v).alias("_vmin"),
+        F.max(v).alias("_vmax"),
+    )
+    d = df.crossJoin(F.broadcast(bounds))
+    # integer arithmetic, no doubles: epoch-ns split values exceed double's
+    # 2^53 integer range, and a lossy cast could classify boundary rows
+    # differently per engine
+    half = (
+        ((t - F.col("_tmin")) * 2) >= (F.col("_tmax") - F.col("_tmin"))
+    ).cast("int")
+    span = F.col("_vmax") - F.col("_vmin")
+    bin_ = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.col("_vmin")) * bins / span).cast("int"),
+        )
+    )
+    cells = (
+        d.filter(v.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("_g"), half.alias("_h"), bin_.alias("_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = cells.groupBy("_g", "_h").agg(F.sum("_c").alias("_n"))
+    # groups-sized from here on: pivot the two halves side by side per bin
+    p0 = cells.filter(F.col("_h") == 0).select(
+        "_g", "_b", F.col("_c").alias("_c0")
+    )
+    p1 = cells.filter(F.col("_h") == 1).select(
+        "_g", "_b", F.col("_c").alias("_c1")
+    )
+    n0 = totals.filter(F.col("_h") == 0).select("_g", F.col("_n").alias("_n0"))
+    n1 = totals.filter(F.col("_h") == 1).select("_g", F.col("_n").alias("_n1"))
+    joined = (
+        p0.join(p1, ["_g", "_b"], "full")
+        .join(n0, "_g")
+        .join(n1, "_g")
+        .select(
+            "_g",
+            "_n0",
+            "_n1",
+            (
+                F.abs(
+                    F.coalesce("_c0", F.lit(0)) / F.col("_n0")
+                    - F.coalesce("_c1", F.lit(0)) / F.col("_n1")
+                )
+            ).alias("_d"),
+        )
+    )
+    return joined.groupBy(F.col("_g").alias(group_col)).agg(
+        F.any_value("_n0").cast("long").alias("n_first"),
+        F.any_value("_n1").cast("long").alias("n_second"),
+        F.round(F.sum("_d") / 2, ndp).alias("tvd"),
+    )

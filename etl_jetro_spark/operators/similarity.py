@@ -123,6 +123,7 @@ def embedding_near_dup(
     bits: int = 32,
     band_bits: int = 8,
     score_round: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale: sign-LSH
     banded candidate generation + exact cosine verification.
@@ -136,6 +137,22 @@ def embedding_near_dup(
 
     Returns (id_a, id_b, score) with id_a < id_b. ``score_round`` rounds
     the score before the threshold (engine-parity aid).
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    vectors (via :func:`dedup.capped_index` — the same broadcast-anti-join
+    skew guard as the text pair operators): a degenerate bucket of b
+    near-identical vectors contributes b² candidates, and at corpus scale
+    boilerplate embeddings (empty docs, template pages) produce exactly
+    that. Capped buckets trade recall only among vectors that still share
+    one of the OTHER bands — for true near-dups every band matches, so
+    they stay reachable unless every one of their buckets is over the cap.
+
+    Scale shape: the band self-join and the pair dedup ship (id, band) /
+    (id, id) KEY ROWS ONLY — the vectors join back per id afterwards, so
+    the Σbucket² candidate volume costs ~16 bytes a row, not two full
+    embedding payloads (the payload-carrying form measured 9.6 s at sf0.1
+    and spilled the disk at sf1; this form is bounded by the id-pair
+    stream plus two linear vector-table shuffles).
     """
     bands = bits // band_bits
     v = _vec(vec_col)
@@ -143,10 +160,9 @@ def embedding_near_dup(
         F.col(id_col).alias("_id"),
         v.alias("_v"),
         signature_bits(v, dims, bits).alias("_sig"),
-    ).localCheckpoint(eager=False)  # barrier: signatures feed both join sides
-    banded = base.select(
+    ).localCheckpoint(eager=False)  # barrier: signatures feed keys + verify
+    keys = base.select(
         "_id",
-        "_v",
         F.explode(
             F.array(
                 *[
@@ -159,15 +175,25 @@ def embedding_near_dup(
             )
         ).alias("_band"),
     )
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band")
+    if max_bucket_size is not None:
+        from etl_jetro_spark.operators.dedup import capped_index
+
+        keys = capped_index(keys, "_band", max_bucket_size)
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col("a._band") == F.col("b._band"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     score = cosine(F.col("_va"), F.col("_vb"))
     if score_round is not None:
         score = F.round(score, score_round)
     return (
-        a.join(b, "_band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )

@@ -5506,3 +5506,91 @@ def q140_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("from_p", "to_p").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "q141_pmi_collocations",
+    f"""
+    WITH wrds AS (SELECT doc_id, string_split({DK_NORM_TEXT}, ' ') AS w
+                  FROM documents),
+    uni AS (
+      SELECT w[i] AS t, count(*) AS n1
+      FROM wrds, UNNEST(generate_series(1, len(w))) AS s(i)
+      WHERE w[i] <> ''
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n1) AS BIGINT) AS N FROM uni),
+    bi AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1, w[i+1] AS w2,
+             count(*) AS n_ab
+      FROM wrds, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS s(i)
+      WHERE w[i] <> ''
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 5
+    )
+    SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(a.n1 AS BIGINT) AS n_a, CAST(b.n1 AS BIGINT) AS n_b,
+           round((n_ab * N) / (a.n1 * b.n1), 6) AS lift
+    FROM bi JOIN uni a ON a.t = bi.w1 JOIN uni b ON b.t = bi.w2 CROSS JOIN tot
+    ORDER BY lift DESC, bigram LIMIT 25
+    """,
+)
+def q141_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram collocations by PMI lift (textstats.pmi_collocations)
+    — tokenizer-merge / boilerplate-phrase mining over the corpus. Counts
+    partial-agg on partition-local shingles; vocabulary-sized frames only
+    join, never broadcast; the lift is log-free so it hashes identically
+    cross-engine."""
+    from etl_jetro_spark.operators.textstats import pmi_collocations
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_collocations(d, "doc_id", "text", min_count=5, k=25)
+
+
+@query(
+    "q142_distribution_drift",
+    """
+    WITH b AS (SELECT CAST(min(epoch_ns(ts)) AS BIGINT) AS tmin,
+                      CAST(max(epoch_ns(ts)) AS BIGINT) AS tmax,
+                      min(value) AS vmin, max(value) AS vmax
+               FROM events),
+    cells AS (
+      SELECT event_type AS g,
+             CASE WHEN (CAST(epoch_ns(ts) AS BIGINT) - tmin) * 2
+                       >= (tmax - tmin) THEN 1 ELSE 0 END AS h,
+             CASE WHEN vmax = vmin THEN 0
+                  ELSE least(9, CAST(floor(((value - vmin) * 10) / (vmax - vmin))
+                                     AS INT)) END AS bin,
+             count(*) AS c
+      FROM events CROSS JOIN b
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    tt AS (SELECT g, h, sum(c) AS n FROM cells GROUP BY 1, 2),
+    p0 AS (SELECT g, bin, c AS c0 FROM cells WHERE h = 0),
+    p1 AS (SELECT g, bin, c AS c1 FROM cells WHERE h = 1),
+    n0 AS (SELECT g, n AS n0 FROM tt WHERE h = 0),
+    n1 AS (SELECT g, n AS n1 FROM tt WHERE h = 1),
+    j AS (
+      SELECT coalesce(p0.g, p1.g) AS g, coalesce(p0.bin, p1.bin) AS bin,
+             coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+      FROM p0 FULL JOIN p1 ON p0.g = p1.g AND p0.bin = p1.bin
+    )
+    SELECT j.g AS event_type, CAST(any_value(n0.n0) AS BIGINT) AS n_first,
+           CAST(any_value(n1.n1) AS BIGINT) AS n_second,
+           round(sum(abs(c0 / n0.n0 - c1 / n1.n1)) / 2, 6) AS tvd
+    FROM j JOIN n0 ON n0.g = j.g JOIN n1 ON n1.g = j.g
+    GROUP BY 1
+    """,
+)
+def q142_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution drift between the stream's two time
+    halves (profile.distribution_drift_tvd): equi-width 10-bin histograms
+    compared by total variation distance — the PSI-style monitor with
+    log-free (hash-stable) arithmetic. One wide shuffle (type × half ×
+    bin partials); everything after is groups-sized. Integer split
+    arithmetic: epoch-ns values exceed double's exact range."""
+    from etl_jetro_spark.operators.profile import distribution_drift_tvd
+
+    e = load_events(spark, sf_dir)
+    return distribution_drift_tvd(e, "event_type", "value", "ts", bins=10)

@@ -1479,3 +1479,50 @@ def test_group_ranked_boundaries_straddle_partitions_heavy_dups(spark):
     for r in got:
         assert r["_rn"] == want[(r["g"], r["tb"])], (r["g"], r["tb"])
         assert r["_n"] == sizes[r["g"]]
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    # "zyx qwv" always co-occurs and its words never appear apart — its
+    # lift must be ~N/n_ab (the maximum possible) and rank first
+    from etl_jetro_spark.operators.textstats import pmi_collocations
+
+    # filler is SHUFFLED per doc so no filler bigram repeats consistently;
+    # only the planted pair is always adjacent (and its words never appear
+    # apart), so it alone pairs perfect adjacency with rare words
+    import random
+
+    rnd = random.Random(3)
+    vocab = ["cat", "sat", "mat", "dog", "bird", "tree", "car", "sun"]
+    docs = []
+    for i in range(10):
+        words = [rnd.choice(vocab) for _ in range(40)]
+        docs.append((i, " ".join(words) + " zyx qwv"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    top = pmi_collocations(df, "doc_id", "text", min_count=5, k=3).collect()
+    assert top[0]["bigram"] == "zyx qwv"
+    assert top[0]["n_ab"] == 10 and top[0]["n_a"] == 10 and top[0]["n_b"] == 10
+    # lift = n_ab * N / (n_a * n_b) = 10 * 420 / 100
+    assert top[0]["lift"] == pytest.approx(42.0)
+
+
+def test_distribution_drift_tvd_detects_shift(spark):
+    # group "shifted": first half values ~[0,10), second half ~[90,100) —
+    # disjoint bins, TVD = 1. group "stable": same distribution both
+    # halves — TVD = 0. group "only_first" must drop out.
+    from etl_jetro_spark.operators.profile import distribution_drift_tvd
+
+    rows = []
+    for i in range(200):
+        t = i  # first half: t < 100
+        rows.append(("shifted", float(i % 10) if i < 100 else 90.0 + i % 10, i))
+        rows.append(("stable", float(i % 50), i))
+    rows += [("only_first", 5.0, 0)]
+    df = spark.createDataFrame(rows, ["g", "v", "t"])
+    got = {
+        r["g"]: r.asDict()
+        for r in distribution_drift_tvd(df, "g", "v", "t", bins=10).collect()
+    }
+    assert "only_first" not in got
+    assert got["shifted"]["tvd"] == pytest.approx(1.0)
+    assert got["stable"]["tvd"] == pytest.approx(0.0, abs=0.06)
+    assert got["shifted"]["n_first"] == 100 and got["shifted"]["n_second"] == 100
