@@ -414,3 +414,78 @@ def pmi_collocations(
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(k)
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.5,
+    max_mean_word_len: float = 12.0,
+    min_stop_frac: float = 0.05,
+    min_distinct_frac: float = 0.3,
+    lang: str = "en",
+) -> DataFrame:
+    """Gopher-style composite quality GATE: per document, evaluate the
+    classic rule ladder (length bounds, mean word length, stopword
+    density, distinct-token ratio) and emit a keep/drop verdict with the
+    FIRST failing rule — the filter pass of a pretraining pipeline, with
+    reasons for curation telemetry (Rae et al. 2021's repetition/quality
+    heuristics, log-free so every stat hashes identically cross-engine).
+
+    All features are partition-local expressions over the normalized
+    token array (the distinct-token ratio uses ``array_distinct``, never
+    a shuffle); the whole gate runs at parquet-scan speed on any corpus.
+    Returns (id, n_tokens, mean_word_len, stop_frac, distinct_frac,
+    keep, first_violation) — ``first_violation`` NULL when kept.
+    """
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    sw = F.array(*[F.lit(w) for w in STOPWORD_SETS[lang]])
+    base = df.select(
+        F.col(id_col),
+        norm_text(text_col).alias("_t"),
+    ).select(
+        id_col,
+        "_t",
+        F.filter(F.split("_t", " "), lambda w: w != "").alias("_w"),
+    )
+    n = F.size("_w")
+    # ANSI guard: every ratio is NULL (not an error) on empty docs —
+    # they fail the too_short rule before any ratio rule is consulted.
+    # norm has single spaces: total word chars = len(norm) - (n - 1)
+    mean_len = F.when(n > 0, (F.length("_t") - (n - 1)) / n)
+    stop_frac = F.when(
+        n > 0,
+        F.size(F.filter(F.col("_w"), lambda w: F.array_contains(sw, w))) / n,
+    )
+    distinct_frac = F.when(n > 0, F.size(F.array_distinct("_w")) / n)
+    feats = base.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(distinct_frac, 6).alias("distinct_frac"),
+    )
+    viol = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            "word_length",
+        )
+        .when(F.col("stop_frac") < min_stop_frac, "low_stopword")
+        .when(F.col("distinct_frac") < min_distinct_frac, "repetitive")
+    )
+    return feats.select(
+        id_col,
+        "n_tokens",
+        "mean_word_len",
+        "stop_frac",
+        "distinct_frac",
+        viol.isNull().alias("keep"),
+        viol.alias("first_violation"),
+    )

@@ -5594,3 +5594,54 @@ def q142_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir)
     return distribution_drift_tvd(e, "event_type", "value", "ts", bins=10)
+
+
+@query(
+    "q143_quality_gate",
+    f"""
+    WITH base AS (SELECT doc_id, {DK_NORM_TEXT} AS t FROM documents),
+    f AS (
+      SELECT doc_id, t,
+             list_filter(string_split(t, ' '), x -> x <> '') AS w
+      FROM base
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_tokens,
+             CASE WHEN len(w) > 0 THEN
+               round((len(t) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
+             END AS mean_word_len,
+             CASE WHEN len(w) > 0 THEN
+               round(len(list_filter(w, x -> list_contains({_dk_stop_list('en')}, x)))
+                     / CAST(len(w) AS DOUBLE), 6)
+             END AS stop_frac,
+             CASE WHEN len(w) > 0 THEN
+               round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+             END AS distinct_frac
+      FROM f
+    ),
+    v AS (
+      SELECT *,
+        CASE WHEN n_tokens < 10 THEN 'too_short'
+             WHEN n_tokens > 100000 THEN 'too_long'
+             WHEN mean_word_len < 2.5 OR mean_word_len > 12.0 THEN 'word_length'
+             WHEN stop_frac < 0.05 THEN 'low_stopword'
+             WHEN distinct_frac < 0.3 THEN 'repetitive'
+        END AS first_violation
+      FROM feat
+    )
+    SELECT doc_id, n_tokens, mean_word_len, stop_frac, distinct_frac,
+           first_violation IS NULL AS keep, first_violation
+    FROM v
+    """,
+)
+def q143_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (textstats.quality_gate):
+    keep/drop verdict + first failing rule per document — the pretraining
+    filter pass with curation telemetry. Entirely partition-local
+    expressions over the normalized token array (distinct-token ratio via
+    array_distinct, no shuffle); runs at parquet-scan speed."""
+    from etl_jetro_spark.operators.textstats import quality_gate
+
+    d = load(spark, sf_dir, "documents")
+    return quality_gate(d, "doc_id", "text")

@@ -1526,3 +1526,26 @@ def test_distribution_drift_tvd_detects_shift(spark):
     assert got["shifted"]["tvd"] == pytest.approx(1.0)
     assert got["stable"]["tvd"] == pytest.approx(0.0, abs=0.06)
     assert got["shifted"]["n_first"] == 100 and got["shifted"]["n_second"] == 100
+
+
+def test_quality_gate_rule_ladder(spark):
+    from etl_jetro_spark.operators.textstats import quality_gate
+
+    good = "the cat and the dog sat on a mat in the warm sun for hours today"
+    docs = [
+        (1, good),                                   # keeps
+        (2, "tiny doc"),                             # too_short
+        (3, "the cat " * 10),                        # repetitive (2 distinct / 20)
+        (4, " ".join(f"w{i}" for i in range(30))),   # low_stopword
+        (5, ""),                                     # empty -> too_short
+        (6, "the " + " ".join("abcdefghijklmnopqr" for _ in range(20))),  # word_length
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in quality_gate(df, "doc_id", "text").collect()}
+    assert got[1]["keep"] and got[1]["first_violation"] is None
+    assert got[2]["first_violation"] == "too_short"
+    assert got[3]["first_violation"] == "repetitive"
+    assert got[4]["first_violation"] == "low_stopword"
+    assert got[5]["first_violation"] == "too_short" and got[5]["n_tokens"] == 0
+    assert got[6]["first_violation"] == "word_length"
+    assert all(not got[k]["keep"] for k in (2, 3, 4, 5, 6))
