@@ -5645,3 +5645,115 @@ def q143_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return quality_gate(d, "doc_id", "text")
+
+
+@query(
+    "q144_minhash_estimator_error",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS cm
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.id_a
+      JOIN dsh y ON y.doc_id = c.id_b AND y.sh = x.sh
+      GROUP BY 1, 2
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           round(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+                           - coalesce(cm, 0) = 0 THEN 1.0
+                 ELSE coalesce(cm, 0) / CAST(coalesce(na.n, 0) + coalesce(nb.n, 0)
+                                             - coalesce(cm, 0) AS DOUBLE)
+                 END, 6) AS exact_jaccard,
+           round(abs(e.est_jaccard
+                     - CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+                                 - coalesce(cm, 0) = 0 THEN 1.0
+                       ELSE coalesce(cm, 0) / CAST(coalesce(na.n, 0)
+                            + coalesce(nb.n, 0) - coalesce(cm, 0) AS DOUBLE)
+                       END), 6) AS abs_error
+    FROM est e
+    LEFT JOIN sizes na ON na.doc_id = e.id_a
+    LEFT JOIN sizes nb ON nb.doc_id = e.id_b
+    LEFT JOIN common c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    """,
+)
+def q144_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality telemetry: for every LSH candidate pair,
+    the agreeing-component Jaccard ESTIMATE next to the EXACT shingle-set
+    Jaccard and the absolute error — the sketch-accuracy audit a dedup
+    pipeline runs before trusting thresholds (q57's recall audit, for
+    MinHash). Exact verification joins doc-bounded sorted 60-bit shingle
+    arrays to the (sparse) candidate list — the q124 verify shape — so
+    nothing corpus-quadratic runs; the candidate set itself is the q18
+    banding (ReuseExchange-shared self-join)."""
+    from etl_jetro_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        shingle_rows,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    )
+    sh = shingle_rows(d, "doc_id", "text", 3, distinct=True)
+    sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    sets = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list(sh_h)).alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("_na")
+    )
+    b = sets.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    joined = (
+        cand.join(a, "id_a", "left")
+        .join(b, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.coalesce(F.size(F.array_intersect("_sa", "_sb")), F.lit(0)).alias("_cm"),
+            F.coalesce("_na", F.lit(0)).alias("_va"),
+            F.coalesce("_nb", F.lit(0)).alias("_vb"),
+        )
+    )
+    union = F.col("_va") + F.col("_vb") - F.col("_cm")
+    exact = F.when(union == 0, F.lit(1.0)).otherwise(F.col("_cm") / union)
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_error"),
+    )

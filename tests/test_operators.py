@@ -1549,3 +1549,33 @@ def test_quality_gate_rule_ladder(spark):
     assert got[5]["first_violation"] == "too_short" and got[5]["n_tokens"] == 0
     assert got[6]["first_violation"] == "word_length"
     assert all(not got[k]["keep"] for k in (2, 3, 4, 5, 6))
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # exact duplicates must show est == exact == 1.0, error 0; near-dups
+    # must have error bounded well below 1 (16 components — coarse but
+    # unbiased); and the exact column must equal brute-force Jaccard
+    from etl_jetro_spark.plans.queries import q144_minhash_estimator_error
+
+    import etl_jetro_spark.plans.queries as Q
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base + " extra tail words here now"),   # near dup of 1
+        (4, "completely different content " * 5),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        os.mkdir(f"{tmp}/x")
+        df.write.mode("overwrite").parquet(f"{tmp}/x/documents.parquet")
+        out = {(r["id_a"], r["id_b"]): r.asDict()
+               for r in q144_minhash_estimator_error(spark, f"{tmp}/x").collect()}
+    r = out[(1, 2)]
+    assert r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0 and r["abs_error"] == 0.0
+    if (1, 3) in out:
+        r13 = out[(1, 3)]
+        assert 0 < r13["exact_jaccard"] < 1
+        assert r13["abs_error"] <= 0.5
