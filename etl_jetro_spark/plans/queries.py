@@ -5757,3 +5757,88 @@ def q144_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_error"),
     )
+
+
+@query(
+    "q145_source_composition",
+    f"""
+    WITH base AS (SELECT doc_id, source, {DK_NORM_TEXT} AS t FROM documents),
+    f AS (
+      SELECT doc_id, source,
+             list_filter(string_split(t, ' '), x -> x <> '') AS w, t
+      FROM base
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS INT) AS n_tokens,
+             CASE WHEN len(w) > 0 THEN
+               round((len(t) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
+             END AS mwl,
+             CASE WHEN len(w) > 0 THEN
+               round(len(list_filter(w, x -> list_contains({_dk_stop_list('en')}, x)))
+                     / CAST(len(w) AS DOUBLE), 6)
+             END AS stop_frac,
+             CASE WHEN len(w) > 0 THEN
+               round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+             END AS dfrac
+      FROM f
+    ),
+    v AS (
+      SELECT doc_id, source, n_tokens,
+        CASE WHEN n_tokens < 10 THEN 'too_short'
+             WHEN n_tokens > 100000 THEN 'too_long'
+             WHEN mwl < 2.5 OR mwl > 12.0 THEN 'word_length'
+             WHEN stop_frac < 0.05 THEN 'low_stopword'
+             WHEN dfrac < 0.3 THEN 'repetitive'
+        END AS viol
+      FROM feat
+    ),
+    vc AS (
+      SELECT source, viol, count(*) AS c FROM v WHERE viol IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    topv AS (
+      SELECT source, viol FROM (
+        SELECT source, viol,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, viol) AS rn
+        FROM vc) WHERE rn = 1
+    )
+    SELECT v.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(CASE WHEN v.viol IS NULL THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+           any_value(topv.viol) AS top_violation
+    FROM v LEFT JOIN topv ON topv.source = v.source
+    GROUP BY v.source
+    """,
+)
+def q145_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report — the dataset-card aggregate a
+    curation pipeline publishes: document/token volume, quality-gate keep
+    rate, and the dominant violation per source. Gate features are
+    partition-local (q143); the report is two partial-agg shuffles over
+    source-sized frames plus a deterministic min-struct argmax for the top
+    violation (q132 pattern — no window over data-sized rows)."""
+    from etl_jetro_spark.operators.textstats import quality_gate
+
+    d = load(spark, sf_dir, "documents")
+    g = quality_gate(d, "doc_id", "text")
+    j = d.select("doc_id", "source").join(g, "doc_id")
+    stats = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+    )
+    vc = (
+        j.filter(~F.col("keep"))
+        .groupBy("source", "first_violation")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    topv = vc.groupBy("source").agg(
+        F.min_by(
+            F.col("first_violation"), F.struct(-F.col("_c"), F.col("first_violation"))
+        ).alias("top_violation")
+    )
+    return stats.join(topv, "source", "left").select(
+        "source", "n_docs", "n_tokens", "keep_rate", "top_violation"
+    )
