@@ -1579,3 +1579,30 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         r13 = out[(1, 3)]
         assert 0 < r13["exact_jaccard"] < 1
         assert r13["abs_error"] <= 0.5
+
+
+def test_embedding_near_dup_bucket_cap_bounds_degenerate_block(spark):
+    # 60 identical "boilerplate" vectors fill their band buckets past the
+    # cap and their 60*59/2 pairs vanish; a genuine near-dup pair living
+    # in a different region keeps all its (small) buckets and survives
+    import math
+
+    from etl_jetro_spark.operators.similarity import embedding_near_dup
+
+    dims = 16
+    boiler = [1.0] + [0.0] * (dims - 1)
+    rows = [(i, boiler) for i in range(60)]
+    v = [math.sin(i + 1) for i in range(dims)]
+    v2 = [x + 1e-4 for x in v]
+    rows += [(100, v), (101, v2)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = embedding_near_dup(
+        df, "vec_id", "embedding", dims=dims, threshold=0.99
+    )
+    capped = embedding_near_dup(
+        df, "vec_id", "embedding", dims=dims, threshold=0.99, max_bucket_size=10
+    )
+    n_unc = uncapped.count()
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert n_unc >= 60 * 59 // 2  # boilerplate block dominates uncapped
+    assert got == {(100, 101)}
