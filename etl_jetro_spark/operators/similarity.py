@@ -738,3 +738,63 @@ def random_projection(
             ).alias(f"p{j}")
         )
     return df.select(F.col(id_col), *outs)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.985,
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_round: int = 6,
+) -> DataFrame:
+    """SEMANTIC deduplication (SemDeDup-style): coarse k-means/IVF
+    clusters block the corpus, exact cosine inside each cluster finds
+    near-duplicate pairs, connected components collapse them, and the
+    minimum id per component is kept — the embedding-space counterpart
+    of the q114 MinHash dedup pipeline.
+
+    Scale shape: assignment is :func:`ivf_assign` (broadcast centroids,
+    one row per vector shuffled); the within-cluster self-join ships
+    (id, cid) KEY ROWS only and fetches vectors back per id for the
+    cosine verify (the q39 payload lesson); candidate volume is
+    Σcluster² — the operator point is that K grows with the corpus so
+    clusters stay bounded (K≈√n keeps it ~n^1.5 worst-case, and real
+    semantic clusters are much smaller than n/K). Components use the
+    distributed min-label propagation. Returns (id, component, kept)
+    for EVERY corpus row — unclustered rows keep themselves.
+    """
+    from etl_jetro_spark.operators.graph import connected_components
+
+    inv = ivf_assign(
+        corpus, id_col, vec_col, centroids, cid_col, cvec_col
+    ).localCheckpoint(eager=False)  # feeds keys + both vector fetches
+    keys = inv.select(F.col(id_col).alias("_id"), cid_col)
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col(f"a.{cid_col}") == F.col(f"b.{cid_col}"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    va = inv.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = inv.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    score = F.round(cosine(_vec("_va"), _vec("_vb")), score_round)
+    edges = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score.alias("_s"))
+        .filter(F.col("_s") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    out = corpus.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    rep = F.coalesce("component", F.col(id_col))
+    return out.select(
+        id_col,
+        rep.alias("component"),
+        (rep == F.col(id_col)).alias("kept"),
+    )

@@ -5842,3 +5842,75 @@ def q145_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(topv, "source", "left").select(
         "source", "n_docs", "n_tokens", "keep_rate", "top_violation"
     )
+
+
+_Q146_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "q146_semantic_dedup",
+    f"""
+    WITH RECURSIVE emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    u AS (
+      SELECT vec_id, v FROM emb
+      UNION ALL
+      SELECT vec_id + 100000, list_prepend(-v[1], v[2:]) FROM emb
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+    assign AS (
+      SELECT u.vec_id, u.v, cid,
+             row_number() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY {_Q146_COS.format(a='u.v', b='cv')} DESC, cid) AS rn
+      FROM u CROSS JOIN c),
+    inv AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM inv a JOIN inv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round({_Q146_COS.format(a='a.v', b='b.v')}, 6) >= 0.985
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+    reach(s, t) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.s, u2.b FROM reach r JOIN und u2 ON u2.a = r.t
+    ),
+    comp AS (SELECT s AS id, min(t) AS component FROM reach GROUP BY s)
+    SELECT u.vec_id,
+           CAST(coalesce(cm.component, u.vec_id) AS BIGINT) AS component,
+           CAST(coalesce(cm.component, u.vec_id) = u.vec_id AS BOOLEAN) AS kept
+    FROM u LEFT JOIN comp cm ON cm.id = u.vec_id
+    """,
+)
+def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.semantic_dedup): IVF clusters block the corpus
+    (broadcast centroids, one row per vector shuffled), exact cosine
+    inside each cluster (key-only self-join, vectors fetched back per
+    id), connected components collapse near-dup groups, min id kept.
+    The corpus is unioned with deterministically perturbed copies (q39's
+    flipped-first-component trick) so true semantic dups exist; the
+    oracle replays assignment, blocking, the rounded-score threshold,
+    and the transitive closure."""
+    from etl_jetro_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("embedding", 1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    u = emb.select("vec_id", "embedding").unionByName(pert)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semantic_dedup(u, "vec_id", "embedding", cents, threshold=0.985)

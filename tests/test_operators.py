@@ -1606,3 +1606,35 @@ def test_embedding_near_dup_bucket_cap_bounds_degenerate_block(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert n_unc >= 60 * 59 // 2  # boilerplate block dominates uncapped
     assert got == {(100, 101)}
+
+
+def test_semantic_dedup_collapses_planted_cluster(spark):
+    # three near-identical vectors (one cluster), one distinct vector;
+    # the trio collapses to its min id, the loner keeps itself
+    import math
+
+    from etl_jetro_spark.operators.similarity import semantic_dedup
+
+    dims = 8
+    a = [math.cos(i) for i in range(dims)]
+    far = [1.0 if i == 0 else 0.0 for i in range(dims)]
+    rows = [
+        (10, a),
+        (11, [x * 1.001 for x in a]),   # same direction -> cosine 1
+        (12, [x + 1e-5 for x in a]),
+        (99, far),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, a), (1, far)], ["cid", "cv"]
+    )
+    got = {
+        r["vec_id"]: (r["component"], r["kept"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.99
+        ).collect()
+    }
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[99] == (99, True)
