@@ -322,3 +322,99 @@ def value_histogram(
             "n",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """General as-of join — per left row, ONE matching right row by time:
+    the latest at-or-before (``backward``), earliest at-or-after
+    (``forward``), or closest either way (``nearest``, ties resolved
+    backward). ``tolerance`` (same units as the time columns) nulls out
+    matches farther than the bound — the feature-staleness guard.
+
+    Union-sweep shape, not a range join: both sides union into one
+    stream, ONE shuffle on the keys, and per-direction running
+    last/first-non-null windows over the (time, side) ordering assign
+    the match — same-time right rows count for both directions
+    (at-or-before / at-or-after are inclusive). Sweep state is one value
+    row per window; no per-left probe, no interval explosion. ``nearest``
+    runs both sweeps as two window passes over the same partitioning
+    (Catalyst orders the same exchange twice — two sorts, one shuffle).
+
+    Returns every left row + ``value_cols`` + ``matched_time`` (NULL
+    when unmatched or out of tolerance).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    clash = sorted((set(value_cols) | {"matched_time"}) & set(left.columns))
+    if clash:
+        raise ValueError(f"asof_join output collides with left columns: {clash}")
+    lcols = list(left.columns)
+    l = left.select(
+        *lcols,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_isl"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_time]).alias("_v__rt"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in keys],
+        *keys,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_isl"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_time).alias("_v__rt"),
+    ).select(*l.columns)
+    u = l.unionByName(r)
+    vcols = [f"_v_{c}" for c in value_cols] + ["_v__rt"]
+    out_back = out_fwd = None
+    if direction in ("backward", "nearest"):
+        # right rows (0) sort BEFORE left rows (1) at equal t — inclusive
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy("_t", "_isl")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out_back = [F.last(c, ignorenulls=True).over(wb).alias(f"_b{c}") for c in vcols]
+    if direction in ("forward", "nearest"):
+        # left rows (1-_isl = 0) sort BEFORE right rows at equal t, so the
+        # current-row..following frame still sees a same-t right row
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy("_t", 1 - F.col("_isl"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        out_fwd = [F.first(c, ignorenulls=True).over(wf).alias(f"_f{c}") for c in vcols]
+    swept = u.select("*", *(out_back or []), *(out_fwd or []))
+    if direction == "backward":
+        pick = {c: F.col(f"_b{c}") for c in vcols}
+    elif direction == "forward":
+        pick = {c: F.col(f"_f{c}") for c in vcols}
+    else:
+        db = F.col("_t") - F.col("_b_v__rt")
+        df_ = F.col("_f_v__rt") - F.col("_t")
+        use_b = F.col("_f_v__rt").isNull() | (
+            F.col("_b_v__rt").isNotNull() & (db <= df_)
+        )
+        pick = {c: F.when(use_b, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}")) for c in vcols}
+    within = F.lit(True)
+    if tolerance is not None:
+        gap = F.abs(F.col("_t") - pick["_v__rt"])
+        within = gap <= F.lit(tolerance)
+    sel = swept.filter(F.col("_isl") == 1).select(
+        *lcols,
+        *[
+            F.when(within, pick[f"_v_{c}"]).alias(c)
+            for c in value_cols
+        ],
+        F.when(within, pick["_v__rt"]).alias("matched_time"),
+    )
+    return sel

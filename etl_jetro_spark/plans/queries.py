@@ -5914,3 +5914,63 @@ def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return semantic_dedup(u, "vec_id", "embedding", cents, threshold=0.985)
+
+
+@query(
+    "q147_asof_forward_tolerance",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(epoch_ns(ts) AS BIGINT) AS t FROM events),
+    c AS (SELECT event_id AS click_id, user_id, t FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, t, CAST(min(event_id) AS BIGINT) AS purchase_id
+          FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT c.click_id, c.user_id,
+           pm.purchase_id,
+           pm.t AS matched_time,
+           CAST((pm.t - c.t) // 1000000000 AS BIGINT) AS gap_s
+    FROM c LEFT JOIN LATERAL (
+      SELECT purchase_id, t FROM p
+      WHERE p.user_id = c.user_id AND p.t >= c.t
+        AND p.t <= c.t + 3600000000000
+      ORDER BY t LIMIT 1
+    ) pm ON true
+    """,
+)
+def q147_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a staleness bound
+    (operators/timeseries.asof_join): per click, the EARLIEST purchase
+    at-or-after it by the same user within one hour — the conversion-
+    attribution mirror of q43's backward as-of, on the same union-sweep
+    shape (one key shuffle, running first-non-null window, no range
+    explosion). Purchases sharing a (user, ts) collapse to min event_id
+    first so the pick is deterministic; the oracle runs the LATERAL
+    top-1 probe definition."""
+    from etl_jetro_spark.operators.timeseries import asof_join
+
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("t")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("rt"))
+        .agg(F.min("event_id").cast("long").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "t",
+        "rt",
+        ["purchase_id"],
+        direction="forward",
+        tolerance=3_600_000_000_000,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        "matched_time",
+        F.expr("(matched_time - t) DIV 1000000000").alias("gap_s"),
+    )

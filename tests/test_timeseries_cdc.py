@@ -283,3 +283,52 @@ def test_point_in_time_join_picks_version_in_effect(spark):
     assert got["f4"] == ("platinum", 40)   # boundary is inclusive
     assert got["f5"] == ("basic", 100)
     assert out.count() == facts.count()    # every fact survives exactly once
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from etl_jetro_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 100, 10.0), (1, 210, 21.0), (2, 60, 6.0)],
+        ["k", "rt", "val"],
+    )
+
+    def run(direction, tol=None):
+        return {
+            r["tag"]: (r["val"], r["matched_time"])
+            for r in asof_join(
+                left, right, ["k"], "t", "rt", ["val"],
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+
+    back = run("backward")
+    assert back["a"] == (10.0, 100)   # same-t right row counts (inclusive)
+    assert back["b"] == (10.0, 100)   # latest at-or-before 205
+    assert back["c"] == (None, None)  # nothing before 50
+    assert back["d"] == (None, None)  # key with no right rows
+
+    fwd = run("forward")
+    assert fwd["a"] == (10.0, 100)    # inclusive at-or-after
+    assert fwd["b"] == (21.0, 210)
+    assert fwd["c"] == (6.0, 60)
+    assert fwd["d"] == (None, None)
+
+    near = run("nearest")
+    assert near["a"] == (10.0, 100)
+    assert near["b"] == (21.0, 210)   # |210-205| < |205-100|
+    assert near["c"] == (6.0, 60)
+
+    tight = run("nearest", tol=3)
+    assert tight["a"] == (10.0, 100)  # gap 0
+    assert tight["b"] == (None, None) # gap 5 > 3
+    assert tight["c"] == (None, None) # gap 10 > 3
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "t", "rt", ["val"], direction="sideways")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right.withColumnRenamed("val", "tag"), ["k"], "t", "rt", ["tag"])
