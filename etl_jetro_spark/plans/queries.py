@@ -5974,3 +5974,46 @@ def q147_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_time",
         F.expr("(matched_time - t) DIV 1000000000").alias("gap_s"),
     )
+
+
+@query(
+    "q148_rolling_median",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, value, CAST(epoch_ns(ts) AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM e
+    """,
+)
+def q148_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing 7-row median per user — the robust rolling
+    statistic (windowed median) Spark has no native aggregate for,
+    composed as collect_list over the row frame + array_sort +
+    interpolated middle, all expression-level: per-row state is bounded
+    by the FRAME (7 values), so the operator scales with stream length,
+    not group size — no per-group multiset, no UDAF. One (user, time)
+    shuffle+sort, the same exchange every trailing-window family rides.
+    DuckDB's windowed median (quantile_cont interpolation) is the
+    oracle; even-count frames average the two middle values."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2, 6).alias("med7"),
+    )
