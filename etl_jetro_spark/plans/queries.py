@@ -6017,3 +6017,136 @@ def q148_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((lo + hi) / 2, 6).alias("med7"),
     )
+
+
+@query(
+    "q149_click_to_purchase_runs",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS t
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    nxt AS (
+      SELECT user_id, event_type, t,
+             lead(event_type) OVER w AS n_type,
+             lead(t) OVER w AS n_t
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_direct_conversions,
+           CAST(min(n_t - t) AS BIGINT) AS fastest_ns
+    FROM nxt
+    WHERE event_type = 'click' AND n_type = 'purchase'
+      AND n_t - t <= 1800000000000
+    GROUP BY user_id
+    """,
+)
+def q149_click_to_purchase_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: click IMMEDIATELY
+    followed by purchase (no intervening click/purchase) within 30
+    minutes, counted per user with the fastest gap — the adjacency
+    pattern funnels can't express (funnel allows intervening events).
+    One (user, time) shuffle+sort; lead() is O(1) sweep state; the
+    pattern test is per-row arithmetic after the sort."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("n_type"),
+        F.lead("ts").over(w).alias("n_t"),
+    )
+    hit = nxt.filter(
+        (F.col("event_type") == "click")
+        & (F.col("n_type") == "purchase")
+        & ((F.col("n_t") - F.col("ts")) <= 1_800_000_000_000)
+    )
+    return hit.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct_conversions"),
+        F.min(F.col("n_t") - F.col("ts")).cast("long").alias("fastest_ns"),
+    )
+
+
+@query(
+    "q150_rank_normalize",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    )
+    SELECT event_id, event_type,
+           round((rk - 0.5) / n, 6) AS rank_norm
+    FROM r
+    """,
+)
+def q150_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (quantile) normalization per group — the robust twin of
+    q112's z-score: value → (rank − 0.5)/n ∈ (0,1), invariant to any
+    monotone distortion of the feature. Runs on the DISTRIBUTED rank
+    frame (aggregate.group_ranked — range-partitioned, no single-task
+    per-group window even when one group dominates), with event_id as
+    the deterministic duplicate tiebreak."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ranked = group_ranked(
+        e.select("event_id", "event_type", "value"),
+        ["event_type"],
+        "value",
+        tiebreak=["event_id"],
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("_rn") - 0.5) / F.col("_n"), 6).alias("rank_norm"),
+    )
+
+
+@query(
+    "q151_item_pair_support",
+    """
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               GROUP BY l_orderkey, l_partkey)
+    SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q151_item_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support (the A-priori candidate count): item
+    pairs co-occurring in >= 2 orders. The self-join runs per BASKET
+    (order) after a distinct — candidate volume is Σ basket², and
+    baskets are bounded (TPC-H <= 7 lines; real carts are small), so
+    the pair stream is ~k²/2 per order regardless of corpus size —
+    the same bounded-block argument as the SNM window. Map-side partial
+    agg collapses the pair counts."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        b.alias("a")
+        .join(b.alias("c"), "l_orderkey")
+        .select(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("c.l_partkey").alias("item_b"),
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
