@@ -6150,3 +6150,71 @@ def q151_item_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+@query(
+    "q152_association_rules",
+    """
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               GROUP BY l_orderkey, l_partkey),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+    item AS (SELECT l_partkey, count(*) AS s FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS item_a, c.l_partkey AS item_b, count(*) AS s_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, CAST(s_ab AS BIGINT) AS support,
+           round(s_ab / CAST(ia.s AS DOUBLE), 6) AS conf_a_to_b,
+           round(s_ab / CAST(ib.s AS DOUBLE), 6) AS conf_b_to_a,
+           round((s_ab * n_baskets) / CAST(ia.s * ib.s AS DOUBLE), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = item_a
+    JOIN item ib ON ib.l_partkey = item_b
+    CROSS JOIN nb
+    """,
+)
+def q152_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the q151 pair stream: confidence in both
+    directions and lift — the A-priori rule stage. Item supports join to
+    the (already support-pruned) pair frame, never to baskets; the
+    basket total is one broadcast row; everything is count arithmetic +
+    exactly-rounded division, hash-stable cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )  # feeds baskets-total, item supports, and both pair sides
+    nb = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    pairs = (
+        b.alias("a")
+        .join(b.alias("c"), "l_orderkey")
+        .select(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("c.l_partkey").alias("item_b"),
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("item_a"), F.col("s").alias("_sa"))
+    ib = item.select(F.col("l_partkey").alias("item_b"), F.col("s").alias("_sb"))
+    return (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s_ab").cast("long").alias("support"),
+            F.round(F.col("s_ab") / F.col("_sa"), 6).alias("conf_a_to_b"),
+            F.round(F.col("s_ab") / F.col("_sb"), 6).alias("conf_b_to_a"),
+            F.round(
+                (F.col("s_ab") * F.col("n_baskets"))
+                / (F.col("_sa") * F.col("_sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
