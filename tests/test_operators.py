@@ -1638,3 +1638,53 @@ def test_semantic_dedup_collapses_planted_cluster(spark):
     assert got[11] == (10, False)
     assert got[12] == (10, False)
     assert got[99] == (99, True)
+
+
+def test_plan_shapes_round4_fixes(spark):
+    """Plan-level proofs for the round-4 scale fixes: (a) the capped
+    winnow index runs its hot-set guard as a broadcast LEFT ANTI join,
+    (b) chunk_tokens evaluates the tokenize regexes at ONE site (not per
+    exploded chunk), (c) the embedding near-dup band self-join ships no
+    vector payload — the vectors enter the plan only via the per-id
+    fetch joins after pair dedup."""
+    from etl_jetro_spark.operators.chunking import chunk_tokens
+    from etl_jetro_spark.operators.dedup import winnow_overlap_pairs
+    from etl_jetro_spark.operators.similarity import embedding_near_dup
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated text body number {i} with enough characters")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+
+    # (a) capped_index -> BroadcastHashJoin ... LeftAnti in the plan
+    p = winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=1, max_doc_freq=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p and "Broadcast" in p
+
+    # (b) tokenization evaluated once: norm_text has 2 regexp_replace
+    # calls; the pre-fix plan showed 16
+    p2 = chunk_tokens(docs, "doc_id", "text", chunk_size=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert p2.count("regexp_replace") <= 4, p2.count("regexp_replace")
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 0.25]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    plan3 = embedding_near_dup(
+        vecs, "vec_id", "embedding", dims=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # the band-key join children must be (id, band) projections only —
+    # no embedding/vector column rides the candidate join
+    import re
+
+    joins = plan3.split("Join Inner")
+    band_side = [s for s in joins[1:] if "_band" in s.split("Project", 1)[0]]
+    assert "_band = _band" in plan3 or "_band" in plan3
+    # vectors appear in the plan exactly via the two per-id fetch joins
+    # (alias _va/_vb), never together with _band in one projection row
+    for line in plan3.splitlines():
+        if "_band" in line and "Project" in line:
+            assert "_va" not in line and "_vb" not in line and "_v#" not in line
