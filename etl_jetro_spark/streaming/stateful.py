@@ -200,3 +200,80 @@ def run_running_totals_gks(
         .trigger(availableNow=True)
         .start()
     )
+
+
+TYPE_COUNTS_SCHEMA = "user_id bigint, n_types bigint, total bigint"
+
+
+class TypeCounts(StatefulProcessor):
+    """Per-key MAP state: running count per event_type plus the running
+    total — exercises MapState (iteration + point updates), the second
+    typed-state handle family, on the live transformWithState path.
+    State per key is bounded by the event-type alphabet, not the stream.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.counts = handle.getMapState(
+            "counts", "event_type string", "c bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self.counts.getValue((t,))
+                    if self.counts.containsKey((t,))
+                    else None
+                )
+                self.counts.updateValue((t,), ((0 if prev is None else prev[0]) + int(c),))
+        total = 0
+        n = 0
+        for _k, v in self.counts.iterator():
+            n += 1
+            total += v[0]
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_types": [n], "total": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_type_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "type_counts",
+    glob: str = "*.parquet",
+):
+    """Wire the MapState processor over the events stream (update mode,
+    RocksDB provider). Requires :func:`ensure_protobuf` to succeed —
+    call it (or let this raise) before the SparkSession exists."""
+    from etl_jetro_spark.streaming.windows import events_stream
+
+    if not ensure_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, events_dir, glob)
+    out: DataFrame = ev.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

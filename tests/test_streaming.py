@@ -720,3 +720,53 @@ spark.stop()
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "TWS_PARITY_OK" in r.stdout
     assert json.loads(r.stdout.split("TWS_PARITY_OK ")[1].splitlines()[0])["keys"] == 15
+
+
+def test_transform_with_state_mapstate_live(tmp_path):
+    """MapState (the second typed-state handle family) executed LIVE on
+    transformWithStateInPandas + RocksDB: per-user per-event-type counts
+    must equal the batch (countDistinct, count) aggregate. Subprocess for
+    the same env-before-JVM reason as the ValueState twin."""
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import os, shutil, sys
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-map-test", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "a.parquet"))
+from etl_jetro_spark.streaming.stateful import run_type_counts
+q = run_type_counts(spark, src, os.path.join(tmp, "ck"))
+q.awaitTermination(180)
+got = {r["user_id"]: (r["n_types"], r["total"]) for r in spark.sql(
+    "SELECT user_id, n_types, total FROM (SELECT *, row_number() OVER ("
+    "PARTITION BY user_id ORDER BY total DESC) rn FROM type_counts) WHERE rn=1"
+).collect()}
+ev = spark.read.parquet(os.path.join(src, "a.parquet"))
+want = {r["user_id"]: (r["n"], r["c"]) for r in ev.groupBy("user_id").agg(
+    F.countDistinct("event_type").alias("n"), F.count("event_type").alias("c")
+).collect()}
+assert got == want, (got, want)
+print("TWS_MAP_OK", len(got))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_MAP_OK 15" in r.stdout
