@@ -6218,3 +6218,119 @@ def q152_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q153_vocab_coverage",
+    f"""
+    WITH wrds AS (SELECT string_split({DK_NORM_TEXT}, ' ') AS w FROM documents),
+    tok AS (
+      SELECT w[i] AS t FROM wrds,
+             UNNEST(generate_series(1, len(w))) AS s(i)
+      WHERE w[i] <> ''
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cnt
+    )
+    SELECT ks.k, cov.covered, tot.total,
+           round(cov.covered / CAST(tot.total AS DOUBLE), 6) AS share
+    FROM ks
+    JOIN LATERAL (
+      SELECT CAST(sum(c) AS BIGINT) AS covered FROM ranked WHERE rn <= ks.k
+    ) cov ON true
+    CROSS JOIN tot
+    """,
+)
+def q153_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all token OCCURRENCES
+    covered by the top-k most frequent tokens, for k ∈ {{10, 100, 1000}}
+    — the tokenizer-budget / OOV-rate telemetry of a training pipeline.
+    Each k is a TakeOrdered top-k over the (vocabulary-sized, already
+    partial-agged) count frame + one scalar sum — no global vocabulary
+    sort, no single-task window over the vocab."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        shingle_rows(d, "doc_id", "text", 1, distinct=False)
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds the total + three top-k passes
+    )
+    total = cnt.agg(F.sum("c").cast("long").alias("total"))
+    outs = []
+    for k in (10, 100, 1000):
+        topk = cnt.orderBy(F.desc("c"), F.asc("_sh")).limit(k)
+        outs.append(
+            topk.agg(F.sum("c").cast("long").alias("covered")).select(
+                F.lit(k).cast("int").alias("k"), "covered"
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered",
+        "total",
+        F.round(F.col("covered") / F.col("total"), 6).alias("share"),
+    )
+
+
+@query(
+    "q154_touch_attribution",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS t
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, event_type, t,
+             count(*) FILTER (event_type = 'click') OVER (
+               PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN 1800000000000 PRECEDING AND CURRENT ROW
+             ) AS n_touches
+      FROM e
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches > 0
+                THEN round(1.0 / n_touches, 6) END AS credit_each
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q154_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: per purchase, the number of clicks
+    by the same user in the trailing 30 minutes (RANGE frame over the
+    event-time ns column — value-based, so equal-time rows are all in
+    frame regardless of tie order) and the per-click credit 1/n. One
+    (user, time) shuffle+sort; the range frame keeps sweep state bounded
+    by the horizon, never the user's history."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-1_800_000_000_000, 0)
+    )
+    n = F.sum((F.col("event_type") == "click").cast("long")).over(w)
+    out = e.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "event_type",
+        n.alias("n_touches"),
+    ).filter(F.col("event_type") == "purchase")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.when(
+            F.col("n_touches") > 0, F.round(F.lit(1.0) / F.col("n_touches"), 6)
+        ).alias("credit_each"),
+    )
