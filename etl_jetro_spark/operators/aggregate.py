@@ -264,3 +264,81 @@ def mad_outliers(
             (F.col("_absdev") > F.lit(z) * F.col("_mad")).cast("long")
         ).cast("long").alias("n_outliers"),
     )
+
+
+def weighted_group_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    weight: str | Column,
+    ps: dict[str, float],
+    tiebreak: list[str] | None = None,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT weighted percentiles per group: for each p, the
+    smallest value whose cumulative weight (in (value, tiebreak) order)
+    reaches p · total_weight — the lower weighted quantile, the
+    definition a revenue-weighted median price uses. No engine aggregate
+    exists for this in Spark OR DuckDB; both sides of the oracle replay
+    the same cumulative definition.
+
+    Same no-task-holds-a-group shape as :func:`exact_group_percentiles`:
+    ONE range-partition shuffle on (keys, value, tiebreak), a
+    metadata-sized per-(partition, group) weight-offset pass, and a
+    partition-local running-sum window keyed by (physical partition,
+    group) — its window partitions are bounded by the range split size,
+    never by group size, so a 20 TB group still spreads. The cumulative
+    weight is order-DETERMINISTIC (the tiebreak fixes the float
+    accumulation order), which makes the picked value reproducible
+    cross-engine. NULL values and non-positive weights are excluded.
+
+    ``ps`` maps output column name -> fraction in (0, 1]. Returns one
+    row per group.
+    """
+    from pyspark.sql import Window
+
+    for name, p in ps.items():
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"percentile {name}={p} outside (0, 1]")
+    tb = list(tiebreak or [])
+    v = F.col(value) if isinstance(value, str) else value
+    w = F.col(weight) if isinstance(weight, str) else weight
+    d = df.filter(v.isNotNull() & (w > 0)).select(
+        *keys, v.alias("_v"), w.cast("double").alias("_w"), *tb
+    )
+    spark = df.sparkSession
+    nparts = num_range_partitions or max(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    base = (
+        d.repartitionByRange(nparts, *keys, "_v", *tb)
+        .sortWithinPartitions(*keys, "_v", *tb)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # freeze pid/order for both passes
+    )
+    # metadata pass: per-(partition, group) weight sums -> global offsets
+    pc = base.groupBy("_pid", *keys).agg(F.sum("_w").alias("_pw"))
+    woff = Window.partitionBy(*keys).orderBy("_pid") if keys else (
+        Window.partitionBy().orderBy("_pid")
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    meta = pc.withColumn("_off", F.sum("_pw").over(woff) - F.col("_pw")).withColumn(
+        "_tw", F.sum("_pw").over(wall)
+    )
+    # partition-local running weight: window partitions are (physical
+    # partition, group) cells — bounded by the range split, not the group
+    wloc = (
+        Window.partitionBy("_pid", *keys)
+        .orderBy("_v", *tb)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.withColumn("_lc", F.sum("_w").over(wloc)).join(
+        F.broadcast(meta.select("_pid", *keys, "_off", "_tw")), ["_pid", *keys]
+    ).withColumn("_cw", F.col("_off") + F.col("_lc"))
+    aggs = [
+        F.min(
+            F.when(F.col("_cw") >= F.lit(p) * F.col("_tw"), F.col("_v"))
+        ).alias(name)
+        for name, p in ps.items()
+    ]
+    return cum.groupBy(*keys).agg(*aggs)

@@ -6334,3 +6334,51 @@ def q154_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_touches") > 0, F.round(F.lit(1.0) / F.col("n_touches"), 6)
         ).alias("credit_each"),
     )
+
+
+@query(
+    "q155_weighted_percentiles",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS flag, l_quantity AS v, l_extendedprice AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice > 0
+    ),
+    c AS (
+      SELECT flag, v,
+             sum(w) OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM s
+    )
+    SELECT flag,
+           min(v) FILTER (cw >= 0.25 * tw) AS wq25,
+           min(v) FILTER (cw >= 0.5 * tw)  AS wmedian,
+           min(v) FILTER (cw >= 0.9 * tw)  AS wq90
+    FROM c GROUP BY flag
+    """,
+)
+def q155_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED quantity percentiles per return flag
+    (operators/aggregate.weighted_group_percentiles): the smallest
+    quantity whose cumulative extended-price reaches p of the flag's
+    total — neither Spark nor DuckDB has a weighted-quantile aggregate,
+    so both sides replay the cumulative definition. Distributed: one
+    range-partition shuffle; the running-weight window is keyed by
+    (physical partition, group), bounded by the range split — never a
+    single-task group window (the oracle's PARTITION BY flag window is
+    exactly the shape the operator avoids)."""
+    from etl_jetro_spark.operators.aggregate import weighted_group_percentiles
+
+    li = load(spark, sf_dir, "lineitem")
+    out = weighted_group_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+        {"wq25": 0.25, "wmedian": 0.5, "wq90": 0.9},
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        F.col("l_returnflag").alias("flag"), "wq25", "wmedian", "wq90"
+    )

@@ -1688,3 +1688,38 @@ def test_plan_shapes_round4_fixes(spark):
     for line in plan3.splitlines():
         if "_band" in line and "Project" in line:
             assert "_va" not in line and "_vb" not in line and "_v#" not in line
+
+
+def test_weighted_percentiles_brute_force_and_partition_invariance(spark):
+    import random
+
+    from etl_jetro_spark.operators.aggregate import weighted_group_percentiles
+
+    rnd = random.Random(11)
+    rows = [
+        ("g", float(rnd.randrange(1, 50)), float(rnd.randrange(1, 10)), i)
+        for i in range(2000)
+    ]
+    rows += [("g", 7.0, 0.0, 99991), ("g", None, 5.0, 99992)]  # excluded
+    df = spark.createDataFrame(rows, "grp string, v double, w double, tb long")
+
+    def brute(p):
+        s = sorted((v, tb, w) for (_, v, w, tb) in rows if v is not None and w > 0)
+        tot = sum(w for _, _, w in s)
+        cw = 0.0
+        for v, _, w in s:
+            cw += w
+            if cw >= p * tot:
+                return v
+        return None
+
+    for nparts in (4, 64):
+        got = weighted_group_percentiles(
+            df, ["grp"], "v", "w", {"m": 0.5, "q9": 0.9},
+            tiebreak=["tb"], num_range_partitions=nparts,
+        ).collect()[0]
+        assert got["m"] == brute(0.5), nparts
+        assert got["q9"] == brute(0.9), nparts
+
+    with pytest.raises(ValueError, match="outside"):
+        weighted_group_percentiles(df, ["grp"], "v", "w", {"bad": 0.0})
