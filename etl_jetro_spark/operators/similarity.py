@@ -768,9 +768,24 @@ def semantic_dedup(
     """
     from etl_jetro_spark.operators.graph import connected_components
 
-    inv = ivf_assign(
-        corpus, id_col, vec_col, centroids, cid_col, cvec_col
-    ).localCheckpoint(eager=False)  # feeds keys + both vector fetches
+    # normalize ONCE per vector (linear) so the Σcluster² pair verify is a
+    # single dot fold instead of dot + two norms — the norm is materialized
+    # as a column BEFORE the unit lambda (an inlined norm re-evaluates per
+    # element). cosine(a, b) ≡ dot(a/|a|, b/|b|); the oracle replays the
+    # same normalize-then-dot formula so the floats agree bit-for-bit.
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids, cid_col, cvec_col)
+    inv = (
+        assigned.select(
+            id_col, cid_col, _vec(vec_col).alias("_v")
+        )
+        .select("*", norm(F.col("_v")).alias("_nrm"))
+        .select(
+            id_col,
+            cid_col,
+            F.transform(F.col("_v"), lambda x: x / F.col("_nrm")).alias("_u"),
+        )
+        .localCheckpoint(eager=False)  # feeds keys + both unit-vector fetches
+    )
     keys = inv.select(F.col(id_col).alias("_id"), cid_col)
     pairs = (
         keys.alias("a")
@@ -778,9 +793,9 @@ def semantic_dedup(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    va = inv.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = inv.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    score = F.round(cosine(_vec("_va"), _vec("_vb")), score_round)
+    va = inv.select(F.col(id_col).alias("id_a"), F.col("_u").alias("_va"))
+    vb = inv.select(F.col(id_col).alias("id_b"), F.col("_u").alias("_vb"))
+    score = F.round(dot(F.col("_va"), F.col("_vb")), score_round)
     edges = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

@@ -5861,7 +5861,7 @@ _Q146_COS = (
       UNION ALL
       SELECT vec_id + 100000, list_prepend(-v[1], v[2:]) FROM emb
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 32),
     assign AS (
       SELECT u.vec_id, u.v, cid,
              row_number() OVER (
@@ -5869,10 +5869,15 @@ _Q146_COS = (
                ORDER BY {_Q146_COS.format(a='u.v', b='cv')} DESC, cid) AS rn
       FROM u CROSS JOIN c),
     inv AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+    un AS (
+      SELECT vec_id, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM inv
+    ),
     edges AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM inv a JOIN inv b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE round({_Q146_COS.format(a='a.v', b='b.v')}, 6) >= 0.985
+      FROM un a JOIN un b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.985
     ),
     und AS (SELECT id_a AS a, id_b AS b FROM edges
             UNION SELECT id_b, id_a FROM edges),
@@ -5910,7 +5915,9 @@ def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     u = emb.select("vec_id", "embedding").unionByName(pert)
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    # K=32 keeps Σcluster² bounded (the operator's own scale rule:
+    # K grows with the corpus so clusters stay small)
+    cents = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return semantic_dedup(u, "vec_id", "embedding", cents, threshold=0.985)
