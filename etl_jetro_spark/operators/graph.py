@@ -172,3 +172,61 @@ def dedup_keep_canonical(
     # no broadcast hint: the drop set scales with dup volume — AQE picks
     # the strategy from runtime size
     return df.join(drop, id_col, "left_anti")
+
+
+def triangle_count(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Global triangle count of an undirected simple graph — the
+    node-iterator-with-degree-orientation algorithm (Schank/Wagner;
+    Suri & Vassilvitskii's MapReduce formulation): orient every edge
+    from its lower-degree endpoint to the higher (ties by id), build
+    wedges by joining oriented edges on their SOURCE, and count wedges
+    whose closing edge exists. Orientation is the scale mechanism: a
+    hub of degree d contributes min-degree-ordered wedges only, so
+    wedge volume is O(m^1.5) instead of Σd² — the difference between a
+    social-graph run finishing and not.
+
+    One degree aggregation, two hash joins on edge keys (the wedge join
+    + the closing-edge semi join); nothing vertex-quadratic. Returns a
+    single row (n_triangles).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)  # feeds degrees + orientation + probe
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("_db"))
+    # orient low(degree, id) -> high(degree, id): a strict total order, so
+    # every edge appears exactly once and every triangle forms exactly one
+    # wedge at its minimum vertex
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    wedge = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.w") < F.col("y.w"))
+        .select(
+            F.least("x.w", "y.w").alias("a"), F.greatest("x.w", "y.w").alias("b")
+        )
+    )
+    closed = wedge.join(e, ["a", "b"], "left_semi")
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -6389,3 +6389,59 @@ def q155_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_returnflag").alias("flag"), "wq25", "wmedian", "wq90"
     )
+
+
+@query(
+    "q156_triangle_count",
+    """
+    WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem
+                 GROUP BY l_orderkey, l_partkey),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM bsk x JOIN bsk y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS w
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    wedge AS (
+      SELECT least(x.w, y.w) AS a, greatest(x.w, y.w) AS b
+      FROM o x JOIN o y ON x.u = y.u AND x.w < y.w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedge JOIN e ON e.a = wedge.a AND e.b = wedge.b
+    """,
+)
+def q156_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (q151's support>=2 edges)
+    via degree-oriented node-iterator (operators/graph.triangle_count):
+    orientation bounds wedge volume at O(m^1.5) instead of Σdeg² — the
+    hub-survival mechanism — with one degree aggregation and two edge
+    joins. Complements connected components (q60) on the graph surface."""
+    from etl_jetro_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        b.alias("a")
+        .join(b.alias("c"), "l_orderkey")
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("c.l_partkey").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .drop("s")
+    )
+    return triangle_count(edges)

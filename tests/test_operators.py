@@ -1723,3 +1723,23 @@ def test_weighted_percentiles_brute_force_and_partition_invariance(spark):
 
     with pytest.raises(ValueError, match="outside"):
         weighted_group_percentiles(df, ["grp"], "v", "w", {"bad": 0.0})
+
+
+def test_triangle_count_known_graphs(spark):
+    from etl_jetro_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: 4 triangles (duplicate + reversed edges must not inflate)
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (2, 1), (1, 2)]
+    assert tri(k4) == 4
+    # a path has none; a star has none
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
+    assert tri([(0, i) for i in range(1, 9)]) == 0
+    # two triangles sharing an edge
+    assert tri([(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]) == 2
+    # hub wheel: center 0 + cycle 1-2-3-4-5-1 -> 5 triangles
+    wheel = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    assert tri(wheel) == 5
