@@ -6445,3 +6445,112 @@ def q156_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("s")
     )
     return triangle_count(edges)
+
+
+def _q157_qvec() -> list[float]:
+    from etl_jetro_spark.operators.similarity import _hyperplane
+
+    return [_hyperplane(0, d) for d in range(64)]
+
+
+def _q157_qvec_sql() -> str:
+    return "[" + ", ".join(repr(x) for x in _q157_qvec()) + "]"
+
+
+@query(
+    "q157_hybrid_rrf",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({DK_NORM_TEXT}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(w)) AS avgdl FROM base),
+    toks AS (
+      SELECT doc_id, len(w) AS dl, t.t AS t
+      FROM base, UNNEST(w) AS t(t)
+      WHERE t.t IN {{terms}}
+    ),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id, round(sum(
+               ln((stats.N - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 6) AS s
+      FROM tf JOIN dfq USING (t) CROSS JOIN stats GROUP BY tf.doc_id
+    ),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 50
+    ),
+    q AS (SELECT CAST({{qvec}} AS DOUBLE[]) AS qv),
+    emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+    es AS (
+      SELECT vec_id,
+             round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS s
+      FROM emb CROSS JOIN q
+    ),
+    emr AS (
+      SELECT vec_id AS doc_id, row_number() OVER (ORDER BY s DESC, vec_id) AS r
+      FROM es QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT coalesce(bmr.doc_id, emr.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + bmr.r), 0)
+                   + coalesce(1.0 / (60 + emr.r), 0), 6) AS rrf,
+             bmr.r AS bm25_rank, emr.r AS emb_rank
+      FROM bmr FULL JOIN emr ON bmr.doc_id = emr.doc_id
+    )
+    SELECT doc_id, rrf, bm25_rank, emb_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """.replace("{terms}", repr(("shipping", "invoice", "order"))).replace(
+        "{qvec}", "[-0.5290508184251612, -0.7421059239386143, -0.14685448824747205, 0.423268784500318, 0.47001825993415824, 0.318812301530881, -0.23781379742446063, -0.20110499821654748, -0.3819671945562434, -0.880582212880525, -0.44427894775023635, 0.45199808499403216, -0.76793215087053, -0.032561220243834565, -0.8968256599720688, 0.5009024112955212, -0.980297603635256, -0.42347508828317515, 0.06273382811934392, -0.42473653397743427, 0.8599654998909521, -0.057608267784867606, -0.037430871761138906, -0.9714705156960853, 0.7565686152114386, -0.4190988593823737, 0.949875062308216, -0.3688201980520134, -0.00142965093321612, 0.5688298994530132, 0.4771778464676708, -0.7156807937266682, 0.32735029157593387, -0.112021975271414, 0.9453940060666735, 0.6259941247412908, -0.643544788306367, -0.6722292120904798, -0.9735103202860385, 0.5192952200394567, 0.9445891114625098, -0.32040787596274534, 0.654750331144198, -0.9911672566044923, -0.02338065627188457, -0.6739785744221781, 0.24336513515718528, -0.3278884349055069, 0.29695215974792477, 0.30661518653231457, -0.5499385546659765, 0.7904443195045201, 0.2986431016114741, 0.5152758660331722, 0.28690035701119365, -0.1023629364102906, 0.8532609580332697, 0.6544959608719201, 0.3370759367649796, -0.38004795945251735, -0.9758893451541147, -0.8527668555512871, 0.28745730700318584, 0.20474557960626938]"
+    ),
+)
+def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.):
+    BM25 lexical ranking (q125's operator) and embedding-cosine ranking
+    against a fixed deterministic query vector fuse as
+    Σ 1/(60 + rank) — the standard hybrid-search combiner, pure rational
+    arithmetic over ROUNDED scores so ranks (and the fusion) are
+    hash-stable cross-engine. Both rank lists are top-50 TakeOrdered
+    frames (result-set sized); the fusion is a full outer join of two
+    50-row frames — nothing corpus-scale past the two scoring passes."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.operators.similarity import cosine_topk
+    from etl_jetro_spark.operators.textstats import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    bm = bm25_scores(d, "doc_id", "text", ["shipping", "invoice", "order"])
+    wb = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    bmr = (
+        bm.select("doc_id", F.round("score", 6).alias("s"))
+        .withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("bm25_rank"))
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    es = cosine_topk(emb, "vec_id", "embedding", _q157_qvec(), k=2_000_000_000)
+    we = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    emr = (
+        es.select("vec_id", F.round("score", 6).alias("s"))
+        .withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") <= 50)
+        .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("emb_rank"))
+    )
+    fused = bmr.join(emr, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("emb_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "bm25_rank",
+        "emb_rank",
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
