@@ -230,3 +230,80 @@ def triangle_count(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     )
     closed = wedge.join(e, ["a", "b"], "left_semi")
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient: triangles_at(v) /
+    (d(v)·(d(v)−1)/2) — the community-density signal next to
+    :func:`triangle_count`'s global total. Same degree-oriented wedge
+    machinery; each closed wedge credits all THREE of its vertices via
+    one explode (3 rows per triangle — triangle-count sized, tiny next
+    to edges), then a count join against degrees. Vertices with d < 2
+    report 0. Returns (id, degree, n_triangles, coeff).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("_db"))
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    tri = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.w") < F.col("y.w"))
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.w").alias("p"),
+            F.col("y.w").alias("q"),
+        )
+        .join(
+            e,
+            (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")),
+            "left_semi",
+        )
+    )
+    per_v = (
+        tri.select(F.explode(F.array("u", "p", "q")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    possible = (F.col("d") * (F.col("d") - 1) / 2).cast("double")
+    return (
+        deg.join(per_v, "v", "left")
+        .select(
+            F.col("v").alias("id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    F.coalesce("n_triangles", F.lit(0)) / possible,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coeff"),
+        )
+    )

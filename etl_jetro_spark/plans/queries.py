@@ -6554,3 +6554,69 @@ def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb_rank",
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "q158_clustering_coefficients",
+    """
+    WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem
+                 GROUP BY l_orderkey, l_partkey),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM bsk x JOIN bsk y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS w
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    tri AS (
+      SELECT x.u, x.w AS p, y.w AS q
+      FROM o x JOIN o y ON x.u = y.u AND x.w < y.w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.a = x.w AND e.b = y.w)
+    ),
+    perv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS nt FROM (
+        SELECT u AS v FROM tri UNION ALL SELECT p FROM tri
+        UNION ALL SELECT q FROM tri) GROUP BY v
+    )
+    SELECT deg.v AS id, CAST(deg.d AS BIGINT) AS degree,
+           coalesce(perv.nt, 0) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                 THEN coalesce(perv.nt, 0) / (deg.d * (deg.d - 1) / 2.0)
+                 ELSE 0.0 END, 6) AS coeff
+    FROM deg LEFT JOIN perv ON perv.v = deg.v
+    """,
+)
+def q158_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficients of the co-purchase graph
+    (operators/graph.clustering_coefficients): the degree-oriented wedge
+    machinery of q156, with each closed wedge crediting its three
+    vertices through one explode — the per-vertex credit stream is
+    triangle-count sized, tiny next to edges."""
+    from etl_jetro_spark.operators.graph import clustering_coefficients
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        b.alias("a")
+        .join(b.alias("c"), "l_orderkey")
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("c.l_partkey").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .drop("s")
+    )
+    return clustering_coefficients(edges)

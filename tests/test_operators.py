@@ -1743,3 +1743,17 @@ def test_triangle_count_known_graphs(spark):
     # hub wheel: center 0 + cycle 1-2-3-4-5-1 -> 5 triangles
     wheel = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
     assert tri(wheel) == 5
+
+
+def test_clustering_coefficients_known_graph(spark):
+    from etl_jetro_spark.operators.graph import clustering_coefficients
+
+    # triangle 1-2-3 plus pendant 3-4: c(1)=c(2)=1, c(3)=1/3, c(4)=0
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r.asDict() for r in clustering_coefficients(df).collect()}
+    assert got[1]["coeff"] == 1.0 and got[1]["n_triangles"] == 1
+    assert got[2]["coeff"] == 1.0
+    assert got[3]["degree"] == 3 and got[3]["coeff"] == pytest.approx(1 / 3)
+    assert got[4]["coeff"] == 0.0 and got[4]["n_triangles"] == 0
