@@ -6620,3 +6620,140 @@ def q158_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("s")
     )
     return clustering_coefficients(edges)
+
+
+@query(
+    "q159_ewma",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, value, CAST(epoch_ns(ts) AS BIGINT) AS t
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT event_id, user_id,
+             lag(value, 0) OVER w AS v0, lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2, lag(value, 3) OVER w AS v3,
+             lag(value, 4) OVER w AS v4, lag(value, 5) OVER w AS v5,
+             lag(value, 6) OVER w AS v6
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    )
+    SELECT event_id, user_id,
+           round((coalesce(v0, 0) * 1.0 + coalesce(v1, 0) * 0.5
+                  + coalesce(v2, 0) * 0.25 + coalesce(v3, 0) * 0.125
+                  + coalesce(v4, 0) * 0.0625 + coalesce(v5, 0) * 0.03125
+                  + coalesce(v6, 0) * 0.015625)
+                 / (CASE WHEN v0 IS NULL THEN 0 ELSE 1.0 END
+                    + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+                    + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END
+                    + CASE WHEN v4 IS NULL THEN 0 ELSE 0.0625 END
+                    + CASE WHEN v5 IS NULL THEN 0 ELSE 0.03125 END
+                    + CASE WHEN v6 IS NULL THEN 0 ELSE 0.015625 END), 6)
+             AS ewma7
+    FROM l
+    """,
+)
+def q159_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (α = 1/2, 7 taps) per user — the smoothing pass of
+    a monitoring pipeline, expressed as seven lag() terms over ONE
+    (user, time) sort: every weight is a power of two, so the weighted
+    sum is EXACT binary arithmetic and hashes identically cross-engine
+    (a recursive EWMA would need a true fold; the truncated form's tail
+    error is bounded by 2^-7 of the oldest weight and keeps the whole
+    operator inside the window sweep). Normalized over the present
+    taps so early rows aren't biased toward zero."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(7):
+        v = F.lag("value", j).over(w)
+        wt = F.lit(0.5 ** j)
+        num = num + F.coalesce(v, F.lit(0.0)) * wt
+        den = den + F.when(v.isNull(), F.lit(0.0)).otherwise(wt)
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma7")
+    )
+
+
+@query(
+    "q160_ab_test",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1))
+                        - 1) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean, var_samp(value) AS var
+      FROM e GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+             round(b.mean - a.mean, 6) AS diff,
+             round((b.mean - a.mean)
+                   / sqrt(a.var / a.n + b.var / b.n), 6) AS z
+      FROM s a JOIN s b ON a.event_type = b.event_type
+       AND a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT * FROM p
+    """,
+)
+def q160_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assign to arms by md5 hash bucket
+    (deterministic, reproducible on any partitioning — the q62 split
+    mechanism), per-arm mean/variance aggregate in one partial-agg pass,
+    and the Welch z-statistic per metric. Every step is
+    exactly-rounded IEEE arithmetic (sqrt included), so the readout
+    hashes identically cross-engine; the per-arm frames are
+    metric-count sized."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1),
+        )
+        - 1
+    )
+    arm = F.when(nib % 2 == 0, "A").otherwise("B")
+    s = (
+        e.select("event_type", "value", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("_ma"),
+        F.col("var").alias("_va"),
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("_mb"),
+        F.col("var").alias("_vb"),
+    )
+    se = F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b"))
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("_ma", 6).alias("mean_a"),
+            F.round("_mb", 6).alias("mean_b"),
+            F.round(F.col("_mb") - F.col("_ma"), 6).alias("diff"),
+            F.round((F.col("_mb") - F.col("_ma")) / se, 6).alias("z"),
+        )
+    )
