@@ -6757,3 +6757,69 @@ def q160_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("_mb") - F.col("_ma")) / se, 6).alias("z"),
         )
     )
+
+
+@query(
+    "q161_cuped_adjustment",
+    """
+    WITH b AS (SELECT CAST(min(epoch_ns(ts)) AS BIGINT) AS tmin,
+                      CAST(max(epoch_ns(ts)) AS BIGINT) AS tmax
+               FROM events),
+    e AS (
+      SELECT user_id, value,
+             CASE WHEN (CAST(epoch_ns(ts) AS BIGINT) - tmin) * 2
+                       >= (tmax - tmin) THEN 1 ELSE 0 END AS h
+      FROM events CROSS JOIN b WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN h = 0 THEN value ELSE 0 END) AS pre,
+             sum(CASE WHEN h = 1 THEN value ELSE 0 END) AS post
+      FROM e GROUP BY user_id
+    ),
+    th AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+             avg(pre) AS mean_pre
+      FROM u
+    )
+    SELECT u.user_id,
+           round(u.pre, 6) AS pre,
+           round(u.post, 6) AS post,
+           round(u.post - th.theta * (u.pre - th.mean_pre), 6) AS post_cuped
+    FROM u CROSS JOIN th
+    """,
+)
+def q161_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): each user's
+    post-period metric is adjusted by θ·(pre − mean_pre) where
+    θ = cov(pre, post)/var(pre) from the pre-period covariate — the
+    standard experimentation trick that shrinks metric variance without
+    biasing the mean. Per-user pre/post sums aggregate in one pass
+    (integer time-midpoint split, the q142 arithmetic); θ and mean_pre
+    are ONE broadcast row; the adjustment is a map-side expression."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bounds = e.agg(F.min("ts").alias("_tmin"), F.max("ts").alias("_tmax"))
+    d = e.crossJoin(F.broadcast(bounds))
+    h = (
+        ((F.col("ts") - F.col("_tmin")) * 2) >= (F.col("_tmax") - F.col("_tmin"))
+    ).cast("int")
+    u = (
+        d.select("user_id", "value", h.alias("_h"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("_h") == 0, F.col("value")).otherwise(0.0)).alias("pre"),
+            F.sum(F.when(F.col("_h") == 1, F.col("value")).otherwise(0.0)).alias("post"),
+        )
+    )
+    th = u.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("_theta"),
+        F.avg("pre").alias("_mp"),
+    )
+    return u.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        F.round("pre", 6).alias("pre"),
+        F.round("post", 6).alias("post"),
+        F.round(
+            F.col("post") - F.col("_theta") * (F.col("pre") - F.col("_mp")), 6
+        ).alias("post_cuped"),
+    )
