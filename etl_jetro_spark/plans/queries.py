@@ -6823,3 +6823,106 @@ def q161_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("post") - F.col("_theta") * (F.col("pre") - F.col("_mp")), 6
         ).alias("post_cuped"),
     )
+
+
+@query(
+    "q162_seasonal_anomalies",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             CAST((CAST(epoch_ns(ts) AS BIGINT) // 3600000000000) % 24 AS INT) AS hod
+      FROM events WHERE value IS NOT NULL
+    ),
+    prof AS (
+      SELECT event_type, hod, avg(value) AS mu, stddev_samp(value) AS sd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.hod,
+           any_value(prof.n) AS n,
+           round(any_value(prof.mu), 6) AS mu,
+           CAST(sum(CASE WHEN abs(e.value - prof.mu) > 3 * prof.sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM e JOIN prof ON prof.event_type = e.event_type AND prof.hod = e.hod
+    GROUP BY 1, 2
+    """,
+)
+def q162_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) profile anomaly census: per (event_type,
+    hour) mean/σ profile — a 24×|types| metadata frame, broadcast back —
+    and the count of events beyond 3σ of THEIR OWN hour's profile. The
+    profile pass and the flag pass are each one partial-agg shuffle;
+    nothing holds raw history. Epoch-hour arithmetic is integer, so the
+    bucketing is exact cross-engine."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    hod = ((F.col("ts") / F.lit(3_600_000_000_000)).cast("long") % 24).cast("int")
+    d = e.select("event_id", "event_type", "value", hod.alias("hod"))
+    prof = d.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sd"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    j = d.join(F.broadcast(prof), ["event_type", "hod"])
+    return j.groupBy("event_type", "hod").agg(
+        F.any_value("_n").alias("n"),
+        F.round(F.any_value("_mu"), 6).alias("mu"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("_mu")) > 3 * F.col("_sd")).cast("long")
+        ).cast("long").alias("n_anomalies"),
+    )
+
+
+@query(
+    "q163_revenue_gini",
+    """
+    WITH cust AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+             sum(o.o_totalprice) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT nation, rev,
+             row_number() OVER (PARTITION BY nation ORDER BY rev, cust) AS i,
+             count(*) OVER (PARTITION BY nation) AS n,
+             sum(rev) OVER (PARTITION BY nation) AS tot
+      FROM cust
+    )
+    SELECT nation,
+           CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(any_value(tot), 4) AS revenue,
+           round(2.0 * sum(i * rev) / (any_value(n) * any_value(tot))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM r GROUP BY nation
+    """,
+)
+def q163_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation as the GINI coefficient —
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over rank-ordered customer
+    revenues. Ranks come from the DISTRIBUTED rank frame
+    (aggregate.group_ranked, cust as tiebreak): no per-nation window
+    sort in one task even when one nation dominates; the Σ i·x_i /
+    totals collapse in one partial-agg pass."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    ranked = group_ranked(cust, ["nation"], "rev", tiebreak=["cust"])
+    return ranked.groupBy("nation").agg(
+        F.any_value("_n").cast("long").alias("n_customers"),
+        F.round(F.sum("_v"), 4).alias("revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("_rn") * F.col("_v"))
+            / (F.any_value("_n") * F.sum("_v"))
+            - (F.any_value("_n") + F.lit(1.0)) / F.any_value("_n"),
+            6,
+        ).alias("gini"),
+    )
