@@ -813,3 +813,59 @@ def semantic_dedup(
         rep.alias("component"),
         (rep == F.col(id_col)).alias("kept"),
     )
+
+
+def knn_join_blocked(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_probe_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN join for LARGE probe sets — the scale path
+    :func:`knn_join` (probe side broadcast) explicitly does not cover.
+    Probes hash into ``num_probe_blocks`` blocks; the corpus replicates
+    once per block (explode over the block sequence) and the equi-join
+    on the block id co-locates every probe block with one full corpus
+    copy, so every (probe, corpus) pair scores EXACTLY once with no
+    broadcast of either side. The |P|·|C| score volume is inherent to
+    exact k-NN; blocking spreads it evenly — pick B so each block's
+    probe slice fits task memory. The per-probe top-k runs as a rank
+    window that WindowGroupLimit prunes to ≤k rows per partition BEFORE
+    the final shuffle, so the shuffle carries ~k rows per (partition,
+    probe), never the full score stream. Returns
+    (probe_id, neighbor_id, score, rank) — identical to
+    :func:`knn_join`.
+    """
+    from pyspark.sql import Window
+
+    if num_probe_blocks < 1:
+        raise ValueError("num_probe_blocks must be >= 1")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        _vec(vec_col).alias("_pv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_probe_blocks)).alias("_blk"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vec(vec_col).alias("_cv"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_probe_blocks - 1))
+        ).alias("_blk"),
+    )
+    scored = (
+        c.join(p, "_blk")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine(F.col("_pv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -6926,3 +6926,47 @@ def q163_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q164_knn_large_probes",
+    """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 50),
+    s AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.pv, c.v)
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS sc
+      FROM p JOIN emb c ON c.vec_id <> p.probe_id
+    ),
+    r AS (
+      SELECT probe_id, neighbor_id, sc,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sc DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT probe_id, neighbor_id, round(sc, 4) AS score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q164_knn_large_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join with a LARGE probe set
+    (operators/similarity.knn_join_blocked): probes hash into blocks and
+    the corpus replicates once per block — no broadcast of either side,
+    so the exact path survives probe sets that would OOM q32's broadcast
+    form. The |P|·|C| score volume is inherent to exactness; blocking
+    spreads it evenly and WindowGroupLimit prunes the top-k shuffle to
+    ~k rows per (partition, probe)."""
+    from etl_jetro_spark.operators.similarity import knn_join_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    out = knn_join_blocked(
+        probes, emb, "vec_id", "embedding", k=3, num_probe_blocks=8
+    )
+    return out.select(
+        "probe_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )

@@ -1757,3 +1757,27 @@ def test_clustering_coefficients_known_graph(spark):
     assert got[2]["coeff"] == 1.0
     assert got[3]["degree"] == 3 and got[3]["coeff"] == pytest.approx(1 / 3)
     assert got[4]["coeff"] == 0.0 and got[4]["n_triangles"] == 0
+
+
+def test_knn_join_blocked_equals_broadcast_form(spark):
+    import math
+
+    from etl_jetro_spark.operators.similarity import knn_join, knn_join_blocked
+
+    dims = 8
+    rows = [
+        (i, [math.sin(0.7 * i + d) for d in range(dims)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 20)
+    a = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], round(r["score"], 9))
+        for r in knn_join(probes, df, "vec_id", "embedding", k=4).collect()
+    }
+    b = {
+        (r["probe_id"], r["rank"]): (r["neighbor_id"], round(r["score"], 9))
+        for r in knn_join_blocked(
+            probes, df, "vec_id", "embedding", k=4, num_probe_blocks=5
+        ).collect()
+    }
+    assert a == b and len(a) == 20 * 4
