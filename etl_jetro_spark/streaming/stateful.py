@@ -277,3 +277,74 @@ def run_type_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+RECENT_SCHEMA = "user_id bigint, n_kept bigint, recent_max double"
+
+
+class RecentValues(StatefulProcessor):
+    """Per-key LIST state: keep the last ``keep`` values seen (bounded
+    buffer — state per key is O(keep), the pattern for recent-history
+    features) and emit the retained count plus their max. Completes the
+    typed-state family coverage: ValueState (RunningTotals), MapState
+    (TypeCounts), ListState (here)."""
+
+    def __init__(self, keep: int = 5):
+        self.keep = keep
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.recent = handle.getListState("recent", "v double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        vals = [v for (v,) in self.recent.get()] if self.recent.exists() else []
+        for pdf in rows:
+            vals.extend(float(x) for x in pdf["value"].dropna())
+        vals = vals[-self.keep:]
+        self.recent.put([(v,) for v in vals])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_kept": [len(vals)],
+                "recent_max": [max(vals) if vals else None],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_recent_values(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    keep: int = 5,
+    queryName: str = "recent_values",
+    glob: str = "*.parquet",
+):
+    """Wire the ListState processor over the events stream."""
+    from etl_jetro_spark.streaming.windows import events_stream
+
+    if not ensure_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, events_dir, glob)
+    out: DataFrame = ev.groupBy("user_id").transformWithStateInPandas(
+        RecentValues(keep),
+        outputStructType=RECENT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -770,3 +770,52 @@ spark.stop()
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "TWS_MAP_OK 15" in r.stdout
+
+
+def test_transform_with_state_liststate_live(tmp_path):
+    """ListState executed LIVE (third typed-state family): with a buffer
+    larger than any key's stream the retained count/max must equal the
+    batch count/max (a small buffer's contents depend on arrival order —
+    valid semantics, but not a deterministic assertion)."""
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import os, shutil, sys
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-list-test", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "a.parquet"))
+from etl_jetro_spark.streaming.stateful import run_recent_values
+q = run_recent_values(spark, src, os.path.join(tmp, "ck"), keep=100000)
+q.awaitTermination(180)
+got = {r["user_id"]: (r["n_kept"], round(r["recent_max"], 6)) for r in spark.sql(
+    "SELECT user_id, n_kept, recent_max FROM (SELECT *, row_number() OVER ("
+    "PARTITION BY user_id ORDER BY n_kept DESC) rn FROM recent_values) WHERE rn=1"
+).collect()}
+ev = spark.read.parquet(os.path.join(src, "a.parquet")).filter(F.col("value").isNotNull())
+want = {r["user_id"]: (r["n"], round(r["mx"], 6)) for r in ev.groupBy("user_id").agg(
+    F.count("value").alias("n"), F.max("value").alias("mx")).collect()}
+assert got == want, (got, want)
+print("TWS_LIST_OK", len(got))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_LIST_OK 15" in r.stdout
