@@ -6970,3 +6970,93 @@ def q164_knn_large_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
     )
+
+
+@query(
+    "q165_dedup_cluster_audit",
+    f"""
+    WITH RECURSIVE {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+      HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 >= 0.5
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+    reach(s, t) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t
+    ),
+    comp AS (SELECT s AS id, min(t) AS component FROM reach GROUP BY s)
+    SELECT CAST(c.component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(d.doc_id) AS BIGINT) AS kept_id,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(max(d.n_chars) AS BIGINT) AS max_chars
+    FROM comp c JOIN documents d ON d.doc_id = c.id
+    GROUP BY c.component
+    HAVING count(*) > 1
+    """,
+)
+def q165_dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster AUDIT report — the inspect-before-you-delete pass a
+    production dedup runs: per multi-member near-dup cluster (the q114
+    pipeline's components), its size, surviving id, distinct-source
+    span (cross-source clusters signal syndication, not crawl error),
+    and length range. All stats are one partial-agg pass over the
+    component assignment joined to document metadata."""
+    from etl_jetro_spark.operators.dedup import minhash_lsh_candidates
+    from etl_jetro_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    edges = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(edges)
+    j = comp.withColumnRenamed("id", "doc_id").join(
+        d.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    return (
+        j.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min("doc_id").cast("long").alias("kept_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            "cluster_size",
+            "kept_id",
+            "n_sources",
+            "min_chars",
+            "max_chars",
+        )
+    )
