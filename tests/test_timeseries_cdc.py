@@ -332,3 +332,38 @@ def test_asof_join_directions_and_tolerance(spark):
         asof_join(left, right, ["k"], "t", "rt", ["val"], direction="sideways")
     with pytest.raises(ValueError, match="collides"):
         asof_join(left, right.withColumnRenamed("val", "tag"), ["k"], "t", "rt", ["tag"])
+
+
+def test_asof_forward_backward_duality(spark):
+    """forward(t) must equal backward on the NEGATED time axis — the
+    algebraic duality that pins both sweeps against each other on random
+    data (500 facts x 200 versions, shared keys, duplicate timestamps)."""
+    import random
+
+    from etl_jetro_spark.operators.timeseries import asof_join
+
+    rnd = random.Random(5)
+    left = spark.createDataFrame(
+        [(rnd.randrange(5), rnd.randrange(100), i) for i in range(500)],
+        ["k", "t", "fid"],
+    )
+    right = spark.createDataFrame(
+        [(rnd.randrange(5), rnd.randrange(100) , float(i)) for i in range(200)],
+        ["k", "rt", "val"],
+    ).groupBy("k", "rt").agg(F.min("val").alias("val"))  # dedupe ties
+
+    fwd = {
+        r["fid"]: (r["val"], r["matched_time"])
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["val"], direction="forward"
+        ).collect()
+    }
+    neg_l = left.withColumn("t", -F.col("t"))
+    neg_r = right.withColumn("rt", -F.col("rt"))
+    back_neg = {
+        r["fid"]: (r["val"], -r["matched_time"] if r["matched_time"] is not None else None)
+        for r in asof_join(
+            neg_l, neg_r, ["k"], "t", "rt", ["val"], direction="backward"
+        ).collect()
+    }
+    assert fwd == back_neg
