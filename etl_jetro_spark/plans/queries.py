@@ -7060,3 +7060,92 @@ def q165_dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_chars",
         )
     )
+
+
+@query(
+    "q166_dedup_threshold_sensitivity",
+    f"""
+    WITH RECURSIVE {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 AS e
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    ts(th) AS (SELECT unnest([0.25, 0.5, 0.75])),
+    ed AS (SELECT th, id_a, id_b FROM est CROSS JOIN ts WHERE e >= th),
+    und AS (SELECT th, id_a AS a, id_b AS b FROM ed
+            UNION SELECT th, id_b, id_a FROM ed),
+    nodes AS (SELECT DISTINCT th, a AS id FROM und),
+    reach(th, s, t) AS (
+      SELECT th, id, id FROM nodes
+      UNION
+      SELECT r.th, r.s, u.b FROM reach r
+      JOIN und u ON u.th = r.th AND u.a = r.t
+    ),
+    comp AS (SELECT th, s AS id, min(t) AS c FROM reach GROUP BY th, s)
+    SELECT th AS threshold,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_clustered_docs,
+           CAST(count(*) - count(DISTINCT c) AS BIGINT) AS n_removable
+    FROM comp GROUP BY th
+    """,
+)
+def q166_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity report: cluster count, clustered-doc
+    count, and removable-doc count of the MinHash pipeline at est-Jaccard
+    thresholds {{0.25, 0.5, 0.75}} — the knob-tuning table a curation
+    team reads before committing a threshold (removable = docs - one
+    survivor per cluster). Candidates and estimates compute ONCE
+    (checkpointed); each threshold reruns only the edge filter + the
+    component rounds on its (smaller) edge set."""
+    from etl_jetro_spark.operators.dedup import minhash_lsh_candidates
+    from etl_jetro_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    est = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    ).localCheckpoint(eager=False)
+    outs = []
+    for th in (0.25, 0.5, 0.75):
+        comp = connected_components(
+            est.filter(F.col("est_jaccard") >= th)
+        )
+        outs.append(
+            comp.agg(
+                F.countDistinct("component").cast("long").alias("n_clusters"),
+                F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
+            ).select(
+                F.lit(th).alias("threshold"),
+                "n_clusters",
+                "n_clustered_docs",
+                (F.col("n_clustered_docs") - F.col("n_clusters"))
+                .cast("long")
+                .alias("n_removable"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
