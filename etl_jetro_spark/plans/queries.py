@@ -7149,3 +7149,53 @@ def q166_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFr
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+@query(
+    "q167_fulfillment_latency",
+    """
+    WITH g AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE) AS lat
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(lat, 0.5), 6) AS p50,
+           round(quantile_cont(lat, 0.9), 6) AS p90,
+           round(quantile_cont(lat, 0.99), 6) AS p99
+    FROM g GROUP BY priority
+    """,
+)
+def q167_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency SLA distribution per priority: exact
+    p50/p90/p99 of day gaps through the DISTRIBUTED percentile operator
+    over the orders⋈lineitem join — the raw-row-scale percentile path
+    (no per-group multiset) applied to a join result rather than a base
+    table; the date arithmetic is integer days, exact cross-engine."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    g = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("double")
+            .alias("lat"),
+        )
+    )
+    counts = g.groupBy("priority").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pct = exact_group_percentiles(
+        g, ["priority"], "lat", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+    return counts.join(pct, "priority").select(
+        "priority",
+        "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
