@@ -7199,3 +7199,61 @@ def q167_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90", 6).alias("p90"),
         F.round("p99", 6).alias("p99"),
     )
+
+
+@query(
+    "q168_dedup_gray_zone",
+    f"""
+    WITH {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 AS e
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(e, 6) AS est_jaccard
+    FROM est WHERE e >= 0.5 AND e < 1.0
+    ORDER BY e DESC, id_a, id_b LIMIT 25
+    """,
+)
+def q168_dedup_gray_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GRAY-ZONE audit: candidate pairs that band-matched but are
+    NOT estimated identical (0.5 ≤ est < 1) — the near-miss band a human
+    or a stronger verifier reviews before committing deletions (exact
+    dups are safe; these are the judgment calls). One filter + top-k
+    over the already-computed candidate frame; result-set sized."""
+    from etl_jetro_spark.operators.dedup import minhash_lsh_candidates
+
+    d = load(spark, sf_dir, "documents")
+    est = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    )
+    return (
+        est.filter(
+            (F.col("est_jaccard") >= 0.5) & (F.col("est_jaccard") < 1.0)
+        )
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(25)
+    )
