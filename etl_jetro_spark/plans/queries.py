@@ -7257,3 +7257,155 @@ def q168_dedup_gray_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(25)
     )
+
+
+@query(
+    "q169_syndication_matrix",
+    f"""
+    WITH RECURSIVE {_dk_shingles_cte(3)},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+      HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0 >= 0.5
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+    reach(s, t) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.s, u.b FROM reach r JOIN und u ON u.a = r.t
+    ),
+    comp AS (SELECT s AS id, min(t) AS component FROM reach GROUP BY s),
+    cs AS (
+      SELECT DISTINCT c.component, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_clusters
+    FROM cs a JOIN cs b
+      ON a.component = b.component AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q169_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source SYNDICATION matrix: for every near-dup cluster
+    spanning multiple sources, which source pairs co-occur and how often
+    — the copied-content flow map (boilerplate syndication vs original
+    content). Per-cluster distinct sources explode to source pairs —
+    bounded by (#sources per cluster)², never documents² — then one
+    partial-agg count."""
+    from etl_jetro_spark.operators.dedup import minhash_lsh_candidates
+    from etl_jetro_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    edges = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(edges)
+    cs = (
+        comp.withColumnRenamed("id", "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("component", "source")
+        .distinct()
+    )
+    return (
+        cs.alias("a")
+        .join(cs.alias("b"), "component")
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_clusters"))
+    )
+
+
+@query(
+    "q170_conversion_survival",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS t
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    fc AS (SELECT user_id, min(t) AS t0 FROM e
+           WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (
+      SELECT fc.user_id, min(e.t) AS tp
+      FROM fc JOIN e ON e.user_id = fc.user_id
+       AND e.event_type = 'purchase' AND e.t >= fc.t0
+      GROUP BY fc.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN tp IS NOT NULL
+                         AND tp - t0 <= 3600000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv_1h,
+           CAST(sum(CASE WHEN tp IS NOT NULL
+                         AND tp - t0 <= 86400000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv_24h,
+           CAST(sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv_ever
+    FROM fc LEFT JOIN fp ON fp.user_id = fc.user_id
+    """,
+)
+def q170_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion survival steps: of users with a first click,
+    how many purchased within 1 hour / 24 hours / ever (at-or-after the
+    click) — the funnel-latency summary. Two keyed min-aggregations and
+    one counts row; integer ns arithmetic throughout."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        fc.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    j = fc.join(fp, "user_id", "left")
+    hour = 3_600_000_000_000
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            (F.col("tp").isNotNull() & ((F.col("tp") - F.col("t0")) <= hour))
+            .cast("long")
+        ).cast("long").alias("conv_1h"),
+        F.sum(
+            (F.col("tp").isNotNull() & ((F.col("tp") - F.col("t0")) <= 24 * hour))
+            .cast("long")
+        ).cast("long").alias("conv_24h"),
+        F.sum(F.col("tp").isNotNull().cast("long")).cast("long").alias("conv_ever"),
+    )
