@@ -7409,3 +7409,104 @@ def q170_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("conv_24h"),
         F.sum(F.col("tp").isNotNull().cast("long")).cast("long").alias("conv_ever"),
     )
+
+
+@query(
+    "q171_basket_diversity",
+    """
+    WITH b AS (
+      SELECT o.o_orderpriority AS priority, l.l_orderkey,
+             p.p_type AS ptype, count(*) AS c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT priority, l_orderkey, sum(c) AS n FROM b GROUP BY 1, 2),
+    h AS (
+      SELECT b.priority, b.l_orderkey,
+             ln(tot.n) - sum(b.c * ln(b.c)) / tot.n AS ent
+      FROM b JOIN tot USING (priority, l_orderkey)
+      GROUP BY b.priority, b.l_orderkey, tot.n
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(ent), 6) AS avg_entropy,
+           round(max(ent), 6) AS max_entropy
+    FROM h GROUP BY priority
+    """,
+)
+def q171_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket diversity per order priority: Shannon entropy of part
+    types within each order (H = ln n − Σ c·ln c / n — the q134 per-doc
+    formulation applied to baskets), averaged per priority. Per-basket
+    state is type-count sized; two partial-agg shuffles plus the dim
+    join (part broadcast by AQE)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    b = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("p_type").alias("ptype"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h = b.groupBy("priority", "ok").agg(
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("ent")
+    )
+    return h.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("ent"), 6).alias("avg_entropy"),
+        F.round(F.max("ent"), 6).alias("max_entropy"),
+    )
+
+
+@query(
+    "q172_repurchase_intervals",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS t, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT CAST((t - lag(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id)) // 1000000000
+                  AS DOUBLE) AS gap_s
+      FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_s
+    FROM g WHERE gap_s IS NOT NULL
+    """,
+)
+def q172_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase interval distribution: per-user consecutive
+    purchase gaps (one (user, time) sort + lag), then global exact
+    p50/p90 through the distributed percentile operator — purchase
+    cadence for retention modeling, with integer ns gap arithmetic."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (
+            (F.col("ts") - F.lag("ts").over(w))
+            / F.lit(1_000_000_000)
+        ).cast("long").cast("double").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    cnt = g.agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    pct = exact_group_percentiles(g, [], "gap_s", {"p50_s": 0.5, "p90_s": 0.9})
+    return cnt.crossJoin(F.broadcast(pct)).select(
+        "n_gaps",
+        F.round("p50_s", 6).alias("p50_s"),
+        F.round("p90_s", 6).alias("p90_s"),
+    )
