@@ -7510,3 +7510,74 @@ def q172_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50_s", 6).alias("p50_s"),
         F.round("p90_s", 6).alias("p90_s"),
     )
+
+
+@query(
+    "q173_monthly_status_mix",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
+             AS share_f,
+           round(avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 6)
+             AS share_o,
+           round(avg(CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END), 6)
+             AS share_p
+    FROM orders GROUP BY 1
+    """,
+)
+def q173_monthly_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-status mix — the operational trend report: one
+    partial-agg pass bucketed by calendar month (date_format is pure
+    expression; month count bounds the output)."""
+    o = load(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    return o.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg((F.col("o_orderstatus") == "F").cast("double")), 6).alias("share_f"),
+        F.round(F.avg((F.col("o_orderstatus") == "O").cast("double")), 6).alias("share_o"),
+        F.round(F.avg((F.col("o_orderstatus") == "P").cast("double")), 6).alias("share_p"),
+    )
+
+
+@query(
+    "q174_segment_priority_matrix",
+    """
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue,
+           round(sum(o.o_totalprice)
+                 / sum(sum(o.o_totalprice)) OVER (PARTITION BY c.c_mktsegment),
+                 6) AS share_in_segment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment × order-priority revenue matrix with within-segment
+    shares — the q139 percent-of-total pattern over a two-dim grouping:
+    the share window runs over the POST-AGG 25-row frame, never raw
+    orders; the customer dim joins broadcast."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("_rev"),
+        )
+    )
+    w = Window.partitionBy("segment")
+    return g.select(
+        "segment",
+        "priority",
+        "n_orders",
+        F.round("_rev", 4).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share_in_segment"),
+    )
