@@ -236,21 +236,17 @@ def unigram_lm_scores(
         .filter(F.col("token") != "")
         .localCheckpoint(eager=False)
     )
-    from pyspark.sql import Window
-
-    # corpus total rides the counts frame (one all-rows window over the
-    # tiny aggregated vocab) — one broadcast instead of two, no separate
-    # single-partition aggregate pass
-    counts = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "_total",
-            F.sum("cnt").over(Window.partitionBy()).cast("double"),
-        )
-    )
-    scored = toks.join(F.broadcast(counts), "token").withColumn(
-        "inv_p", F.col("_total") / F.col("cnt")
+    # corpus total as a scalar aggregate (map-side partials, one row out)
+    # broadcast alongside the vocab counts — NOT a window over the vocab
+    # frame: an empty-partition-spec window funnels the whole vocabulary
+    # (100M+ tokens at corpus scale) through one task and Spark never
+    # WindowGroupLimit-prunes it (round-4 verdict / tools/planlint.py)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    scored = (
+        toks.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("inv_p", F.col("_total") / F.col("cnt"))
     )
     return (
         scored.groupBy("_id")

@@ -1007,14 +1007,20 @@ def q28_pricesheet_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_numeric_first_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 numeric-first ordering as an explicit rank column (src9 < src10)."""
-    from pyspark.sql import Window
+    """W1 numeric-first ordering as an explicit rank column (src9 < src10),
+    via the distributed rank frame (:func:`aggregate.group_ranked`) — the
+    NULLS-LAST leg rides a +inf sentinel so non-numeric sources sort after
+    every parsed value, tie-broken by the raw text. No SinglePartition
+    window even though the frame is NDV-sized (tools/planlint.py keeps
+    the catalog allowlist-free)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
 
     d = load(spark, sf_dir, "documents").select("source").distinct()
-    w = Window.orderBy(
-        EF.first_int("source").asc_nulls_last(), F.col("source").asc()
+    key = F.coalesce(
+        EF.first_int("source").cast("double"), F.lit(float("inf"))
     )
-    return d.withColumn("rnk", F.row_number().over(w))
+    r = group_ranked(d, [], key, tiebreak=["source"])
+    return r.select("source", F.col("_rn").cast("int").alias("rnk"))
 
 
 @query(
@@ -3305,24 +3311,37 @@ def q91_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q92_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank surface: ntile / percent_rank / cume_dist over
-    per-customer revenue. The unpartitioned window is a deliberate
-    single-sort: input cardinality is already one row per customer
-    (post-agg), so the sort is over keys, not raw rows. At raw-row scale
-    rank against a sampled quantile sketch instead (W-pattern,
-    SCALE.md)."""
-    from pyspark.sql import Window
+    per-customer revenue, computed from the distributed rank frame
+    (:func:`operators.aggregate.group_ranked` — range-partitioned
+    parallel sort, metadata-sized offsets broadcast; round-4 verdict ask
+    #7: no SinglePartition window anywhere in the plan). The total order
+    is (revenue DESC, o_custkey ASC) — tie-free, so ``percent_rank =
+    (rn-1)/(n-1)``, ``cume_dist = rn/n``, and ``ntile(10)`` is the exact
+    SQL bucketing: the first ``n mod 10`` buckets take ``n div 10 + 1``
+    rows, the rest ``n div 10``."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
 
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    return rev.select(
+    r = group_ranked(rev, [], -F.col("revenue"), tiebreak=["o_custkey"])
+    n, rn = F.col("_n"), F.col("_rn")
+    q10 = F.floor(n / 10).cast("long")
+    rem = (n % 10).cast("long")
+    decile = (
+        F.when(rn <= rem * (q10 + 1), F.ceil(rn / (q10 + 1)))
+        .otherwise(rem + F.ceil((rn - rem * (q10 + 1)) / q10))
+        .cast("long")
+    )
+    return r.select(
         "o_custkey",
-        "revenue",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (-F.col("_v")).alias("revenue"),
+        decile.alias("decile"),
+        F.round(
+            F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rn / n, 6).alias("cume"),
     )
 
 
@@ -5434,15 +5453,16 @@ def q138_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q139_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total contribution analysis: nation revenue with its
-    share of region and of the world — window sums over the POST-AGG
-    frame (25 rows at any raw scale: the unpartitioned window is over
-    group cardinality, the q92 pattern). Joins ride broadcast dims."""
+    share of region and of the world. The denominators are re-aggregates
+    of the post-agg frame joined back broadcast (region totals) /
+    crossJoin broadcast (the one-row global total) — no empty-partition-
+    spec window anywhere (round-4 verdict: Spark never prunes those, and
+    even a "25-row" global window poisons every window stacked above it
+    into the same SinglePartition exchange). Joins ride broadcast dims."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    from pyspark.sql import Window
-
     rev = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -5450,17 +5470,18 @@ def q139_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    return rev.select(
-        "region",
-        "nation",
-        "revenue",
-        F.round(
-            F.col("revenue") / F.sum("revenue").over(Window.partitionBy("region")),
-            6,
-        ).alias("region_share"),
-        F.round(
-            F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 6
-        ).alias("global_share"),
+    rtot = rev.groupBy("region").agg(F.sum("revenue").alias("_rt"))
+    gtot = rev.agg(F.sum("revenue").alias("_gt"))
+    return (
+        rev.join(F.broadcast(rtot), "region")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "region",
+            "nation",
+            "revenue",
+            F.round(F.col("revenue") / F.col("_rt"), 6).alias("region_share"),
+            F.round(F.col("revenue") / F.col("_gt"), 6).alias("global_share"),
+        )
     )
 
 
@@ -6517,12 +6538,19 @@ def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a fixed deterministic query vector fuse as
     Σ 1/(60 + rank) — the standard hybrid-search combiner, pure rational
     arithmetic over ROUNDED scores so ranks (and the fusion) are
-    hash-stable cross-engine. Both rank lists are top-50 TakeOrdered
-    frames (result-set sized); the fusion is a full outer join of two
-    50-row frames — nothing corpus-scale past the two scoring passes."""
+    hash-stable cross-engine. Both rank lists are genuine top-50
+    TakeOrderedAndProject frames — ``orderBy(...).limit(50)`` compiles to
+    a distributed partial top-k (each task keeps its 50 best, the driver
+    merges 50·tasks rows), and ``row_number`` runs only over the already
+    50-row result. Round-4 verdict: the previous ``row_number over
+    Window.orderBy`` shape was NOT pruned — Spark 4.1.2's
+    InferWindowGroupLimit never fires on an empty partition spec, so the
+    whole scored corpus funneled through one task. The fusion is a full
+    outer join of two 50-row frames — nothing corpus-scale past the two
+    scoring passes."""
     from pyspark.sql import Window
 
-    from etl_jetro_spark.operators.similarity import cosine_topk
+    from etl_jetro_spark.operators.similarity import _vec, cosine
     from etl_jetro_spark.operators.textstats import bm25_scores
 
     d = load(spark, sf_dir, "documents")
@@ -6530,17 +6558,20 @@ def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     bmr = (
         bm.select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(50)
         .withColumn("r", F.row_number().over(wb))
-        .filter(F.col("r") <= 50)
         .select("doc_id", F.col("r").alias("bm25_rank"))
     )
     emb = load(spark, sf_dir, "embeddings")
-    es = cosine_topk(emb, "vec_id", "embedding", _q157_qvec(), k=2_000_000_000)
+    qv = F.array(*[F.lit(float(x)) for x in _q157_qvec()])
+    es = emb.select("vec_id", cosine(_vec("embedding"), qv).alias("score"))
     we = Window.orderBy(F.desc("s"), F.asc("vec_id"))
     emr = (
         es.select("vec_id", F.round("score", 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(50)
         .withColumn("r", F.row_number().over(we))
-        .filter(F.col("r") <= 50)
         .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("emb_rank"))
     )
     fused = bmr.join(emr, "doc_id", "full").select(
