@@ -1,11 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N, "timing": "min-of-2", "queries": {...}}.
 
 Results are materialized with the noop sink (full computation, no
 collect/transfer cost) — the number measures the engine, not the driver.
+
+Capture contract (round-4 verdict ask #3): the driver keeps only the
+LAST ~2000 bytes of stdout and parses a JSON line out of them. At 174
+queries the full per-query map is ~2.4 KB, so the r04 artifact lost the
+line's head (and the headline total with it). The stdout line is
+therefore SIZE-BUDGETED: summary fields always present, per-query
+timings included slowest-first only while the serialized line stays
+under the capture window. The COMPLETE payload (every query, both
+timing passes) is always written to BENCH_LOCAL.json / BENCH_KEYS.json.
+
+Timing contract (ask #8): ambient contention swung identical-code totals
+147 s -> 226 s between rounds. Each query now runs twice and reports the
+MIN — the second pass is warm (code cached, shuffle files reusable), so
+min-of-2 approximates the solo-warm number the judge re-times by hand.
 """
 
 from __future__ import annotations
@@ -16,6 +30,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Stay safely under the driver's ~2000-byte tail capture window.
+STDOUT_BUDGET = 1700
 
 
 def main() -> None:
@@ -28,48 +45,67 @@ def main() -> None:
     # warm the JVM/codegen path once on the smallest table
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Short keys ("q1", not "q1_pricing_summary"): the stdout line must stay
-    # small enough to survive tail-truncating capture pipelines (the r02
-    # artifact lost the line's head once 107 long names pushed it past the
-    # driver's buffer). The full-name map lives in the sidecar only.
-    timings: dict[str, float] = {}
+    # Short keys ("q1", not "q1_pricing_summary"): full-name map lives in
+    # the BENCH_KEYS.json sidecar.
+    timings: dict[str, float | None] = {}
+    passes: dict[str, list[float | None]] = {}
     for name, fn in QUERIES.items():
         short = name.split("_", 1)[0]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            # 2 dp: keeps the one-line JSON under tail-capture buffers
-            timings[short] = round(time.perf_counter() - t0, 2)
-        except Exception as e:  # keep benching; a failure shows as null
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[short] = None
+        runs: list[float | None] = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 2))
+            except Exception as e:  # keep benching; a failure shows as null
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                runs.append(None)
+                break  # don't re-run a failing query
+        ok = [r for r in runs if r is not None]
+        timings[short] = min(ok) if ok else None
+        passes[short] = runs
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    payload = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
-    # Sidecar first: the stdout line is the contract, but a capture pipeline
-    # that truncates or interleaves stdout can still recover the full JSON.
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "timing": "min-of-2",
+    }
+
+    # Full payload -> sidecars (the judge reads these; never truncated).
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(sidecar, "w") as fh:
-            fh.write(payload + "\n")
-        keymap = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_KEYS.json"
-        )
-        with open(keymap, "w") as fh:
-            fh.write(
-                json.dumps({n.split("_", 1)[0]: n for n in QUERIES}) + "\n"
-            )
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(json.dumps({**summary, "queries": timings, "passes": passes}) + "\n")
+        with open(os.path.join(here, "BENCH_KEYS.json"), "w") as fh:
+            fh.write(json.dumps({n.split("_", 1)[0]: n for n in QUERIES}) + "\n")
     except OSError as e:
         print(f"bench: sidecar write failed: {e}", file=sys.stderr)
+
+    # Stdout line: summary + slowest queries, size-budgeted so the line
+    # ALWAYS fits the driver's tail window whole.
+    by_cost = sorted(
+        (k for k, v in timings.items() if v is not None),
+        key=lambda k: -timings[k],
+    )
+    shown: dict[str, float] = {}
+    payload = ""
+    for k in by_cost:
+        trial = {**summary, "queries": {**shown, k: timings[k]},
+                 "queries_truncated": True, "full": "BENCH_LOCAL.json"}
+        s = json.dumps(trial)
+        if len(s) > STDOUT_BUDGET:
+            break
+        shown[k] = timings[k]
+        payload = s
+    if len(shown) == len([v for v in timings.values() if v is not None]):
+        payload = json.dumps({**summary, "queries": shown})
+    if not payload:
+        payload = json.dumps(summary)
     sys.stdout.flush()
     print(payload, flush=True)
 
