@@ -10,9 +10,55 @@ Implementations live in ``etl_jetro_spark.plans.queries``.
 
 from __future__ import annotations
 
+import glob
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver's correctness sweep runs on a wall-time budget and has
+# historically covered ~50 queries per round. Pure newest-first ordering
+# (rounds 3-4) structurally locks the middle of the surface out of the
+# window forever once the catalog outgrows it — q49-q124 never got a
+# driver-signed row (round-4 verdict, "What's missing" #1). The order is
+# now: the NEWEST_N most recently registered queries (riskiest,
+# least-soaked) first, then the remaining surface rotated by a
+# deterministic per-round offset so every older query cycles back into
+# the signed window every few rounds. Full-gate runs cover everything
+# regardless (tools/diffcheck.py).
+NEWEST_N = 25
+ROTATE_N = 25
+
+
+def _round_index() -> int:
+    """Current round, inferred from the driver's own artifacts: the
+    highest CORRECTNESS_r{N}.json committed so far + 1 (5 when r04 is the
+    newest). Deterministic within a round and needs no side-channel."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _ordered_names() -> list[str]:
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    names = list(QUERIES)
+    newest = names[-NEWEST_N:][::-1]
+    older = names[: -NEWEST_N or None]
+    if not older:
+        return newest
+    # Anchor round 5's rotation at the start of the never-signed band
+    # (q49 onward); each later round advances by ROTATE_N.
+    anchor = next(
+        (i for i, n in enumerate(older) if n.startswith("q49")), 0
+    )
+    off = (anchor + (_round_index() - 5) * ROTATE_N) % len(older)
+    return newest + older[off:] + older[:off]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,17 +69,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NEWEST-REGISTERED FIRST: correctness sweeps that stop on a wall-time
-    # budget then verify the newest (riskiest, least-soaked) queries before
-    # the long-stable early surface, instead of re-verifying q1..q50 every
-    # round and never reaching the rest. Full-gate runs cover everything
-    # either way (tools/diffcheck.py).
     from etl_jetro_spark.plans.queries import QUERIES
 
-    return dict(reversed(QUERIES.items()))
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     from etl_jetro_spark.plans.queries import ORACLES
 
-    return dict(reversed(ORACLES.items()))
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}
