@@ -287,10 +287,17 @@ def weighted_group_percentiles(
     metadata-sized per-(partition, group) weight-offset pass, and a
     partition-local running-sum window keyed by (physical partition,
     group) — its window partitions are bounded by the range split size,
-    never by group size, so a 20 TB group still spreads. The cumulative
-    weight is order-DETERMINISTIC (the tiebreak fixes the float
-    accumulation order), which makes the picked value reproducible
-    cross-engine. NULL values and non-positive weights are excluded.
+    never by group size, so a 20 TB group still spreads. The ORDER of
+    accumulation is deterministic (the tiebreak fixes it) but the
+    ASSOCIATION is not: Spark folds per-(partition, group) chunk sums
+    where a sequential engine accumulates strictly left-to-right, so the
+    cumulative weight can differ by ulps cross-engine. The threshold
+    comparison therefore allows a relative slack of 1e-9 * total_weight
+    — far above chunked-association error (~1e-13..1e-10 relative) and
+    far below any realistic boundary gap (smallest_weight /
+    total_weight) — so an ulp cannot flip the picked value (ADVICE r4;
+    the prefix_filter ceil-guard pattern). NULL values and non-positive
+    weights are excluded.
 
     ``ps`` maps output column name -> fraction in (0, 1]. Returns one
     row per group.
@@ -337,7 +344,11 @@ def weighted_group_percentiles(
     ).withColumn("_cw", F.col("_off") + F.col("_lc"))
     aggs = [
         F.min(
-            F.when(F.col("_cw") >= F.lit(p) * F.col("_tw"), F.col("_v"))
+            F.when(
+                F.col("_cw")
+                >= F.lit(p) * F.col("_tw") - F.lit(1e-9) * F.col("_tw"),
+                F.col("_v"),
+            )
         ).alias(name)
         for name, p in ps.items()
     ]

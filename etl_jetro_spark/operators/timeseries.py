@@ -333,12 +333,22 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     tolerance: int | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """General as-of join — per left row, ONE matching right row by time:
     the latest at-or-before (``backward``), earliest at-or-after
     (``forward``), or closest either way (``nearest``, ties resolved
     backward). ``tolerance`` (same units as the time columns) nulls out
     matches farther than the bound — the feature-staleness guard.
+
+    ``right_tiebreak`` names a right-side column that totals the order
+    when several right rows share the same (keys, time): the backward
+    sweep then deterministically picks the LARGEST tiebreak among the
+    tied rows and the forward sweep the SMALLEST (ADVICE r4 — without
+    it the sweeps order only by (time, side) and ties resolve by
+    partition/sort accident). Leave it None only when right is unique
+    per (keys, time) — q147 pre-collapses to min event_id for exactly
+    this reason.
 
     Union-sweep shape, not a range join: both sides union into one
     stream, ONE shuffle on the keys, and per-direction running
@@ -358,63 +368,72 @@ def asof_join(
     if clash:
         raise ValueError(f"asof_join output collides with left columns: {clash}")
     lcols = list(left.columns)
+    tb_type = dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int"
+    # The matched right row travels as ONE struct, swept atomically —
+    # per-column last/first(ignorenulls) would let a NULL field in the
+    # matched row fall back to an OLDER row's value, silently fusing
+    # fields from different right rows. The struct is non-null iff a
+    # right row exists; its fields keep the matched row's own NULLs.
+    rv = F.struct(
+        *[F.col(c).alias(c) for c in value_cols],
+        F.col(right_time).alias("__rt"),
+    )
+    vtype = right.select(rv.alias("_v")).schema[0].dataType.simpleString()
     l = left.select(
         *lcols,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_isl"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_time]).alias("_v__rt"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        F.lit(None).cast(vtype).alias("_v"),
     )
     r = right.select(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in keys],
         *keys,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_isl"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        F.col(right_time).alias("_v__rt"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast(tb_type).alias("_tb"),
+        rv.alias("_v"),
     ).select(*l.columns)
     u = l.unionByName(r)
-    vcols = [f"_v_{c}" for c in value_cols] + ["_v__rt"]
-    out_back = out_fwd = None
+    bsel = fsel = None
     if direction in ("backward", "nearest"):
-        # right rows (0) sort BEFORE left rows (1) at equal t — inclusive
+        # right rows (0) sort BEFORE left rows (1) at equal t — inclusive;
+        # _tb asc means last(ignorenulls) keeps the LARGEST tiebreak among
+        # tied right rows
         wb = (
             Window.partitionBy(*keys)
-            .orderBy("_t", "_isl")
+            .orderBy("_t", "_isl", F.col("_tb").asc_nulls_last())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        out_back = [F.last(c, ignorenulls=True).over(wb).alias(f"_b{c}") for c in vcols]
+        bsel = F.last("_v", ignorenulls=True).over(wb).alias("_bv")
     if direction in ("forward", "nearest"):
         # left rows (1-_isl = 0) sort BEFORE right rows at equal t, so the
-        # current-row..following frame still sees a same-t right row
+        # current-row..following frame still sees a same-t right row;
+        # first(ignorenulls) keeps the SMALLEST tiebreak among tied rows
         wf = (
             Window.partitionBy(*keys)
-            .orderBy("_t", 1 - F.col("_isl"))
+            .orderBy("_t", 1 - F.col("_isl"), F.col("_tb").asc_nulls_first())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        out_fwd = [F.first(c, ignorenulls=True).over(wf).alias(f"_f{c}") for c in vcols]
-    swept = u.select("*", *(out_back or []), *(out_fwd or []))
+        fsel = F.first("_v", ignorenulls=True).over(wf).alias("_fv")
+    swept = u.select("*", *[x for x in (bsel, fsel) if x is not None])
     if direction == "backward":
-        pick = {c: F.col(f"_b{c}") for c in vcols}
+        pick = F.col("_bv")
     elif direction == "forward":
-        pick = {c: F.col(f"_f{c}") for c in vcols}
+        pick = F.col("_fv")
     else:
-        db = F.col("_t") - F.col("_b_v__rt")
-        df_ = F.col("_f_v__rt") - F.col("_t")
-        use_b = F.col("_f_v__rt").isNull() | (
-            F.col("_b_v__rt").isNotNull() & (db <= df_)
+        db = F.col("_t") - F.col("_bv").getField("__rt")
+        df_ = F.col("_fv").getField("__rt") - F.col("_t")
+        use_b = F.col("_fv").isNull() | (
+            F.col("_bv").isNotNull() & (db <= df_)
         )
-        pick = {c: F.when(use_b, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}")) for c in vcols}
-    within = F.lit(True)
+        pick = F.when(use_b, F.col("_bv")).otherwise(F.col("_fv"))
     if tolerance is not None:
-        gap = F.abs(F.col("_t") - pick["_v__rt"])
-        within = gap <= F.lit(tolerance)
+        within = F.abs(F.col("_t") - pick.getField("__rt")) <= F.lit(tolerance)
+        pick = F.when(within, pick)
     sel = swept.filter(F.col("_isl") == 1).select(
         *lcols,
-        *[
-            F.when(within, pick[f"_v_{c}"]).alias(c)
-            for c in value_cols
-        ],
-        F.when(within, pick["_v__rt"]).alias("matched_time"),
+        *[pick.getField(c).alias(c) for c in value_cols],
+        pick.getField("__rt").alias("matched_time"),
     )
     return sel

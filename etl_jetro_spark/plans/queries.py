@@ -6886,7 +6886,11 @@ def q162_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing holds raw history. Epoch-hour arithmetic is integer, so the
     bucketing is exact cross-engine."""
     e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
-    hod = ((F.col("ts") / F.lit(3_600_000_000_000)).cast("long") % 24).cast("int")
+    # integer div, not /: epoch-ns exceeds double's 2^53 exact range
+    # (ulp ~256 ns at 2026 magnitudes), so float division can bucket an
+    # event within ~128 ns of an hour boundary off-by-one vs the
+    # oracle's exact // (ADVICE r4)
+    hod = ((F.expr("ts div 3600000000000")) % 24).cast("int")
     d = e.select("event_id", "event_type", "value", hod.alias("hod"))
     prof = d.groupBy("event_type", "hod").agg(
         F.avg("value").alias("_mu"),

@@ -70,6 +70,8 @@ def ensure_protobuf() -> bool:
             continue
         # append, never prepend: a vendored runtime must not shadow any
         # real site-packages google.* namespace package
+        old_pythonpath = os.environ.get("PYTHONPATH")
+        had_skew_optout = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" in os.environ
         sys.path.append(d)
         os.environ["PYTHONPATH"] = (
             os.environ.get("PYTHONPATH", "") + os.pathsep + d
@@ -81,11 +83,40 @@ def ensure_protobuf() -> bool:
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )
         try:
-            importlib.import_module("google.protobuf")
+            mod = importlib.import_module("google.protobuf")
+            # An importable runtime is NOT enough: some distributions ship
+            # a protobuf-3.x-era pure-Python tree, and Spark 4's generated
+            # pb2 modules need the 5.x+ gencode hooks (runtime_version
+            # validation) — a too-old runtime imports fine on the driver
+            # and then fails obscurely inside executor workers (ADVICE
+            # r4). Validate BEFORE declaring success.
+            try:
+                importlib.import_module("google.protobuf.runtime_version")
+            except ImportError:
+                ver = str(getattr(mod, "__version__", "0"))
+                if int(ver.split(".")[0] or 0) < 5:
+                    raise ImportError(
+                        f"vendored protobuf at {d} is {ver or '?'}; "
+                        "Spark 4 gencode needs >= 5.x"
+                    )
             HAS_PROTOBUF = True
             return True
-        except ImportError:  # pragma: no cover - broken vendor tree
+        except (ImportError, ValueError):
+            # a failed probe must not leak its mutations: restore path,
+            # env, and the half-imported module state so a later probe
+            # (or a real pip install) starts clean
             sys.path.remove(d)
+            if old_pythonpath is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = old_pythonpath
+            if not had_skew_optout:
+                os.environ.pop(
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+                )
+            for m in list(sys.modules):
+                if m.startswith("google.protobuf"):
+                    del sys.modules[m]
     return False
 
 

@@ -367,3 +367,51 @@ def test_asof_forward_backward_duality(spark):
         ).collect()
     }
     assert fwd == back_neg
+
+
+def test_asof_right_tiebreak_and_row_atomicity(spark):
+    """Tied right rows (same keys+time) resolve deterministically by
+    ``right_tiebreak`` — backward keeps the LARGEST, forward the
+    SMALLEST — and the matched row is atomic: a NULL field in the
+    winning row stays NULL instead of borrowing an older row's value
+    (ADVICE r4)."""
+    from etl_jetro_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 100, "a"), (1, 300, "b")], ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [
+            (1, 50, 1, 5.0, "old"),
+            # three tied rows at t=100; seq 12's label is NULL
+            (1, 100, 10, 10.0, "lo"),
+            (1, 100, 11, 11.0, "mid"),
+            (1, 100, 12, 12.0, None),
+        ],
+        ["k", "rt", "seq", "val", "label"],
+    )
+
+    def run(direction):
+        return {
+            r["tag"]: (r["val"], r["label"], r["matched_time"])
+            for r in asof_join(
+                left, right, ["k"], "t", "rt", ["val", "label"],
+                direction=direction, right_tiebreak="seq",
+            ).collect()
+        }
+
+    back = run("backward")
+    # largest seq (12) wins; its NULL label must NOT fall back to "mid"
+    assert back["a"] == (12.0, None, 100)
+    assert back["b"] == (12.0, None, 100)
+    fwd = run("forward")
+    assert fwd["a"] == (10.0, "lo", 100)  # smallest seq wins forward
+    # repeated runs under different partitioning stay stable
+    for nparts in (1, 7):
+        again = {
+            r["tag"]: (r["val"], r["label"])
+            for r in asof_join(
+                left.repartition(nparts), right.repartition(nparts),
+                ["k"], "t", "rt", ["val", "label"],
+                direction="backward", right_tiebreak="seq",
+            ).collect()
+        }
+        assert again["a"] == (12.0, None)
