@@ -141,11 +141,18 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH banding.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, where est_jaccard is
     the fraction of agreeing minhash components (unbiased Jaccard estimate).
+
+    ``shingles`` optionally supplies a pre-built ``shingle_rows(...,
+    distinct=False)`` frame (columns ``_id``, ``_sh``, multiset) so a
+    caller that ALSO needs the shingle stream — e.g. an exact-Jaccard
+    audit next to the banding — tokenizes the corpus once and shares the
+    checkpoint instead of re-deriving it per consumer.
     """
     rows_per_band = num_hashes // bands
     # Columnar signature over exploded shingle rows: everything stays in
@@ -155,7 +162,11 @@ def minhash_lsh_candidates(
     # persist barrier BEFORE the self-join is load-bearing: without it
     # Catalyst inlines the signature subtree into both join sides, the
     # band explode, and the estimate (measured 400+ s).
-    sh = shingle_rows(df, id_col, text_col, shingle_words, distinct=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, id_col, text_col, shingle_words, distinct=False)
+    )
     mins = sh.groupBy("_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_m{i}")

@@ -5735,17 +5735,29 @@ def q144_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash). Exact verification joins doc-bounded sorted 60-bit shingle
     arrays to the (sparse) candidate list — the q124 verify shape — so
     nothing corpus-quadratic runs; the candidate set itself is the q18
-    banding (ReuseExchange-shared self-join)."""
+    banding (ReuseExchange-shared self-join). The doc-shingle stream is
+    tokenized ONCE (checkpointed) and shared by the banding and the
+    exact-Jaccard branch (round-4 follow-up: it used to be derived
+    twice)."""
     from etl_jetro_spark.operators.dedup import (
         minhash_lsh_candidates,
         shingle_rows,
     )
 
     d = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    sh_all = shingle_rows(d, "doc_id", "text", 3, distinct=False).localCheckpoint(
+        eager=False
     )
-    sh = shingle_rows(d, "doc_id", "text", 3, distinct=True)
+    cand = minhash_lsh_candidates(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_MINHASHES,
+        bands=_BANDS,
+        shingle_words=3,
+        shingles=sh_all,
+    )
+    sh = sh_all.distinct()
     sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
     sets = sh.groupBy("_id").agg(
         F.sort_array(F.collect_list(sh_h)).alias("_set"),
