@@ -379,3 +379,93 @@ def run_recent_values(
         .trigger(availableNow=True)
         .start()
     )
+
+
+FLUSH_SCHEMA = "user_id bigint, pcnt bigint, flushed boolean"
+
+
+class TimedFlush(StatefulProcessor):
+    """Per-key PROCESSING-TIME TIMER flush — the scheduled-callback half
+    of the arbitrary-state API (the round-4 verdict's last un-exercised
+    typed-state feature, after ValueState/MapState/ListState): every
+    input batch refreshes a running count AND (re-)registers a timer
+    ``delay_ms`` ahead; when the stream goes quiet for a key, the timer
+    expires and ``handleExpiredTimer`` emits the final count with
+    ``flushed=true`` and clears the state — the classic
+    session-finalize / emit-on-quiesce pattern. Timer state lives in the
+    store next to the value state, so it partitions, checkpoints, and
+    recovers exactly like data state at cluster scale.
+    """
+
+    def __init__(self, delay_ms: int = 1_000):
+        self.delay_ms = delay_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.cnt = handle.getValueState("cnt", "c bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        c = self.cnt.get()[0] if self.cnt.exists() else 0
+        for pdf in rows:
+            c += int(pdf["value"].count())
+        self.cnt.update((c,))
+        # one live timer per key: re-registering supersedes (delete any
+        # prior expiry first so the store holds a single deadline)
+        for (old,) in self.handle.listTimers():
+            self.handle.deleteTimer(old)
+        self.handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self.delay_ms
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "pcnt": [c], "flushed": [False]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        c = self.cnt.get()[0] if self.cnt.exists() else 0
+        self.cnt.clear()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "pcnt": [c], "flushed": [True]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_timed_flush(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    delay_ms: int = 1_000,
+    queryName: str = "timed_flush",
+    glob: str = "*.parquet",
+):
+    """Wire the timer processor over the events stream. timeMode is
+    ProcessingTime — expired timers are delivered at the next micro-batch
+    after their deadline, so the stream needs a continuing trigger (NOT
+    availableNow, which stops before quiesced keys can flush)."""
+    from etl_jetro_spark.streaming.windows import events_stream
+
+    if not ensure_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, events_dir, glob)
+    out: DataFrame = ev.groupBy("user_id").transformWithStateInPandas(
+        TimedFlush(delay_ms),
+        outputStructType=FLUSH_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )

@@ -819,3 +819,84 @@ spark.stop()
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "TWS_LIST_OK 15" in r.stdout
+
+
+def test_transform_with_state_timers_live(tmp_path):
+    """PROCESSING-TIME TIMERS executed LIVE — the scheduled-callback half
+    of the arbitrary-state API (round-4 verdict ask #5, the last typed-
+    state feature after Value/Map/List): keys from the first file
+    register flush timers; a second (key-disjoint) file arriving after
+    the deadline drives the next micro-batch, the expired timers fire,
+    and handleExpiredTimer emits flushed=true finals that must equal the
+    batch per-key counts. Subprocess for the env-before-JVM reason the
+    other live tests document."""
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-timer-test", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+SPLIT = 8
+a = ev.filter(F.col("user_id") < SPLIT)
+b = ev.filter(F.col("user_id") >= SPLIT)
+# write via temp dirs, move single files into the watched dir atomically
+for name, df in (("a", a), ("b", b)):
+    d = os.path.join(tmp, f"stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(d, part), os.path.join(tmp, f"{name}.parquet"))
+os.rename(os.path.join(tmp, "a.parquet"), os.path.join(src, "a.parquet"))
+from etl_jetro_spark.streaming.stateful import run_timed_flush
+q = run_timed_flush(spark, src, os.path.join(tmp, "ck"), delay_ms=1000)
+def table():
+    return spark.sql(
+        "SELECT user_id, pcnt, flushed FROM timed_flush").collect()
+# wait until batch A's running (non-flushed) rows appear
+deadline = time.time() + 120
+while time.time() < deadline:
+    if any(not r["flushed"] for r in table()):
+        break
+    time.sleep(0.5)
+else:
+    raise AssertionError("batch A never produced running rows")
+# let every A timer pass its deadline, then land file B to drive the
+# next micro-batch (file-source streams do not tick without new data)
+time.sleep(2.0)
+os.rename(os.path.join(tmp, "b.parquet"), os.path.join(src, "b.parquet"))
+want = {r["user_id"]: r["n"] for r in a.groupBy("user_id").agg(
+    F.count("value").alias("n")).collect()}
+deadline = time.time() + 120
+got = {}
+while time.time() < deadline:
+    got = {r["user_id"]: r["pcnt"] for r in table()
+           if r["flushed"] and r["user_id"] < SPLIT}
+    if set(got) >= set(want):
+        break
+    time.sleep(0.5)
+q.stop()
+assert got == want, (got, want)
+print("TWS_TIMER_OK", len(got))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_TIMER_OK" in r.stdout
