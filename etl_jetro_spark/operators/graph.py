@@ -307,3 +307,62 @@ def clustering_coefficients(
             ).alias("coeff"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list (each edge
+    contributes both directions): r₀ = 1/n, then ``iterations`` rounds of
+    r'(v) = (1-β)/n + β·Σ_{u∈N(v)} r(u)/deg(u) — the synchronous power
+    iteration every distributed graph engine runs (Pregel / GraphX
+    semantics, expressed as join + partial-agg sum).
+
+    Scale shape: the rank frame is node-sized, the per-round work is one
+    (edges ⋈ ranks) hash join shuffling edge-sized (u, r/deg)
+    contributions into a map-side-combined sum by destination — no
+    adjacency list is ever collected per node, so a 10⁹-edge hub graph
+    spreads like any aggregation. Each round localCheckpoints (the
+    connected_components lineage-bound pattern) so the plan stays
+    iteration-count-deep, not exponential. Isolated nodes never appear in
+    ``edges`` by definition; callers wanting them union rank (1-β)/n +
+    β·(dangling mass)/n — with symmetric edges every listed node has
+    deg ≥ 1, so no dangling redistribution is needed.
+
+    Returns (id, rank) with ranks summing to ~1 over listed nodes.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+    n = deg.count()
+    base = (1.0 - damping) / n
+    ranks = deg.select("u", F.lit(1.0 / n).alias("_r"), "_d").localCheckpoint(
+        eager=False
+    )
+    for _ in range(iterations):
+        contrib = (
+            und.join(ranks, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("_r") / F.col("_d")).alias("_in"))
+        )
+        ranks = (
+            deg.join(contrib, "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("_r"),
+                "_d",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("u").alias("id"), F.col("_r").alias("rank"))

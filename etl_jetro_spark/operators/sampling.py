@@ -117,3 +117,113 @@ def weighted_hash_sample(
     return df.filter(
         hash_bucket(id_col, buckets, salt) < F.round(w * buckets).cast("long")
     )
+
+
+def quota_cap(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "",
+    prefilter_slack: float = 4.0,
+) -> DataFrame:
+    """Per-key document cap: within each key keep the ``cap`` rows with
+    the smallest (md5(salt||id), id) — the per-domain cap of web-corpus
+    curation (C4/RefinedWeb keep at most N pages per host so no single
+    domain dominates the training mix). Deterministic and engine-portable
+    (same md5 ranking as :func:`stratified_sample`).
+
+    EXACT at any key size without a key-sized sort task: a plain
+    per-key rank window puts a 100M-page domain's whole posting list in
+    one task. Instead (1) per-key counts join back (one key shuffle),
+    (2) rows pre-filter to hash fraction ≤ slack·cap/n — an expected
+    slack·cap survivors per key, so the rank window's partitions are
+    CAP-sized, independent of domain size, (3) the rare key where the
+    hash fluctuated below its quota (P ≈ e^{-cap} per key at slack 4)
+    is detected by re-counting survivors and falls back to ranking its
+    full posting list — exactness is by construction, not by chance.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), idc.cast("string")))
+    # 60-bit hash fraction in [0, 1): enough resolution that the
+    # threshold comparison is effectively continuous
+    hfrac = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = df.join(counts, key_col).withColumn("_hf", hfrac)
+    thr = F.least(
+        F.lit(1.0), F.lit(prefilter_slack) * F.lit(cap) / F.col("_n")
+    )
+    surv = j.filter(F.col("_hf") <= thr)
+    # keys whose survivor pool fell below its quota rank their FULL list —
+    # derived from `counts` (LEFT join), not from `surv`: a key whose
+    # survivor pool is EMPTY never appears in surv at all and must still
+    # be detected
+    svc = surv.groupBy(key_col).agg(F.count(F.lit(1)).alias("_sn"))
+    short = (
+        counts.join(svc, key_col, "left")
+        .filter(
+            F.coalesce(F.col("_sn"), F.lit(0))
+            < F.least(F.lit(cap).cast("long"), F.col("_n"))
+        )
+        .select(key_col)
+    )
+    pool = surv.join(F.broadcast(short), key_col, "left_anti").unionByName(
+        j.join(F.broadcast(short), key_col, "left_semi")
+    )
+    w = Window.partitionBy(key_col).orderBy("_hf", idc)
+    return (
+        pool.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk", "_n", "_hf")
+    )
+
+
+def target_mix_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample-only importance resampling toward a target group mix
+    (the data-mixture rebalancing step of corpus curation — e.g. force a
+    uniform language mix from a skewed crawl). Per-group keep rate =
+    min(1, (target_g / actual_g) · c) where c scales so the most
+    UNDER-represented group keeps everything (no group is upsampled;
+    the output is the largest subset achieving the target proportions).
+    Rates quantize to 1/10000 (``weighted_hash_sample`` buckets) so the
+    accept decision is boundary-ulp-proof cross-engine.
+
+    Returns the resampled rows plus ``_keep_rate``. Group shares are a
+    groups-sized aggregate broadcast back; the accept filter is a pure
+    projection — no data-scale shuffle anywhere.
+    """
+    tot = sum(targets.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {tot}")
+    shares = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    tgt = F.create_map(
+        *[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    # c = min_g actual_g / target_g, over groups present in targets;
+    # actual_g = _gn / N with N folded out: rate = min(1, (t_g/_gn) * min_h(_hn/t_h))
+    withc = (
+        shares.withColumn("_t", tgt[F.col(group_col)])
+        .filter(F.col("_t").isNotNull() & (F.col("_t") > 0))
+        .withColumn("_ratio", F.col("_gn") / F.col("_t"))
+    )
+    cmin = withc.agg(F.min("_ratio").alias("_c"))
+    rates = withc.crossJoin(F.broadcast(cmin)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.col("_t") * F.col("_c") / F.col("_gn")
+        ).alias("_keep_rate"),
+    )
+    j = df.join(F.broadcast(rates), group_col)
+    return weighted_hash_sample(j, id_col, F.col("_keep_rate"), salt=salt)

@@ -916,9 +916,7 @@ def q26_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation, tz-free (integer epoch bucketing
     — the batch shape of the streaming windowed agg)."""
     e = load_events(spark, sf_dir)
-    bucket = ((F.col("ts") / F.lit(1_000_000_000)).cast("long") / 3600).cast(
-        "long"
-    ) * 3600
+    bucket = F.expr("(ts div 1000000000) div 3600") * 3600
     return e.groupBy(
         bucket.alias("hour_epoch"), "event_type"
     ).agg(
@@ -2763,7 +2761,7 @@ def _hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.timeseries import time_bucket
 
     e = load_events(spark, sf_dir)
-    sec = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    sec = F.expr("ts div 1000000000")
     return e.groupBy(
         "user_id", time_bucket(sec, 3600).alias("hour_epoch")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
@@ -3080,7 +3078,7 @@ def q86_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.timeseries import cohort_retention
 
     e = load_events(spark, sf_dir)
-    sec = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    sec = F.expr("ts div 1000000000")
     out = cohort_retention(e, "user_id", sec, 86400)
     return out.select(
         "cohort_period",
@@ -4822,8 +4820,8 @@ def q126_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     row volume after the first distinct is active-days x users x 7 max.
     The oracle runs the quadratic day x range join definition."""
     e = load_events(spark, sf_dir)
-    day = (F.col("ts") / F.lit(1_000_000_000)).cast("long") / F.lit(86400)
-    du = e.select(day.cast("long").alias("day"), "user_id").distinct()
+    day = F.expr("(ts div 1000000000) div 86400")
+    du = e.select(day.alias("day"), "user_id").distinct()
     contrib = du.select(
         F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
         "user_id",
@@ -5416,7 +5414,7 @@ def q138_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_events(spark, sf_dir)
-    t = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    t = F.expr("ts div 1000000000")
     o = e.select("user_id", "event_type", t.alias("t"), "event_id")
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     marked = o.withColumn("_prev", F.lag("event_type").over(w))
@@ -7627,4 +7625,334 @@ def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round("_rev", 4).alias("revenue"),
         F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share_in_segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. Round-5 wave: corpus curation (domain caps, mixture rebalancing,
+#     vocabulary drift, dedup-aware weights) + PageRank + OHLC bars
+# --------------------------------------------------------------------------
+
+def _hexb_sql(salt: str, col: str, buckets: int) -> str:
+    """DuckDB mirror of sampling.hash_bucket: first 8 md5 hex digits as a
+    32-bit int mod buckets (the q62 construction, parameterized)."""
+    hx = f"md5('{salt}' || CAST({col} AS VARCHAR))"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({digits}) % {buckets})"
+
+
+@query(
+    "q175_source_quota_cap",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15),
+                        doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source,
+           CAST(max(n) AS BIGINT)                               AS n_total,
+           CAST(count(*) FILTER (rk <= 10) AS BIGINT)           AS n_kept,
+           CAST(sum(n_chars) FILTER (rk <= 10) AS BIGINT)       AS chars_kept
+    FROM r GROUP BY source
+    """,
+)
+def q175_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.quota_cap) — the
+    per-domain cap of web-corpus curation (C4/RefinedWeb keep ≤N pages
+    per host): within each source keep the 10 docs with the smallest
+    (md5, id) and report kept volume per source. The operator is EXACT
+    without a domain-sized sort task: per-key counts join back, rows
+    prefilter to hash fraction ≤ 4·cap/n (cap-sized window partitions at
+    any domain size), and the e^{-cap}-rare under-quota key falls back to
+    ranking its full list. The oracle is the plain rank definition."""
+    from etl_jetro_spark.operators.sampling import quota_cap
+
+    d = load(spark, sf_dir, "documents")
+    kept = quota_cap(d, "doc_id", "source", cap=10, salt="cap:")
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+    return tot.join(k, "source")
+
+
+_MIX_LANGS = ("de", "en", "es", "fr", "zh")
+
+@query(
+    "q176_target_mix_resample",
+    f"""
+    WITH tg AS (SELECT * FROM (VALUES {", ".join(f"('{g}', 0.2)" for g in _MIX_LANGS)})
+                t(lang, t)),
+    g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS gn,
+                 CAST(count(*) AS BIGINT) AS n_before
+          FROM documents GROUP BY 1),
+    wc AS (SELECT g.lang, g.gn, g.n_before, tg.t, g.gn / tg.t AS ratio
+           FROM g JOIN tg USING (lang)),
+    c AS (SELECT min(ratio) AS c FROM wc),
+    rates AS (SELECT lang, n_before,
+                     least(1.0, t * c.c / gn) AS rate
+              FROM wc CROSS JOIN c),
+    kept AS (
+      SELECT d.lang, d.n_chars, r.n_before, r.rate
+      FROM documents d JOIN rates r USING (lang)
+      WHERE {_hexb_sql("mix:", "d.doc_id", 10_000)}
+            < CAST(round(r.rate * 10000) AS BIGINT))
+    SELECT lang,
+           any_value(n_before)                                  AS n_before,
+           CAST(count(*) AS BIGINT)                             AS n_after,
+           CAST(round(any_value(rate) * 10000) AS BIGINT)       AS rate_bp,
+           CAST(sum(n_chars) AS BIGINT)                         AS chars_after
+    FROM kept GROUP BY lang
+    """,
+)
+def q176_target_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-only importance resampling to a uniform language mix
+    (operators/sampling.target_mix_resample) — the data-mixture
+    rebalancing step of corpus curation: per-group keep rate
+    min(1, target/actual · c) with c pinned so the rarest language keeps
+    everything; rates quantize to 1/10000 hash buckets so the accept
+    decision is boundary-ulp-proof cross-engine. Group shares are a
+    5-row aggregate broadcast back; the accept filter is a pure
+    projection — no data-scale shuffle."""
+    from etl_jetro_spark.operators.sampling import target_mix_resample
+
+    d = load(spark, sf_dir, "documents")
+    targets = {g: 0.2 for g in _MIX_LANGS}
+    out = target_mix_resample(d, "doc_id", "lang", targets, salt="mix:")
+    tot = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+    agg = out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.round(F.any_value("_keep_rate") * 10000).cast("long").alias("rate_bp"),
+        F.sum("n_chars").cast("long").alias("chars_after"),
+    )
+    return tot.join(agg, "lang")
+
+
+@query(
+    "q177_vocab_kl_drift",
+    f"""
+    WITH wr AS (SELECT doc_id, string_split({DK_NORM_TEXT}, ' ') AS w
+                FROM documents),
+    tok AS (
+      SELECT doc_id, w[i] AS t FROM wr,
+             UNNEST(generate_series(1, len(w))) AS s(i)
+      WHERE w[i] <> ''
+    ),
+    hl AS (SELECT t,
+                  CASE WHEN {_hexb_sql("half:", "doc_id", 2)} = 0
+                       THEN 1 ELSE 0 END AS isa
+           FROM tok),
+    cnt AS (SELECT t, CAST(sum(isa) AS DOUBLE) AS ca,
+                   CAST(sum(1 - isa) AS DOUBLE) AS cb
+            FROM hl GROUP BY t),
+    tots AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                    CAST(count(*) AS DOUBLE) AS v
+             FROM cnt),
+    pq AS (SELECT (ca + 1) / (na + v) AS p, (cb + 1) / (nb + v) AS q,
+                  na, nb, v
+           FROM cnt CROSS JOIN tots)
+    SELECT CAST(any_value(v) AS BIGINT)                          AS vocab,
+           CAST(any_value(na) AS BIGINT)                         AS tokens_a,
+           CAST(any_value(nb) AS BIGINT)                         AS tokens_b,
+           round(sum(p * ln(p / q)), 6)                          AS kl_ab,
+           round(sum(q * ln(q / p)), 6)                          AS kl_ba,
+           round(0.5 * sum(p * ln(2 * p / (p + q)))
+               + 0.5 * sum(q * ln(2 * q / (p + q))), 6)          AS js
+    FROM pq
+    """,
+)
+def q177_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two deterministic corpus halves (md5
+    parity of doc_id): add-1-smoothed unigram distributions compared by
+    KL both ways and Jensen-Shannon divergence — the train/holdout (or
+    snapshot-over-snapshot) distribution-shift monitor of a data
+    pipeline, at token level (q142 is the numeric-histogram twin). One
+    token-count shuffle; the totals are a one-row aggregate broadcast
+    back; the final reduction is vocab-sized with map-side partials."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.sampling import hash_bucket
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(norm_text("text"), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    isa = (hash_bucket("doc_id", 2, "half:") == 0).cast("int")
+    cnt = toks.withColumn("_isa", isa).groupBy("t").agg(
+        F.sum("_isa").cast("double").alias("ca"),
+        F.sum(1 - F.col("_isa")).cast("double").alias("cb"),
+    )
+    tots = cnt.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    pq = cnt.crossJoin(F.broadcast(tots)).select(
+        p.alias("p"), q.alias("q"), "na", "nb", "v"
+    )
+    return pq.agg(
+        F.any_value("v").cast("long").alias("vocab"),
+        F.any_value("na").cast("long").alias("tokens_a"),
+        F.any_value("nb").cast("long").alias("tokens_b"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_ba"),
+        F.round(
+            0.5 * F.sum(F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))))
+            + 0.5 * F.sum(F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))),
+            6,
+        ).alias("js"),
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+      SELECT deg.u, (1 - 0.85) / nn.c + 0.85 * coalesce(t.s, 0) AS r
+      FROM deg CROSS JOIN nn
+      LEFT JOIN (SELECT und.v AS u, sum({prev}.r / deg.d) AS s
+                 FROM und JOIN {prev} ON {prev}.u = und.u
+                 JOIN deg ON deg.u = und.u GROUP BY und.v) t ON t.u = deg.u)"""
+        )
+        prev = f"r{i}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem
+                 GROUP BY l_orderkey, l_partkey),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM bsk x JOIN bsk y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM deg),
+    r0 AS (SELECT u, 1.0 / nn.c AS r FROM deg CROSS JOIN nn),
+    {joined}
+    SELECT u AS id, round(r{iters}.r, 6) AS rank FROM r{iters}
+    """
+
+
+@query("q178_copurchase_pagerank", _pagerank_oracle_sql(5))
+def q178_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank, 5 rounds,
+    β=0.85) over the q156/q158 co-purchase part graph — the canonical
+    iterative graph centrality every distributed engine ships
+    (Pregel/GraphX semantics as join + map-side-combined sum; rank frame
+    node-sized, per-round work one edges⋈ranks hash join, lineage
+    checkpoint-bounded per round). The oracle unrolls the same five
+    synchronous iterations as CTEs."""
+    from etl_jetro_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .select(
+            F.col("x.l_partkey").alias("id_a"),
+            F.col("y.l_partkey").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .drop("s")
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "q179_dedup_effective_size",
+    f"""
+    WITH fp AS (SELECT doc_id, lang, md5({DK_NORM_TEXT}) AS f FROM documents),
+    gs AS (SELECT f, count(*) AS sz FROM fp GROUP BY f)
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                              AS n_docs,
+           CAST(count(DISTINCT fp.f) AS BIGINT)                  AS n_unique,
+           round(sum(1.0 / gs.sz), 6)                            AS effective_size,
+           round(1 - count(DISTINCT fp.f) / CAST(count(*) AS DOUBLE), 6)
+                                                                 AS dup_fraction
+    FROM fp JOIN gs USING (f) GROUP BY lang
+    """,
+)
+def q179_dedup_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware sampling weights: each document weighs 1/|its exact-dup
+    group| (multi-epoch-safe mixture accounting — a doc syndicated 40×
+    contributes one doc's worth of training mass), rolled up per language
+    to effective dataset size and duplicate fraction. The fingerprint
+    group sizes are one hash-partition agg joined back on the
+    fingerprint — the exact_duplicates shuffle shape, nothing
+    broadcast-unbounded."""
+    from etl_jetro_spark.functions.hashing import doc_fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "lang", doc_fingerprint("text").alias("f"))
+    gs = fp.groupBy("f").agg(F.count(F.lit(1)).alias("sz"))
+    j = fp.join(gs, "f")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("f").cast("long").alias("n_unique"),
+        F.round(F.sum(1.0 / F.col("sz")), 6).alias("effective_size"),
+        F.round(
+            1 - F.countDistinct("f") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+@query(
+    "q180_hourly_ohlc",
+    """
+    WITH e AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_epoch,
+             ts, event_id, value
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour_epoch
+                                ORDER BY ts, event_id)            AS ra,
+             row_number() OVER (PARTITION BY event_type, hour_epoch
+                                ORDER BY ts DESC, event_id DESC)  AS rd
+      FROM e)
+    SELECT event_type, hour_epoch,
+           round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+           round(max(value), 6)                           AS high,
+           round(min(value), 6)                           AS low,
+           round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT)                       AS volume
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q180_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the time-series downsampling
+    shape of every metrics store. ONE partial-aggregable pass: open/close
+    via min_by/max_by on the (ts, event_id) struct order (no window, no
+    per-group sort — each task keeps one candidate per group and partials
+    merge), high/low/volume plain aggregates. The oracle uses the
+    rank-window definition; (ts, event_id) is unique so both orders are
+    total."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    hour = F.expr("(ts div 1000000000) div 3600") * 3600
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type", hour.alias("hour_epoch")).agg(
+        F.round(F.min_by("value", ordk), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", ordk), 6).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
     )

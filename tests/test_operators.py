@@ -1781,3 +1781,83 @@ def test_knn_join_blocked_equals_broadcast_form(spark):
         ).collect()
     }
     assert a == b and len(a) == 20 * 4
+
+
+def test_quota_cap_exact_vs_plain_rank(spark):
+    """quota_cap's prefilter+fallback must select EXACTLY the rows a
+    plain per-key md5 rank would, including when the prefilter threshold
+    is squeezed so the fallback path actually fires."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.operators.sampling import quota_cap
+
+    rows = [(i, f"k{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+
+    h = F.md5(F.concat(F.lit("t:"), F.col("id").cast("string")))
+    hf = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / float(1 << 60)
+    w = Window.partitionBy("key").orderBy(hf, F.col("id"))
+    want = {
+        (r["id"], r["key"])
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .collect()
+    }
+    for slack in (4.0, 0.02):  # 0.02 -> threshold ~0, every key short-falls
+        got = {
+            (r["id"], r["key"])
+            for r in quota_cap(
+                df, "id", "key", cap=5, salt="t:", prefilter_slack=slack
+            ).collect()
+        }
+        assert got == want, f"slack={slack}"
+    # cap >= key size keeps everything
+    assert quota_cap(df, "id", "key", cap=1000, salt="t:").count() == 500
+
+
+def test_target_mix_resample_reaches_target_mix(spark):
+    from etl_jetro_spark.operators.sampling import target_mix_resample
+
+    rows = [(i, "a" if i < 4000 else ("b" if i < 5000 else "c"))
+            for i in range(5500)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = target_mix_resample(
+        df, "id", "grp", {"a": 0.5, "b": 0.25, "c": 0.25}, salt="m:"
+    )
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # c (500 rows) is the most under-represented vs target 0.25 ->
+    # keeps everything; a targets 2x c's mass, b 1x
+    assert got["c"] == 500
+    assert abs(got["a"] - 1000) < 60      # hash-rate tolerance
+    assert abs(got["b"] - 500) < 40
+    # downsample-only: no group exceeds its input
+    assert got["b"] <= 1000 and got["a"] <= 4000
+    # deterministic
+    again = {r["grp"]: r["n"] for r in target_mix_resample(
+        df, "id", "grp", {"a": 0.5, "b": 0.25, "c": 0.25}, salt="m:"
+    ).groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        target_mix_resample(df, "id", "grp", {"a": 0.5})
+
+
+def test_pagerank_star_and_invariants(spark):
+    """On a star graph K1,n the closed form is known: the hub holds
+    β·n/(n+1)·(leaf rank)... easier: check mass conservation, hub >
+    leaf, and symmetry of equivalent leaves; plus the 2-node closed form
+    rank = 1/2 each (symmetric graph, any damping)."""
+    from etl_jetro_spark.operators.graph import pagerank
+
+    # symmetric pair: exact fixed point 0.5/0.5 at every iteration
+    two = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r2 = {r["id"]: r["rank"] for r in pagerank(two, iterations=3).collect()}
+    assert abs(r2[1] - 0.5) < 1e-12 and abs(r2[2] - 0.5) < 1e-12
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)], ["id_a", "id_b"])
+    rs = {r["id"]: r["rank"] for r in pagerank(star, iterations=5).collect()}
+    leaves = [rs[i] for i in range(1, 9)]
+    assert abs(sum(rs.values()) - 1.0) < 1e-9          # mass conserved
+    assert rs[0] > max(leaves)                          # hub dominates
+    assert max(leaves) - min(leaves) < 1e-12            # leaf symmetry
