@@ -5892,7 +5892,9 @@ _Q146_COS = (
       UNION ALL
       SELECT vec_id + 100000, list_prepend(-v[1], v[2:]) FROM emb
     ),
-    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 32),
+    c AS (SELECT vec_id AS cid, v AS cv FROM emb
+          WHERE vec_id < (SELECT greatest(32, CAST(floor(sqrt(count(*))) AS BIGINT))
+                          FROM embeddings)),
     assign AS (
       SELECT u.vec_id, u.v, cid,
              row_number() OVER (
@@ -5946,9 +5948,18 @@ def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     u = emb.select("vec_id", "embedding").unionByName(pert)
-    # K=32 keeps Σcluster² bounded (the operator's own scale rule:
-    # K grows with the corpus so clusters stay small)
-    cents = emb.filter(F.col("vec_id") < 32).select(
+    # K = max(32, isqrt(n)) — the operator's own scale rule made real
+    # (round-5 sf1 rehearsal: K pinned at 32 sent cluster occupancy
+    # linear and the pair join quadratic, 5.7 s -> 162 s for 10x data).
+    # sqrt scaling balances assignment (n*K) and pair volume (~n^2/K) at
+    # ~n^1.5, the exact-SQL-expressible SemDeDup compromise; production
+    # replaces the argmax scan with approximate centroid search
+    # (n log K), which no SQL oracle can replay. isqrt == floor(sqrt)
+    # exactly for any count below 2^52, so both engines pick the same K.
+    import math
+
+    k = max(32, math.isqrt(emb.count()))
+    cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     return semantic_dedup(u, "vec_id", "embedding", cents, threshold=0.985)
