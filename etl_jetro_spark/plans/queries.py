@@ -7967,3 +7967,329 @@ def q180_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", ordk), 6).alias("close"),
         F.count(F.lit(1)).cast("long").alias("volume"),
     )
+
+
+@query(
+    "q181_curriculum_decile_weights",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter({DK_WORDS}, x -> x <> '') AS w
+               FROM documents),
+    sc AS (SELECT doc_id,
+                  round(len(list_distinct(w))
+                        / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS score
+           FROM t),
+    r AS (SELECT doc_id, score,
+                 ntile(10) OVER (ORDER BY score, doc_id) AS dec
+          FROM sc)
+    SELECT CAST(dec AS BIGINT)                          AS decile,
+           CAST(count(*) AS BIGINT)                     AS n_docs,
+           round(min(score), 6)                         AS lo_score,
+           round(max(score), 6)                         AS hi_score,
+           round(dec / 10.0, 1)                         AS weight,
+           round(count(*) * dec / 10.0, 4)              AS effective_docs
+    FROM r GROUP BY dec
+    """,
+)
+def q181_curriculum_decile_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sampling weights by lexical-diversity decile: score =
+    distinct-token ratio (partition-local array expressions), deciles via
+    the distributed rank frame (q92's exact ntile derivation from
+    group_ranked — no SinglePartition window), weight ∝ decile — the
+    quality-curriculum mixing table of a training pipeline (cleaner
+    deciles sampled more often). Effective docs = n·weight per decile."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    d = load(spark, sf_dir, "documents")
+    w = F.filter(F.split(norm_text("text"), " "), lambda x: x != "")
+    score = F.round(
+        F.size(F.array_distinct(w))
+        / F.greatest(F.size(w), F.lit(1)).cast("double"),
+        6,
+    )
+    sc = d.select("doc_id", score.alias("score"))
+    r = group_ranked(sc, [], F.col("score"), tiebreak=["doc_id"])
+    n, rn = F.col("_n"), F.col("_rn")
+    q10 = F.floor(n / 10).cast("long")
+    rem = (n % 10).cast("long")
+    dec = (
+        F.when(rn <= rem * (q10 + 1), F.ceil(rn / (q10 + 1)))
+        .otherwise(rem + F.ceil((rn - rem * (q10 + 1)) / q10))
+        .cast("long")
+    )
+    per = r.select(F.col("_v").alias("score"), dec.alias("decile"))
+    return per.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("score"), 6).alias("lo_score"),
+        F.round(F.max("score"), 6).alias("hi_score"),
+        F.round(F.col("decile") / 10.0, 1).alias("weight"),
+        F.round(F.count(F.lit(1)) * F.col("decile") / 10.0, 4).alias(
+            "effective_docs"
+        ),
+    )
+
+
+@query(
+    "q182_referential_conformance",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def q182_referential_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge (the data-contract check an ingest pipeline runs
+    before publishing a snapshot). Each relation is a LEFT ANTI join
+    (dims broadcast under AQE, facts never collected) + two scalar
+    counts cross-joined into one row; five relation rows union. Healthy
+    TPC-H data reports zero orphans — the audit's value is the plan, not
+    the number."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    def rel(name, child, ckey, parent, pkey):
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orphans = (
+            child.join(
+                parent.select(pkey).distinct(),
+                child[ckey] == parent[pkey],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        return (
+            total.crossJoin(orphans)
+            .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+
+    return (
+        rel("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(rel("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(rel("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"))
+        .unionByName(rel("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(rel("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+
+
+@query(
+    "q183_sample_diversity",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY md5('div:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) WHERE rk <= 50),
+    {_dk_shingles_cte(3)},
+    ds AS (SELECT sh.doc_id,
+                  list_sort(list_distinct(list(sh.sh))) AS s,
+                  count(DISTINCT sh.sh) AS n
+           FROM sh JOIN ids ON ids.doc_id = sh.doc_id
+           GROUP BY sh.doc_id),
+    pr AS (
+      SELECT a.n + b.n - len(list_intersect(a.s, b.s)) AS un,
+             len(list_intersect(a.s, b.s)) AS cm
+      FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ds)       AS n_docs,
+           CAST(count(*) AS BIGINT)                        AS n_pairs,
+           round(avg(CASE WHEN un = 0 THEN 1.0
+                          ELSE cm / CAST(un AS DOUBLE) END), 6) AS mean_jaccard,
+           round(max(CASE WHEN un = 0 THEN 1.0
+                          ELSE cm / CAST(un AS DOUBLE) END), 6) AS max_jaccard
+    FROM pr
+    """,
+)
+def q183_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity telemetry on a deterministic 50-doc sample
+    (self-BLEU's set-overlap cousin): mean and max pairwise 3-gram
+    Jaccard across the sample — high mean = templated/redundant corpus.
+    The sample is a TakeOrdered md5 top-50 (never a global window); the
+    pair join is 50×49/2 rows of doc-bounded shingle sets — constant
+    work at ANY corpus scale, which is the point of sampling it."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    ids = (
+        d.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("div:"), F.col("doc_id").cast("string"))).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(50)
+        .select("doc_id")
+    )
+    sample = d.join(F.broadcast(ids), "doc_id")
+    sh = shingle_rows(sample, "doc_id", "text", 3, distinct=True)
+    ds = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_set("_sh")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = ds.select(F.col("_id").alias("ia"), F.col("s").alias("sa"), F.col("n").alias("na"))
+    b = ds.select(F.col("_id").alias("ib"), F.col("s").alias("sb"), F.col("n").alias("nb"))
+    cm = F.size(F.array_intersect("sa", "sb"))
+    un = F.col("na") + F.col("nb") - cm
+    jac = F.when(un == 0, F.lit(1.0)).otherwise(cm / un.cast("double"))
+    pr = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(jac.alias("j"))
+    )
+    nd = ds.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return nd.crossJoin(
+        pr.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("j"), 6).alias("mean_jaccard"),
+            F.round(F.max("j"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+@query(
+    "q184_length_power_law",
+    """
+    WITH b AS (
+      SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket
+      FROM documents WHERE n_chars > 0),
+    h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
+    xy AS (SELECT CAST(bucket AS DOUBLE) AS x, ln(CAST(c AS DOUBLE)) AS y FROM h),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_buckets,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 1.0
+                 ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+    FROM s
+    """,
+)
+def q184_length_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length power-law telemetry: log2-bucketed length
+    histogram (bucket = ⌊log2 n⌋ via the binary-string length — EXACT on
+    both engines, no libm boundary risk at powers of two) and the OLS
+    slope/intercept/R² of ln(count) vs bucket — the heavy-tail exponent
+    a corpus dashboard tracks (truncation/boilerplate shifts it). One
+    partial-agg histogram pass; the regression runs on the ~30-row
+    bucket frame via sufficient statistics (Σx, Σy, Σxx, Σxy, Σyy)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = (F.length(F.bin("n_chars")) - 1).cast("long")
+    h = d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    xy = h.select(
+        F.col("bucket").cast("double").alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_buckets"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.when((n * sxx - sx * sx) * (n * syy - sy * sy) == 0, F.lit(1.0)).otherwise(
+                (n * sxy - sx * sy)
+                * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q185_bigram_next_token",
+    f"""
+    WITH wrds AS (SELECT doc_id, {DK_WORDS} AS w FROM documents),
+    bg AS (
+      SELECT w[i] AS ctx, w[i + 1] AS nxt
+      FROM wrds, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    cc AS (SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    ct AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS total FROM cc GROUP BY ctx),
+    top AS (SELECT ctx, total FROM ct
+            ORDER BY total DESC, ctx LIMIT 20),
+    rk AS (
+      SELECT cc.ctx, cc.nxt, cc.c, top.total,
+             row_number() OVER (PARTITION BY cc.ctx
+                                ORDER BY cc.c DESC, cc.nxt) AS r
+      FROM cc JOIN top ON top.ctx = cc.ctx)
+    SELECT ctx, nxt, c, CAST(r AS BIGINT) AS rank,
+           round(c / CAST(total AS DOUBLE), 6) AS prob
+    FROM rk WHERE r <= 3
+    """,
+)
+def q185_bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-token model over the corpus (the bigram-LM lookup
+    table, q141's directional cousin): for the 20 highest-mass context
+    words, the top-3 continuations with P(next|ctx). Bigrams come from
+    the partition-local shingle walk (zero shuffle to generate); the
+    context total frame is vocabulary-sized with map-side partials; the
+    top-20 context filter is a TakeOrdered broadcast; the per-context
+    top-3 is a PARTITIONED rank window (WindowGroupLimit prunes it —
+    verified distinct from the global-window antipattern)."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", 2, distinct=False)
+    parts = F.split("_sh", " ")
+    bg = sh.select(parts[0].alias("ctx"), parts[1].alias("nxt"))
+    cc = bg.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ct = cc.groupBy("ctx").agg(F.sum("c").cast("long").alias("total"))
+    top = ct.orderBy(F.desc("total"), F.asc("ctx")).limit(20)
+    w = Window.partitionBy("ctx").orderBy(F.desc("c"), F.asc("nxt"))
+    rk = (
+        cc.join(F.broadcast(top), "ctx")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+    )
+    return rk.select(
+        "ctx",
+        "nxt",
+        "c",
+        F.col("r").cast("long").alias("rank"),
+        F.round(F.col("c") / F.col("total").cast("double"), 6).alias("prob"),
+    )
