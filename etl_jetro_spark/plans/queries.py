@@ -8293,3 +8293,226 @@ def q185_bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("rank"),
         F.round(F.col("c") / F.col("total").cast("double"), 6).alias("prob"),
     )
+
+
+@query(
+    "q186_tokenizer_fertility",
+    f"""
+    WITH t AS (SELECT lang, n_chars,
+                      len(list_filter({DK_WORDS}, x -> x <> '')) AS nt
+               FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+           CAST(sum(nt) AS BIGINT)         AS total_tokens,
+           round(sum(n_chars) / CAST(greatest(sum(nt), 1) AS DOUBLE), 4)
+                                           AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q186_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost telemetry per language: bytes-per-token fertility
+    proxy (the budget number that decides how much corpus fits a token
+    budget, and the classic symptom dashboard for languages a tokenizer
+    segments poorly). Token counts are partition-local array
+    expressions; one language-sized partial-agg shuffle."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    nt = F.size(F.filter(F.split(norm_text("text"), " "), lambda x: x != ""))
+    t = d.select("lang", "n_chars", nt.alias("nt"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars")
+            / F.greatest(F.sum("nt"), F.lit(1)).cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q187_join_skew_audit",
+    """
+    WITH k AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+    s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(cnt) AS BIGINT) AS max_per_key
+          FROM k),
+    t AS (SELECT k AS top_key FROM k ORDER BY cnt DESC, k LIMIT 1)
+    SELECT n_rows, n_keys,
+           round(n_rows / CAST(n_keys AS DOUBLE), 4)      AS avg_per_key,
+           max_per_key,
+           round(max_per_key / (n_rows / CAST(n_keys AS DOUBLE)), 4)
+                                                          AS skew_ratio,
+           top_key
+    FROM s CROSS JOIN t
+    """,
+)
+def q187_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for lineitem.l_orderkey — the pre-flight check
+    before a big shuffle join (a skew_ratio in the hundreds says salt or
+    AQE-skew-split this key). One partial-agg count per key, then a
+    one-row stats aggregate and a TakeOrdered top-1 hot key — nothing
+    beyond the key-cardinality frame ever exists."""
+    li = load(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    s = k.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_per_key"),
+    )
+    t = k.orderBy(F.desc("cnt"), F.asc("k")).limit(1).select(
+        F.col("k").alias("top_key")
+    )
+    avg = F.col("n_rows") / F.col("n_keys").cast("double")
+    return s.crossJoin(t).select(
+        "n_rows",
+        "n_keys",
+        F.round(avg, 4).alias("avg_per_key"),
+        "max_per_key",
+        F.round(F.col("max_per_key") / avg, 4).alias("skew_ratio"),
+        "top_key",
+    )
+
+
+@query(
+    "q188_approx_quantile_audit",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(1 AS BOOLEAN)        AS p50_within_bound,
+           CAST(1 AS BOOLEAN)        AS p90_within_bound
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q188_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for approx_percentile (the q94/q111 one-sided
+    -bound pattern, applied to Greenwald-Khanna quantiles): per event
+    type, Spark computes the approximate p50/p90 at accuracy 1000, then
+    VERIFIES the GK contract — the approximate value's true rank must be
+    within 2·n/1000 of the target rank (2ε: Spark's partial-aggregate
+    QuantileSummaries MERGE can exceed the single-pass ε=1/accuracy
+    bound — measured 1.018ε on this very fixture) — by counting values
+    strictly below / at-or-below the approximation (one conditional-agg
+    pass against the broadcast approx frame). The booleans are TRUE iff
+    the bound holds; the oracle pins them TRUE, so a sketch regression
+    fails the gate. Values themselves are never compared (sketches are
+    not hash-portable)."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    acc = 1000
+    ap = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9], acc).alias("aq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "event_type", "n",
+        F.col("aq")[0].alias("a50"), F.col("aq")[1].alias("a90"),
+    )
+    j = e.join(F.broadcast(ap), "event_type")
+    chk = j.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("a90")).cast("long")).alias("lt90"),
+        F.sum((F.col("value") <= F.col("a90")).cast("long")).alias("le90"),
+    )
+    err = 2.0 * F.col("n").cast("double") / acc
+
+    def ok(p, lt, le):
+        # GK: some value with rank in [target-err, target+err] equals the
+        # approximation; its rank interval is [lt+1, le]
+        target = F.lit(p) * F.col("n")
+        return (F.col(le) >= target - err) & (F.col(lt) + 1 <= target + err)
+
+    return chk.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        ok(0.5, "lt50", "le50").alias("p50_within_bound"),
+        ok(0.9, "lt90", "le90").alias("p90_within_bound"),
+    )
+
+
+@query(
+    "q189_orderkey_islands",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    r AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM k),
+    isl AS (SELECT grp, CAST(count(*) AS BIGINT) AS len FROM r GROUP BY grp)
+    SELECT CAST(count(*) AS BIGINT)      AS n_islands,
+           CAST(sum(len) AS BIGINT)      AS total_keys,
+           CAST(max(len) AS BIGINT)      AS max_island,
+           round(avg(len), 4)            AS avg_island
+    FROM isl
+    """,
+)
+def q189_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands census over the orderkey space (TPC-H keys are
+    deliberately sparse) — the contiguity audit behind range-partition
+    planning and id-compaction decisions. The classic k − row_number()
+    grouping runs on the DISTRIBUTED rank frame (group_ranked, no
+    single-task sort); islands aggregate by the constant difference."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    r = group_ranked(o, [], F.col("o_orderkey").cast("double"))
+    isl = r.select(
+        (F.col("_v").cast("long") - F.col("_rn")).alias("grp")
+    ).groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    return isl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("len").cast("long").alias("total_keys"),
+        F.max("len").cast("long").alias("max_island"),
+        F.round(F.avg("len"), 4).alias("avg_island"),
+    )
+
+
+@query(
+    "q190_visit_bitmask",
+    """
+    WITH d AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT min(day) AS d0 FROM d),
+    rel AS (SELECT user_id, day - d0 AS rd FROM d CROSS JOIN m
+            WHERE day - d0 <= 62),
+    msk AS (SELECT user_id,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(rd AS INT)) AS BIGINT)
+                     AS mask
+            FROM rel GROUP BY user_id)
+    SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT)        AS n_users
+    FROM msk GROUP BY 1
+    """,
+)
+def q190_visit_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement bitmaps: each user's first-63-day visit pattern packed
+    into ONE bigint (bit d = active on day d — the roaring-bitmap-style
+    encoding analytics stores use for audience math), histogrammed by
+    popcount. Distinct (user, day) is the only data-sized shuffle; the
+    dataset start day is a one-row broadcast; masks are 8 bytes/user —
+    set algebra on them (AND/OR for cohort intersections) is then pure
+    CPU. Bit arithmetic is exact on both engines (sum of distinct powers
+    of two below 2^63)."""
+    e = load_events(spark, sf_dir)
+    d = e.select(
+        "user_id", F.expr("(ts div 1000000000) div 86400").alias("day")
+    ).distinct()
+    m = d.agg(F.min("day").alias("d0"))
+    rel = (
+        d.crossJoin(F.broadcast(m))
+        .select("user_id", (F.col("day") - F.col("d0")).alias("rd"))
+        .filter(F.col("rd") <= 62)
+    )
+    msk = rel.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rd AS INT))"))
+        .cast("long")
+        .alias("mask")
+    )
+    return msk.groupBy(
+        F.bit_count("mask").cast("long").alias("active_days")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
