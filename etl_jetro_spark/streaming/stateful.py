@@ -469,3 +469,81 @@ def run_timed_flush(
         .trigger(processingTime="500 milliseconds")
         .start()
     )
+
+
+SEEDED_SCHEMA = "user_id bigint, pcnt bigint"
+
+
+class SeededExpiringCount(StatefulProcessor):
+    """ValueState with a TTL plus batch-seeded INITIAL STATE — the last
+    two arbitrary-state features after Value/Map/List/timers: the state
+    handle is declared with ``ttlDurationMs`` (RocksDB expires the value
+    when the key quiesces past it — the bounded-staleness session
+    counter), and ``handleInitialState`` seeds each key from a batch
+    frame before the first micro-batch (warm-starting a streaming job
+    from an offline snapshot, the lambda-architecture handoff).
+    """
+
+    def __init__(self, ttl_ms: int = 1_000):
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.cnt = handle.getValueState(
+            "cnt", "c bigint", ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        seed = initialState["seed"]
+        self.cnt.update((int(seed.iloc[0] if hasattr(seed, "iloc") else seed),))
+
+    def handleInputRows(self, key, rows, timerValues):
+        c = self.cnt.get()[0] if self.cnt.exists() else 0
+        for pdf in rows:
+            c += int(pdf["value"].count())
+        self.cnt.update((c,))
+        yield pd.DataFrame({"user_id": [key[0]], "pcnt": [c]})
+
+    def close(self) -> None:
+        pass
+
+
+def run_seeded_expiring_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    initial: DataFrame,
+    ttl_ms: int = 1_000,
+    queryName: str = "seeded_counts",
+    glob: str = "*.parquet",
+):
+    """Wire the TTL + initial-state processor over the events stream.
+    ``initial`` must have (user_id, seed) — it is grouped on the same key
+    as the stream, and handleInitialState runs once per seeded key before
+    the first batch. TTL requires a time-aware mode (ProcessingTime)."""
+    from etl_jetro_spark.streaming.windows import events_stream
+
+    if not ensure_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, events_dir, glob)
+    out: DataFrame = ev.groupBy("user_id").transformWithStateInPandas(
+        SeededExpiringCount(ttl_ms),
+        outputStructType=SEEDED_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+        initialState=initial.groupBy("user_id"),
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )

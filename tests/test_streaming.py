@@ -900,3 +900,81 @@ spark.stop()
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "TWS_TIMER_OK" in r.stdout
+
+
+def test_transform_with_state_ttl_and_initial_state_live(tmp_path):
+    """TTL + batch-seeded initial state executed LIVE — the final two
+    arbitrary-state features after Value/Map/List/timers. Phase 1: the
+    first file's emitted counts must equal seed + batch count
+    (handleInitialState ran before the first micro-batch). Phase 2: a
+    second identical file lands after the TTL has expired every key, so
+    the emitted counts must equal the second file's count ALONE (seed
+    and phase-1 state evicted by RocksDB TTL), not the cumulative sum."""
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import os, shutil, sys, time
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-ttl-test", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(tmp, "b.parquet"))
+shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "a.parquet"))
+ev = spark.read.parquet(os.path.join(src, "a.parquet"))
+per_key = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(
+    F.count("value").alias("n")).collect()}
+SEED = 1000
+initial = spark.createDataFrame(
+    [(u, SEED) for u in per_key], ["user_id", "seed"])
+from etl_jetro_spark.streaming.stateful import run_seeded_expiring_counts
+TTL = 1500
+q = run_seeded_expiring_counts(spark, src, os.path.join(tmp, "ck"),
+                               initial, ttl_ms=TTL)
+def rows():
+    return spark.sql("SELECT user_id, pcnt FROM seeded_counts").collect()
+deadline = time.time() + 120
+phase1 = {}
+while time.time() < deadline:
+    phase1 = {r["user_id"]: r["pcnt"] for r in rows()}
+    if len(phase1) == len(per_key):
+        break
+    time.sleep(0.5)
+want1 = {u: SEED + n for u, n in per_key.items()}
+assert phase1 == want1, ("phase1", phase1, want1)
+time.sleep((TTL / 1000.0) + 2.0)   # let every key's value state expire
+os.rename(os.path.join(tmp, "b.parquet"), os.path.join(src, "b.parquet"))
+deadline = time.time() + 120
+got2 = {}
+while time.time() < deadline:
+    # update-mode memory sink appends; newest rows are phase 2
+    all_rows = rows()
+    got2 = {}
+    for r in all_rows:
+        got2[r["user_id"]] = r["pcnt"]  # later rows overwrite per insertion order
+    if all(got2.get(u) == per_key[u] for u in per_key):
+        break
+    time.sleep(0.5)
+q.stop()
+assert got2 == per_key, ("phase2", got2, per_key)
+print("TWS_TTL_OK", len(got2))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_TTL_OK" in r.stdout
