@@ -3325,13 +3325,7 @@ def q92_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = group_ranked(rev, [], -F.col("revenue"), tiebreak=["o_custkey"])
     n, rn = F.col("_n"), F.col("_rn")
-    q10 = F.floor(n / 10).cast("long")
-    rem = (n % 10).cast("long")
-    decile = (
-        F.when(rn <= rem * (q10 + 1), F.ceil(rn / (q10 + 1)))
-        .otherwise(rem + F.ceil((rn - rem * (q10 + 1)) / q10))
-        .cast("long")
-    )
+    decile = _ntile_from_rank(rn, n, 10)
     return r.select(
         "o_custkey",
         (-F.col("_v")).alias("revenue"),
@@ -7644,6 +7638,22 @@ def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     vocabulary drift, dedup-aware weights) + PageRank + OHLC bars
 # --------------------------------------------------------------------------
 
+
+
+def _ntile_from_rank(rn, n, k: int):
+    """Exact SQL ntile(k) derived from a 1-based total-order rank and the
+    group size (both Columns): the first n mod k tiles take n div k + 1
+    rows, the rest n div k. The distributed-rank-frame replacement for an
+    ntile window (q92 pattern)."""
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    return (
+        F.when(rn <= rem * (q + 1), F.ceil(rn / (q + 1)))
+        .otherwise(rem + F.ceil((rn - rem * (q + 1)) / q))
+        .cast("long")
+    )
+
+
 def _hexb_sql(salt: str, col: str, buckets: int) -> str:
     """DuckDB mirror of sampling.hash_bucket: first 8 md5 hex digits as a
     32-bit int mod buckets (the q62 construction, parameterized)."""
@@ -8010,13 +8020,7 @@ def q181_curriculum_decile_weights(spark: SparkSession, sf_dir: str) -> DataFram
     sc = d.select("doc_id", score.alias("score"))
     r = group_ranked(sc, [], F.col("score"), tiebreak=["doc_id"])
     n, rn = F.col("_n"), F.col("_rn")
-    q10 = F.floor(n / 10).cast("long")
-    rem = (n % 10).cast("long")
-    dec = (
-        F.when(rn <= rem * (q10 + 1), F.ceil(rn / (q10 + 1)))
-        .otherwise(rem + F.ceil((rn - rem * (q10 + 1)) / q10))
-        .cast("long")
-    )
+    dec = _ntile_from_rank(rn, n, 10)
     per = r.select(F.col("_v").alias("score"), dec.alias("decile"))
     return per.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -8516,3 +8520,302 @@ def q190_visit_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msk.groupBy(
         F.bit_count("mask").cast("long").alias("active_days")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def _hexv_sql(salt: str, col: str, ndigits: int = 15) -> str:
+    """DuckDB mirror of conv(substring(md5(salt||col), 1, ndigits), 16, 10)
+    as exact BIGINT arithmetic (powers up to 16^(ndigits-1) stay under
+    2^63 for ndigits <= 15)."""
+    hx = f"md5('{salt}' || CAST({col} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (ndigits - 1 - i)} AS BIGINT)"
+        for i in range(ndigits)
+    )
+    return f"({terms})"
+
+
+@query(
+    "q191_weighted_reservoir",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ({_hexv_sql("res:", "doc_id")} + 1)
+               / CAST({1 << 60} AS DOUBLE) AS u
+      FROM documents),
+    k AS (SELECT doc_id, lang, n_chars,
+                 ln(u) / n_chars AS key
+          FROM h WHERE n_chars > 0),
+    r AS (SELECT doc_id, lang, n_chars, key,
+                 row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round(key, 9) AS sel_key
+    FROM r WHERE rk <= 25
+    """,
+)
+def q191_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each doc draws a deterministic uniform u from md5 and ranks by
+    ln(u)/weight — the top-k ARE a weighted sample without replacement,
+    and the same k items are chosen on any engine/partitioning/cluster.
+    The distributed-sampling primitive behind "pick 25 docs ∝ length".
+    Spark side is a TakeOrderedAndProject top-25 (no global window); the
+    only libm call is one ln per row, and selection flips only if two
+    keys collide within an ulp (disjoint md5 draws — never observed)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").cast("long"), key.alias("key"))
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(25)
+        .select("doc_id", "lang", "n_chars", F.round("key", 9).alias("sel_key"))
+    )
+
+
+@query(
+    "q192_categorical_mi",
+    """
+    WITH jt AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS nij
+                FROM documents GROUP BY 1, 2),
+    tot AS (SELECT sum(nij) AS n FROM jt),
+    ml AS (SELECT lang, sum(nij) AS ni FROM jt GROUP BY lang),
+    ms AS (SELECT source, sum(nij) AS nj FROM jt GROUP BY source),
+    terms AS (
+      SELECT jt.nij, ml.ni, ms.nj, tot.n
+      FROM jt JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot)
+    SELECT CAST(any_value(n) AS BIGINT)                             AS n_docs,
+           round(sum((nij / n) * ln(nij * n / (ni * nj))), 6)       AS mi,
+           round((SELECT -sum((ni / t.n) * ln(ni / t.n))
+                  FROM ml CROSS JOIN tot t), 6)                     AS h_lang,
+           round((SELECT -sum((nj / t.n) * ln(nj / t.n))
+                  FROM ms CROSS JOIN tot t), 6)                     AS h_source,
+           round(sum((nij / n) * ln(nij * n / (ni * nj)))
+                 / sqrt((SELECT -sum((ni / t.n) * ln(ni / t.n))
+                         FROM ml CROSS JOIN tot t)
+                        * (SELECT -sum((nj / t.n) * ln(nj / t.n))
+                           FROM ms CROSS JOIN tot t)), 6)           AS nmi
+    FROM terms
+    """,
+)
+def q192_categorical_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang ×
+    source) with marginal entropies and normalized MI — the dependence
+    audit a data profiler runs before treating columns as independent
+    strata. One |lang×source|-sized contingency aggregate; marginals and
+    totals are re-aggregates of that tiny frame; everything after is
+    metadata-sized."""
+    d = load(spark, sf_dir, "documents")
+    jt = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("nij")
+    )
+    tot = jt.agg(F.sum("nij").alias("n"))
+    ml = jt.groupBy("lang").agg(F.sum("nij").alias("ni"))
+    ms = jt.groupBy("source").agg(F.sum("nij").alias("nj"))
+    terms = (
+        jt.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = F.sum(
+        (F.col("nij") / F.col("n"))
+        * F.log(F.col("nij") * F.col("n") / (F.col("ni") * F.col("nj")))
+    )
+    hl = ml.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("ni") / F.col("n")) * F.log(F.col("ni") / F.col("n"))))
+        .alias("h_lang")
+    )
+    hs = ms.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nj") / F.col("n")) * F.log(F.col("nj") / F.col("n"))))
+        .alias("h_source")
+    )
+    agg = terms.agg(
+        F.any_value("n").cast("long").alias("n_docs"), mi.alias("_mi")
+    )
+    return (
+        agg.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "n_docs",
+            F.round("_mi", 6).alias("mi"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round(
+                F.col("_mi") / F.sqrt(F.col("h_lang") * F.col("h_source")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "q193_benford_audit",
+    """
+    WITH fd AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM fd GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM obs)
+    SELECT digit, n_obs,
+           round(n_obs / n, 6)                          AS obs_share,
+           round(ln(1 + 1.0 / digit) / ln(10), 6)       AS benford_share,
+           round((n_obs - n * (ln(1 + 1.0 / digit) / ln(10)))
+                 * (n_obs - n * (ln(1 + 1.0 / digit) / ln(10)))
+                 / (n * (ln(1 + 1.0 / digit) / ln(10))), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q193_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the fraud /
+    synthetic-data smell test: observed first-digit shares vs the
+    log-law expectation with per-digit χ² contributions. The digit
+    extraction is arithmetic (floor(x/10^⌊log10 x⌋) — no locale-
+    dependent string formatting), one 9-row aggregate, everything else
+    metadata-sized."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    obs = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("double").alias("n"))
+    p = F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    dev = F.col("n_obs") - F.col("n") * p
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_share"),
+        F.round(p, 6).alias("benford_share"),
+        F.round(dev * dev / (F.col("n") * p), 6).alias("chi2_term"),
+    )
+
+
+@query(
+    "q194_frequent_triples",
+    """
+    WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem
+                 GROUP BY l_orderkey, l_partkey),
+    tri AS (
+      -- pure equi-joins + WHERE: a mixed (equi AND inequality) ON
+      -- clause referencing the middle table sent DuckDB into a
+      -- nested-loop plan (457 s at sf0.01; this form runs in ~6 s)
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
+      FROM bsk a
+      JOIN bsk b ON a.l_orderkey = b.l_orderkey
+      JOIN bsk c ON b.l_orderkey = c.l_orderkey
+      WHERE a.l_partkey < b.l_partkey AND b.l_partkey < c.l_partkey
+    ),
+    cnt AS (SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support
+            FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+    SELECT p1, p2, p3, support
+    FROM cnt ORDER BY support DESC, p1, p2, p3 LIMIT 10
+    """,
+)
+def q194_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (the Apriori step past
+    q151's pairs): per-basket ordered triples via a double self-join on
+    the distinct basket frame — C(basket,3) rows per basket, bounded by
+    TPC-H's ~7-line orders (cap baskets or pre-prune by frequent pairs
+    when baskets are unbounded); map-side-combined support counts and a
+    TakeOrdered top-10."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    tri = (
+        b.alias("a")
+        .join(b.alias("b2"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b2.l_partkey"))
+        .join(b.alias("c"), "l_orderkey")
+        .filter(F.col("b2.l_partkey") < F.col("c.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b2.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+    )
+    cnt = (
+        tri.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return cnt.orderBy(
+        F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3")
+    ).limit(10)
+
+
+@query(
+    "q195_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate)                         AS r_raw,
+             CAST(count(*) AS BIGINT)                 AS f_raw,
+             round(sum(o_totalprice), 4)              AS m_raw
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT o_custkey, m_raw,
+             ntile(5) OVER (ORDER BY r_raw, o_custkey)  AS r,
+             ntile(5) OVER (ORDER BY f_raw, o_custkey)  AS f,
+             ntile(5) OVER (ORDER BY m_raw, o_custkey)  AS m
+      FROM rfm)
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT)  AS segment,
+           CAST(count(*) AS BIGINT)              AS n_customers,
+           round(avg(m_raw), 4)                  AS avg_monetary
+    FROM t GROUP BY 1
+    """,
+)
+def q195_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (1 = worst, 5 = best) composed into the classic 111–555 segment
+    code, with size and average monetary value per segment. Each
+    quintile is the exact ntile(5) derived from the DISTRIBUTED rank
+    frame (three group_ranked passes over the customer-sized RFM frame,
+    joined back by key — no SinglePartition window; ties broken by
+    custkey so both engines bucket identically)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r_raw"),
+        F.count(F.lit(1)).cast("long").alias("f_raw"),
+        F.round(F.sum("o_totalprice"), 4).alias("m_raw"),
+    )
+
+    def quint(col, out):
+        r = group_ranked(
+            rfm.select("o_custkey", col),
+            [],
+            F.col(col).cast("double")
+            if col != "r_raw"
+            else F.col(col).cast("timestamp").cast("double"),
+            tiebreak=["o_custkey"],
+        )
+        return r.select(
+            "o_custkey", _ntile_from_rank(F.col("_rn"), F.col("_n"), 5).alias(out)
+        )
+
+    t = (
+        rfm.join(quint("r_raw", "r"), "o_custkey")
+        .join(quint("f_raw", "f"), "o_custkey")
+        .join(quint("m_raw", "m"), "o_custkey")
+    )
+    return t.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("m_raw"), 4).alias("avg_monetary"),
+    )
