@@ -8819,3 +8819,273 @@ def q195_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.avg("m_raw"), 4).alias("avg_monetary"),
     )
+
+
+@query(
+    "q196_decayed_engagement",
+    """
+    WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0
+                FROM events),
+    e AS (SELECT event_type,
+                 value,
+                 d0 - (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS age_d
+          FROM events CROSS JOIN mx WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                            AS n,
+           round(sum(value), 4)                                AS raw_sum,
+           round(sum(value * power(2.0, -age_d / 7.0)), 4)     AS decayed_sum,
+           round(sum(value * power(2.0, -age_d / 7.0))
+                 / sum(value), 6)                              AS freshness
+    FROM e GROUP BY event_type
+    """,
+)
+def q196_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed aggregation (half-life 7 days, anchored at the
+    dataset's max day so the result is reproducible): decayed engagement
+    per event type plus a freshness ratio — the recency weighting every
+    ranking/trending feature store computes. Age is integer day
+    arithmetic; the anchor is a one-row broadcast; the decay is a single
+    pow per row inside codegen — one partial-agg pass."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    day = F.expr("(ts div 1000000000) div 86400")
+    mx = e.agg(F.max(day).alias("d0"))
+    j = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "value",
+        (F.col("d0") - day).alias("age_d"),
+    )
+    w = F.pow(F.lit(2.0), -F.col("age_d") / F.lit(7.0))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("raw_sum"),
+        F.round(F.sum(F.col("value") * w), 4).alias("decayed_sum"),
+        F.round(F.sum(F.col("value") * w) / F.sum("value"), 6).alias(
+            "freshness"
+        ),
+    )
+
+
+@query(
+    "q197_dau_mau_stickiness",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+               FROM events),
+    w AS (SELECT user_id, day, day // 7 AS week FROM d),
+    dau AS (SELECT week, day, CAST(count(*) AS BIGINT) AS n_day
+            FROM w GROUP BY 1, 2),
+    avg_dau AS (SELECT week, avg(n_day) AS a FROM dau GROUP BY week),
+    mau AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_week
+            FROM w GROUP BY week)
+    SELECT mau.week AS week,
+           round(avg_dau.a, 4)          AS avg_dau,
+           mau.n_week                   AS wau,
+           round(avg_dau.a / mau.n_week, 6) AS stickiness
+    FROM mau JOIN avg_dau ON avg_dau.week = mau.week
+    """,
+)
+def q197_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — the engagement-intensity ratio
+    (avg daily actives over weekly actives) every growth dashboard
+    tracks. Distinct (user, day) is the only data-sized shuffle; daily
+    and weekly rollups are re-aggregates of that frame; integer epoch
+    arithmetic end to end."""
+    e = load_events(spark, sf_dir)
+    d = e.select(
+        "user_id", F.expr("(ts div 1000000000) div 86400").alias("day")
+    ).distinct()
+    w = d.withColumn("week", F.expr("day div 7"))
+    dau = w.groupBy("week", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_day")
+    )
+    avg_dau = dau.groupBy("week").agg(F.avg("n_day").alias("a"))
+    mau = w.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return mau.join(avg_dau, "week").select(
+        "week",
+        F.round("a", 4).alias("avg_dau"),
+        "wau",
+        F.round(F.col("a") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+@query(
+    "q198_churn_gap_outliers",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders),
+    g AS (
+      SELECT o_custkey,
+             day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS gap
+      FROM (SELECT DISTINCT o_custkey, day FROM o)),
+    gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+    st AS (SELECT o_custkey,
+                  CAST(count(*) AS BIGINT) AS n_gaps,
+                  max(gap) AS max_gap,
+                  avg(gap) AS avg_gap
+           FROM gg GROUP BY 1 HAVING count(*) >= 5)
+    SELECT CAST(count(*) AS BIGINT)                            AS n_customers,
+           CAST(sum(CASE WHEN max_gap > 2 * avg_gap
+                         THEN 1 ELSE 0 END) AS BIGINT)          AS n_irregular,
+           round(avg(max_gap / avg_gap), 6)                     AS avg_burstiness
+    FROM st
+    """,
+)
+def q198_churn_gap_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence irregularity census (the churn-risk screen): per
+    customer with ≥5 inter-order gaps, flag those whose longest silence
+    exceeds 2× their own average — plus the mean burstiness ratio. One
+    (key, time) sort for the lag, then customer-sized aggregates; no
+    cross-customer state."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "(CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT)) div 86400"
+        ).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    g = o.select(
+        "o_custkey", (F.col("day") - F.lag("day").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    st = g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+        F.avg("gap").alias("avg_gap"),
+    ).filter(F.col("n_gaps") >= 5)
+    return st.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum((F.col("max_gap") > 2 * F.col("avg_gap")).cast("long"))
+        .cast("long")
+        .alias("n_irregular"),
+        F.round(F.avg(F.col("max_gap") / F.col("avg_gap")), 6).alias(
+            "avg_burstiness"
+        ),
+    )
+
+
+@query(
+    "q199_doc_keywords",
+    f"""
+    WITH wr AS (SELECT doc_id, list_filter({DK_WORDS}, x -> x <> '') AS w
+                FROM documents),
+    tok AS (SELECT doc_id, w[i] AS t
+            FROM wr, UNNEST(generate_series(1, len(w))) AS s(i)),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tf GROUP BY t),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.t,
+             round(tf.tf * ln((nd.n + 1) / (df.df + 1)), 6) AS tfidf
+      FROM tf JOIN df USING (t) CROSS JOIN nd),
+    r AS (SELECT doc_id, t, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, t) AS rk
+          FROM sc)
+    SELECT doc_id, t AS keyword, tfidf, CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= 3 AND doc_id % 20 = 0
+    """,
+)
+def q199_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (tf · ln((N+1)/(df+1)) — the q68 weighting applied as an extractor),
+    reported for the doc_id % 20 == 0 slice to keep the result
+    result-set-sized. Term/doc frequencies are the standard two count
+    shuffles; the per-doc top-3 is a PARTITIONED rank window
+    (WindowGroupLimit-pruned)."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sc = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "t",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("t"))
+    r = sc.withColumn("rk", F.row_number().over(w)).filter(
+        (F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0)
+    )
+    return r.select(
+        "doc_id",
+        F.col("t").alias("keyword"),
+        "tfidf",
+        F.col("rk").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "q200_multimodal_coverage",
+    """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM documents)   AS n_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM embeddings)  AS n_vecs,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents d
+       JOIN embeddings e ON e.vec_id = d.doc_id)         AS n_matched,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                         WHERE e.vec_id = d.doc_id))     AS docs_unembedded,
+      (SELECT CAST(count(*) AS BIGINT) FROM embeddings e
+       WHERE NOT EXISTS (SELECT 1 FROM documents d
+                         WHERE d.doc_id = e.vec_id))     AS vecs_orphaned,
+      round((SELECT count(*) FROM documents d
+             JOIN embeddings e ON e.vec_id = d.doc_id)
+            / (SELECT CAST(count(*) AS DOUBLE) FROM documents), 6)
+                                                         AS coverage
+    """,
+)
+def q200_multimodal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal completeness audit between the text and vector
+    tables: matched pairs, docs without an embedding, orphaned vectors,
+    and embedding coverage — the consistency gate a multimodal pipeline
+    runs before training (a doc↔vector drift here silently starves the
+    contrastive loss). Two anti-join counts + one semi-join count, all
+    key-only projections."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    nm = d.join(e, d["doc_id"] == e["vec_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    du = d.join(e, d["doc_id"] == e["vec_id"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_unembedded")
+    )
+    vo = e.join(d, d["doc_id"] == e["vec_id"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("vecs_orphaned")
+    )
+    return (
+        nd.crossJoin(ne)
+        .crossJoin(nm)
+        .crossJoin(du)
+        .crossJoin(vo)
+        .select(
+            "*",
+            F.round(
+                F.col("n_matched") / F.col("n_docs").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
