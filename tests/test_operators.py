@@ -1861,3 +1861,26 @@ def test_pagerank_star_and_invariants(spark):
     assert abs(sum(rs.values()) - 1.0) < 1e-9          # mass conserved
     assert rs[0] > max(leaves)                          # hub dominates
     assert max(leaves) - min(leaves) < 1e-12            # leaf symmetry
+
+
+@pytest.mark.parametrize("n", [1, 4, 9, 10, 11, 97, 1000])
+@pytest.mark.parametrize("k", [5, 10])
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    """The rank-frame ntile derivation (q92/q181/q195) must equal SQL
+    ntile(k) for every size/tile combination, including n < k."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.plans.queries import _ntile_from_rank
+
+    df = spark.range(n).select(F.col("id"))
+    w = Window.orderBy("id")
+    want = df.select("id", F.ntile(k).over(w).cast("long").alias("t"))
+    got = df.select(
+        "id",
+        _ntile_from_rank(
+            F.row_number().over(w), F.lit(n).cast("long"), k
+        ).alias("t"),
+    )
+    assert {(r["id"], r["t"]) for r in want.collect()} == {
+        (r["id"], r["t"]) for r in got.collect()
+    }
