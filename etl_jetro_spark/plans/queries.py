@@ -9089,3 +9089,371 @@ def q200_multimodal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 18. Round-5 wave 5: OLAP rollup, funnel, HLL, fuzzy join, interval overlap
+# --------------------------------------------------------------------------
+
+@query(
+    "q201_revenue_rollup",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
+           round(sum(o_totalprice), 4) AS revenue,
+           CAST(count(*) AS BIGINT)    AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q201_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue cube: region -> nation -> grand total in ONE
+    pass via ``rollup`` (Spark expands grouping sets inside a single
+    Expand+partial-agg — no per-level rescans). Dimension tables are
+    broadcast (region 5 / nation 25 rows); the only shuffle is the
+    post-Expand aggregation keyed on (r_name, n_name, gid). ``lvl`` is
+    derived from explicit GROUPING() bits so the bitmask convention
+    can't drift between engines."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            (2 * F.grouping("r_name") + F.grouping("n_name"))
+            .cast("long")
+            .alias("lvl"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "lvl",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "q202_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel,
+           round((SELECT count(*) FROM c)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM v), 6) AS click_rate,
+           round((SELECT count(*) FROM p)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM c), 6) AS purchase_rate
+    """,
+)
+def q202_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): a user
+    advances a stage only with a strictly LATER event of the next type —
+    the sequential constraint that separates funnels from mere type
+    counts. Each stage is a per-user min-aggregate joined to the prior
+    stage's frame; stage frames shrink monotonically and are
+    user-cardinality-sized (broadcast-friendly), so the corpus-scale
+    events table is scanned with a type filter and never self-joined
+    row-to-row."""
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nu = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel"))
+    return (
+        nu.crossJoin(nv)
+        .crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "*",
+            F.round(
+                F.col("n_view_click") / F.col("n_view").cast("double"), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_full_funnel") / F.col("n_view_click").cast("double"),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+# HLL constants shared by q203 and its oracle: p=8 -> m=256 registers,
+# 32-bit md5-prefix hash (bottom 8 bits bucket, top 24 bits rho source),
+# alpha_256 = 0.7213 / (1 + 1.079/256).
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
+
+@query(
+    "q203_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_dk_hex8("md5('hll:' || CAST(user_id AS VARCHAR))")} AS hv
+      FROM events
+    ),
+    bw AS (SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h),
+    regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS m
+      FROM bw GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)     AS n_occupied,
+             sum(power(2.0, -m))          AS s_occ
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, n_occupied,
+             256 - n_occupied AS v,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0
+               / (s_occ + (256 - n_occupied)) AS e_raw
+      FROM s
+    ),
+    fin AS (
+      SELECT event_type, n_occupied,
+             CASE WHEN e_raw <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS e
+      FROM est
+    ),
+    ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv
+           FROM events GROUP BY event_type)
+    SELECT f.event_type, ex.exact_ndv, f.n_occupied,
+           round(f.e, 4) AS hll_estimate,
+           (abs(f.e - ex.exact_ndv) / ex.exact_ndv) <= 0.15 AS within_bound
+    FROM fin f JOIN ex ON ex.event_type = f.event_type
+    """,
+)
+def q203_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type (p=8, m=256
+    registers, Flajolet et al. 2007 with the small-range linear-counting
+    correction), checked against the exact NDV with a 15%% accuracy
+    gate. The sketch is ONE partial-aggregable shuffle on
+    (event_type, bucket) — at 100 TB the max-merge combines map-side, so
+    the reduce moves at most groups x 256 rows — versus the full
+    key-shuffle an exact countDistinct costs. Hash = first 8 md5 hex
+    digits (the repo's engine-portable 32-bit hash); rho via binary
+    digit length, no floats until the final estimate."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bw = e.select(
+        "event_type",
+        (hv % 256).alias("bucket"),
+        (hv / F.lit(256)).cast("long").alias("w"),
+    )
+    regs = bw.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(25)).otherwise(
+                25 - F.length(F.bin(F.col("w")))
+            )
+        ).alias("m")
+    )
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_occ"),
+    )
+    est = s.select(
+        "event_type",
+        "n_occupied",
+        (256 - F.col("n_occupied")).alias("v"),
+        (
+            F.lit(_HLL_ALPHA)
+            * 65536.0
+            / (F.col("s_occ") + (256 - F.col("n_occupied")))
+        ).alias("e_raw"),
+    )
+    fin = est.select(
+        "event_type",
+        "n_occupied",
+        F.when(
+            (F.col("e_raw") <= 640.0) & (F.col("v") > 0),
+            256.0 * F.log(256.0 / F.col("v")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_ndv")
+    )
+    return fin.join(ex, "event_type").select(
+        "event_type",
+        "exact_ndv",
+        "n_occupied",
+        F.round(F.col("e"), 4).alias("hll_estimate"),
+        (
+            F.abs(F.col("e") - F.col("exact_ndv")) / F.col("exact_ndv")
+            <= 0.15
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "q204_fuzzy_token_join",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT t FROM (
+        SELECT unnest({DK_WORDS}) AS t FROM documents
+        UNION ALL
+        SELECT unnest(string_split(lower(p_name), ' ')) FROM part
+        UNION ALL
+        SELECT unnest(string_split(lower(p_type), ' ')) FROM part
+        UNION ALL
+        SELECT lower(p_brand) FROM part
+      ) WHERE len(t) >= 3
+    ),
+    vars AS (
+      SELECT t, unnest(list_distinct(list_prepend(t,
+               list_transform(generate_series(1, len(t)),
+                 i -> substr(t, 1, i - 1) || substr(t, i + 1, len(t) - i))
+             ))) AS v
+      FROM toks
+    )
+    SELECT DISTINCT a.t AS tok_a, b.t AS tok_b
+    FROM vars a JOIN vars b ON a.v = b.v AND a.t < b.t
+    WHERE levenshtein(a.t, b.t) = 1
+    """,
+)
+def q204_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy self-join over the corpus vocabulary via
+    SymSpell deletion-neighborhood blocking: each token joins on
+    {{token}} ∪ {{all length-1 deletions}}, which provably covers every
+    insert/delete/substitute pair, then exact ``levenshtein`` verifies.
+    Candidates are O(n·len) instead of the O(n²) all-pairs a naive
+    fuzzy join costs — the only join is a hash equi-join on the variant
+    string. At 100 TB vocab scale a hot variant (shared prefix family)
+    caps via the same ``dedup.capped_index`` route the shingle joins
+    use; at this vocabulary it is unnecessary."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    p = load(spark, sf_dir, "part")
+    toks = (
+        d.select(F.explode(F.split(norm_text("text"), " ")).alias("t"))
+        .unionAll(
+            p.select(F.explode(F.split(F.lower("p_name"), " ")).alias("t"))
+        )
+        .unionAll(
+            p.select(F.explode(F.split(F.lower("p_type"), " ")).alias("t"))
+        )
+        .unionAll(p.select(F.lower("p_brand").alias("t")))
+        .filter(F.length("t") >= 3)
+        .distinct()
+    )
+    variants = toks.select(
+        "t",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(t),"
+                " transform(sequence(1, length(t)),"
+                " i -> concat(substring(t, 1, i - 1),"
+                " substring(t, i + 1, length(t) - i)))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("tok_a"), F.col("b.t").alias("tok_b"))
+        .distinct()
+        .filter(F.levenshtein("tok_a", "tok_b") == 1)
+    )
+
+
+@query(
+    "q205_event_concurrency",
+    """
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    b AS (SELECT unnest(generate_series(s // 600, (s + 3599) // 600)) AS bk
+          FROM e),
+    c AS (SELECT bk, CAST(count(*) AS BIGINT) AS conc FROM b GROUP BY bk)
+    SELECT DATE '1970-01-01' + CAST((bk * 600) // 86400 AS INTEGER) AS day,
+           CAST(max(conc) AS BIGINT)    AS peak_concurrency,
+           round(avg(conc), 4)          AS avg_concurrency,
+           CAST(count(*) AS BIGINT)     AS n_buckets
+    FROM c GROUP BY 1
+    """,
+)
+def q205_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session profile: every event is active for a fixed
+    1-hour window; per 10-minute grid bucket, how many events overlap,
+    rolled up to daily peak/mean concurrency. Interval overlap against a
+    fixed-length window needs NO range theta-join: each event expands to
+    its ≤7 covered buckets (bounded fanout — pure integer arithmetic on
+    epoch seconds), and overlap counting becomes one equi-shuffle on the
+    bucket id. This is the scale-correct plan shape for any
+    bounded-length interval join; an unbounded interval would instead
+    bucket by interval END with per-bucket start replication."""
+    e = load_events(spark, sf_dir).select(
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s")
+    )
+    b = e.select(
+        F.explode(
+            F.sequence(
+                F.expr("s div 600"), F.expr("(s + 3599) div 600")
+            )
+        ).alias("bk")
+    )
+    c = b.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("conc"))
+    return (
+        c.groupBy(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.expr("cast((bk * 600) div 86400 as int)"),
+            ).alias("day")
+        )
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrency"),
+            F.round(F.avg("conc"), 4).alias("avg_concurrency"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+    )
