@@ -9457,3 +9457,460 @@ def q205_event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
         )
     )
+
+
+@query(
+    "q206_trigram_search",
+    f"""
+    WITH pats(pattern) AS (VALUES ('fast merge'), ('slow scan'),
+                                  ('hash join'), ('sort merge'), ('spark sql')),
+    ptri AS (
+      SELECT pattern, unnest(list_distinct(list_transform(
+               generate_series(1, len(pattern) - 2),
+               i -> substr(pattern, i, 3)))) AS tri
+      FROM pats
+    ),
+    pn AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_tri
+           FROM ptri GROUP BY pattern),
+    d AS (SELECT doc_id, {DK_NORM_TEXT} AS nt FROM documents),
+    dtri AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(nt) - 2),
+               i -> substr(nt, i, 3)))) AS tri
+      FROM d WHERE len(nt) >= 3
+    ),
+    cand AS (
+      SELECT p.pattern, t.doc_id, count(*) AS c
+      FROM dtri t JOIN ptri p ON p.tri = t.tri
+      GROUP BY p.pattern, t.doc_id
+    ),
+    covered AS (
+      SELECT c.pattern, c.doc_id
+      FROM cand c JOIN pn ON pn.pattern = c.pattern
+      WHERE c.c = pn.n_tri
+    ),
+    ver AS (
+      SELECT f.pattern,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN contains(d.nt, f.pattern)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      FROM covered f JOIN d ON d.doc_id = f.doc_id
+      GROUP BY f.pattern
+    )
+    SELECT p.pattern,
+           coalesce(v.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+           coalesce(v.n_matched, CAST(0 AS BIGINT))    AS n_matched
+    FROM pats p LEFT JOIN ver v ON v.pattern = p.pattern
+    """,
+)
+def q206_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal substring search served from a TRIGRAM INDEX (the
+    pg_trgm / code-search design): a doc is a candidate only if its
+    distinct-trigram set covers every trigram of the pattern, then the
+    survivors are verified with one exact ``contains``. At 100 TB the
+    posting list (trigram -> doc) is the only corpus-scale frame, the
+    pattern side is broadcast, and verification touches candidate docs
+    only — a LIKE '%pat%' full scan never happens. Includes a zero-hit
+    pattern to pin the empty-posting edge."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    pats = spark.createDataFrame(
+        [("fast merge",), ("slow scan",), ("hash join",),
+         ("sort merge",), ("spark sql",)],
+        ["pattern"],
+    )
+    tri = (
+        "array_distinct(transform(sequence(1, length({c}) - 2),"
+        " i -> substring({c}, i, 3)))"
+    )
+    ptri = pats.select(
+        "pattern", F.explode(F.expr(tri.format(c="pattern"))).alias("tri")
+    )
+    pn = ptri.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", norm_text("text").alias("nt")
+    )
+    dtri = d.filter(F.length("nt") >= 3).select(
+        "doc_id", F.explode(F.expr(tri.format(c="nt"))).alias("tri")
+    )
+    cand = (
+        dtri.join(F.broadcast(ptri), "tri")
+        .groupBy("pattern", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(pn), "pattern")
+        .filter(F.col("c") == F.col("n_tri"))
+    )
+    ver = (
+        cand.join(d, "doc_id")
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("nt").contains(F.col("pattern")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+    )
+    return pats.join(ver, "pattern", "left").select(
+        "pattern",
+        F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+            "n_candidates"
+        ),
+        F.coalesce("n_matched", F.lit(0).cast("long")).alias("n_matched"),
+    )
+
+
+@query(
+    "q207_sparse_cosine_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.t AS term
+      FROM (SELECT doc_id, {DK_WORDS} AS w FROM documents) d,
+           UNNEST(w) AS t(t)
+      WHERE t.t <> ''
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term, dfreq.df,
+             tf.tf * ln((nd.n + 1) / (dfreq.df + 1)) AS wt
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nn FROM w GROUP BY doc_id),
+    u AS (
+      SELECT w.doc_id, w.term, w.wt / nrm.nn AS uw
+      FROM w JOIN nrm USING (doc_id)
+      WHERE w.df <= 100 AND nrm.nn > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(sum(a.uw * b.uw), 4) AS cosine
+      FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5
+    """,
+)
+def q207_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs through an inverted-index
+    join: per-doc L2-normalized smoothed tf-idf vectors, pair partial
+    products generated ONLY for docs sharing a term, with the q110-style
+    document-frequency cap (df <= 100) keeping hot terms out of the
+    pair join — stopword-ish terms contribute ~0 cosine mass but
+    quadratic pair volume, so the cap is both a speed and a relevance
+    filter. Norms are computed over the FULL vector before capping, so
+    reported cosines are true upper-bounded partial cosines. The
+    threshold compares the ROUNDED sum so engine-order float noise
+    cannot flip boundary pairs."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1))
+            ).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nn")
+    )
+    u = (
+        w.join(nrm, "doc_id")
+        .filter((F.col("df") <= 100) & (F.col("nn") > 0))
+        .select("doc_id", "term", (F.col("wt") / F.col("nn")).alias("uw"))
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.round(F.sum(F.col("a.uw") * F.col("b.uw")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+@query(
+    "q208_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, s,
+             CASE WHEN lag(s) OVER w IS NULL
+                       OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    sid AS (
+      SELECT user_id, s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    per_sess AS (
+      SELECT user_id, sess,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(s) - min(s)          AS dur_s
+      FROM sid GROUP BY user_id, sess
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(avg(n_events), 4)   AS avg_session_events,
+           round(avg(dur_s), 4)      AS avg_session_dur_s,
+           CAST(max(dur_s) AS BIGINT) AS max_session_dur_s
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def q208_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30-minute rule): a session breaks
+    where the per-user gap exceeds 1800 s; session ids are the running
+    sum of break flags. Both windows are PARTITIONED by user (never
+    global, WGL-safe ordering with an event_id tiebreak for determinism
+    on same-second events), so the shuffle is one hash exchange on
+    user_id and each user's timeline sorts locally — the batch mirror of
+    the streaming session-window operator. Timestamps are floored to
+    whole epoch seconds on both engines before any arithmetic."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | ((F.col("s") - F.lag("s").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sid = g.withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sid.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("s") - F.min("s")).alias("dur_s"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        F.round(F.avg("dur_s"), 4).alias("avg_session_dur_s"),
+        F.max("dur_s").cast("long").alias("max_session_dur_s"),
+    )
+
+
+@query(
+    "q209_jackknife_ci",
+    f"""
+    WITH b AS (
+      SELECT {_hexb_sql("jk:", "o_orderkey", 50)} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             sum(o_totalprice)        AS s_b
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, sum(s_b) AS s,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM b),
+    loo AS (
+      SELECT (tot.s - b.s_b) / (tot.n - b.n_b) AS m_i
+      FROM b CROSS JOIN tot
+    ),
+    jk AS (
+      SELECT avg(m_i) AS m_bar,
+             sum((m_i - (SELECT avg(m_i) FROM loo))
+                 * (m_i - (SELECT avg(m_i) FROM loo))) AS ss
+      FROM loo
+    )
+    SELECT tot.n,
+           CAST(tot.nb AS BIGINT)                          AS n_buckets,
+           round(tot.s / tot.n, 4)                         AS mean,
+           round(sqrt((tot.nb - 1.0) / tot.nb * jk.ss), 4) AS jackknife_se,
+           round(tot.s / tot.n
+                 - 1.96 * sqrt((tot.nb - 1.0) / tot.nb * jk.ss), 4) AS ci_lo,
+           round(tot.s / tot.n
+                 + 1.96 * sqrt((tot.nb - 1.0) / tot.nb * jk.ss), 4) AS ci_hi
+    FROM tot CROSS JOIN jk
+    """,
+)
+def q209_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error and 95% CI for mean
+    order value over 50 deterministic md5 hash buckets — the
+    resampling-free way to put an error bar on a 100 TB mean: one
+    partial-agg pass builds the 50 (count, sum) bucket moments, and
+    everything after is arithmetic on a 50-row frame. No bootstrap
+    replicate ever rescans the data, and the hash bucketing makes the
+    CI bit-reproducible across engines and partitionings."""
+    from etl_jetro_spark.operators.sampling import hash_bucket
+
+    o = load(spark, sf_dir, "orders")
+    b = o.groupBy(
+        hash_bucket("o_orderkey", 50, "jk:").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("o_totalprice").alias("s_b"),
+    )
+    tot = b.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("s_b").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        ((F.col("s") - F.col("s_b")) / (F.col("n") - F.col("n_b"))).alias(
+            "m_i"
+        )
+    )
+    mbar = loo.agg(F.avg("m_i").alias("m_bar"))
+    jk = (
+        loo.crossJoin(F.broadcast(mbar))
+        .agg(
+            F.sum(
+                (F.col("m_i") - F.col("m_bar"))
+                * (F.col("m_i") - F.col("m_bar"))
+            ).alias("ss")
+        )
+    )
+    se = F.sqrt((F.col("nb") - 1.0) / F.col("nb") * F.col("ss"))
+    return (
+        tot.crossJoin(jk)
+        .select(
+            "n",
+            F.col("nb").alias("n_buckets"),
+            F.round(F.col("s") / F.col("n"), 4).alias("mean"),
+            F.round(se, 4).alias("jackknife_se"),
+            F.round(F.col("s") / F.col("n") - 1.96 * se, 4).alias("ci_lo"),
+            F.round(F.col("s") / F.col("n") + 1.96 * se, 4).alias("ci_hi"),
+        )
+    )
+
+
+@query(
+    "q210_table_digest",
+    f"""
+    WITH oh AS (
+      SELECT {_dk_hex8("md5('dig:' || CAST(o_orderkey AS VARCHAR))")} AS h,
+             o_orderkey AS k
+      FROM orders
+    ),
+    od AS (
+      SELECT h % 32 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(h) AS BIGINT)   AS orders_checksum,
+             CAST(min(k) AS BIGINT)   AS min_key,
+             CAST(max(k) AS BIGINT)   AS max_key
+      FROM oh GROUP BY 1
+    ),
+    lh AS (
+      SELECT {_dk_hex8("md5('dig:' || CAST(k AS VARCHAR))")} AS h
+      FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+    ),
+    ld AS (
+      SELECT h % 32 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_line_orders,
+             CAST(sum(h) AS BIGINT)   AS line_checksum
+      FROM lh GROUP BY 1
+    )
+    SELECT CAST(od.bucket AS BIGINT) AS bucket,
+           od.n_orders, od.orders_checksum, od.min_key, od.max_key,
+           coalesce(ld.n_line_orders, CAST(0 AS BIGINT)) AS n_line_orders,
+           coalesce(ld.line_checksum, CAST(0 AS BIGINT)) AS line_checksum,
+           od.orders_checksum = coalesce(ld.line_checksum, CAST(0 AS BIGINT))
+             AS consistent
+    FROM od LEFT JOIN ld ON ld.bucket = od.bucket
+    """,
+)
+def q210_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-leaf table digest for cross-replica verification: each key
+    hashes to a 32-bit value, buckets carry (count, additive checksum,
+    key range), and two independent derivations of the same key set —
+    the orders table vs the DISTINCT orderkeys observed in lineitem —
+    are compared bucket-by-bucket. A mismatched bucket localizes drift
+    to 1/32 of the keyspace without ever moving keys: the digest is one
+    partial-aggregable shuffle per side (sum/count/min/max all combine
+    map-side), which is how 100 TB replicas are reconciled in practice.
+    Buckets where the key sets differ (orders with no lineitems) show
+    as consistent=false with the count delta."""
+    from etl_jetro_spark.functions.hashing import norm_text  # noqa: F401
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def h32(c):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dig:"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    oh = o.select(
+        h32(F.col("o_orderkey")).alias("h"), F.col("o_orderkey").alias("k")
+    )
+    od = oh.groupBy((F.col("h") % 32).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("h").cast("long").alias("orders_checksum"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+    lh = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .select(h32(F.col("k")).alias("h"))
+    )
+    ld = lh.groupBy((F.col("h") % 32).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_line_orders"),
+        F.sum("h").cast("long").alias("line_checksum"),
+    )
+    return (
+        od.join(ld, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_orders",
+            "orders_checksum",
+            "min_key",
+            "max_key",
+            F.coalesce("n_line_orders", F.lit(0).cast("long")).alias(
+                "n_line_orders"
+            ),
+            F.coalesce("line_checksum", F.lit(0).cast("long")).alias(
+                "line_checksum"
+            ),
+            (
+                F.col("orders_checksum")
+                == F.coalesce("line_checksum", F.lit(0).cast("long"))
+            ).alias("consistent"),
+        )
+    )
