@@ -9914,3 +9914,464 @@ def q210_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("consistent"),
         )
     )
+
+
+@query(
+    "q211_item2item_recs",
+    """
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               GROUP BY l_orderkey, l_partkey),
+    supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s
+             FROM b GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS ia, c.l_partkey AS ib,
+             CAST(count(*) AS BIGINT) AS co
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT ia AS item, ib AS rec, co FROM pair
+      UNION ALL
+      SELECT ib AS item, ia AS rec, co FROM pair
+    ),
+    scored AS (
+      SELECT s.item, s.rec,
+             round(s.co / sqrt(sa.s * sb.s), 6) AS score
+      FROM sym s
+      JOIN supp sa ON sa.l_partkey = s.item
+      JOIN supp sb ON sb.l_partkey = s.rec
+    ),
+    ranked AS (
+      SELECT item, rec, score,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY score DESC, rec) AS rk
+      FROM scored
+    )
+    SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
+           score, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q211_item2item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (the classic Amazon i2i
+    shape): basket co-occurrence counts normalized to cosine
+    co / sqrt(supp_a * supp_b), symmetrized, top-3 neighbors per item
+    via a PARTITIONED rank window (WindowGroupLimit-pruned). Pair
+    generation is per-basket (bounded carts — Σk² per order, corpus-
+    size-linear); supports are broadcast-joinable item-cardinality
+    frames. Ranking ties break on the rounded score + item id so both
+    engines pick identical neighbors."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    supp = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("ia"), F.col("y.l_partkey").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    sym = pair.select(
+        F.col("ia").alias("item"), F.col("ib").alias("rec"), "co"
+    ).unionAll(
+        pair.select(F.col("ib").alias("item"), F.col("ia").alias("rec"), "co")
+    )
+    sa = supp.select(F.col("l_partkey").alias("item"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("rec"), F.col("s").alias("sb"))
+    scored = (
+        sym.join(F.broadcast(sa), "item")
+        .join(F.broadcast(sb), "rec")
+        .select(
+            "item",
+            "rec",
+            F.round(
+                F.col("co") / F.sqrt(F.col("sa") * F.col("sb")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("score"), F.asc("rec"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("item").cast("long"),
+            F.col("rec").cast("long"),
+            "score",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+@query(
+    "q212_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags(lag_d) AS (VALUES (1), (7), (30))
+    SELECT CAST(l.lag_d AS BIGINT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.rev, b.rev), 6) AS autocorr
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.d = a.d + CAST(l.lag_d AS INTEGER)
+    GROUP BY l.lag_d
+    """,
+)
+def q212_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily revenue series (k = 1, 7, 30
+    days — persistence, weekly and monthly seasonality): the series is
+    paired with its shifted self by an equi-join on the shifted DATE
+    (gap-robust — calendar holes pair nothing, unlike a row-offset lag
+    which silently spans gaps), and Pearson r comes from the engines'
+    corr aggregate. The daily frame is date-NDV-sized, so the 3-lag
+    expansion and joins are metadata-scale regardless of corpus size."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    lags = spark.createDataFrame([(1,), (7,), (30,)], ["lag_d"])
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("b.d")
+            == F.expr("date_add(a.d, cast(lag_d as int))"),
+        )
+        .groupBy(F.col("lag_d").cast("long").alias("lag_days"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("a.rev", "b.rev"), 6).alias("autocorr"),
+        )
+    )
+
+
+@query(
+    "q213_ks_test",
+    """
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hi
+      FROM orders
+    ),
+    c AS (
+      SELECT v,
+             CAST(sum(hi) AS BIGINT)     AS c_a,
+             CAST(sum(1 - hi) AS BIGINT) AS c_b
+      FROM t GROUP BY v
+    ),
+    cum AS (
+      SELECT sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM c
+    ),
+    tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+                   CAST(sum(c_b) AS BIGINT) AS nb FROM c)
+    SELECT tot.na AS n_high, tot.nb AS n_low,
+           round(max(abs(cum.ca / CAST(tot.na AS DOUBLE)
+                         - cum.cb / CAST(tot.nb AS DOUBLE))), 6) AS ks_stat,
+           round(1.36 * sqrt((tot.na + tot.nb)
+                             / (CAST(tot.na AS DOUBLE) * tot.nb)), 6)
+             AS critical_05,
+           max(abs(cum.ca / CAST(tot.na AS DOUBLE)
+                   - cum.cb / CAST(tot.nb AS DOUBLE)))
+             > 1.36 * sqrt((tot.na + tot.nb)
+                           / (CAST(tot.na AS DOUBLE) * tot.nb)) AS reject_05
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def q213_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between high- and low-priority
+    order values: D = max |F_hi(v) - F_lo(v)| over the pooled support,
+    against the 5% asymptotic critical value. The cumulative counts are
+    a DISTRIBUTED prefix sum (the group_ranked idiom): per-value counts
+    range-partition by value, each partition cumsums locally, and
+    per-partition totals — a bounded nparts-row frame — provide the
+    offsets, so no global window ever sees a data-scale frame. All
+    cumulative quantities are exact integers; floats appear only in the
+    final ratio, making D bit-identical across engines."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+    )
+    c = t.groupBy("v").agg(
+        F.sum("hi").cast("long").alias("c_a"),
+        F.sum(1 - F.col("hi")).cast("long").alias("c_b"),
+    )
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    base = (
+        c.repartitionByRange(nparts, "v")
+        .sortWithinPartitions("v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = base.select(
+        "_pid",
+        F.sum("c_a").over(wl).alias("la"),
+        F.sum("c_b").over(wl).alias("lb"),
+    )
+    pidtot = base.groupBy("_pid").agg(
+        F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    off = pidtot.select(
+        "_pid",
+        (F.sum("ta").over(woff) - F.col("ta")).alias("oa"),
+        (F.sum("tb").over(woff) - F.col("tb")).alias("ob"),
+    )
+    tot = c.agg(
+        F.sum("c_a").cast("long").alias("na"),
+        F.sum("c_b").cast("long").alias("nb"),
+    )
+    cum = loc.join(F.broadcast(off), "_pid").select(
+        (F.col("la") + F.col("oa")).alias("ca"),
+        (F.col("lb") + F.col("ob")).alias("cb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("ca") / F.col("na").cast("double")
+            - F.col("cb") / F.col("nb").cast("double")
+        ).alias("d"),
+    )
+    crit = 1.36 * F.sqrt(
+        (F.col("na") + F.col("nb"))
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return d.groupBy(
+        F.col("na").alias("n_high"), F.col("nb").alias("n_low")
+    ).agg(
+        F.round(F.max("d"), 6).alias("ks_stat"),
+        F.round(
+            F.max(
+                1.36
+                * F.sqrt(
+                    (F.col("na") + F.col("nb"))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                )
+            ),
+            6,
+        ).alias("critical_05"),
+        (
+            F.max("d")
+            > F.max(
+                1.36
+                * F.sqrt(
+                    (F.col("na") + F.col("nb"))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                )
+            )
+        ).alias("reject_05"),
+    )
+
+
+@query(
+    "q214_doc_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.t AS term
+      FROM (SELECT doc_id, {DK_WORDS} AS w FROM documents) d,
+           UNNEST(w) AS t(t)
+      WHERE t.t <> ''
+    ),
+    lm AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+    consts AS (SELECT CAST(sum(c) AS DOUBLE) AS big_c,
+                      CAST(count(*) AS DOUBLE) AS v
+               FROM lm),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(-ln((lm.c + 1) / (consts.big_c + consts.v))) / count(*) AS h
+      FROM toks t JOIN lm USING (term) CROSS JOIN consts
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, round(h, 6) AS cross_entropy,
+           round(exp(h), 4) AS perplexity
+    FROM scored WHERE doc_id % 20 = 0
+    """,
+)
+def q214_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus add-1-smoothed unigram
+    LM — the cheap LM-quality filter (CCNet-style) that flags
+    out-of-distribution documents before expensive model scoring. The
+    LM is one term-count shuffle; scoring re-joins tokens to term probs
+    (term-cardinality frame) and reduces per doc. Reported for the
+    doc_id %% 20 == 0 slice (q199's result-sizing convention)."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    consts = lm.agg(
+        F.sum("c").cast("double").alias("big_c"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum(
+                    -F.log(
+                        (F.col("c") + 1) / (F.col("big_c") + F.col("v"))
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("h"),
+        )
+    )
+    return scored.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("h"), 6).alias("cross_entropy"),
+        F.round(F.exp(F.col("h")), 4).alias("perplexity"),
+    )
+
+
+@query(
+    "q215_label_coherence",
+    """
+    WITH e AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY label, i),
+    cnorm AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label),
+    dots AS (
+      SELECT e.vec_id, e.label,
+             sum(e.x * cent.c) AS dot,
+             sqrt(sum(e.x * e.x)) AS vn
+      FROM e JOIN cent ON cent.label = e.label AND cent.i = e.i
+      GROUP BY e.vec_id, e.label
+    ),
+    coh AS (
+      SELECT d.label,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(d.dot / (d.vn * cn.cn)) AS coherence
+      FROM dots d JOIN cnorm cn ON cn.label = d.label
+      GROUP BY d.label
+    ),
+    cpairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             sum(a.c * b.c) AS cdot
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ),
+    sep AS (
+      SELECT p.la AS label,
+             max(p.cdot / (na.cn * nb.cn)) AS max_other_cos
+      FROM cpairs p
+      JOIN cnorm na ON na.label = p.la
+      JOIN cnorm nb ON nb.label = p.lb
+      GROUP BY p.la
+    )
+    SELECT coh.label, coh.n,
+           round(coh.coherence, 6)    AS coherence,
+           round(sep.max_other_cos, 6) AS max_other_cos,
+           coh.coherence > sep.max_other_cos AS separable
+    FROM coh JOIN sep ON sep.label = coh.label
+    """,
+)
+def q215_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster health per label: intra-label coherence
+    (mean cosine of members to their label centroid) vs the worst
+    inter-centroid cosine — the silhouette-style audit run before
+    trusting labels for contrastive training. Centroids reduce via one
+    (label, dim) partial-agg shuffle; members re-join the
+    label-cardinality centroid frame (broadcast); the centroid-pair
+    block is labels², metadata-scale. Vectors never pair with vectors."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+    cent = e.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    dots = (
+        e.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"),
+        )
+    )
+    coh = (
+        dots.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(F.col("dot") / (F.col("vn") * F.col("cn"))).alias(
+                "coherence"
+            ),
+        )
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    cpairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("la"), F.col("b.label").alias("lb")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("cdot"))
+    )
+    na = cnorm.select(F.col("label").alias("la"), F.col("cn").alias("cna"))
+    nb = cnorm.select(F.col("label").alias("lb"), F.col("cn").alias("cnb"))
+    sep = (
+        cpairs.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max(F.col("cdot") / (F.col("cna") * F.col("cnb"))).alias(
+                "max_other_cos"
+            )
+        )
+    )
+    return coh.join(sep, "label").select(
+        "label",
+        "n",
+        F.round("coherence", 6).alias("coherence"),
+        F.round("max_other_cos", 6).alias("max_other_cos"),
+        (F.col("coherence") > F.col("max_other_cos")).alias("separable"),
+    )
