@@ -10375,3 +10375,358 @@ def q215_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_other_cos", 6).alias("max_other_cos"),
         (F.col("coherence") > F.col("max_other_cos")).alias("separable"),
     )
+
+
+@query(
+    "q216_burstiness",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    fano AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_minutes,
+             avg(c)                   AS mean_rate,
+             CASE WHEN count(*) > 1
+                  THEN (sum(c * c) - sum(c) * sum(c) / CAST(count(*) AS DOUBLE))
+                       / (count(*) - 1) / avg(c)
+                  ELSE 0 END AS fano
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n_minutes,
+           round(mean_rate, 6) AS mean_per_min,
+           round(fano, 6)      AS fano_factor,
+           fano > 1.5          AS bursty
+    FROM fano
+    """,
+)
+def q216_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance / mean of per-minute arrival counts; 1 = Poisson,
+    > 1 = bursty) computed from closed-form moment sums so the variance
+    needs no second pass and no engine-specific sample/population
+    convention — (Σc² − (Σc)²/n)/(n−1) is written out explicitly on
+    both engines. One (type, minute) pre-agg shuffle, then a
+    type-cardinality reduce; minutes with zero events are absent on
+    both sides by construction."""
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("(ts div 1000000000) div 60").alias("minute"),
+    )
+    m = e.groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    fano_expr = F.when(
+        F.count(F.lit(1)) > 1,
+        (
+            F.sum(F.col("c") * F.col("c"))
+            - F.sum("c") * F.sum("c") / F.count(F.lit(1)).cast("double")
+        )
+        / (F.count(F.lit(1)) - 1)
+        / F.avg("c"),
+    ).otherwise(F.lit(0.0))
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.round(F.avg("c"), 6).alias("mean_per_min"),
+        F.round(fano_expr, 6).alias("fano_factor"),
+        (fano_expr > 1.5).alias("bursty"),
+    )
+
+
+@query(
+    "q217_event_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(dow AS VARCHAR), 'ALL') AS day_of_week,
+           CAST(2 * GROUPING(event_type) + GROUPING(dow) AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(value, 0)), 4) AS total_value
+    FROM (SELECT event_type, dayofweek(ts) AS dow, value FROM events)
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def q217_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day-of-week): all four grouping sets
+    — cell, type margin, weekday margin, grand total — in ONE Expand +
+    partial-agg pass (Spark's ``cube``), the OLAP companion to q201's
+    ROLLUP. DuckDB's ``dayofweek`` is 0-based Sunday; Spark's
+    ``dayofweek`` is 1-based — bridged with an explicit -1 so the cube
+    cells match. GROUPING() bits pin the level encoding on both
+    engines."""
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        (F.dayofweek("ts_utc") - 1).alias("dow"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            (2 * F.grouping("event_type") + F.grouping("dow"))
+            .cast("long")
+            .alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0))), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias(
+                "day_of_week"
+            ),
+            "lvl",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q218_wow_growth",
+    """
+    WITH wk AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS week,
+             sum(o_totalprice) AS rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.pri, CAST(a.week AS BIGINT) AS week, a.n,
+           round(a.rev, 4) AS revenue,
+           round(b.rev, 4) AS prev_revenue,
+           round((a.rev - b.rev) / b.rev, 6) AS wow_growth
+    FROM wk a JOIN wk b ON b.pri = a.pri AND b.week = a.week - 1
+    WHERE a.week % 20 = 0
+    """,
+)
+def q218_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per order priority: weekly epoch
+    buckets (integer division — calendar-free and engine-identical),
+    self-joined on the PREVIOUS week so calendar gaps pair nothing
+    instead of silently spanning (the q212 join-not-lag rule). The
+    weekly frame is (priority x week) — metadata-scale — so the
+    self-join is trivially broadcastable; the corpus is touched once.
+    Reported for every 20th week to keep the result result-set-sized."""
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+
+    o = load(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (epoch_seconds_ntz(F.col("o_orderdate").cast("timestamp_ntz")) / 604800)
+        .cast("long")
+        .alias("week"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = wk.alias("a")
+    b = wk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.pri") == F.col("a.pri"))
+            & (F.col("b.week") == F.col("a.week") - 1),
+        )
+        .filter(F.col("a.week") % 20 == 0)
+        .select(
+            F.col("a.pri").alias("pri"),
+            F.col("a.week").cast("long").alias("week"),
+            F.col("a.n").alias("n"),
+            F.round(F.col("a.rev"), 4).alias("revenue"),
+            F.round(F.col("b.rev"), 4).alias("prev_revenue"),
+            F.round(
+                (F.col("a.rev") - F.col("b.rev")) / F.col("b.rev"), 6
+            ).alias("wow_growth"),
+        )
+    )
+
+
+@query(
+    "q219_consistent_hash_shards",
+    f"""
+    WITH vn AS (
+      SELECT s.s AS shard, v.v AS vnode,
+             {_dk_hex8("md5('ring:' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR))")}
+               AS pos
+      FROM generate_series(0, 7) AS s(s),
+           generate_series(0, 15) AS v(v)
+    ),
+    keys AS (
+      SELECT doc_id,
+             {_dk_hex8("md5('key:' || CAST(doc_id AS VARCHAR))")} AS kpos
+      FROM documents
+    ),
+    assign AS (
+      SELECT k.doc_id,
+             coalesce(
+               (SELECT vn.shard FROM vn WHERE vn.pos >= k.kpos
+                ORDER BY vn.pos, vn.shard LIMIT 1),
+               (SELECT vn.shard FROM vn
+                ORDER BY vn.pos, vn.shard LIMIT 1)) AS shard
+      FROM keys k
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 8.0 / (SELECT count(*) FROM documents), 4)
+             AS load_factor
+    FROM assign GROUP BY shard
+    """,
+)
+def q219_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring sharding (8 shards x 16 virtual nodes):
+    every key routes to the first vnode clockwise from its hash, and
+    the per-shard load factor (1.0 = perfectly even) quantifies how
+    well vnodes smooth the ring — the assignment that moves only
+    ~1/(shards+1) of keys when a shard joins, vs rehash-everything for
+    ``hash % n``. The ring is 128 rows and BROADCAST; each key finds
+    its successor via a min-aggregate over matching ring positions
+    (no per-key sort), so the corpus-scale side is one projection +
+    one partial-agg shuffle on doc_id."""
+    ring = (
+        spark.range(8)
+        .select(F.col("id").alias("shard"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("vnode")))
+        .select(
+            "shard",
+            "vnode",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ring:"),
+                            F.col("shard").cast("string"),
+                            F.lit(":"),
+                            F.col("vnode").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    d = load(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("key:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("kpos"),
+    )
+    # successor struct: min (pos, shard) among vnodes clockwise of kpos;
+    # wrap-around falls back to the ring's global minimum (broadcast twice,
+    # both ring-sized)
+    succ = (
+        keys.join(F.broadcast(ring), F.col("pos") >= F.col("kpos"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct("pos", "shard")).alias("nxt"),
+        )
+    )
+    wrap = ring.agg(F.min(F.struct("pos", "shard")).alias("w0"))
+    assign = succ.crossJoin(F.broadcast(wrap)).select(
+        "doc_id",
+        F.coalesce(F.col("nxt.shard"), F.col("w0.shard")).alias("shard"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assign.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "shard",
+            "n_docs",
+            F.round(F.col("n_docs") * 8.0 / F.col("n"), 4).alias(
+                "load_factor"
+            ),
+        )
+    )
+
+
+@query(
+    "q220_degree_assortativity",
+    """
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               GROUP BY l_orderkey, l_partkey),
+    edges AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node
+    ),
+    ends AS (
+      SELECT du.d AS da, dv.d AS db FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS da, du.d AS db FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT)   AS n_nodes,
+           round(corr(da, db), 6) AS assortativity
+    FROM ends
+    """,
+)
+def q220_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman r: Pearson
+    correlation of endpoint degrees over the symmetrized edge list) —
+    negative r means hubs attach to leaves (retail catalogs typically
+    disassortative). Edges come from the bounded per-basket pair
+    expansion (q151's argument); degrees are one count shuffle; the
+    edge-degree join is two hash joins against a node-cardinality frame
+    and the correlation is a single-pass moment aggregate. Symmetrizing
+    via UNION ALL makes r orientation-independent without a second
+    correlation pass."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    x = b.alias("x")
+    y = b.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ej = edges.join(du, "u").join(dv, "v")
+    ends = ej.select(
+        F.col("du").alias("da"), F.col("dv").alias("db")
+    ).unionAll(ej.select(F.col("dv").alias("da"), F.col("du").alias("db")))
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    r = ends.agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+    return ne.crossJoin(nn).crossJoin(r)
