@@ -10730,3 +10730,467 @@ def q220_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     r = ends.agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
     return ne.crossJoin(nn).crossJoin(r)
+
+
+@query(
+    "q221_contrastive_pair_audit",
+    """
+    WITH m AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM m GROUP BY vec_id),
+    u AS (SELECT m.vec_id, m.label, m.i, m.x / nrm.nn AS x
+          FROM m JOIN nrm ON nrm.vec_id = m.vec_id WHERE nrm.nn > 0),
+    pairs AS (
+      SELECT a.vec_id AS va, a.label AS la, b.label AS lb,
+             sum(a.x * b.x) AS cos
+      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, a.label, b.vec_id, b.label
+    )
+    SELECT la AS label,
+           CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_pairs,
+           CAST(sum(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_pairs,
+           round(avg(CASE WHEN la = lb THEN cos END), 6)  AS avg_pos_cos,
+           round(avg(CASE WHEN la <> lb THEN cos END), 6) AS avg_neg_cos,
+           CAST(sum(CASE WHEN la <> lb AND cos > 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS hard_negatives
+    FROM pairs GROUP BY la
+    """,
+)
+def q221_contrastive_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair audit on a deterministic 20% probe
+    slice: per anchor label, mean cosine of positive (same-label) vs
+    negative (cross-label) pairs and the count of HARD negatives
+    (cross-label cos > 0.5) — the numbers that decide temperature and
+    negative-mining strategy before a contrastive run. Pair cosines are
+    computed dim-wise through the (i)-join so the probe never
+    materializes a vectors² x dim crossJoin; at corpus scale the probe
+    slice is the knob (sampling is hash-deterministic, both engines
+    agree on membership)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
+        )
+        .select(
+            "vec_id", "label", "i", F.col("xf").cast("double").alias("x")
+        )
+    )
+    nrm = e.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nn")
+    )
+    u = (
+        e.join(nrm, "vec_id")
+        .filter(F.col("nn") > 0)
+        .select("vec_id", "label", "i", (F.col("x") / F.col("nn")).alias("x"))
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"),
+            F.col("a.label").alias("la"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("b.label").alias("lb"),
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("cos"))
+    )
+    pos = F.col("la") == F.col("lb")
+    return pairs.groupBy(F.col("la").alias("label")).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pos_pairs"),
+        F.sum(F.when(~pos, 1).otherwise(0)).cast("long").alias("n_neg_pairs"),
+        F.round(F.avg(F.when(pos, F.col("cos"))), 6).alias("avg_pos_cos"),
+        F.round(F.avg(F.when(~pos, F.col("cos"))), 6).alias("avg_neg_cos"),
+        F.sum(F.when((~pos) & (F.col("cos") > 0.5), 1).otherwise(0))
+        .cast("long")
+        .alias("hard_negatives"),
+    )
+
+
+@query(
+    "q222_woe_iv",
+    """
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    r AS (
+      SELECT v, y,
+             row_number() OVER (ORDER BY v, y) AS rn,
+             count(*) OVER () AS n
+      FROM t
+    ),
+    binned AS (
+      SELECT least(9, CAST(floor(((rn - 1) * 10.0) / n) AS BIGINT)) AS bin, y
+      FROM r
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(y) AS BIGINT)   AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS tp,
+                   CAST(sum(n_neg) AS DOUBLE) AS tn FROM cells)
+    SELECT bin, n_rows, n_pos, n_neg,
+           round(ln((n_pos / tot.tp) / (n_neg / tot.tn)), 6) AS woe,
+           round((n_pos / tot.tp - n_neg / tot.tn)
+                 * ln((n_pos / tot.tp) / (n_neg / tot.tn)), 6) AS iv_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q222_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of order value
+    against the high-priority target (the credit-scoring feature
+    screen): equal-frequency decile bins from the DISTRIBUTED rank
+    frame (``group_ranked`` — range-partitioned, no global window; bin
+    = floor(10·(rank−1)/n) exactly as the oracle's row_number
+    formulation), then WOE = ln(pos%%/neg%%) and the per-bin IV terms
+    from exact integer cell counts. The only data-scale shuffle is the
+    range partitioning; everything after the cell reduce is a 10-row
+    frame."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    r = group_ranked(t, [], "v", tiebreak=["y"])
+    binned = r.select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("_rn") - 1) * 10 / F.col("_n")).cast("long"),
+        ).alias("bin"),
+        F.col("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("double").alias("tp"),
+        F.sum("n_neg").cast("double").alias("tn"),
+    )
+    pr = F.col("n_pos") / F.col("tp")
+    nr = F.col("n_neg") / F.col("tn")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_rows",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(pr / nr), 6).alias("woe"),
+        F.round((pr - nr) * F.log(pr / nr), 6).alias("iv_term"),
+    )
+
+
+@query(
+    "q223_conversion_latency",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             CAST(floor(epoch(min(e.ts))) AS BIGINT)
+               - CAST(floor(epoch(v.v_ts)) AS BIGINT) AS lat_s
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, v.v_ts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_s, 0.50), 6) AS p50_s,
+           round(quantile_cont(lat_s, 0.90), 6) AS p90_s,
+           round(quantile_cont(lat_s, 0.99), 6) AS p99_s,
+           CAST(max(lat_s) AS BIGINT) AS max_s
+    FROM p
+    """,
+)
+def q223_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion latency SLA: per user, seconds from
+    first view to the first STRICTLY LATER purchase, summarized as
+    exact p50/p90/p99 through the distributed range-partitioned
+    percentile frame (``exact_group_percentiles`` — no value multiset
+    ever collects in one task; linear interpolation matches DuckDB's
+    quantile_cont bit-for-bit on integer-second latencies). The
+    latency frame is user-cardinality-sized, but the operator is the
+    same one that serves raw-row scale."""
+    from etl_jetro_spark.functions.dates import epoch_seconds_ntz
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "ts_utc")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("v_ts"),
+            F.min(F.struct("ts", "ts_utc")).alias("vs"),
+        )
+        .select(
+            "user_id", "v_ts", F.col("vs.ts_utc").alias("v_utc")
+        )
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id", "v_utc")
+        .agg(F.min(F.struct("ts", "ts_utc")).alias("ps"))
+        .select(
+            (
+                epoch_seconds_ntz(F.col("ps.ts_utc"))
+                - epoch_seconds_ntz(F.col("v_utc"))
+            ).alias("lat_s")
+        )
+    )
+    pct = exact_group_percentiles(
+        p, [], "lat_s", {"p50_s": 0.50, "p90_s": 0.90, "p99_s": 0.99}
+    ).select(
+        F.round("p50_s", 6).alias("p50_s"),
+        F.round("p90_s", 6).alias("p90_s"),
+        F.round("p99_s", 6).alias("p99_s"),
+    )
+    stats = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )
+    return stats.crossJoin(pct).select(
+        "n_converted", "p50_s", "p90_s", "p99_s", "max_s"
+    )
+
+
+@query(
+    "q224_hll_precision_sweep",
+    f"""
+    WITH ps(p, m) AS (VALUES (6, 64), (8, 256), (10, 1024)),
+    h AS (
+      SELECT {_dk_hex8("md5('hll:' || CAST(user_id AS VARCHAR))")} AS hv
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    bw AS (
+      SELECT ps.p, ps.m, h.hv % ps.m AS bucket, h.hv // ps.m AS w,
+             CASE WHEN ps.p = 6 THEN 27 WHEN ps.p = 8 THEN 25 ELSE 23 END
+               AS maxrho
+      FROM h CROSS JOIN ps
+    ),
+    regs AS (
+      SELECT p, m, bucket,
+             max(CASE WHEN w = 0 THEN maxrho
+                      ELSE maxrho - length(bin(w)) END) AS mm
+      FROM bw GROUP BY p, m, bucket
+    ),
+    s AS (
+      SELECT p, m,
+             CAST(count(*) AS BIGINT) AS occ,
+             sum(power(2.0, -mm))     AS s_occ
+      FROM regs GROUP BY p, m
+    ),
+    est AS (
+      SELECT p, m, m - occ AS v,
+             (0.7213 / (1 + 1.079 / m)) * m * CAST(m AS DOUBLE)
+               / (s_occ + (m - occ)) AS e_raw
+      FROM s
+    ),
+    fin AS (
+      SELECT p, m, v,
+             CASE WHEN e_raw <= 2.5 * m AND v > 0
+                  THEN m * ln(m / CAST(v AS DOUBLE)) ELSE e_raw END AS e
+      FROM est
+    ),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nd FROM events)
+    SELECT CAST(fin.p AS BIGINT) AS p, CAST(fin.m AS BIGINT) AS m,
+           ex.nd AS exact_ndv,
+           round(fin.e, 4) AS estimate,
+           round(abs(fin.e - ex.nd) / ex.nd, 6) AS rel_error,
+           round(1.04 / sqrt(fin.m), 6) AS theoretical_rse
+    FROM fin CROSS JOIN ex
+    """,
+)
+def q224_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL precision sweep (p = 6/8/10 — 64/256/1024 registers) over
+    the global distinct-user count, reporting each estimate's relative
+    error against exact NDV next to the theoretical 1.04/sqrt(m) RSE —
+    the table that justifies a register-budget choice before sketching
+    a 100 TB keyspace. One hash pass fans out x3 via a broadcast
+    parameter frame; each sketch is a (p, bucket) partial-agg — the
+    whole sweep costs one shuffle of at most 3 x 1024 register rows
+    past the map side. Rho uses the remaining 32-p hash bits via
+    binary digit length (integer-exact on both engines); the
+    small-range linear-counting branch applies per precision."""
+    e = load(spark, sf_dir, "events").select("user_id").distinct()
+    ps = spark.createDataFrame(
+        [(6, 64, 27), (8, 256, 25), (10, 1024, 23)], ["p", "m", "maxrho"]
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bw = (
+        e.select(hv.alias("hv"))
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "p",
+            "m",
+            "maxrho",
+            (F.col("hv") % F.col("m")).alias("bucket"),
+            (F.col("hv") / F.col("m")).cast("long").alias("w"),
+        )
+    )
+    regs = bw.groupBy("p", "m", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.col("maxrho")).otherwise(
+                F.col("maxrho") - F.length(F.bin(F.col("w")))
+            )
+        ).alias("mm")
+    )
+    s = regs.groupBy("p", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("occ"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mm"))).alias("s_occ"),
+    )
+    est = s.select(
+        "p",
+        "m",
+        (F.col("m") - F.col("occ")).alias("v"),
+        (
+            (0.7213 / (1 + 1.079 / F.col("m")))
+            * F.col("m")
+            * F.col("m").cast("double")
+            / (F.col("s_occ") + (F.col("m") - F.col("occ")))
+        ).alias("e_raw"),
+    )
+    fin = est.select(
+        "p",
+        "m",
+        "v",
+        F.when(
+            (F.col("e_raw") <= 2.5 * F.col("m")) & (F.col("v") > 0),
+            F.col("m") * F.log(F.col("m") / F.col("v").cast("double")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e"),
+    )
+    ex = load(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("nd")
+    )
+    return fin.crossJoin(F.broadcast(ex)).select(
+        F.col("p").cast("long").alias("p"),
+        F.col("m").cast("long").alias("m"),
+        F.col("nd").alias("exact_ndv"),
+        F.round(F.col("e"), 4).alias("estimate"),
+        F.round(F.abs(F.col("e") - F.col("nd")) / F.col("nd"), 6).alias(
+            "rel_error"
+        ),
+        F.round(1.04 / F.sqrt(F.col("m")), 6).alias("theoretical_rse"),
+    )
+
+
+@query(
+    "q225_two_hop_reach",
+    """
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               GROUP BY l_orderkey, l_partkey),
+    e1 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+      GROUP BY 1, 2
+    ),
+    hop2 AS (
+      SELECT x.u, y.v AS w
+      FROM e1 x JOIN e1 y ON y.u = x.v
+      WHERE y.v <> x.u
+      GROUP BY x.u, y.v
+    ),
+    d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS direct FROM e1 GROUP BY u),
+    r2 AS (
+      SELECT h.u, CAST(count(*) AS BIGINT) AS reach2
+      FROM (SELECT u, w FROM hop2
+            EXCEPT SELECT u, v FROM e1) h
+      GROUP BY h.u
+    )
+    SELECT CAST(d1.u AS BIGINT) AS item, d1.direct,
+           coalesce(r2.reach2, CAST(0 AS BIGINT)) AS new_at_2_hops,
+           round(coalesce(r2.reach2, 0)
+                 / CAST(d1.direct AS DOUBLE), 6) AS expansion
+    FROM d1 LEFT JOIN r2 ON r2.u = d1.u
+    ORDER BY d1.direct DESC, d1.u
+    LIMIT 20
+    """,
+)
+def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood expansion on the co-purchase graph: per
+    item, how many NEW items become reachable at exactly 2 hops
+    (friends-of-friends minus direct neighbors minus self) — the
+    recommender-coverage number a 1-hop i2i table misses. The hop join
+    is edge-list x edge-list on the shared endpoint (hash equi-join;
+    at 100 TB hubs would route through the shared ``capped_index``
+    degree cap exactly like the shingle joins), dedup is a key-only
+    distinct, and the top-20 report is a TakeOrdered, not a global
+    window."""
+    li = load(spark, sf_dir, "lineitem")
+    bsk = li.select("l_orderkey", "l_partkey").distinct()
+    x = bsk.alias("x")
+    y = bsk.alias("y")
+    e1 = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    g = e1.alias("g")
+    h = e1.alias("h")
+    hop2 = (
+        g.join(h, F.col("h.u") == F.col("g.v"))
+        .filter(F.col("h.v") != F.col("g.u"))
+        .select(F.col("g.u").alias("u"), F.col("h.v").alias("w"))
+        .distinct()
+    )
+    d1 = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("direct"))
+    new2 = hop2.join(
+        e1.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
+    )
+    r2 = new2.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("reach2")
+    )
+    return (
+        d1.join(r2, "u", "left")
+        .select(
+            F.col("u").cast("long").alias("item"),
+            "direct",
+            F.coalesce("reach2", F.lit(0).cast("long")).alias(
+                "new_at_2_hops"
+            ),
+            F.round(
+                F.coalesce("reach2", F.lit(0))
+                / F.col("direct").cast("double"),
+                6,
+            ).alias("expansion"),
+        )
+        .orderBy(F.desc("direct"), F.asc("item"))
+        .limit(20)
+    )
