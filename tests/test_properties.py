@@ -361,3 +361,85 @@ def test_group_ranked_equals_window_row_number(spark, rows):
         .collect()
     }
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=3, max_size=8),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_symspell_deletion_blocking_is_lossless_at_distance_1(spark, toks):
+    """q204's candidate generator: joining on {token} ∪ {length-1
+    deletions} must surface EVERY pair at Levenshtein distance exactly
+    1 (insert/delete/substitute), verified against the brute-force
+    all-pairs join on adversarially repetitive small-alphabet tokens."""
+    df = spark.createDataFrame([(t,) for t in toks], ["t"])
+    variants = df.select(
+        "t",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(t),"
+                " transform(sequence(1, length(t)),"
+                " i -> concat(substring(t, 1, i - 1),"
+                " substring(t, i + 1, length(t) - i)))))"
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    got = {
+        (r["ta"], r["tb"])
+        for r in a.join(b, F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .distinct()
+        .filter(F.levenshtein("ta", "tb") == 1)
+        .collect()
+    }
+    x, y = df.alias("x"), df.alias("y")
+    want = {
+        (r["ta"], r["tb"])
+        for r in x.crossJoin(y)
+        .filter(F.col("x.t") < F.col("y.t"))
+        .filter(F.levenshtein(F.col("x.t"), F.col("y.t")) == 1)
+        .select(F.col("x.t").alias("ta"), F.col("y.t").alias("tb"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hll_estimate_within_theoretical_bound_at_10k(spark):
+    """The q203 HLL construction (p=8, md5-prefix hash, linear-counting
+    small-range branch) lands within 3×RSE (≈19.5%) of a 10,000-key
+    exact cardinality — well past the linear-counting regime, so this
+    exercises the raw-estimate branch the sf0.01 fixture can't reach."""
+    n = 10_000
+    ids = spark.range(n).select(F.col("id").cast("string").alias("s"))
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("s"))), 1, 8), 16, 10
+    ).cast("long")
+    bw = ids.select(
+        (hv % 256).alias("bucket"), (hv / F.lit(256)).cast("long").alias("w")
+    )
+    regs = bw.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(25)).otherwise(
+                25 - F.length(F.bin(F.col("w")))
+            )
+        ).alias("m")
+    )
+    row = regs.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_occ"),
+    ).collect()[0]
+    v = 256 - row["occ"]
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    e = alpha * 65536.0 / (row["s_occ"] + v)
+    import math
+
+    if e <= 640.0 and v > 0:
+        e = 256.0 * math.log(256.0 / v)
+    assert abs(e - n) / n < 3 * 1.04 / math.sqrt(256)
