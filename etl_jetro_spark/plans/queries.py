@@ -10735,10 +10735,14 @@ def q220_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q221_contrastive_pair_audit",
     """
-    WITH m AS (
+    WITH md AS (
+      SELECT greatest(5, CAST(ceil(count(*) / 250.0) AS BIGINT)) AS m
+      FROM embeddings
+    ),
+    m AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings WHERE vec_id % 5 = 0
+      FROM embeddings CROSS JOIN md WHERE vec_id % md.m = 0
     ),
     nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM m GROUP BY vec_id),
     u AS (SELECT m.vec_id, m.label, m.i, m.x / nrm.nn AS x
@@ -10762,18 +10766,22 @@ def q220_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q221_contrastive_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive-training pair audit on a deterministic 20% probe
-    slice: per anchor label, mean cosine of positive (same-label) vs
-    negative (cross-label) pairs and the count of HARD negatives
-    (cross-label cos > 0.5) — the numbers that decide temperature and
-    negative-mining strategy before a contrastive run. Pair cosines are
-    computed dim-wise through the (i)-join so the probe never
-    materializes a vectors² x dim crossJoin; at corpus scale the probe
-    slice is the knob (sampling is hash-deterministic, both engines
-    agree on membership)."""
+    """Contrastive-training pair audit on a deterministic bounded probe
+    slice (vec_id %% m == 0 with m = max(5, ceil(n/250)) — ~250 probes
+    at ANY corpus size, the q146 adaptive-parameter pattern mirrored as
+    an oracle scalar subquery): per anchor label, mean cosine of
+    positive (same-label) vs negative (cross-label) pairs and the count
+    of HARD negatives (cross-label cos > 0.5) — the numbers that decide
+    temperature and negative-mining strategy before a contrastive run.
+    Pair cosines are computed dim-wise through the (i)-join so the
+    probe never materializes a vectors² x dim crossJoin, and the probe
+    cap keeps the all-pairs audit CONSTANT-work as the corpus grows."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    m = max(5, math.ceil(emb.count() / 250.0))
     e = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 5 == 0)
+        emb.filter(F.col("vec_id") % m == 0)
         .select(
             "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
         )
@@ -11115,38 +11123,41 @@ def q224_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
       GROUP BY 1, 2
     ),
+    d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS direct FROM e1 GROUP BY u),
+    seeds AS (SELECT u, direct FROM d1 ORDER BY direct DESC, u LIMIT 20),
+    es AS (SELECT e1.u, e1.v FROM e1 JOIN seeds ON seeds.u = e1.u),
     hop2 AS (
       SELECT x.u, y.v AS w
-      FROM e1 x JOIN e1 y ON y.u = x.v
+      FROM es x JOIN e1 y ON y.u = x.v
       WHERE y.v <> x.u
       GROUP BY x.u, y.v
     ),
-    d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS direct FROM e1 GROUP BY u),
     r2 AS (
       SELECT h.u, CAST(count(*) AS BIGINT) AS reach2
       FROM (SELECT u, w FROM hop2
-            EXCEPT SELECT u, v FROM e1) h
+            EXCEPT SELECT u, v FROM es) h
       GROUP BY h.u
     )
-    SELECT CAST(d1.u AS BIGINT) AS item, d1.direct,
+    SELECT CAST(seeds.u AS BIGINT) AS item, seeds.direct,
            coalesce(r2.reach2, CAST(0 AS BIGINT)) AS new_at_2_hops,
            round(coalesce(r2.reach2, 0)
-                 / CAST(d1.direct AS DOUBLE), 6) AS expansion
-    FROM d1 LEFT JOIN r2 ON r2.u = d1.u
-    ORDER BY d1.direct DESC, d1.u
-    LIMIT 20
+                 / CAST(seeds.direct AS DOUBLE), 6) AS expansion
+    FROM seeds LEFT JOIN r2 ON r2.u = seeds.u
+    ORDER BY seeds.direct DESC, seeds.u
     """,
 )
 def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-hop neighborhood expansion on the co-purchase graph: per
-    item, how many NEW items become reachable at exactly 2 hops
+    """Two-hop neighborhood expansion on the co-purchase graph for the
+    top-20 highest-degree items: new items reachable at exactly 2 hops
     (friends-of-friends minus direct neighbors minus self) — the
-    recommender-coverage number a 1-hop i2i table misses. The hop join
-    is edge-list x edge-list on the shared endpoint (hash equi-join;
-    at 100 TB hubs would route through the shared ``capped_index``
-    degree cap exactly like the shingle joins), dedup is a key-only
-    distinct, and the top-20 report is a TakeOrdered, not a global
-    window."""
+    recommender-coverage number a 1-hop i2i table misses. CRITICAL
+    scale shape: the seed set is chosen FIRST (TakeOrdered on the
+    degree frame), so the hop join is seed-edges x edges — O(k·d·d)
+    rows — never the full edge-list self-join, whose Σdeg² blowup this
+    query's first draft hit at sf0.1 (72 s; 298 M intermediate rows on
+    a dense co-purchase graph) and OOMed at sf1. Dedup is a key-only
+    distinct; reach-for-everyone would instead cap intermediates via
+    ``capped_index``."""
     li = load(spark, sf_dir, "lineitem")
     bsk = li.select("l_orderkey", "l_partkey").distinct()
     x = bsk.alias("x")
@@ -11162,7 +11173,13 @@ def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    g = e1.alias("g")
+    e1 = e1.localCheckpoint(eager=False)
+    d1 = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("direct"))
+    seeds = d1.orderBy(F.desc("direct"), F.asc("u")).limit(20)
+    es = e1.join(F.broadcast(seeds.select("u")), "u").localCheckpoint(
+        eager=False
+    )
+    g = es.alias("g")
     h = e1.alias("h")
     hop2 = (
         g.join(h, F.col("h.u") == F.col("g.v"))
@@ -11170,15 +11187,14 @@ def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g.u").alias("u"), F.col("h.v").alias("w"))
         .distinct()
     )
-    d1 = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("direct"))
     new2 = hop2.join(
-        e1.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
+        es.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
     )
     r2 = new2.groupBy("u").agg(
         F.count(F.lit(1)).cast("long").alias("reach2")
     )
     return (
-        d1.join(r2, "u", "left")
+        seeds.join(r2, "u", "left")
         .select(
             F.col("u").cast("long").alias("item"),
             "direct",
@@ -11192,5 +11208,463 @@ def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expansion"),
         )
         .orderBy(F.desc("direct"), F.asc("item"))
-        .limit(20)
+    )
+
+
+@query(
+    "q226_cart_abandonment",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             hour(ts) AS hr
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+      SELECT c.event_id, c.hr,
+             max(CASE WHEN p.s > c.s AND p.s <= c.s + 3600
+                      THEN 1 ELSE 0 END) AS converted
+      FROM c LEFT JOIN p ON p.user_id = c.user_id
+      GROUP BY c.event_id, c.hr
+    )
+    SELECT CAST(hr AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(1 - coalesce(converted, 0)) AS BIGINT) AS n_abandoned,
+           round(sum(1 - coalesce(converted, 0))
+                 / CAST(count(*) AS DOUBLE), 6) AS abandonment_rate
+    FROM flagged GROUP BY hr
+    """,
+)
+def q226_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment by hour of day: a click converts only if the
+    SAME user purchases within the following hour; everything else is
+    abandoned. The click-purchase pairing is a per-user join (bounded
+    per-user event counts; at 100 TB the same fixed 1 h window makes it
+    a q205-style bucket equi-join with ±1-bucket replication instead of
+    a user-wide theta join), reduced per click with a max-flag so
+    multiple qualifying purchases count once. Hours use the wall-clock
+    NTZ field on both engines."""
+    e = load_events(spark, sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s"),
+        F.hour("ts_utc").alias("hr"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ps"),
+    )
+    flagged = (
+        c.join(p, "user_id", "left")
+        .groupBy("event_id", "hr")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ps") > F.col("s"))
+                    & (F.col("ps") <= F.col("s") + 3600),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return flagged.groupBy(
+        F.col("hr").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum(1 - F.coalesce("converted", F.lit(0)))
+        .cast("long")
+        .alias("n_abandoned"),
+        F.round(
+            F.sum(1 - F.coalesce("converted", F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("abandonment_rate"),
+    )
+
+
+@query(
+    "q227_binning_sse",
+    """
+    WITH t AS (SELECT o_totalprice AS v FROM orders),
+    bounds AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                      CAST(count(*) AS BIGINT) AS n FROM t),
+    width AS (
+      SELECT least(9, CAST(floor((v - vmin) * 10.0
+                                 / (vmax - vmin)) AS BIGINT)) AS bin, v
+      FROM t CROSS JOIN bounds
+    ),
+    depth AS (
+      SELECT least(9, CAST(floor(((row_number() OVER (ORDER BY v) - 1)
+                                  * 10.0) / n) AS BIGINT)) AS bin, v
+      FROM t CROSS JOIN bounds
+    ),
+    tss AS (
+      SELECT sum(v * v) - sum(v) * sum(v) / CAST(count(*) AS DOUBLE) AS ss
+      FROM t
+    ),
+    sw AS (
+      SELECT sum(ssb) AS sse FROM (
+        SELECT sum(v * v) - sum(v) * sum(v) / CAST(count(*) AS DOUBLE) AS ssb
+        FROM width GROUP BY bin)
+    ),
+    sd AS (
+      SELECT sum(ssb) AS sse FROM (
+        SELECT sum(v * v) - sum(v) * sum(v) / CAST(count(*) AS DOUBLE) AS ssb
+        FROM depth GROUP BY bin)
+    )
+    SELECT s.scheme, CAST(10 AS BIGINT) AS n_bins,
+           round(s.r2, 6) AS variance_explained
+    FROM (
+      SELECT 'equi_width' AS scheme, 1 - sw.sse / tss.ss AS r2
+      FROM sw CROSS JOIN tss
+      UNION ALL
+      SELECT 'equi_depth' AS scheme, 1 - sd.sse / tss.ss AS r2
+      FROM sd CROSS JOIN tss
+    ) s
+    """,
+)
+def q227_binning_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quality duel: variance explained (1 − SSE/TSS) of
+    10-bin equi-width vs equi-depth binning of order value — the number
+    that tells an optimizer which bucketing serves range predicates
+    better on a skewed column. All sums are closed-form moment
+    aggregates (Σv, Σv², n per bin — fully map-side combinable);
+    equi-depth bins come from the distributed rank frame (no global
+    window); the output is a ratio of same-engine sums, so cross-engine
+    float association cannot flip the 6-dp rounding."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders")
+    t = o.select(F.col("o_totalprice").alias("v"))
+    bounds = t.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    width = t.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("v") - F.col("vmin"))
+                * 10.0
+                / (F.col("vmax") - F.col("vmin"))
+            ).cast("long"),
+        ).alias("bin"),
+        "v",
+    )
+    r = group_ranked(t, [], "v")
+    depth = r.select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("_rn") - 1) * 10.0 / F.col("_n")).cast("long"),
+        ).alias("bin"),
+        F.col("_v").alias("v"),
+    )
+
+    def sse(df):
+        per = df.groupBy("bin").agg(
+            (
+                F.sum(F.col("v") * F.col("v"))
+                - F.sum("v") * F.sum("v") / F.count(F.lit(1)).cast("double")
+            ).alias("ssb")
+        )
+        return per.agg(F.sum("ssb").alias("sse"))
+
+    tss = t.agg(
+        (
+            F.sum(F.col("v") * F.col("v"))
+            - F.sum("v") * F.sum("v") / F.count(F.lit(1)).cast("double")
+        ).alias("ss")
+    )
+    sw = sse(width).crossJoin(tss).select(
+        F.lit("equi_width").alias("scheme"),
+        (1 - F.col("sse") / F.col("ss")).alias("r2"),
+    )
+    sd = sse(depth).crossJoin(tss).select(
+        F.lit("equi_depth").alias("scheme"),
+        (1 - F.col("sse") / F.col("ss")).alias("r2"),
+    )
+    return sw.unionAll(sd).select(
+        "scheme",
+        F.lit(10).cast("long").alias("n_bins"),
+        F.round("r2", 6).alias("variance_explained"),
+    )
+
+
+@query(
+    "q228_top_principal_component",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM e),
+    mu AS (SELECT i, avg(x) AS m FROM e GROUP BY i),
+    cov AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(a.x * b.x) / n.n - ma.m * mb.m AS c
+      FROM e a
+      JOIN e b ON b.vec_id = a.vec_id
+      CROSS JOIN n
+      JOIN mu ma ON ma.i = a.i
+      JOIN mu mb ON mb.i = b.i
+      GROUP BY a.i, b.i, n.n, ma.m, mb.m
+    ),
+    v0 AS (SELECT i, 0.125 AS v FROM mu),
+    w1 AS (SELECT cov.i, sum(cov.c * v0.v) AS w
+           FROM cov JOIN v0 ON v0.i = cov.j GROUP BY cov.i),
+    v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+    w2 AS (SELECT cov.i, sum(cov.c * v1.v) AS w
+           FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i),
+    v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+    w3 AS (SELECT cov.i, sum(cov.c * v2.v) AS w
+           FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i),
+    lam AS (SELECT sqrt(sum(w * w)) AS l FROM w3),
+    v3 AS (SELECT i, w / lam.l AS v FROM w3 CROSS JOIN lam)
+    SELECT CAST(v3.i AS BIGINT) AS dim,
+           round(v3.v, 6)       AS loading,
+           round(lam.l, 6)      AS eigenvalue
+    FROM v3 CROSS JOIN lam
+    ORDER BY abs(v3.v) DESC, v3.i
+    LIMIT 5
+    """,
+)
+def q228_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by THREE power
+    iterations on the covariance matrix — distributed PCA without any
+    linear-algebra library: C is a (dim x dim) moment aggregate (the
+    only corpus-scale work — one self-join on vec_id bounded by dim²
+    per vector), and each iteration is a C·v broadcast join over the
+    4096-row matrix frame. Deterministic start (uniform 1/sqrt(64))
+    pins the sign; top-5 |loading| dims + the Rayleigh eigenvalue
+    estimate. At 100 TB the covariance pass dominates and is fully
+    map-side combinable; iterations are metadata-scale."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    n = e.agg(F.countDistinct("vec_id").cast("double").alias("n"))
+    mu = e.groupBy("i").agg(F.avg("x").alias("m"))
+    a = e.alias("a")
+    b = e.alias("b")
+    raw = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxx"))
+    )
+    ma = mu.select(F.col("i"), F.col("m").alias("ma"))
+    mb = mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))
+    cov = (
+        raw.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("sxx") / F.col("n") - F.col("ma") * F.col("mb")).alias(
+                "c"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = mu.select("i", F.lit(0.125).alias("v"))
+    lam = None
+    for _ in range(3):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("w") / F.col("l")).alias("v")
+        )
+        lam = nrm
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            F.round("v", 6).alias("loading"),
+            F.round("l", 6).alias("eigenvalue"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), F.asc("dim"))
+        .limit(5)
+    )
+
+
+@query(
+    "q229_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, event_type, s,
+             CASE WHEN lag(s) OVER w IS NULL
+                       OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    sid AS (
+      SELECT user_id, event_id, event_type, s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    rn AS (
+      SELECT user_id, sess, event_type,
+             row_number() OVER (PARTITION BY user_id, sess
+                                ORDER BY s, event_id) AS r
+      FROM sid
+    ),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY r) AS path
+      FROM rn WHERE r <= 3 GROUP BY user_id, sess
+    ),
+    top AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions,
+           round(n_sessions / CAST((SELECT count(*) FROM paths) AS DOUBLE), 6)
+             AS share
+    FROM top ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q229_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first three event types of every
+    q208 session joined as 'a>b>c', ranked by frequency — the sequence-
+    mining readout that shows how journeys actually start. Session
+    assembly is the q208 partitioned-window machinery; path strings
+    come from an order-pinned aggregate (rank-struct sort, no
+    collect_list order luck); top-10 is a TakeOrdered over the
+    path-cardinality frame."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | ((F.col("s") - F.lag("s").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sid = g.withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("s", "event_id")
+    rn = sid.withColumn("r", F.row_number().over(ws)).filter(F.col("r") <= 3)
+    paths = rn.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("r", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    npaths = paths.agg(F.count(F.lit(1)).cast("double").alias("np"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .crossJoin(F.broadcast(npaths))
+        .select(
+            "path",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("np"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@query(
+    "q230_median_imputation",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    stats AS (
+      SELECT e.event_type,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN e.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             sum(coalesce(e.value, 0))  AS s,
+             max(med.med)               AS med
+      FROM events e JOIN med ON med.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT event_type, n_total, n_null,
+           round(med, 6) AS imputed_value,
+           round(s / (n_total - n_null), 6)       AS mean_before,
+           round((s + n_null * med) / n_total, 6) AS mean_after
+    FROM stats
+    """,
+)
+def q230_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation audit for the nullable value column: per event
+    type, the exact median of non-null values (distributed
+    range-partitioned percentile — no per-group multiset ever
+    collects), null counts, and the mean before/after filling nulls
+    with the median — the drift report a feature pipeline emits before
+    committing an imputation rule. The medians frame is
+    type-cardinality-sized and broadcast back; the corpus is scanned
+    once for moments."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    e = load_events(spark, sf_dir).select("event_type", "value")
+    med = exact_group_percentiles(
+        e.filter(F.col("value").isNotNull()),
+        ["event_type"],
+        "value",
+        {"med": 0.5},
+    )
+    stats = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.coalesce("value", F.lit(0))).alias("s"),
+            F.max("med").alias("med"),
+        )
+    )
+    return stats.select(
+        "event_type",
+        "n_total",
+        "n_null",
+        F.round("med", 6).alias("imputed_value"),
+        F.round(
+            F.col("s") / (F.col("n_total") - F.col("n_null")), 6
+        ).alias("mean_before"),
+        F.round(
+            (F.col("s") + F.col("n_null") * F.col("med")) / F.col("n_total"),
+            6,
+        ).alias("mean_after"),
     )
