@@ -11668,3 +11668,418 @@ def q230_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+@query(
+    "q231_langid_confusion",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS h_en,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('es')}, x))) AS h_es,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('de')}, x))) AS h_de,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+               WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+               WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+               WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+               ELSE 'fr'
+             END AS predicted
+      FROM hits
+    ),
+    decl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_decl
+             FROM pred GROUP BY lang)
+    SELECT p.lang AS declared, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(d.n_decl AS DOUBLE), 6) AS recall_share
+    FROM pred p JOIN decl d ON d.lang = p.lang
+    GROUP BY p.lang, p.predicted, d.n_decl
+    """,
+)
+def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the declared ``lang`` column vs
+    the stopword-heuristic detector (q25's ``lang_id``), with per-cell
+    recall share of the declared language — the audit that decides
+    whether declared labels or the detector gate the training mix.
+    Detection is partition-local expression work (no shuffle); the
+    matrix reduce is |langs|²-bounded; declared totals broadcast
+    back."""
+    d = load(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("declared"),
+        O.lang_id("text").alias("predicted"),
+    )
+    decl = pred.groupBy("declared").agg(
+        F.count(F.lit(1)).cast("long").alias("n_decl")
+    )
+    return (
+        pred.groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(decl), "declared")
+        .select(
+            "declared",
+            "predicted",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("n_decl").cast("double"), 6
+            ).alias("recall_share"),
+        )
+    )
+
+
+@query(
+    "q232_changepoint_detection",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             CAST(round(sum(o_totalprice)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, x,
+             row_number() OVER w                      AS k,
+             sum(x)     OVER w                        AS sx,
+             sum(x * x) OVER w                        AS sxx,
+             (SELECT CAST(count(*) AS BIGINT) FROM daily)  AS n,
+             (SELECT CAST(sum(x) AS BIGINT) FROM daily)    AS tx,
+             (SELECT CAST(sum(x * x) AS BIGINT) FROM daily) AS txx
+      FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    cand AS (
+      SELECT day, k, n,
+             (txx - CAST(tx AS DOUBLE) * tx / n)
+               - ((sxx - CAST(sx AS DOUBLE) * sx / k)
+                  + ((txx - sxx) - CAST(tx - sx AS DOUBLE) * (tx - sx)
+                     / (n - k))) AS reduction,
+             CAST(sx AS DOUBLE) / k                   AS mean_left,
+             CAST(tx - sx AS DOUBLE) / (n - k)        AS mean_right,
+             txx - CAST(tx AS DOUBLE) * tx / n        AS tss
+      FROM cum WHERE k < n
+    )
+    SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS split_day,
+           CAST(k AS BIGINT)       AS n_days_left,
+           CAST(n - k AS BIGINT)   AS n_days_right,
+           round(mean_left, 4)     AS mean_left,
+           round(mean_right, 4)    AS mean_right,
+           round(reduction / tss, 6) AS variance_reduction
+    FROM cand ORDER BY reduction DESC, day LIMIT 1
+    """,
+)
+def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best change-point in the daily revenue series: the split
+    day maximizing the between-segment SSE reduction, from INTEGER
+    prefix moments (daily revenue rounded to whole units first, so the
+    cumulative sums are exact on both engines — no float-association
+    drift can flip the argmax between near-tied candidates). Prefix
+    sums run through the q213 distributed-cumsum idiom (range
+    partition + local window + bounded pid-offset frame); the argmax
+    is a TakeOrdered over the day-NDV candidate frame."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "cast(unix_date(cast(o_orderdate as date)) as bigint)"
+        ).alias("day")
+    ).agg(F.round(F.sum("o_totalprice")).cast("long").alias("x"))
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    base = (
+        daily.repartitionByRange(nparts, "day")
+        .sortWithinPartitions("day")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = base.select(
+        "_pid",
+        "day",
+        F.count(F.lit(1)).over(wl).alias("lk"),
+        F.sum("x").over(wl).alias("lsx"),
+        F.sum(F.col("x") * F.col("x")).over(wl).alias("lsxx"),
+    )
+    pidtot = base.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("tk"),
+        F.sum("x").alias("tsx"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, 0)
+    off = pidtot.select(
+        "_pid",
+        (F.sum("tk").over(woff) - F.col("tk")).alias("ok"),
+        (F.sum("tsx").over(woff) - F.col("tsx")).alias("osx"),
+        (F.sum("tsxx").over(woff) - F.col("tsxx")).alias("osxx"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("tx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("txx"),
+    )
+    cum = (
+        loc.join(F.broadcast(off), "_pid")
+        .select(
+            "day",
+            (F.col("lk") + F.col("ok")).alias("k"),
+            (F.col("lsx") + F.col("osx")).alias("sx"),
+            (F.col("lsxx") + F.col("osxx")).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+    )
+    tss = F.col("txx") - F.col("tx").cast("double") * F.col("tx") / F.col("n")
+    lss = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("k")
+    rss = (F.col("txx") - F.col("sxx")) - (
+        F.col("tx") - F.col("sx")
+    ).cast("double") * (F.col("tx") - F.col("sx")) / (F.col("n") - F.col("k"))
+    cand = cum.select(
+        "day",
+        "k",
+        "n",
+        (tss - (lss + rss)).alias("reduction"),
+        (F.col("sx").cast("double") / F.col("k")).alias("mean_left"),
+        (
+            (F.col("tx") - F.col("sx")).cast("double")
+            / (F.col("n") - F.col("k"))
+        ).alias("mean_right"),
+        tss.alias("tss"),
+    )
+    return (
+        cand.orderBy(F.desc("reduction"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.col("day").cast("int"),
+            ).alias("split_day"),
+            F.col("k").cast("long").alias("n_days_left"),
+            (F.col("n") - F.col("k")).cast("long").alias("n_days_right"),
+            F.round("mean_left", 4).alias("mean_left"),
+            F.round("mean_right", 4).alias("mean_right"),
+            F.round(F.col("reduction") / F.col("tss"), 6).alias(
+                "variance_reduction"
+            ),
+        )
+    )
+
+
+@query(
+    "q233_ab_power_analysis",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value)               AS s,
+             sum(value * value)       AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type, n,
+             s / n AS mean,
+             (ss - s * s / CAST(n AS DOUBLE)) / (n - 1) AS var
+      FROM m WHERE n > 1
+    )
+    SELECT event_type, n,
+           round(mean, 6) AS mean,
+           round(var, 6)  AS variance,
+           round(0.05 * mean, 6) AS mde,
+           CAST(ceil(16.0 * var / (0.05 * mean * 0.05 * mean)) AS BIGINT)
+             AS n_per_arm,
+           ceil(16.0 * var / (0.05 * mean * 0.05 * mean)) * 2 <= n
+             AS feasible_now
+    FROM v
+    """,
+)
+def q233_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator per event type: n per arm =
+    16·σ²/MDE² (the standard α=0.05 / 80%-power rule of thumb) for a
+    minimum detectable effect of 5% of the metric mean, plus whether
+    the CURRENT traffic could already power that test. One moment
+    aggregate per type — the variance comes from closed-form sums, so
+    the whole calculator is a single partial-agg pass at any scale —
+    the planning step that belongs next to the q160 Welch readout and
+    q161 CUPED."""
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    v = m.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    npa = F.ceil(
+        16.0 * F.col("var") / (0.05 * F.col("mean") * 0.05 * F.col("mean"))
+    )
+    return v.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("variance"),
+        F.round(0.05 * F.col("mean"), 6).alias("mde"),
+        npa.cast("long").alias("n_per_arm"),
+        (npa * 2 <= F.col("n")).alias("feasible_now"),
+    )
+
+
+@query(
+    "q234_template_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(regexp_replace({DK_NORM_TEXT}, '[0-9]+', '#', 'g')) AS fp
+      FROM documents
+    ),
+    g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY fp)
+    SELECT CAST((SELECT count(*) FROM t) AS BIGINT)  AS n_docs,
+           CAST(count(*) AS BIGINT)                  AS n_templates,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS boilerplate_docs,
+           round(sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                 / CAST((SELECT count(*) FROM t) AS DOUBLE), 6)
+             AS boilerplate_frac,
+           CAST(max(n) AS BIGINT)                    AS max_template_group
+    FROM g
+    """,
+)
+def q234_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-level (boilerplate) duplication audit: documents
+    collapse to a fingerprint of their normalized text with digit runs
+    masked to '#' — catching near-identical form letters / generated
+    pages that exact dedup (q17) misses because only the numbers
+    differ. One fingerprint shuffle; the summary reduce reports how
+    much of the corpus is template-cloned and the largest clone family
+    — the CCNet/C4-style boilerplate gate before training."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        F.md5(
+            F.regexp_replace(norm_text("text"), "[0-9]+", "#")
+        ).alias("fp")
+    )
+    g = t.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nd = t.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_templates"),
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("boilerplate_docs"),
+            F.max("n").cast("long").alias("max_template_group"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_docs",
+            "n_templates",
+            "boilerplate_docs",
+            F.round(
+                F.col("boilerplate_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("boilerplate_frac"),
+            "max_template_group",
+        )
+    )
+
+
+@query(
+    "q235_join_size_estimate",
+    """
+    WITH kc AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT)   AS n_rows,
+             CAST(count(*) AS BIGINT) AS ndv,
+             CAST(sum(c * c) AS BIGINT) AS actual
+      FROM kc
+    ),
+    top AS (
+      SELECT c FROM kc ORDER BY c DESC, l_partkey LIMIT 100
+    ),
+    hyb AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS top_exact,
+             CAST(sum(c) AS BIGINT)     AS top_rows,
+             CAST(count(*) AS BIGINT)   AS top_k
+      FROM top
+    )
+    SELECT tot.n_rows, tot.ndv, tot.actual,
+           round(CAST(tot.n_rows AS DOUBLE) * tot.n_rows / tot.ndv, 4)
+             AS uniform_est,
+           round(hyb.top_exact
+                 + CASE WHEN tot.ndv > hyb.top_k
+                        THEN CAST(tot.n_rows - hyb.top_rows AS DOUBLE)
+                             * (tot.n_rows - hyb.top_rows)
+                             / (tot.ndv - hyb.top_k)
+                        ELSE 0 END, 4) AS hybrid_est,
+           round(CAST(tot.n_rows AS DOUBLE) * tot.n_rows / tot.ndv
+                 / tot.actual, 6) AS uniform_err_ratio,
+           round((hyb.top_exact
+                  + CASE WHEN tot.ndv > hyb.top_k
+                         THEN CAST(tot.n_rows - hyb.top_rows AS DOUBLE)
+                              * (tot.n_rows - hyb.top_rows)
+                              / (tot.ndv - hyb.top_k)
+                         ELSE 0 END) / tot.actual, 6) AS hybrid_err_ratio
+    FROM tot CROSS JOIN hyb
+    """,
+)
+def q235_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit for the part-key self-join:
+    exact output size Σc² (what the join WOULD produce) vs the
+    uniform-NDV estimate n²/ndv every naive optimizer uses vs a
+    heavy-hitter hybrid (top-100 keys exact + uniform remainder — the
+    end-biased-histogram design). Everything derives from ONE per-key
+    count frame: totals are a partial agg, the top-100 is a
+    TakeOrdered, and no join ever executes — which is the point: this
+    is the pre-flight that decides whether q187's skew mitigation is
+    needed before shuffling 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = kc.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("actual"),
+    )
+    top = kc.orderBy(F.desc("c"), F.asc("l_partkey")).limit(100)
+    hyb = top.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("top_exact"),
+        F.sum("c").cast("long").alias("top_rows"),
+        F.count(F.lit(1)).cast("long").alias("top_k"),
+    )
+    rem = F.when(
+        F.col("ndv") > F.col("top_k"),
+        (F.col("n_rows") - F.col("top_rows")).cast("double")
+        * (F.col("n_rows") - F.col("top_rows"))
+        / (F.col("ndv") - F.col("top_k")),
+    ).otherwise(F.lit(0.0))
+    uni = F.col("n_rows").cast("double") * F.col("n_rows") / F.col("ndv")
+    return tot.crossJoin(hyb).select(
+        "n_rows",
+        "ndv",
+        "actual",
+        F.round(uni, 4).alias("uniform_est"),
+        F.round(F.col("top_exact") + rem, 4).alias("hybrid_est"),
+        F.round(uni / F.col("actual"), 6).alias("uniform_err_ratio"),
+        F.round(
+            (F.col("top_exact") + rem) / F.col("actual"), 6
+        ).alias("hybrid_err_ratio"),
+    )
