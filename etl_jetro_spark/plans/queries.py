@@ -11748,21 +11748,22 @@ def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, x,
              row_number() OVER w                      AS k,
              sum(x)     OVER w                        AS sx,
-             sum(x * x) OVER w                        AS sxx,
+             sum(CAST(x AS HUGEINT) * x) OVER w       AS sxx,
              (SELECT CAST(count(*) AS BIGINT) FROM daily)  AS n,
              (SELECT CAST(sum(x) AS BIGINT) FROM daily)    AS tx,
-             (SELECT CAST(sum(x * x) AS BIGINT) FROM daily) AS txx
+             (SELECT sum(CAST(x AS HUGEINT) * x) FROM daily) AS txx
       FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
     ),
     cand AS (
       SELECT day, k, n,
-             (txx - CAST(tx AS DOUBLE) * tx / n)
-               - ((sxx - CAST(sx AS DOUBLE) * sx / k)
-                  + ((txx - sxx) - CAST(tx - sx AS DOUBLE) * (tx - sx)
+             (CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * tx / n)
+               - ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k)
+                  + (CAST(txx - sxx AS DOUBLE)
+                     - CAST(tx - sx AS DOUBLE) * (tx - sx)
                      / (n - k))) AS reduction,
              CAST(sx AS DOUBLE) / k                   AS mean_left,
              CAST(tx - sx AS DOUBLE) / (n - k)        AS mean_right,
-             txx - CAST(tx AS DOUBLE) * tx / n        AS tss
+             CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * tx / n AS tss
       FROM cum WHERE k < n
     )
     SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS split_day,
@@ -11776,10 +11777,12 @@ def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single best change-point in the daily revenue series: the split
-    day maximizing the between-segment SSE reduction, from INTEGER
-    prefix moments (daily revenue rounded to whole units first, so the
-    cumulative sums are exact on both engines — no float-association
-    drift can flip the argmax between near-tied candidates). Prefix
+    day maximizing the between-segment SSE reduction, from EXACT
+    wide-integer prefix moments (daily revenue rounds to whole units;
+    squared sums ride decimal(38)/HUGEINT — Σx² overflows int64 at sf1,
+    caught by the rehearsal — so no float-association drift or overflow
+    can flip the argmax between near-tied candidates; doubles appear
+    only in the final SSE arithmetic, identically on both engines). Prefix
     sums run through the q213 distributed-cumsum idiom (range
     partition + local window + bounded pid-offset frame); the argmax
     is a TakeOrdered over the day-NDV candidate frame."""
@@ -11808,12 +11811,14 @@ def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.count(F.lit(1)).over(wl).alias("lk"),
         F.sum("x").over(wl).alias("lsx"),
-        F.sum(F.col("x") * F.col("x")).over(wl).alias("lsxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(wl)
+        .alias("lsxx"),
     )
     pidtot = base.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("tk"),
         F.sum("x").alias("tsx"),
-        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("tsxx"),
     )
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, 0)
     off = pidtot.select(
@@ -11825,7 +11830,7 @@ def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("tx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("txx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("txx"),
     )
     cum = (
         loc.join(F.broadcast(off), "_pid")
@@ -11838,9 +11843,13 @@ def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .filter(F.col("k") < F.col("n"))
     )
-    tss = F.col("txx") - F.col("tx").cast("double") * F.col("tx") / F.col("n")
-    lss = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("k")
-    rss = (F.col("txx") - F.col("sxx")) - (
+    tss = F.col("txx").cast("double") - F.col("tx").cast("double") * F.col(
+        "tx"
+    ) / F.col("n")
+    lss = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("k")
+    rss = (F.col("txx") - F.col("sxx")).cast("double") - (
         F.col("tx") - F.col("sx")
     ).cast("double") * (F.col("tx") - F.col("sx")) / (F.col("n") - F.col("k"))
     cand = cum.select(
