@@ -12092,3 +12092,497 @@ def q235_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_exact") + rem) / F.col("actual"), 6
         ).alias("hybrid_err_ratio"),
     )
+
+
+@query(
+    "q236_bfs_frontier",
+    """
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               GROUP BY l_orderkey, l_partkey),
+    e1 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e1 GROUP BY u),
+    seed AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+    f1 AS (SELECT DISTINCT e1.v FROM e1 JOIN seed ON seed.u = e1.u
+           WHERE e1.v NOT IN (SELECT u FROM seed)),
+    vis1 AS (SELECT u FROM seed UNION SELECT v FROM f1),
+    f2 AS (SELECT DISTINCT e1.v FROM e1 JOIN f1 ON f1.v = e1.u
+           WHERE e1.v NOT IN (SELECT u FROM vis1)),
+    vis2 AS (SELECT u FROM vis1 UNION SELECT v FROM f2),
+    f3 AS (SELECT DISTINCT e1.v FROM e1 JOIN f2 ON f2.v = e1.u
+           WHERE e1.v NOT IN (SELECT u FROM vis2))
+    SELECT r.round,
+           CASE r.round
+             WHEN 1 THEN (SELECT CAST(count(*) AS BIGINT) FROM f1)
+             WHEN 2 THEN (SELECT CAST(count(*) AS BIGINT) FROM f2)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM f3) END AS frontier,
+           CASE r.round
+             WHEN 1 THEN (SELECT CAST(count(*) AS BIGINT) FROM vis1)
+             WHEN 2 THEN (SELECT CAST(count(*) AS BIGINT) FROM vis2)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM vis2)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM f3) END AS visited
+    FROM (SELECT 1 AS round UNION ALL SELECT 2 UNION ALL SELECT 3) r
+    """,
+)
+def q236_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous BFS rounds from the highest-degree item of the
+    co-purchase graph — the Pregel frontier-expansion shape (next to
+    PageRank q178 and connected components q60): each round is ONE hash
+    join frontier⋈edges plus an anti-join against the visited set; the
+    frontier/visited frames are node-keyed and checkpointed per round
+    to bound lineage. Frontier sizes per round quantify graph
+    expansion (the 'how fast does a recommendation crawl saturate'
+    number)."""
+    li = load(spark, sf_dir, "lineitem")
+    bsk = li.select("l_orderkey", "l_partkey").distinct()
+    x = bsk.alias("x")
+    y = bsk.alias("y")
+    e1 = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    seed = (
+        deg.orderBy(F.desc("d"), F.asc("u")).limit(1).select("u")
+    )
+    # Frontiers are DISJOINT by construction (each round anti-joins the
+    # running visited set), so visited counts are prefix sums of
+    # frontier counts — no per-round visited materialization or count
+    # jobs; each round costs one checkpointed join job.
+    frontier = seed
+    visited = seed
+    fcounts = []
+    for _ in range(3):
+        nxt = (
+            e1.join(F.broadcast(frontier), "u")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(F.broadcast(visited), "u", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+        fcounts.append(
+            nxt.agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+    j = (
+        fcounts[0]
+        .crossJoin(fcounts[1].select(F.col("f").alias("f2")))
+        .crossJoin(fcounts[2].select(F.col("f").alias("f3")))
+        .localCheckpoint(eager=False)
+    )
+    rows = [
+        j.select(
+            F.lit(1).cast("long").alias("round"),
+            F.col("f").alias("frontier"),
+            (F.col("f") + 1).cast("long").alias("visited"),
+        ),
+        j.select(
+            F.lit(2).cast("long").alias("round"),
+            F.col("f2").alias("frontier"),
+            (F.col("f") + F.col("f2") + 1).cast("long").alias("visited"),
+        ),
+        j.select(
+            F.lit(3).cast("long").alias("round"),
+            F.col("f3").alias("frontier"),
+            (F.col("f") + F.col("f2") + F.col("f3") + 1)
+            .cast("long")
+            .alias("visited"),
+        ),
+    ]
+    return rows[0].unionAll(rows[1]).unionAll(rows[2])
+
+
+@query(
+    "q237_srm_check",
+    """
+    WITH arms AS (
+      SELECT event_type, user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                      1, 1)) - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY event_type, user_id
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM arms GROUP BY event_type
+    )
+    SELECT event_type, na, nb,
+           round(CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb), 6)
+             AS chi2,
+           CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb) > 3.841
+             AS srm_detected
+    FROM c
+    """,
+)
+def q237_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the q160 experiment: per
+    event surface, distinct users per arm under the SAME md5 assignment
+    q160 uses, with the 1-df chi-square against the expected 50/50
+    split (3.841 = alpha 0.05 critical value) — the first check any
+    experiment readout must pass before its p-values mean anything.
+    One distinct-user shuffle; the chi-square is arithmetic on a
+    type-sized frame."""
+    e = load(spark, sf_dir, "events")
+    arm = F.when(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = e.select("event_type", "user_id", arm.alias("arm")).distinct()
+    c = arms.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    chi2 = (
+        (F.col("na") - F.col("nb")).cast("double")
+        * (F.col("na") - F.col("nb"))
+        / (F.col("na") + F.col("nb"))
+    )
+    return c.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@query(
+    "q238_cov_isotropy",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM e),
+    mu AS (SELECT i, avg(x) AS m FROM e GROUP BY i),
+    cov AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(a.x * b.x) / n.n - ma.m * mb.m AS c
+      FROM e a
+      JOIN e b ON b.vec_id = a.vec_id
+      CROSS JOIN n
+      JOIN mu ma ON ma.i = a.i
+      JOIN mu mb ON mb.i = b.i
+      GROUP BY a.i, b.i, n.n, ma.m, mb.m
+    )
+    SELECT CAST(64 AS BIGINT) AS dim,
+           round(sum(CASE WHEN i = j THEN c ELSE 0 END), 6) AS trace,
+           round(sum(CASE WHEN i = j THEN c ELSE 0 END) / 64, 6)
+             AS mean_variance,
+           round(sqrt(sum(CASE WHEN i <> j THEN c * c ELSE 0 END)), 6)
+             AS offdiag_frobenius,
+           round(sum(CASE WHEN i <> j THEN c * c ELSE 0 END)
+                 / sum(c * c), 6) AS offdiag_energy_frac,
+           round(max(CASE WHEN i = j THEN c END)
+                 / (sum(CASE WHEN i = j THEN c ELSE 0 END) / 64), 6)
+             AS max_var_ratio
+    FROM cov
+    """,
+)
+def q238_cov_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit: trace, off-diagonal covariance
+    energy, and the max-variance/mean-variance ratio of the dim×dim
+    covariance — the whitening-need diagnostic (anisotropic embeddings
+    degrade cosine retrieval; Ethayarajh'19). Same bounded covariance
+    pass as q228 (dim²-per-vector moment aggregate, fully map-side
+    combinable); the readout reduces the 4096-row matrix frame to one
+    row."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    n = e.agg(F.countDistinct("vec_id").cast("double").alias("n"))
+    mu = e.groupBy("i").agg(F.avg("x").alias("m"))
+    a = e.alias("a")
+    b = e.alias("b")
+    raw = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxx"))
+    )
+    ma = mu.select(F.col("i"), F.col("m").alias("ma"))
+    mb = mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))
+    cov = (
+        raw.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("sxx") / F.col("n") - F.col("ma") * F.col("mb")).alias(
+                "c"
+            ),
+        )
+    )
+    diag = F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0.0)
+    offsq = F.when(
+        F.col("i") != F.col("j"), F.col("c") * F.col("c")
+    ).otherwise(0.0)
+    return cov.agg(
+        F.lit(64).cast("long").alias("dim"),
+        F.round(F.sum(diag), 6).alias("trace"),
+        F.round(F.sum(diag) / 64, 6).alias("mean_variance"),
+        F.round(F.sqrt(F.sum(offsq)), 6).alias("offdiag_frobenius"),
+        F.round(
+            F.sum(offsq) / F.sum(F.col("c") * F.col("c")), 6
+        ).alias("offdiag_energy_frac"),
+        F.round(
+            F.max(F.when(F.col("i") == F.col("j"), F.col("c")))
+            / (F.sum(diag) / 64),
+            6,
+        ).alias("max_var_ratio"),
+    )
+
+
+@query(
+    "q239_source_log_odds",
+    f"""
+    WITH toks AS (
+      SELECT source, t.t AS term
+      FROM (SELECT source, {DK_WORDS} AS w FROM documents) d,
+           UNNEST(w) AS t(t)
+      WHERE t.t <> ''
+    ),
+    cts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, term),
+    per_s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cts GROUP BY source),
+    per_t AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM cts GROUP BY term),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                     CAST(sum(ct) AS BIGINT) AS ntot FROM per_t),
+    scored AS (
+      SELECT cts.source, cts.term,
+             ln(((cts.c + 1) / CAST(per_s.ns + vocab.v AS DOUBLE))
+                / ((per_t.ct - cts.c + 1)
+                   / CAST(vocab.ntot - per_s.ns + vocab.v AS DOUBLE)))
+               AS score
+      FROM cts
+      JOIN per_s USING (source)
+      JOIN per_t USING (term)
+      CROSS JOIN vocab
+    ),
+    ranked AS (
+      SELECT source, term, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY round(score, 6) DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, term, score, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q239_source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source: smoothed log-odds of each
+    term in the source vs the REST of the corpus (the Monroe et al.
+    'fightin' words' readout with add-1 smoothing), top-3 per source by
+    a PARTITIONED rank window (WGL-pruned, ties on rounded score +
+    term). Two count shuffles (source-term, term) and a broadcast
+    one-row vocab frame — the corpus-profiling step that catches a
+    source drifting off-topic before it pollutes the training mix."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(norm_text("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_s = cts.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    per_t = cts.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    vocab = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("ct").cast("long").alias("ntot"),
+    )
+    scored = (
+        cts.join(F.broadcast(per_s), "source")
+        .join(per_t, "term")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.log(
+                    (
+                        (F.col("c") + 1)
+                        / (F.col("ns") + F.col("v")).cast("double")
+                    )
+                    / (
+                        (F.col("ct") - F.col("c") + 1)
+                        / (
+                            F.col("ntot") - F.col("ns") + F.col("v")
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "term", "score", F.col("rank").cast("long"))
+    )
+
+
+@query(
+    "q240_layout_runs",
+    """
+    WITH r1 AS (
+      SELECT CASE WHEN lag(l_partkey) OVER w IS NULL
+                       OR lag(l_partkey) OVER w <> l_partkey
+                  THEN 1 ELSE 0 END AS brk
+      FROM lineitem
+      WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ),
+    r2 AS (
+      SELECT CASE WHEN lag(l_shipdate) OVER w IS NULL
+                       OR lag(l_shipdate) OVER w <> l_shipdate
+                  THEN 1 ELSE 0 END AS brk
+      FROM lineitem
+      WINDOW w AS (ORDER BY l_partkey, l_orderkey, l_linenumber)
+    )
+    SELECT s.ordering, s.runs,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+           round((SELECT count(*) FROM lineitem)
+                 / CAST(s.runs AS DOUBLE), 4) AS avg_run_len
+    FROM (
+      SELECT 'by_shipdate_runs_of_partkey' AS ordering,
+             CAST(sum(brk) AS BIGINT) AS runs FROM r1
+      UNION ALL
+      SELECT 'by_partkey_runs_of_shipdate' AS ordering,
+             CAST(sum(brk) AS BIGINT) AS runs FROM r2
+    ) s
+    """,
+)
+def q240_layout_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-layout evaluation for encoding/compression planning: the
+    number of RLE runs a secondary column exhibits under each candidate
+    sort order (sort by ship date → runs of partkey, and vice versa) —
+    long runs mean dictionary/RLE-friendly parquet pages and better
+    min-max pruning. The run count is computed DISTRIBUTED-exactly:
+    range-partition on the sort key, count local run breaks per
+    partition, then subtract the boundary seams where a partition's
+    first value continues its predecessor's last (a bounded pid-frame
+    window — the q213 offset idiom applied to run-length instead of
+    prefix sums). No global window ever sees the data-scale frame."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+
+    def runs(sort_cols: list[str], b: str, label: str) -> DataFrame:
+        base = (
+            li.select(*sort_cols, F.col(b).alias("_b"))
+            .repartitionByRange(nparts, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .select(
+                "_b",
+                F.spark_partition_id().alias("_pid"),
+                (F.monotonically_increasing_id() % F.lit(1 << 33)).alias(
+                    "_lidx"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        wl = Window.partitionBy("_pid").orderBy("_lidx")
+        brk = F.when(
+            F.lag("_b").over(wl).isNull()
+            | (F.lag("_b").over(wl) != F.col("_b")),
+            1,
+        ).otherwise(0)
+        local = (
+            base.withColumn("_brk", brk)
+            .groupBy("_pid")
+            .agg(
+                F.sum("_brk").alias("lruns"),
+                F.min(F.struct("_lidx", "_b")).alias("_fst"),
+                F.max(F.struct("_lidx", "_b")).alias("_lst"),
+            )
+            .select(
+                "_pid",
+                "lruns",
+                F.col("_fst._b").alias("first_b"),
+                F.col("_lst._b").alias("last_b"),
+            )
+        )
+        wp = Window.orderBy("_pid")
+        seams = local.select(
+            "lruns",
+            F.when(
+                F.lag("last_b").over(wp) == F.col("first_b"), 1
+            )
+            .otherwise(0)
+            .alias("seam"),
+        )
+        return seams.agg(
+            F.lit(label).alias("ordering"),
+            (F.sum("lruns") - F.sum("seam")).cast("long").alias("runs"),
+        )
+
+    r1 = runs(
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_partkey",
+        "by_shipdate_runs_of_partkey",
+    )
+    r2 = runs(
+        ["l_partkey", "l_orderkey", "l_linenumber"],
+        "l_shipdate",
+        "by_partkey_runs_of_shipdate",
+    )
+    nr = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return (
+        r1.unionAll(r2)
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "ordering",
+            "runs",
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.col("runs").cast("double"), 4
+            ).alias("avg_run_len"),
+        )
+    )

@@ -48,7 +48,9 @@ _TRANSPARENT = {
 }
 _BOUNDED = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit"}
 _AGGS = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
-_KEYS_RE = re.compile(r"keys=\[(.*?)\](?:,|$)")
+# HashAggregate prints "keys=[...]"; SortAggregate (used when min/max of
+# a struct forces sort-based agg) prints "key=[...]" — accept both.
+_KEYS_RE = re.compile(r"keys?=\[(.*?)\](?:,|$)")
 
 
 def _children(node):
