@@ -443,3 +443,63 @@ def test_hll_estimate_within_theoretical_bound_at_10k(spark):
     if e <= 640.0 and v > 0:
         e = 256.0 * math.log(256.0 / v)
     assert abs(e - n) / n < 3 * 1.04 / math.sqrt(256)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=40)
+)
+@settings(max_examples=20, deadline=None)
+def test_distributed_run_count_matches_sequential(spark, vals):
+    """q240's seam-corrected distributed run counting: per-partition
+    break counts minus boundary seams must equal the sequential run
+    count for ANY values and partition count — including runs that span
+    several partition boundaries (small alphabet forces that)."""
+    from pyspark.sql import Window
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    base = (
+        df.repartitionByRange(5, "k")
+        .sortWithinPartitions("k")
+        .select(
+            "b",
+            F.spark_partition_id().alias("_pid"),
+            (F.monotonically_increasing_id() % F.lit(1 << 33)).alias(
+                "_lidx"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wl = Window.partitionBy("_pid").orderBy("_lidx")
+    brk = F.when(
+        F.lag("b").over(wl).isNull() | (F.lag("b").over(wl) != F.col("b")),
+        1,
+    ).otherwise(0)
+    local = (
+        base.withColumn("_brk", brk)
+        .groupBy("_pid")
+        .agg(
+            F.sum("_brk").alias("lruns"),
+            F.min(F.struct("_lidx", "b")).alias("_fst"),
+            F.max(F.struct("_lidx", "b")).alias("_lst"),
+        )
+        .select(
+            "_pid",
+            "lruns",
+            F.col("_fst.b").alias("first_b"),
+            F.col("_lst.b").alias("last_b"),
+        )
+    )
+    wp = Window.orderBy("_pid")
+    got = (
+        local.select(
+            "lruns",
+            F.when(F.lag("last_b").over(wp) == F.col("first_b"), 1)
+            .otherwise(0)
+            .alias("seam"),
+        )
+        .agg((F.sum("lruns") - F.sum("seam")).alias("runs"))
+        .collect()[0]["runs"]
+    )
+    want = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+    assert got == want
