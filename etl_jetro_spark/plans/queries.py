@@ -12586,3 +12586,283 @@ def q240_layout_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_run_len"),
         )
     )
+
+
+@query(
+    "q241_freshness_lag",
+    """
+    WITH mx AS (SELECT max(ts) AS gmax FROM events),
+    per AS (SELECT event_type, max(ts) AS tmax,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type)
+    SELECT per.event_type, per.n,
+           CAST(floor(epoch(mx.gmax)) AS BIGINT)
+             - CAST(floor(epoch(per.tmax)) AS BIGINT) AS lag_s,
+           (CAST(floor(epoch(mx.gmax)) AS BIGINT)
+            - CAST(floor(epoch(per.tmax)) AS BIGINT)) > 3600 AS stale
+    FROM per CROSS JOIN mx
+    """,
+)
+def q241_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit: each event type's newest record vs
+    the global watermark, in whole seconds, with a 1-hour staleness
+    flag — the ingestion-health check a streaming pipeline runs before
+    trusting a batch cut. Two max-aggregates (fully map-side
+    combinable); the comparison is a broadcast one-row join."""
+    e = load_events(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("gmax"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("tmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lag = F.expr("gmax div 1000000000") - F.expr("tmax div 1000000000")
+    return per.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n",
+        lag.alias("lag_s"),
+        (lag > 3600).alias("stale"),
+    )
+
+
+@query(
+    "q242_null_profile",
+    """
+    SELECT c.col,
+           CAST(c.n AS BIGINT) AS n_rows,
+           CAST(c.n_null AS BIGINT) AS n_null,
+           round(c.n_null / CAST(c.n AS DOUBLE), 6) AS null_frac
+    FROM (
+      SELECT 'events.value' AS col, count(*) AS n,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null
+      FROM events
+      UNION ALL
+      SELECT 'events.props', count(*),
+             sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+      FROM events
+      UNION ALL
+      SELECT 'orders.o_totalprice', count(*),
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+      FROM orders
+      UNION ALL
+      SELECT 'documents.text', count(*),
+             sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+      FROM documents
+    ) c
+    """,
+)
+def q242_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table null/blank profile for the nullable columns a
+    pipeline depends on — the data-contract check that runs before any
+    transformation trusts a field. Each table contributes one
+    single-pass conditional aggregate; the union is 4 rows."""
+    e = load_events(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    d = load(spark, sf_dir, "documents")
+
+    def prof(df, col, cond, label):
+        return df.agg(
+            F.lit(label).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_null"),
+        )
+
+    rows = [
+        prof(e, "value", F.col("value").isNull(), "events.value"),
+        prof(
+            e,
+            "props",
+            F.col("props").isNull() | (F.col("props") == ""),
+            "events.props",
+        ),
+        prof(
+            o,
+            "o_totalprice",
+            F.col("o_totalprice").isNull(),
+            "orders.o_totalprice",
+        ),
+        prof(
+            d,
+            "text",
+            F.col("text").isNull() | (F.col("text") == ""),
+            "documents.text",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "col",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows").cast("double"), 6).alias(
+            "null_frac"
+        ),
+    )
+
+
+@query(
+    "q243_key_integrity",
+    """
+    WITH pk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM orders
+    ),
+    ck AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_compound
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+    ),
+    fan AS (
+      SELECT CAST(min(c) AS BIGINT) AS min_fan,
+             CAST(max(c) AS BIGINT) AS max_fan,
+             round(avg(c), 6)       AS avg_fan
+      FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+    )
+    SELECT pk.n_orders, pk.n_keys,
+           pk.n_orders = pk.n_keys AS pk_unique,
+           ck.dup_compound, fan.min_fan, fan.max_fan, fan.avg_fan
+    FROM pk CROSS JOIN ck CROSS JOIN fan
+    """,
+)
+def q243_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-integrity audit: orders primary-key uniqueness, compound-key
+    (orderkey, linenumber) duplicate count in lineitem, and the
+    order→line fan-out envelope — the constraint checks a warehouse
+    runs on every load since Spark enforces no keys. All partial-agg
+    count shuffles; nothing row-scale survives the first reduce."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pk = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+    )
+    comp = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ck = comp.agg(
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_compound")
+    )
+    fanb = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    fan = fanb.agg(
+        F.min("c").cast("long").alias("min_fan"),
+        F.max("c").cast("long").alias("max_fan"),
+        F.round(F.avg("c"), 6).alias("avg_fan"),
+    )
+    return (
+        pk.crossJoin(ck)
+        .crossJoin(fan)
+        .select(
+            "n_orders",
+            "n_keys",
+            (F.col("n_orders") == F.col("n_keys")).alias("pk_unique"),
+            "dup_compound",
+            "min_fan",
+            "max_fan",
+            "avg_fan",
+        )
+    )
+
+
+@query(
+    "q244_vocab_concentration",
+    f"""
+    WITH cts AS (
+      SELECT t.t AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT {DK_WORDS} AS w FROM documents) d, UNNEST(w) AS t(t)
+      WHERE t.t <> ''
+      GROUP BY t.t
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS v FROM cts),
+    top AS (SELECT c FROM cts ORDER BY c DESC, term LIMIT 100)
+    SELECT tot.v AS vocab_size, tot.n AS total_tokens,
+           CAST((SELECT count(*) FROM top) AS BIGINT) AS top_k,
+           CAST((SELECT sum(c) FROM top) AS BIGINT)   AS top_mass,
+           round((SELECT sum(c) FROM top) / CAST(tot.n AS DOUBLE), 6)
+             AS top_share
+    FROM tot
+    """,
+)
+def q244_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration: what share of all token occurrences
+    the top-100 terms carry — the heavy-tail number that sizes
+    stopword lists, df-caps (q110/q207), and subword-vocab budgets.
+    One term-count shuffle; the top-100 is a TakeOrdered over the
+    vocabulary frame, never a global window."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    cts = (
+        d.select(F.explode(F.split(norm_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cts.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    top = cts.orderBy(F.desc("c"), F.asc("term")).limit(100)
+    topa = top.agg(
+        F.count(F.lit(1)).cast("long").alias("top_k"),
+        F.sum("c").cast("long").alias("top_mass"),
+    )
+    return tot.crossJoin(topa).select(
+        "vocab_size",
+        "total_tokens",
+        "top_k",
+        "top_mass",
+        F.round(
+            F.col("top_mass") / F.col("total_tokens").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+@query(
+    "q245_segment_star_summary",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS net_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(count(*) / CAST(count(DISTINCT o.o_orderkey) AS DOUBLE), 6)
+             AS lines_per_order
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-table star rollup per market segment: customers, orders,
+    net revenue, and line fan-out in ONE aggregation over the
+    customer⋈orders⋈lineitem join — the canonical star-schema report.
+    The customer dim broadcasts; orders⋈lineitem is the q42 bucketed
+    fact-fact join at scale; distinct counts expand via Spark's
+    standard two-shuffle rewrite."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("net_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.count(F.lit(1))
+            / F.countDistinct("o_orderkey").cast("double"),
+            6,
+        ).alias("lines_per_order"),
+    )
