@@ -12866,3 +12866,275 @@ def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lines_per_order"),
     )
+
+
+@query(
+    "q246_backlog_aging",
+    """
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS today FROM orders),
+    open_o AS (
+      SELECT datediff('day', CAST(o_orderdate AS DATE), mx.today) AS age_d,
+             o_totalprice
+      FROM orders CROSS JOIN mx WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_d <= 30 THEN '0-30'
+                WHEN age_d <= 90 THEN '31-90'
+                WHEN age_d <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS open_value,
+           CAST(min(age_d) AS BIGINT) AS min_age_d,
+           CAST(max(age_d) AS BIGINT) AS max_age_d
+    FROM open_o GROUP BY 1
+    """,
+)
+def q246_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging report: orders still in status 'O'
+    bucketed by age against the dataset watermark (0-30/31-90/91-365/
+    365+ days), with the open value per bucket — the AR-style aging
+    summary every ops dashboard carries. One max broadcast + one
+    filtered partial-agg pass; integer day arithmetic on DATE-cast
+    wall-clock on both engines."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("today"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.col("today"), F.to_date("o_orderdate")
+            ).alias("age_d"),
+            "o_totalprice",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 30, "0-30")
+        .when(F.col("age_d") <= 90, "31-90")
+        .when(F.col("age_d") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("open_value"),
+        F.min("age_d").cast("long").alias("min_age_d"),
+        F.max("age_d").cast("long").alias("max_age_d"),
+    )
+
+
+@query(
+    "q247_discount_quantity_corr",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(l.l_discount), 6) AS avg_discount,
+           round(corr(l.l_discount, l.l_quantity), 6) AS disc_qty_corr
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    HAVING count(*) >= 100
+    """,
+)
+def q247_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount effectiveness screen per brand: the discount↔quantity
+    correlation (does discounting move volume?) over the
+    lineitem⋈part join — part broadcasts, corr is a single-pass moment
+    aggregate, and the >=100-line support filter keeps noise brands out.
+    The price-elasticity cousin of q131's grouped OLS."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(F.corr("l_discount", "l_quantity"), 6).alias(
+                "disc_qty_corr"
+            ),
+        )
+        .filter(F.col("n_lines") >= 100)
+    )
+
+
+@query(
+    "q248_length_diversity_corr",
+    f"""
+    WITH f AS (
+      SELECT source, CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(list_filter(
+               string_split({DK_NORM_TEXT}, ' '), x -> x <> '')))
+               AS BIGINT) AS n_distinct
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(n_distinct), 4) AS avg_distinct_tokens,
+           round(corr(n_chars, n_distinct), 6) AS len_diversity_corr
+    FROM f GROUP BY source
+    """,
+)
+def q248_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length vs lexical-diversity correlation per source — when the
+    correlation is near 1 the source's vocabulary grows with length
+    (organic text); template/boilerplate sources flatten out (length
+    grows, distinct tokens don't) — a one-number companion to the q234
+    template audit. Features are partition-local expressions; the
+    reduce is source-cardinality-sized."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(norm_text("text"), " "), lambda x: x != ""
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_distinct"), 4).alias("avg_distinct_tokens"),
+        F.round(F.corr("n_chars", "n_distinct"), 6).alias(
+            "len_diversity_corr"
+        ),
+    )
+
+
+@query(
+    "q249_supplier_hhi",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, sum(q) AS tq,
+                   CAST(count(*) AS BIGINT) AS n_supp
+            FROM ps GROUP BY l_partkey),
+    hhi AS (
+      SELECT ps.l_partkey,
+             max(tot.n_supp) AS n_supp,
+             sum((ps.q / tot.tq) * (ps.q / tot.tq)) AS h
+      FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
+      GROUP BY ps.l_partkey
+    )
+    SELECT CASE WHEN h >= 0.25 THEN 'concentrated'
+                WHEN h >= 0.15 THEN 'moderate'
+                ELSE 'competitive' END AS concentration,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(h), 6)         AS avg_hhi,
+           round(avg(n_supp), 4)    AS avg_suppliers
+    FROM hhi GROUP BY 1
+    """,
+)
+def q249_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration census: the Herfindahl-Hirschman index of
+    supplier quantity shares within each part (DOJ 0.15/0.25
+    thresholds), rolled up to how many parts are competitively vs
+    single-source supplied — the supply-chain-risk readout. Two
+    partial-agg passes over (part, supplier) cells; shares never leave
+    their part's group, so the whole census is shuffle-bounded by cell
+    cardinality."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    share = F.col("q") / F.col("tq")
+    hhi = (
+        ps.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_supp").alias("n_supp"),
+            F.sum(share * share).alias("h"),
+        )
+    )
+    conc = (
+        F.when(F.col("h") >= 0.25, "concentrated")
+        .when(F.col("h") >= 0.15, "moderate")
+        .otherwise("competitive")
+    )
+    return hhi.groupBy(conc.alias("concentration")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.avg("h"), 6).alias("avg_hhi"),
+        F.round(F.avg("n_supp"), 4).alias("avg_suppliers"),
+    )
+
+
+@query(
+    "q250_interarrival_profile",
+    """
+    WITH s AS (
+      SELECT event_type, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY event_type, user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS pt
+      FROM events
+    ),
+    g AS (SELECT event_type, t - pt AS gap FROM s WHERE pt IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             avg(gap)                 AS mean_gap,
+             sum(CAST(gap AS DOUBLE) * gap) AS ssq
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(mean_gap, 6) AS mean_gap_s,
+           round(3600.0 / mean_gap, 6) AS rate_per_hour,
+           round(sqrt((ssq - n_gaps * mean_gap * mean_gap)
+                      / (n_gaps - 1)) / mean_gap, 6) AS gap_cv,
+           sqrt((ssq - n_gaps * mean_gap * mean_gap)
+                / (n_gaps - 1)) / mean_gap > 1.5 AS overdispersed
+    FROM m WHERE n_gaps > 1
+    """,
+)
+def q250_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile by event type: mean gap, implied
+    hourly rate, and the coefficient of variation (a Poisson process
+    has CV = 1; CV > 1.5 flags clumped arrivals) — the
+    interarrival-domain twin of q216's count-domain Fano factor. Gaps
+    come from PARTITIONED (type, user) lag windows; moments are
+    closed-form sums so the CV needs one pass."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000000").alias("t"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("t", "event_id")
+    g = (
+        e.withColumn("pt", F.lag("t").over(w))
+        .filter(F.col("pt").isNotNull())
+        .select("event_type", (F.col("t") - F.col("pt")).alias("gap"))
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("gap").alias("mean_gap"),
+        F.sum(F.col("gap").cast("double") * F.col("gap")).alias("ssq"),
+    )
+    sd = F.sqrt(
+        (F.col("ssq") - F.col("n_gaps") * F.col("mean_gap") * F.col("mean_gap"))
+        / (F.col("n_gaps") - 1)
+    )
+    cv = sd / F.col("mean_gap")
+    return m.filter(F.col("n_gaps") > 1).select(
+        "event_type",
+        "n_gaps",
+        F.round("mean_gap", 6).alias("mean_gap_s"),
+        F.round(3600.0 / F.col("mean_gap"), 6).alias("rate_per_hour"),
+        F.round(cv, 6).alias("gap_cv"),
+        (cv > 1.5).alias("overdispersed"),
+    )
