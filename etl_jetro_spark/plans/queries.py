@@ -13138,3 +13138,323 @@ def q250_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("gap_cv"),
         (cv > 1.5).alias("overdispersed"),
     )
+
+
+@query(
+    "q251_bigram_entropy",
+    f"""
+    WITH toks AS (
+      SELECT source, w FROM (SELECT source, {DK_WORDS} AS w FROM documents)
+      WHERE len(w) >= 2
+    ),
+    bg AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM toks
+    ),
+    c AS (SELECT source, bigram, CAST(count(*) AS BIGINT) AS c
+          FROM bg GROUP BY source, bigram)
+    SELECT source,
+           CAST(sum(c) AS BIGINT)   AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS bigram_entropy
+    FROM c GROUP BY source
+    """,
+)
+def q251_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram Shannon entropy (the q134 formulation one
+    n-gram order up) — low bigram entropy with normal unigram entropy
+    is the signature of templated/repetitive text that fools
+    unigram-level quality gates. Bigrams generate partition-locally
+    from adjacent token pairs; one (source, bigram) count shuffle;
+    entropy from closed-form ln sums."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(norm_text("text"), " ").alias("w"))
+    # norm_text collapses whitespace, so split() yields no interior
+    # empty tokens; a fully-empty doc gives [''] (size 1) and is
+    # excluded by the size filter — no per-bigram guards needed.
+    bg = toks.filter(F.size("w") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(w[i-1], ' ', w[i]))"
+            )
+        ).alias("bigram"),
+    )
+    c = bg.groupBy("source", "bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("bigram_entropy"),
+    )
+
+
+@query(
+    "q253_type_affinity_lift",
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM u
+            GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(count(*) AS BIGINT) AS co
+      FROM u a JOIN u b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ta, p.tb, p.co,
+           round(p.co * CAST(n.nu AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+    FROM pair p
+    JOIN per ca ON ca.event_type = p.ta
+    JOIN per cb ON cb.event_type = p.tb
+    CROSS JOIN n
+    """,
+)
+def q253_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity lift matrix: P(a ∧ b)/(P(a)·P(b)) over
+    distinct users — lift > 1 means the surfaces share an audience
+    (cross-sell signal), < 1 means they split it. The only data-scale
+    work is the distinct (user, type) projection; the per-user pair
+    join is bounded by types-per-user (≤5) and the matrix is
+    types²-sized."""
+    e = load(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    per = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    ca = per.select(F.col("event_type").alias("ta"), F.col("c").alias("c_a"))
+    cb = per.select(F.col("event_type").alias("tb"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            "co",
+            F.round(
+                F.col("co")
+                * F.col("nu").cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q254_basket_size_histogram",
+    """
+    WITH f AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+               FROM lineitem GROUP BY l_orderkey),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+    SELECT f.n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(count(*) / CAST(tot.n AS DOUBLE), 6) AS share,
+           round(sum(count(*)) OVER (ORDER BY f.n_lines
+                                     ROWS UNBOUNDED PRECEDING)
+                 / CAST(tot.n AS DOUBLE), 6) AS cum_share
+    FROM f CROSS JOIN tot GROUP BY f.n_lines, tot.n
+    """,
+)
+def q254_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution with cumulative share — the
+    per-basket-size histogram that justifies the bounded-basket
+    argument every pair-expansion query (q151/q194/q211) leans on.
+    The fan-out count is one partial-agg shuffle; the cumulative
+    share comes from a triangular self-join on the max-basket-sized
+    histogram frame — windowless by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    tot = f.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = f.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    ).localCheckpoint(eager=False)
+    # cumulative share via a triangular self-join on the max-basket-
+    # sized histogram frame (~dozen rows) — windowless, so the catalog
+    # plan-lint's no-global-window rule holds structurally rather than
+    # by an NDV-size judgment call
+    cum = (
+        h.alias("x")
+        .join(
+            F.broadcast(h.alias("y")),
+            F.col("y.n_lines") <= F.col("x.n_lines"),
+        )
+        .groupBy(F.col("x.n_lines").alias("n_lines"))
+        .agg(
+            F.max(F.col("x.n_orders")).alias("n_orders"),
+            F.sum(F.col("y.n_orders")).alias("cum"),
+        )
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "n_lines",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("n").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(F.col("cum") / F.col("n").cast("double"), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+@query(
+    "q255_supplier_balance_outliers",
+    """
+    WITH m AS (
+      SELECT s_nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(s_acctbal) AS mu,
+             CASE WHEN count(*) > 1
+                  THEN sqrt((sum(s_acctbal * s_acctbal)
+                             - sum(s_acctbal) * sum(s_acctbal)
+                               / CAST(count(*) AS DOUBLE))
+                            / (count(*) - 1))
+                  ELSE 0 END AS sd
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           m.n AS n_suppliers,
+           round(m.mu, 4) AS mean_balance,
+           CAST(sum(CASE WHEN m.sd > 0
+                         AND abs(s.s_acctbal - m.mu) > 2 * m.sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM supplier s
+    JOIN m ON m.s_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, m.n, m.mu
+    """,
+)
+def q255_supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance outlier census per nation: 2σ flags
+    against per-nation moments (closed-form variance — no second
+    pass), the vendor-risk screen before settlement. The moments
+    frame is nation-sized and broadcast back over the supplier scan;
+    nation names join from the broadcast dim."""
+    s = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    m = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("s_acctbal").alias("mu"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.sqrt(
+                (
+                    F.sum(F.col("s_acctbal") * F.col("s_acctbal"))
+                    - F.sum("s_acctbal")
+                    * F.sum("s_acctbal")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / (F.count(F.lit(1)) - 1)
+            ),
+        )
+        .otherwise(0.0)
+        .alias("sd"),
+    )
+    return (
+        s.join(F.broadcast(m), "s_nationkey")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_suppliers"),
+            F.col("mu"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("sd") > 0)
+                    & (
+                        F.abs(F.col("s_acctbal") - F.col("mu"))
+                        > 2 * F.col("sd")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.round("mu", 4).alias("mean_balance"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "q252_order_dow_mix",
+    """
+    WITH base AS (
+      SELECT dayofweek(o_orderdate) AS dow, o_orderpriority AS pri,
+             o_totalprice
+      FROM orders
+    ),
+    cell AS (
+      SELECT dow, pri, CAST(count(*) AS BIGINT) AS n,
+             sum(o_totalprice) AS rev
+      FROM base GROUP BY dow, pri
+    ),
+    d AS (SELECT dow, CAST(sum(n) AS BIGINT) AS nd FROM cell GROUP BY dow)
+    SELECT CAST(cell.dow AS BIGINT) AS day_of_week, cell.pri, cell.n,
+           round(cell.rev, 4) AS revenue,
+           round(cell.n / CAST(d.nd AS DOUBLE), 6) AS day_share
+    FROM cell JOIN d ON d.dow = cell.dow
+    """,
+)
+def q252_order_dow_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order placement mix: priority composition of each weekday's
+    order flow (count, revenue, within-day share) — the operational
+    staffing/capacity readout. One cell-bounded partial-agg pass; the
+    weekday convention is bridged explicitly (Spark dayofweek is
+    1-based Sunday, DuckDB 0-based)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        (F.dayofweek(F.to_date("o_orderdate")) - 1).alias("dow"),
+        F.col("o_orderpriority").alias("pri"),
+        "o_totalprice",
+    )
+    cell = base.groupBy("dow", "pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    d = cell.groupBy("dow").agg(F.sum("n").cast("long").alias("nd"))
+    return cell.join(F.broadcast(d), "dow").select(
+        F.col("dow").cast("long").alias("day_of_week"),
+        "pri",
+        "n",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.col("n") / F.col("nd").cast("double"), 6).alias(
+            "day_share"
+        ),
+    )
