@@ -410,8 +410,11 @@ class TimedFlush(StatefulProcessor):
             c += int(pdf["value"].count())
         self.cnt.update((c,))
         # one live timer per key: re-registering supersedes (delete any
-        # prior expiry first so the store holds a single deadline)
-        for (old,) in self.handle.listTimers():
+        # prior expiry first so the store holds a single deadline).
+        # listTimers() yields plain int timestamps (ListTimerIterator
+        # returns timestampMs, not a tuple); materialize before mutating
+        # so the delete RPCs don't race the listing iterator.
+        for old in list(self.handle.listTimers()):
             self.handle.deleteTimer(old)
         self.handle.registerTimer(
             timerValues.getCurrentProcessingTimeInMs() + self.delay_ms
@@ -460,6 +463,104 @@ def run_timed_flush(
         outputStructType=FLUSH_SCHEMA,
         outputMode="Update",
         timeMode="ProcessingTime",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+
+class EventTimeFlush(StatefulProcessor):
+    """Per-key EVENT-TIME TIMER flush — the watermark-driven twin of
+    ``TimedFlush`` (round-5 verdict ask #5: pin the late-event timer
+    semantics live). Each batch refreshes a running count, tracks the
+    key's max event time, and (re-)registers a timer at
+    ``max_event_ms + gap_ms``; the timer fires only when the QUERY
+    WATERMARK passes that instant — i.e. the flush is driven by event
+    time carried in the data, not the wall clock, so replays and late
+    arrivals behave deterministically. Requires ``withWatermark`` on the
+    input and ``timeMode="EventTime"``; watermark advancement is
+    observable via ``timerValues.getCurrentWatermarkInMs()``.
+    """
+
+    def __init__(self, gap_ms: int = 60_000):
+        self.gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.cnt = handle.getValueState("cnt", "c bigint")
+        self.mx = handle.getValueState("mx", "m bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        c = self.cnt.get()[0] if self.cnt.exists() else 0
+        m = self.mx.get()[0] if self.mx.exists() else 0
+        for pdf in rows:
+            c += int(pdf["value"].count())
+            # ts_utc is timestamp (event-time instant); ns -> ms
+            m = max(m, int(pdf["ts_utc"].max().value // 1_000_000))
+        self.cnt.update((c,))
+        self.mx.update((m,))
+        # single live deadline per key: listTimers() yields plain int
+        # timestamps; materialize before mutating (same contract as
+        # TimedFlush above)
+        for old in list(self.handle.listTimers()):
+            self.handle.deleteTimer(old)
+        self.handle.registerTimer(m + self.gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "pcnt": [c], "flushed": [False]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        c = self.cnt.get()[0] if self.cnt.exists() else 0
+        self.cnt.clear()
+        self.mx.clear()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "pcnt": [c], "flushed": [True]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_event_time_flush(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap_ms: int = 60_000,
+    watermark: str = "1 second",
+    queryName: str = "event_time_flush",
+    glob: str = "*.parquet",
+):
+    """Wire the event-time timer processor over the events stream. The
+    watermark (on ``ts_utc``) is what fires timers: after a micro-batch,
+    the watermark advances to max(event time) - delay, and the NEXT
+    micro-batch (including a no-data batch —
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` is on by default)
+    delivers every timer whose deadline it passed. Late rows behind the
+    watermark are dropped before the processor sees them."""
+    from etl_jetro_spark.streaming.windows import events_stream
+
+    if not ensure_protobuf():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, events_dir, glob).withWatermark(
+        "ts_utc", watermark
+    )
+    out: DataFrame = ev.groupBy("user_id").transformWithStateInPandas(
+        EventTimeFlush(gap_ms),
+        outputStructType=FLUSH_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
     )
     return (
         out.writeStream.outputMode("update")

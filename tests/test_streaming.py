@@ -902,6 +902,178 @@ spark.stop()
     assert "TWS_TIMER_OK" in r.stdout
 
 
+def test_transform_with_state_timer_reregister_live(tmp_path):
+    """Timer RE-REGISTRATION executed LIVE — the same keys appear in two
+    consecutive micro-batches within delay_ms, so the second batch finds
+    a pending timer and must delete + re-register it (ADVICE r5 high:
+    ``listTimers()`` yields plain ints, not tuples — the old tuple
+    unpacking raised TypeError and killed the query exactly here; the
+    key-disjoint timers test never reached this path). Asserts the query
+    survives batch B AND each key flushes exactly once with the combined
+    A+B count — one flush proves the A-timer was superseded, not fired."""
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import os, shutil, sys, time
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-rereg-test", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+a = ev.filter(F.col("user_id") < 8)
+d = os.path.join(tmp, "stage")
+a.coalesce(1).write.mode("overwrite").parquet(d)
+part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+staged = os.path.join(d, part)
+shutil.copy(staged, os.path.join(tmp, "b.parquet"))
+os.rename(staged, os.path.join(src, "a.parquet"))
+from etl_jetro_spark.streaming.stateful import run_timed_flush
+DELAY = 15000
+q = run_timed_flush(spark, src, os.path.join(tmp, "ck"), delay_ms=DELAY)
+def table():
+    return spark.sql("SELECT user_id, pcnt, flushed FROM timed_flush").collect()
+deadline = time.time() + 120
+while time.time() < deadline:
+    if any(not r["flushed"] for r in table()):
+        break
+    time.sleep(0.25)
+else:
+    raise AssertionError("batch A never produced running rows")
+# land B IMMEDIATELY — well inside delay_ms, so every key's A-timer is
+# still pending when batch B calls handleInputRows (the re-register path)
+os.rename(os.path.join(tmp, "b.parquet"), os.path.join(src, "b.parquet"))
+want = {r["user_id"]: 2 * r["n"] for r in a.groupBy("user_id").agg(
+    F.count("value").alias("n")).collect()}
+deadline = time.time() + 180
+flushed = {}
+while time.time() < deadline:
+    if q.exception() is not None:
+        raise AssertionError("query died: %s" % q.exception())
+    rows = [r for r in table() if r["flushed"]]
+    flushed = {}
+    for r in rows:
+        flushed.setdefault(r["user_id"], []).append(r["pcnt"])
+    if set(flushed) >= set(want):
+        break
+    time.sleep(0.5)
+q.stop()
+# exactly one flush per key at the combined count: the A-timer was
+# deleted and superseded, never fired early
+assert {k: v for k, v in flushed.items()} == {k: [v] for k, v in want.items()}, (flushed, want)
+print("TWS_REREG_OK", len(flushed))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_REREG_OK" in r.stdout
+
+
+def test_transform_with_state_event_time_timers_live(tmp_path):
+    """EVENT-TIME timers + watermark interplay executed LIVE (round-5
+    verdict ask #5 — the one arbitrary-state dimension still untested):
+    keys from file A register timers at max(event_ts)+gap in EVENT time;
+    nothing fires while the wall clock runs because the watermark is
+    pinned at A's max event time. File B carries events ~400 days later
+    for DISJOINT keys — its only effect on A's keys is advancing the
+    query watermark past their deadlines, after which the next
+    (no-data) micro-batch fires the timers and the flushed counts must
+    equal file A's per-key batch counts."""
+    import subprocess
+    import sys
+
+    from etl_jetro_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime (pip or vendored) on this host")
+
+    script = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from etl_jetro_spark.streaming.stateful import ensure_protobuf
+assert ensure_protobuf()
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from etl_jetro_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="tws-evt-timer-test", shuffle_partitions=4)
+tmp = sys.argv[1]
+src = os.path.join(tmp, "src"); os.makedirs(src, exist_ok=True)
+ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+SPLIT = 8
+a = ev.filter(F.col("user_id") < SPLIT)
+# B: disjoint keys, event time shifted far past every A deadline —
+# advances the watermark without touching A's state
+b = ev.filter(F.col("user_id") >= SPLIT).withColumn(
+    "ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+for name, df in (("a", a), ("b", b)):
+    d = os.path.join(tmp, f"stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(d, part), os.path.join(tmp, f"{name}.parquet"))
+os.rename(os.path.join(tmp, "a.parquet"), os.path.join(src, "a.parquet"))
+from etl_jetro_spark.streaming.stateful import run_event_time_flush
+# 60 days of EVENT time: bigger than file A's ~30-day internal spread
+# (so no per-key deadline sits behind A's own watermark), unreachable
+# by wall clock, and far behind B's +400-day watermark push
+GAP_MS = 60 * 86_400_000
+q = run_event_time_flush(spark, src, os.path.join(tmp, "ck"), gap_ms=GAP_MS)
+def table():
+    return spark.sql(
+        "SELECT user_id, pcnt, flushed FROM event_time_flush").collect()
+deadline = time.time() + 120
+while time.time() < deadline:
+    if any(not r["flushed"] for r in table()):
+        break
+    time.sleep(0.25)
+else:
+    raise AssertionError("batch A never produced running rows")
+# give the wall clock a moment: event-time timers must NOT fire on
+# wall time alone (watermark is still at A's max event time)
+time.sleep(3.0)
+assert not any(r["flushed"] for r in table()), "fired without watermark advance"
+os.rename(os.path.join(tmp, "b.parquet"), os.path.join(src, "b.parquet"))
+want = {r["user_id"]: r["n"] for r in a.groupBy("user_id").agg(
+    F.count("value").alias("n")).collect()}
+deadline = time.time() + 180
+got = {}
+while time.time() < deadline:
+    if q.exception() is not None:
+        raise AssertionError("query died: %s" % q.exception())
+    got = {r["user_id"]: r["pcnt"] for r in table()
+           if r["flushed"] and r["user_id"] < SPLIT}
+    if set(got) >= set(want):
+        break
+    time.sleep(0.5)
+q.stop()
+assert got == want, (got, want)
+print("TWS_EVT_TIMER_OK", len(got))
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "TWS_EVT_TIMER_OK" in r.stdout
+
+
 def test_transform_with_state_ttl_and_initial_state_live(tmp_path):
     """TTL + batch-seeded initial state executed LIVE — the final two
     arbitrary-state features after Value/Map/List/timers. Phase 1: the
