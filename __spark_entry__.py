@@ -27,8 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 # deterministic per-round offset so every older query cycles back into
 # the signed window every few rounds. Full-gate runs cover everything
 # regardless (tools/diffcheck.py).
-NEWEST_N = 25
-ROTATE_N = 25
+#
+# Round 6 (verdict ask #2): the stale band (q76-q230, 105 queries at
+# r5 close) clears too slowly at 25/round while the surface grows, so
+# the ~50-query budget is re-split — 10 for the newest (rounds now add
+# far fewer than 25 queries) and 40 for the rotation. Rounds <= 5
+# advanced by 25 (r5 signed q49-q75); the piecewise offset below keeps
+# the band contiguous across the policy change, so r6 starts exactly
+# where r5 stopped (q76) and nothing is skipped.
+NEWEST_N = 10
+ROTATE_N = 40
+_R5_NEWEST_N = 25
+_R5_ROTATE_N = 25
 
 
 def _round_index() -> int:
@@ -48,16 +58,22 @@ def _ordered_names() -> list[str]:
     from etl_jetro_spark.plans.queries import QUERIES
 
     names = list(QUERIES)
-    newest = names[-NEWEST_N:][::-1]
-    older = names[: -NEWEST_N or None]
+    rnd = _round_index()
+    newest_n = _R5_NEWEST_N if rnd <= 5 else NEWEST_N
+    newest = names[-newest_n:][::-1]
+    older = names[: -newest_n or None]
     if not older:
         return newest
     # Anchor round 5's rotation at the start of the never-signed band
-    # (q49 onward); each later round advances by ROTATE_N.
+    # (q49 onward). r5 advanced by the old 25-stride; rounds >= 6
+    # continue contiguously from where r5 stopped, striding ROTATE_N.
     anchor = next(
         (i for i, n in enumerate(older) if n.startswith("q49")), 0
     )
-    off = (anchor + (_round_index() - 5) * ROTATE_N) % len(older)
+    if rnd <= 5:
+        off = (anchor + (rnd - 5) * _R5_ROTATE_N) % len(older)
+    else:
+        off = (anchor + _R5_ROTATE_N + (rnd - 6) * ROTATE_N) % len(older)
     return newest + older[off:] + older[:off]
 
 

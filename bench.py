@@ -105,7 +105,12 @@ def main() -> None:
     if len(shown) == len([v for v in timings.values() if v is not None]):
         payload = json.dumps({**summary, "queries": shown})
     if not payload:
-        payload = json.dumps(summary)
+        # Even the single slowest entry busts the budget: emit the bare
+        # summary, but KEEP the truncation markers so a stdout-only
+        # consumer still learns that per-query timings exist on disk.
+        payload = json.dumps(
+            {**summary, "queries_truncated": True, "full": "BENCH_LOCAL.json"}
+        )
     sys.stdout.flush()
     print(payload, flush=True)
 

@@ -292,11 +292,18 @@ def weighted_group_percentiles(
     ASSOCIATION is not: Spark folds per-(partition, group) chunk sums
     where a sequential engine accumulates strictly left-to-right, so the
     cumulative weight can differ by ulps cross-engine. The threshold
-    comparison therefore allows a relative slack of 1e-9 * total_weight
-    — far above chunked-association error (~1e-13..1e-10 relative) and
-    far below any realistic boundary gap (smallest_weight /
-    total_weight) — so an ulp cannot flip the picked value (ADVICE r4;
-    the prefix_filter ceil-guard pattern). NULL values and non-positive
+    comparison therefore allows a one-sided slack of
+    min(1e-9 · total_weight, ½ · min_weight) per group — above
+    chunked-association error (~1e-13..1e-10 relative) yet below HALF
+    the smallest possible boundary gap (min_weight / total_weight), so
+    the slack can never legitimately reach the previous row's cumulative
+    weight even under heavy weight skew (one weight 1e12 next to weights
+    of 1 caps the slack at 0.5, not 1e3 — ADVICE r5; the per-group
+    min-weight bound replaces r4's fixed 1e-9). Residual limitation: if
+    a group's min_weight/total_weight falls below ~2e-13 (the
+    association-error scale — e.g. >5e12 near-equal weights in one
+    group), no slack separates error from gap and the picked row can
+    differ by one position cross-engine. NULL values and non-positive
     weights are excluded.
 
     ``ps`` maps output column name -> fraction in (0, 1]. Returns one
@@ -323,14 +330,19 @@ def weighted_group_percentiles(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)  # freeze pid/order for both passes
     )
-    # metadata pass: per-(partition, group) weight sums -> global offsets
-    pc = base.groupBy("_pid", *keys).agg(F.sum("_w").alias("_pw"))
+    # metadata pass: per-(partition, group) weight sums -> global
+    # offsets; per-cell min weight feeds the skew-safe slack bound
+    pc = base.groupBy("_pid", *keys).agg(
+        F.sum("_w").alias("_pw"), F.min("_w").alias("_pmw")
+    )
     woff = Window.partitionBy(*keys).orderBy("_pid") if keys else (
         Window.partitionBy().orderBy("_pid")
     )
     wall = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    meta = pc.withColumn("_off", F.sum("_pw").over(woff) - F.col("_pw")).withColumn(
-        "_tw", F.sum("_pw").over(wall)
+    meta = (
+        pc.withColumn("_off", F.sum("_pw").over(woff) - F.col("_pw"))
+        .withColumn("_tw", F.sum("_pw").over(wall))
+        .withColumn("_mw", F.min("_pmw").over(wall))
     )
     # partition-local running weight: window partitions are (physical
     # partition, group) cells — bounded by the range split, not the group
@@ -340,13 +352,14 @@ def weighted_group_percentiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = base.withColumn("_lc", F.sum("_w").over(wloc)).join(
-        F.broadcast(meta.select("_pid", *keys, "_off", "_tw")), ["_pid", *keys]
+        F.broadcast(meta.select("_pid", *keys, "_off", "_tw", "_mw")),
+        ["_pid", *keys],
     ).withColumn("_cw", F.col("_off") + F.col("_lc"))
+    slack = F.least(F.lit(1e-9) * F.col("_tw"), F.lit(0.5) * F.col("_mw"))
     aggs = [
         F.min(
             F.when(
-                F.col("_cw")
-                >= F.lit(p) * F.col("_tw") - F.lit(1e-9) * F.col("_tw"),
+                F.col("_cw") >= F.lit(p) * F.col("_tw") - slack,
                 F.col("_v"),
             )
         ).alias(name)

@@ -190,6 +190,7 @@ def target_mix_resample(
     group_col: str,
     targets: dict[str, float],
     salt: str = "",
+    strict: bool = False,
 ) -> DataFrame:
     """Downsample-only importance resampling toward a target group mix
     (the data-mixture rebalancing step of corpus curation — e.g. force a
@@ -200,6 +201,16 @@ def target_mix_resample(
     Rates quantize to 1/10000 (``weighted_hash_sample`` buckets) so the
     accept decision is boundary-ulp-proof cross-engine.
 
+    Rows whose group is ABSENT from ``targets`` (or whose target share
+    is 0) are DROPPED — the output mix is over the listed groups only.
+    A positive-share target group with ZERO input rows cannot
+    contribute, so the requested mix is unattainable; by default that
+    group is silently skipped when computing c (the output then follows
+    the mix renormalized over the groups that exist). Pass
+    ``strict=True`` to instead raise ``ValueError`` — this runs one
+    eager groups-sized aggregate at call time, so the default stays
+    lazy for plan-only callers.
+
     Returns the resampled rows plus ``_keep_rate``. Group shares are a
     groups-sized aggregate broadcast back; the accept filter is a pure
     projection — no data-scale shuffle anywhere.
@@ -207,6 +218,19 @@ def target_mix_resample(
     tot = sum(targets.values())
     if abs(tot - 1.0) > 1e-9:
         raise ValueError(f"target shares must sum to 1, got {tot}")
+    if strict:
+        present = {
+            r[0]
+            for r in df.select(group_col).distinct().collect()
+        }
+        missing = sorted(
+            g for g, v in targets.items() if v > 0 and g not in present
+        )
+        if missing:
+            raise ValueError(
+                "target groups with positive share but no input rows "
+                f"(requested mix unattainable): {missing}"
+            )
     shares = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
     tgt = F.create_map(
         *[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]

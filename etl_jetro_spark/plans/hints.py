@@ -1,0 +1,80 @@
+"""Scale-safe broadcast hints (round-5 verdict ask #1).
+
+An unconditional ``F.broadcast()`` disables Catalyst/AQE's size-based
+join selection: correct and fast at bench SFs, a broadcast-OOM at the
+100 TB north star when the hinted frame grows with the data (the round-5
+finding on the BFS frontier, per-item support counts, and per-user
+funnel stages). Every explicit hint in the query catalog now routes
+through one of two helpers so the *growth class* of the hinted frame is
+declared at the call site and lintable:
+
+- ``bcast_small(df)`` — unconditional hint. Contract: the frame's
+  cardinality is NDV-bounded (a scalar/global aggregate, a top-k or
+  capped index, a parameter frame, an enum-keyed rollup like
+  event_type/lang/returnflag, or a true constant dim like
+  nation/region). It does NOT grow with the corpus.
+  ``tools/broadcastlint.py`` measures every such frame at two SFs and
+  flags any that grow — the contract is enforced, not trusted.
+- ``bcast_sized(df)`` — size-GATED hint for frames that are broadcast-
+  worthy today but scale with the business (customer at current SFs):
+  the hint is applied only when Catalyst's own optimized-plan estimate
+  fits under ``spark.sql.autoBroadcastJoinThreshold``. At 100x the
+  dim the gate turns the hint off and the engine falls back to its own
+  size-based join selection — the same code survives the scale-up.
+
+``tools/broadcastlint.py`` additionally bans raw ``F.broadcast(`` in
+``plans/queries.py`` (source check), so no future query can reintroduce
+an undeclared hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# When non-None, every helper call appends (kind, df) here — the
+# broadcast lint uses it to enumerate the exact frames a query hints so
+# it can measure their cardinality growth across SFs.
+_LINT_REGISTRY: list[tuple[str, DataFrame]] | None = None
+
+
+def bcast_small(df: DataFrame) -> DataFrame:
+    """Unconditional broadcast hint for an NDV-bounded frame (scalar
+    aggregate / top-k / capped index / parameter frame / enum rollup /
+    constant dim). The caller asserts the frame does not grow with the
+    corpus; ``tools/broadcastlint.py`` verifies that assertion by
+    measuring the frame at two SFs."""
+    if _LINT_REGISTRY is not None:
+        _LINT_REGISTRY.append(("small", df))
+    return F.broadcast(df)
+
+
+def _auto_broadcast_threshold(spark) -> int:
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        return int(raw)
+    except ValueError:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                raw
+            )
+        )
+
+
+def bcast_sized(df: DataFrame) -> DataFrame:
+    """Size-gated broadcast hint: applied only when Catalyst's
+    optimized-plan size estimate for ``df`` fits under the engine's own
+    ``autoBroadcastJoinThreshold`` (and that threshold is not -1).
+    For dimensions that are broadcastable at current scale but grow
+    with the business — the hint self-disables at the size where it
+    would start to hurt, restoring AQE's size-based join selection."""
+    if _LINT_REGISTRY is not None:
+        _LINT_REGISTRY.append(("sized", df))
+    spark = df.sparkSession
+    threshold = _auto_broadcast_threshold(spark)
+    if threshold < 0:
+        return df
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return F.broadcast(df) if est <= threshold else df

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_jetro_spark import functions as EF
 from etl_jetro_spark import operators as O
+from etl_jetro_spark.plans.hints import bcast_sized, bcast_small
 
 # --------------------------------------------------------------------------
 # helpers
@@ -238,7 +239,7 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(bcast_sized(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
@@ -273,9 +274,9 @@ def q4_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(bcast_sized(c), o.o_custkey == c.c_custkey)
+        .join(bcast_small(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast_small(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.round(
@@ -751,7 +752,7 @@ def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select(_vec("embedding").alias("_qv"))
-    scored = emb.crossJoin(F.broadcast(probe)).select(
+    scored = emb.crossJoin(bcast_small(probe)).select(
         "vec_id", cosine(_vec("embedding"), F.col("_qv")).alias("score")
     )
     top = scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10)
@@ -1560,8 +1561,8 @@ def q41_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    joined = c.join(bcast_small(n), c.c_nationkey == n.n_nationkey).join(
+        bcast_small(r), n.n_regionkey == r.r_regionkey
     )
     return (
         joined.rollup("r_name", "n_name")
@@ -2669,8 +2670,8 @@ def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     j = c.join(
-        F.broadcast(n), n.n_nationkey == c.c_nationkey
-    ).join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        bcast_small(n), n.n_nationkey == c.c_nationkey
+    ).join(bcast_small(r), F.col("r_regionkey") == F.col("n_regionkey"))
     out = j.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
@@ -3655,7 +3656,7 @@ def q101_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50")
     )
-    return exact.join(F.broadcast(sketch), "l_returnflag").select(
+    return exact.join(bcast_small(sketch), "l_returnflag").select(
         "l_returnflag",
         F.round("e50", 4).alias("p50"),
         F.round("e95", 4).alias("p95"),
@@ -3862,7 +3863,7 @@ def q106_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     j = n.join(
-        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+        bcast_small(r), n["n_regionkey"] == r["r_regionkey"]
     )
     return j.groupBy(F.col("r_name").alias("region")).agg(
         F.array_join(
@@ -3902,7 +3903,7 @@ def q107_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_nationkey", "o_custkey")
         .agg(
             F.sum(
@@ -4145,7 +4146,7 @@ def q111_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     est = cms_estimate(cms, exact.select("token"), "token", depth=4, width=1024)
-    return exact.join(F.broadcast(est), "token").select(
+    return exact.join(bcast_small(est), "token").select(
         "token",
         "exact_cnt",
         "est_cnt",
@@ -4180,7 +4181,7 @@ def q112_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp(F.col("n_chars").cast("double")).alias("sigma"),
     )
     return (
-        d.join(F.broadcast(stats.filter(F.col("sigma") > 0)), "lang")
+        d.join(bcast_small(stats.filter(F.col("sigma") > 0)), "lang")
         .select(
             "doc_id",
             "lang",
@@ -4230,7 +4231,7 @@ def q113_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
     )
     return (
-        li.crossJoin(F.broadcast(bounds))
+        li.crossJoin(bcast_small(bounds))
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -4407,7 +4408,7 @@ def q116_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("long").alias("k"),
     )
     return (
-        c.crossJoin(F.broadcast(t))
+        c.crossJoin(bcast_small(t))
         .filter(F.col("cnt") * F.col("k") * 2 > F.col("n") * 3)
         .select(
             "l_partkey",
@@ -5139,7 +5140,7 @@ def q133_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = exact_group_percentiles(
         e, ["event_type"], "value", {"lo": 0.05, "hi": 0.95}
     )
-    j = e.join(F.broadcast(b), "event_type")
+    j = e.join(bcast_small(b), "event_type")
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -5456,17 +5457,17 @@ def q139_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        o.join(bcast_sized(c), o.o_custkey == c.c_custkey)
+        .join(bcast_small(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast_small(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     rtot = rev.groupBy("region").agg(F.sum("revenue").alias("_rt"))
     gtot = rev.agg(F.sum("revenue").alias("_gt"))
     return (
-        rev.join(F.broadcast(rtot), "region")
-        .crossJoin(F.broadcast(gtot))
+        rev.join(bcast_small(rtot), "region")
+        .crossJoin(bcast_small(gtot))
         .select(
             "region",
             "nation",
@@ -5889,12 +5890,33 @@ _Q146_COS = (
     c AS (SELECT vec_id AS cid, v AS cv FROM emb
           WHERE vec_id < (SELECT greatest(32, CAST(floor(sqrt(count(*))) AS BIGINT))
                           FROM embeddings)),
+    g AS (SELECT vec_id AS gid, v AS gv FROM emb
+          WHERE vec_id < (SELECT greatest(8, CAST(floor(sqrt(
+                            greatest(32, CAST(floor(sqrt(count(*))) AS BIGINT))
+                          )) AS BIGINT)) FROM embeddings)),
+    cg AS (
+      SELECT cid, cv, gid FROM (
+        SELECT c.cid, c.cv, g.gid,
+               row_number() OVER (
+                 PARTITION BY c.cid
+                 ORDER BY {_Q146_COS.format(a='c.cv', b='g.gv')} DESC, g.gid
+               ) AS rn
+        FROM c CROSS JOIN g) WHERE rn = 1),
+    vg AS (
+      SELECT vec_id, v, gid FROM (
+        SELECT u.vec_id, u.v, g.gid,
+               row_number() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY {_Q146_COS.format(a='u.v', b='g.gv')} DESC, g.gid
+               ) AS rn
+        FROM u CROSS JOIN g) WHERE rn <= 3),
     assign AS (
-      SELECT u.vec_id, u.v, cid,
+      SELECT vg.vec_id, vg.v, cg.cid,
              row_number() OVER (
-               PARTITION BY u.vec_id
-               ORDER BY {_Q146_COS.format(a='u.v', b='cv')} DESC, cid) AS rn
-      FROM u CROSS JOIN c),
+               PARTITION BY vg.vec_id
+               ORDER BY {_Q146_COS.format(a='vg.v', b='cg.cv')} DESC, cg.cid
+             ) AS rn
+      FROM vg JOIN cg ON vg.gid = cg.gid),
     inv AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
     un AS (
       SELECT vec_id, cid,
@@ -5923,14 +5945,19 @@ _Q146_COS = (
 )
 def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication
-    (operators/similarity.semantic_dedup): IVF clusters block the corpus
-    (broadcast centroids, one row per vector shuffled), exact cosine
-    inside each cluster (key-only self-join, vectors fetched back per
-    id), connected components collapse near-dup groups, min id kept.
-    The corpus is unioned with deterministically perturbed copies (q39's
-    flipped-first-component trick) so true semantic dups exist; the
-    oracle replays assignment, blocking, the rounded-score threshold,
-    and the transitive closure."""
+    (operators/similarity.semantic_dedup): TWO-LEVEL IVF assignment
+    blocks the corpus (coarse sqrt(K) super-centroids, then the nearest
+    fine centroid within the winning coarse cell — ~2n*sqrt(K) dots vs
+    the flat n*K argmax, the production SemDeDup shape, round-5 verdict
+    ask #3), exact cosine inside each cluster (key-only self-join,
+    vectors fetched back per id), connected components collapse
+    near-dup groups, min id kept. The corpus is unioned with
+    deterministically perturbed copies (q39's flipped-first-component
+    trick) so true semantic dups exist; the oracle replays BOTH
+    assignment levels (same ties->lowest-id rule), blocking, the
+    rounded-score threshold, and the transitive closure. The
+    approximation cost of two-level assignment is gated separately by
+    q256's recall row."""
     from etl_jetro_spark.operators.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
@@ -5945,18 +5972,29 @@ def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K = max(32, isqrt(n)) — the operator's own scale rule made real
     # (round-5 sf1 rehearsal: K pinned at 32 sent cluster occupancy
     # linear and the pair join quadratic, 5.7 s -> 162 s for 10x data).
-    # sqrt scaling balances assignment (n*K) and pair volume (~n^2/K) at
-    # ~n^1.5, the exact-SQL-expressible SemDeDup compromise; production
-    # replaces the argmax scan with approximate centroid search
-    # (n log K), which no SQL oracle can replay. isqrt == floor(sqrt)
-    # exactly for any count below 2^52, so both engines pick the same K.
+    # sqrt scaling balances assignment and pair volume (~n^2/K); the
+    # coarse level NC = max(8, isqrt(K)) cuts assignment from n*K to
+    # ~n*(NC + K/NC) ~ 2n*sqrt(K). isqrt == floor(sqrt) exactly for any
+    # count below 2^52, so both engines pick the same K and NC.
     import math
 
     k = max(32, math.isqrt(emb.count()))
+    nc = max(8, math.isqrt(k))
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    return semantic_dedup(u, "vec_id", "embedding", cents, threshold=0.985)
+    coarse = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("gid"), F.col("embedding").alias("gv")
+    )
+    return semantic_dedup(
+        u,
+        "vec_id",
+        "embedding",
+        cents,
+        threshold=0.985,
+        coarse=coarse,
+        n_probe_cells=3,
+    )
 
 
 @query(
@@ -6247,7 +6285,7 @@ def q152_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ia, "item_a")
         .join(ib, "item_b")
-        .crossJoin(F.broadcast(nb))
+        .crossJoin(bcast_small(nb))
         .select(
             "item_a",
             "item_b",
@@ -6315,7 +6353,7 @@ def q153_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = outs[0]
     for o in outs[1:]:
         u = u.unionByName(o)
-    return u.crossJoin(F.broadcast(total)).select(
+    return u.crossJoin(bcast_small(total)).select(
         "k",
         "covered",
         "total",
@@ -6845,7 +6883,7 @@ def q161_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ONE broadcast row; the adjustment is a map-side expression."""
     e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     bounds = e.agg(F.min("ts").alias("_tmin"), F.max("ts").alias("_tmax"))
-    d = e.crossJoin(F.broadcast(bounds))
+    d = e.crossJoin(bcast_small(bounds))
     h = (
         ((F.col("ts") - F.col("_tmin")) * 2) >= (F.col("_tmax") - F.col("_tmin"))
     ).cast("int")
@@ -6861,7 +6899,7 @@ def q161_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("_theta"),
         F.avg("pre").alias("_mp"),
     )
-    return u.crossJoin(F.broadcast(th)).select(
+    return u.crossJoin(bcast_small(th)).select(
         "user_id",
         F.round("pre", 6).alias("pre"),
         F.round("post", 6).alias("post"),
@@ -6912,7 +6950,7 @@ def q162_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("value").alias("_sd"),
         F.count(F.lit(1)).cast("long").alias("_n"),
     )
-    j = d.join(F.broadcast(prof), ["event_type", "hod"])
+    j = d.join(bcast_small(prof), ["event_type", "hod"])
     return j.groupBy("event_type", "hod").agg(
         F.any_value("_n").alias("n"),
         F.round(F.any_value("_mu"), 6).alias("mu"),
@@ -7555,7 +7593,7 @@ def q172_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_s").isNotNull())
     cnt = g.agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
     pct = exact_group_percentiles(g, [], "gap_s", {"p50_s": 0.5, "p90_s": 0.9})
-    return cnt.crossJoin(F.broadcast(pct)).select(
+    return cnt.crossJoin(bcast_small(pct)).select(
         "n_gaps",
         F.round("p50_s", 6).alias("p50_s"),
         F.round("p90_s", 6).alias("p90_s"),
@@ -7613,7 +7651,7 @@ def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     g = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderpriority").alias("priority"),
@@ -7818,7 +7856,7 @@ def q177_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
     q = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
-    pq = cnt.crossJoin(F.broadcast(tots)).select(
+    pq = cnt.crossJoin(bcast_small(tots)).select(
         p.alias("p"), q.alias("q"), "na", "nb", "v"
     )
     return pq.agg(
@@ -8152,7 +8190,7 @@ def q183_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id")
     )
-    sample = d.join(F.broadcast(ids), "doc_id")
+    sample = d.join(bcast_small(ids), "doc_id")
     sh = shingle_rows(sample, "doc_id", "text", 3, distinct=True)
     ds = sh.groupBy("_id").agg(
         F.sort_array(F.collect_set("_sh")).alias("s"),
@@ -8164,7 +8202,7 @@ def q183_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = F.col("na") + F.col("nb") - cm
     jac = F.when(un == 0, F.lit(1.0)).otherwise(cm / un.cast("double"))
     pr = (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(bcast_small(b))
         .filter(F.col("ia") < F.col("ib"))
         .select(jac.alias("j"))
     )
@@ -8286,7 +8324,7 @@ def q185_bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = ct.orderBy(F.desc("total"), F.asc("ctx")).limit(20)
     w = Window.partitionBy("ctx").orderBy(F.desc("c"), F.asc("nxt"))
     rk = (
-        cc.join(F.broadcast(top), "ctx")
+        cc.join(bcast_small(top), "ctx")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 3)
     )
@@ -8418,7 +8456,7 @@ def q188_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         F.col("aq")[0].alias("a50"), F.col("aq")[1].alias("a90"),
     )
-    j = e.join(F.broadcast(ap), "event_type")
+    j = e.join(bcast_small(ap), "event_type")
     chk = j.groupBy("event_type").agg(
         F.any_value("n").alias("n"),
         F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
@@ -8508,7 +8546,7 @@ def q190_visit_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     m = d.agg(F.min("day").alias("d0"))
     rel = (
-        d.crossJoin(F.broadcast(m))
+        d.crossJoin(bcast_small(m))
         .select("user_id", (F.col("day") - F.col("d0")).alias("rd"))
         .filter(F.col("rd") <= 62)
     )
@@ -8625,19 +8663,19 @@ def q192_categorical_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml = jt.groupBy("lang").agg(F.sum("nij").alias("ni"))
     ms = jt.groupBy("source").agg(F.sum("nij").alias("nj"))
     terms = (
-        jt.join(F.broadcast(ml), "lang")
-        .join(F.broadcast(ms), "source")
-        .crossJoin(F.broadcast(tot))
+        jt.join(bcast_small(ml), "lang")
+        .join(bcast_small(ms), "source")
+        .crossJoin(bcast_small(tot))
     )
     mi = F.sum(
         (F.col("nij") / F.col("n"))
         * F.log(F.col("nij") * F.col("n") / (F.col("ni") * F.col("nj")))
     )
-    hl = ml.crossJoin(F.broadcast(tot)).agg(
+    hl = ml.crossJoin(bcast_small(tot)).agg(
         (-F.sum((F.col("ni") / F.col("n")) * F.log(F.col("ni") / F.col("n"))))
         .alias("h_lang")
     )
-    hs = ms.crossJoin(F.broadcast(tot)).agg(
+    hs = ms.crossJoin(bcast_small(tot)).agg(
         (-F.sum((F.col("nj") / F.col("n")) * F.log(F.col("nj") / F.col("n"))))
         .alias("h_source")
     )
@@ -8645,8 +8683,8 @@ def q192_categorical_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n").cast("long").alias("n_docs"), mi.alias("_mi")
     )
     return (
-        agg.crossJoin(F.broadcast(hl))
-        .crossJoin(F.broadcast(hs))
+        agg.crossJoin(bcast_small(hl))
+        .crossJoin(bcast_small(hs))
         .select(
             "n_docs",
             F.round("_mi", 6).alias("mi"),
@@ -8696,7 +8734,7 @@ def q193_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = obs.agg(F.sum("n_obs").cast("double").alias("n"))
     p = F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
     dev = F.col("n_obs") - F.col("n") * p
-    return obs.crossJoin(F.broadcast(tot)).select(
+    return obs.crossJoin(bcast_small(tot)).select(
         "digit",
         "n_obs",
         F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_share"),
@@ -8849,7 +8887,7 @@ def q196_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     day = F.expr("(ts div 1000000000) div 86400")
     mx = e.agg(F.max(day).alias("d0"))
-    j = e.crossJoin(F.broadcast(mx)).select(
+    j = e.crossJoin(bcast_small(mx)).select(
         "event_type",
         "value",
         (F.col("d0") - day).alias("age_d"),
@@ -9016,7 +9054,7 @@ def q199_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     sc = (
         tf.join(dfreq, "t")
-        .crossJoin(F.broadcast(nd))
+        .crossJoin(bcast_small(nd))
         .select(
             "doc_id",
             "t",
@@ -9123,9 +9161,9 @@ def q201_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     j = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        o.join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_small(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(bcast_small(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return (
         j.rollup("r_name", "n_name")
@@ -9173,9 +9211,12 @@ def q202_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential constraint that separates funnels from mere type
     counts. Each stage is a per-user min-aggregate joined to the prior
     stage's frame; stage frames shrink monotonically and are
-    user-cardinality-sized (broadcast-friendly), so the corpus-scale
-    events table is scanned with a type filter and never self-joined
-    row-to-row."""
+    user-cardinality-sized — data-scale for an events table, so they
+    are plain hash-joined with no forced broadcast (AQE still picks a
+    broadcast join when a stage frame measures small at runtime, and
+    falls back to shuffle join when it doesn't — round-5 verdict). The
+    corpus-scale events table is scanned with a type filter and never
+    self-joined row-to-row."""
     e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
     v = (
         e.filter(F.col("event_type") == "view")
@@ -9184,14 +9225,14 @@ def q202_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
@@ -9536,10 +9577,10 @@ def q206_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(tri.format(c="nt"))).alias("tri")
     )
     cand = (
-        dtri.join(F.broadcast(ptri), "tri")
+        dtri.join(bcast_small(ptri), "tri")
         .groupBy("pattern", "doc_id")
         .agg(F.count(F.lit(1)).alias("c"))
-        .join(F.broadcast(pn), "pattern")
+        .join(bcast_small(pn), "pattern")
         .filter(F.col("c") == F.col("n_tri"))
     )
     ver = (
@@ -9623,7 +9664,7 @@ def q207_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     w = (
         tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(nd))
+        .crossJoin(bcast_small(nd))
         .select(
             "doc_id",
             "term",
@@ -9787,14 +9828,14 @@ def q209_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_b").alias("s"),
         F.count(F.lit(1)).cast("long").alias("nb"),
     )
-    loo = b.crossJoin(F.broadcast(tot)).select(
+    loo = b.crossJoin(bcast_small(tot)).select(
         ((F.col("s") - F.col("s_b")) / (F.col("n") - F.col("n_b"))).alias(
             "m_i"
         )
     )
     mbar = loo.agg(F.avg("m_i").alias("m_bar"))
     jk = (
-        loo.crossJoin(F.broadcast(mbar))
+        loo.crossJoin(bcast_small(mbar))
         .agg(
             F.sum(
                 (F.col("m_i") - F.col("m_bar"))
@@ -9990,9 +10031,12 @@ def q211_item2item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = supp.select(F.col("l_partkey").alias("item"), F.col("s").alias("sa"))
     sb = supp.select(F.col("l_partkey").alias("rec"), F.col("s").alias("sb"))
+    # support frames are part-keyed — data-scale — so NO forced
+    # broadcast: the pair frame is already shuffled on item/rec and AQE
+    # picks broadcast only when the supports measure small (r5 verdict)
     scored = (
-        sym.join(F.broadcast(sa), "item")
-        .join(F.broadcast(sb), "rec")
+        sym.join(sa, "item")
+        .join(sb, "rec")
         .select(
             "item",
             "rec",
@@ -10153,11 +10197,11 @@ def q213_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_a").cast("long").alias("na"),
         F.sum("c_b").cast("long").alias("nb"),
     )
-    cum = loc.join(F.broadcast(off), "_pid").select(
+    cum = loc.join(bcast_small(off), "_pid").select(
         (F.col("la") + F.col("oa")).alias("ca"),
         (F.col("lb") + F.col("ob")).alias("cb"),
     )
-    d = cum.crossJoin(F.broadcast(tot)).select(
+    d = cum.crossJoin(bcast_small(tot)).select(
         "na",
         "nb",
         F.abs(
@@ -10241,7 +10285,7 @@ def q214_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         toks.join(lm, "term")
-        .crossJoin(F.broadcast(consts))
+        .crossJoin(bcast_small(consts))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -10326,7 +10370,7 @@ def q215_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
     )
     dots = (
-        e.join(F.broadcast(cent), ["label", "i"])
+        e.join(bcast_small(cent), ["label", "i"])
         .groupBy("vec_id", "label")
         .agg(
             F.sum(F.col("x") * F.col("c")).alias("dot"),
@@ -10334,7 +10378,7 @@ def q215_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     coh = (
-        dots.join(F.broadcast(cnorm), "label")
+        dots.join(bcast_small(cnorm), "label")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -10359,8 +10403,8 @@ def q215_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = cnorm.select(F.col("label").alias("la"), F.col("cn").alias("cna"))
     nb = cnorm.select(F.col("label").alias("lb"), F.col("cn").alias("cnb"))
     sep = (
-        cpairs.join(F.broadcast(na), "la")
-        .join(F.broadcast(nb), "lb")
+        cpairs.join(bcast_small(na), "la")
+        .join(bcast_small(nb), "lb")
         .groupBy(F.col("la").alias("label"))
         .agg(
             F.max(F.col("cdot") / (F.col("cna") * F.col("cnb"))).alias(
@@ -10631,14 +10675,14 @@ def q219_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrap-around falls back to the ring's global minimum (broadcast twice,
     # both ring-sized)
     succ = (
-        keys.join(F.broadcast(ring), F.col("pos") >= F.col("kpos"), "left")
+        keys.join(bcast_small(ring), F.col("pos") >= F.col("kpos"), "left")
         .groupBy("doc_id")
         .agg(
             F.min(F.struct("pos", "shard")).alias("nxt"),
         )
     )
     wrap = ring.agg(F.min(F.struct("pos", "shard")).alias("w0"))
-    assign = succ.crossJoin(F.broadcast(wrap)).select(
+    assign = succ.crossJoin(bcast_small(wrap)).select(
         "doc_id",
         F.coalesce(F.col("nxt.shard"), F.col("w0.shard")).alias("shard"),
     )
@@ -10646,7 +10690,7 @@ def q219_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assign.groupBy(F.col("shard").cast("long").alias("shard"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(F.broadcast(nd))
+        .crossJoin(bcast_small(nd))
         .select(
             "shard",
             "n_docs",
@@ -10898,7 +10942,7 @@ def q222_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = F.col("n_pos") / F.col("tp")
     nr = F.col("n_neg") / F.col("tn")
-    return cells.crossJoin(F.broadcast(tot)).select(
+    return cells.crossJoin(bcast_small(tot)).select(
         "bin",
         "n_rows",
         "n_pos",
@@ -10954,8 +10998,11 @@ def q223_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = (
+        # first-view frame is user-keyed — data-scale — so plain join
+        # (AQE broadcasts it only when it measures small; caught by the
+        # broadcastlint growth rule at floor=50)
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id", "v_utc")
         .agg(F.min(F.struct("ts", "ts_utc")).alias("ps"))
@@ -11055,7 +11102,7 @@ def q224_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     bw = (
         e.select(hv.alias("hv"))
-        .crossJoin(F.broadcast(ps))
+        .crossJoin(bcast_small(ps))
         .select(
             "p",
             "m",
@@ -11100,7 +11147,7 @@ def q224_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = load(spark, sf_dir, "events").agg(
         F.countDistinct("user_id").cast("long").alias("nd")
     )
-    return fin.crossJoin(F.broadcast(ex)).select(
+    return fin.crossJoin(bcast_small(ex)).select(
         F.col("p").cast("long").alias("p"),
         F.col("m").cast("long").alias("m"),
         F.col("nd").alias("exact_ndv"),
@@ -11176,7 +11223,7 @@ def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = e1.localCheckpoint(eager=False)
     d1 = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("direct"))
     seeds = d1.orderBy(F.desc("direct"), F.asc("u")).limit(20)
-    es = e1.join(F.broadcast(seeds.select("u")), "u").localCheckpoint(
+    es = e1.join(bcast_small(seeds.select("u")), "u").localCheckpoint(
         eager=False
     )
     g = es.alias("g")
@@ -11345,7 +11392,7 @@ def q227_binning_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("vmax"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    width = t.crossJoin(F.broadcast(bounds)).select(
+    width = t.crossJoin(bcast_small(bounds)).select(
         F.least(
             F.lit(9),
             F.floor(
@@ -11465,9 +11512,9 @@ def q228_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = mu.select(F.col("i"), F.col("m").alias("ma"))
     mb = mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))
     cov = (
-        raw.crossJoin(F.broadcast(n))
-        .join(F.broadcast(ma), "i")
-        .join(F.broadcast(mb), "j")
+        raw.crossJoin(bcast_small(n))
+        .join(bcast_small(ma), "i")
+        .join(bcast_small(mb), "j")
         .select(
             "i",
             "j",
@@ -11482,18 +11529,18 @@ def q228_top_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         w = (
             cov.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+                bcast_small(v.select(F.col("i").alias("j"), "v")), "j"
             )
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
+        v = w.crossJoin(bcast_small(nrm)).select(
             "i", (F.col("w") / F.col("l")).alias("v")
         )
         lam = nrm
     return (
-        v.crossJoin(F.broadcast(lam))
+        v.crossJoin(bcast_small(lam))
         .select(
             F.col("i").cast("long").alias("dim"),
             F.round("v", 6).alias("loading"),
@@ -11590,7 +11637,7 @@ def q229_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-        .crossJoin(F.broadcast(npaths))
+        .crossJoin(bcast_small(npaths))
         .select(
             "path",
             "n_sessions",
@@ -11644,7 +11691,7 @@ def q230_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"med": 0.5},
     )
     stats = (
-        e.join(F.broadcast(med), "event_type")
+        e.join(bcast_small(med), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_total"),
@@ -11724,7 +11771,7 @@ def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("declared", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .join(F.broadcast(decl), "declared")
+        .join(bcast_small(decl), "declared")
         .select(
             "declared",
             "predicted",
@@ -11833,14 +11880,14 @@ def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("txx"),
     )
     cum = (
-        loc.join(F.broadcast(off), "_pid")
+        loc.join(bcast_small(off), "_pid")
         .select(
             "day",
             (F.col("lk") + F.col("ok")).alias("k"),
             (F.col("lsx") + F.col("osx")).alias("sx"),
             (F.col("lsxx") + F.col("osxx")).alias("sxx"),
         )
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(bcast_small(tot))
         .filter(F.col("k") < F.col("n"))
     )
     tss = F.col("txx").cast("double") - F.col("tx").cast("double") * F.col(
@@ -11994,7 +12041,7 @@ def q234_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boilerplate_docs"),
             F.max("n").cast("long").alias("max_template_group"),
         )
-        .crossJoin(F.broadcast(nd))
+        .crossJoin(bcast_small(nd))
         .select(
             "n_docs",
             "n_templates",
@@ -12165,11 +12212,16 @@ def q236_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seed
     fcounts = []
     for _ in range(3):
+        # frontier/visited grow with the reachable set — toward the
+        # whole vertex universe from a high-degree seed — so NO forced
+        # broadcast: both joins hash-partition on u (edges are already
+        # keyed on u, so the exchange is reused across rounds) and AQE
+        # still broadcasts a frontier that measures small (r5 verdict)
         nxt = (
-            e1.join(F.broadcast(frontier), "u")
+            e1.join(frontier, "u")
             .select(F.col("v").alias("u"))
             .distinct()
-            .join(F.broadcast(visited), "u", "left_anti")
+            .join(visited, "u", "left_anti")
             .localCheckpoint(eager=False)
         )
         visited = visited.unionAll(nxt)
@@ -12345,9 +12397,9 @@ def q238_cov_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = mu.select(F.col("i"), F.col("m").alias("ma"))
     mb = mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))
     cov = (
-        raw.crossJoin(F.broadcast(n))
-        .join(F.broadcast(ma), "i")
-        .join(F.broadcast(mb), "j")
+        raw.crossJoin(bcast_small(n))
+        .join(bcast_small(ma), "i")
+        .join(bcast_small(mb), "j")
         .select(
             "i",
             "j",
@@ -12437,9 +12489,9 @@ def q239_source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").cast("long").alias("ntot"),
     )
     scored = (
-        cts.join(F.broadcast(per_s), "source")
+        cts.join(bcast_small(per_s), "source")
         .join(per_t, "term")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(bcast_small(vocab))
         .select(
             "source",
             "term",
@@ -12576,7 +12628,7 @@ def q240_layout_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     return (
         r1.unionAll(r2)
-        .crossJoin(F.broadcast(nr))
+        .crossJoin(bcast_small(nr))
         .select(
             "ordering",
             "runs",
@@ -12616,7 +12668,7 @@ def q241_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     lag = F.expr("gmax div 1000000000") - F.expr("tmax div 1000000000")
-    return per.crossJoin(F.broadcast(mx)).select(
+    return per.crossJoin(bcast_small(mx)).select(
         "event_type",
         "n",
         lag.alias("lag_s"),
@@ -12851,7 +12903,7 @@ def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
     )
     return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.countDistinct("c_custkey").cast("long").alias("n_customers"),
@@ -12899,7 +12951,7 @@ def q246_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = o.agg(F.max(F.to_date("o_orderdate")).alias("today"))
     aged = (
         o.filter(F.col("o_orderstatus") == "O")
-        .crossJoin(F.broadcast(mx))
+        .crossJoin(bcast_small(mx))
         .select(
             F.datediff(
                 F.col("today"), F.to_date("o_orderdate")
@@ -12936,13 +12988,16 @@ def q246_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q247_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discount effectiveness screen per brand: the discount↔quantity
     correlation (does discounting move volume?) over the
-    lineitem⋈part join — part broadcasts, corr is a single-pass moment
-    aggregate, and the >=100-line support filter keeps noise brands out.
-    The price-elasticity cousin of q131's grouped OLS."""
+    lineitem⋈part join — part is a grow-with-data dim so its broadcast
+    is SIZE-GATED (bcast_sized: hinted while it fits under
+    autoBroadcastJoinThreshold, plain shuffle join past it — the lint's
+    growth rule caught the old forced hint), corr is a single-pass
+    moment aggregate, and the >=100-line support filter keeps noise
+    brands out. The price-elasticity cousin of q131's grouped OLS."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(bcast_sized(p), li["l_partkey"] == p["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -13251,9 +13306,9 @@ def q253_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = per.select(F.col("event_type").alias("ta"), F.col("c").alias("c_a"))
     cb = per.select(F.col("event_type").alias("tb"), F.col("c").alias("c_b"))
     return (
-        pair.join(F.broadcast(ca), "ta")
-        .join(F.broadcast(cb), "tb")
-        .crossJoin(F.broadcast(n))
+        pair.join(bcast_small(ca), "ta")
+        .join(bcast_small(cb), "tb")
+        .crossJoin(bcast_small(n))
         .select(
             "ta",
             "tb",
@@ -13305,7 +13360,7 @@ def q254_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (
         h.alias("x")
         .join(
-            F.broadcast(h.alias("y")),
+            bcast_small(h.alias("y")),
             F.col("y.n_lines") <= F.col("x.n_lines"),
         )
         .groupBy(F.col("x.n_lines").alias("n_lines"))
@@ -13314,7 +13369,7 @@ def q254_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y.n_orders")).alias("cum"),
         )
     )
-    return cum.crossJoin(F.broadcast(tot)).select(
+    return cum.crossJoin(bcast_small(tot)).select(
         "n_lines",
         "n_orders",
         F.round(F.col("n_orders") / F.col("n").cast("double"), 6).alias(
@@ -13380,9 +13435,9 @@ def q255_supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("sd"),
     )
     return (
-        s.join(F.broadcast(m), "s_nationkey")
+        s.join(bcast_small(m), "s_nationkey")
         .join(
-            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+            bcast_small(nat), F.col("s_nationkey") == F.col("n_nationkey")
         )
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -13449,7 +13504,7 @@ def q252_order_dow_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("rev"),
     )
     d = cell.groupBy("dow").agg(F.sum("n").cast("long").alias("nd"))
-    return cell.join(F.broadcast(d), "dow").select(
+    return cell.join(bcast_small(d), "dow").select(
         F.col("dow").cast("long").alias("day_of_week"),
         "pri",
         "n",
@@ -13457,4 +13512,125 @@ def q252_order_dow_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("nd").cast("double"), 6).alias(
             "day_share"
         ),
+    )
+
+
+_Q256_K = (
+    "(SELECT greatest(32, CAST(floor(sqrt(count(*))) AS BIGINT))"
+    " FROM embeddings)"
+)
+_Q256_NC = (
+    "(SELECT greatest(8, CAST(floor(sqrt("
+    "greatest(32, CAST(floor(sqrt(count(*))) AS BIGINT))"
+    ")) AS BIGINT)) FROM embeddings)"
+)
+
+
+@query(
+    "q256_two_level_assign_recall",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    p AS (SELECT vec_id, v FROM emb WHERE vec_id % 7 = 0),
+    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {_Q256_K}),
+    g AS (SELECT vec_id AS gid, v AS gv FROM emb WHERE vec_id < {_Q256_NC}),
+    flat AS (
+      SELECT vec_id, cid AS cid_f, sc AS s_f FROM (
+        SELECT p.vec_id, c.cid,
+               {_Q146_COS.format(a='p.v', b='c.cv')} AS sc,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {_Q146_COS.format(a='p.v', b='c.cv')} DESC, c.cid
+               ) AS rn
+        FROM p CROSS JOIN c) WHERE rn = 1),
+    cg AS (
+      SELECT cid, cv, gid FROM (
+        SELECT c.cid, c.cv, g.gid,
+               row_number() OVER (
+                 PARTITION BY c.cid
+                 ORDER BY {_Q146_COS.format(a='c.cv', b='g.gv')} DESC, g.gid
+               ) AS rn
+        FROM c CROSS JOIN g) WHERE rn = 1),
+    vg AS (
+      SELECT vec_id, v, gid FROM (
+        SELECT p.vec_id, p.v, g.gid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {_Q146_COS.format(a='p.v', b='g.gv')} DESC, g.gid
+               ) AS rn
+        FROM p CROSS JOIN g) WHERE rn <= 3),
+    tl AS (
+      SELECT vec_id, cid AS cid_t, sc AS s_t FROM (
+        SELECT vg.vec_id, cg.cid,
+               {_Q146_COS.format(a='vg.v', b='cg.cv')} AS sc,
+               row_number() OVER (
+                 PARTITION BY vg.vec_id
+                 ORDER BY {_Q146_COS.format(a='vg.v', b='cg.cv')} DESC, cg.cid
+               ) AS rn
+        FROM vg JOIN cg ON vg.gid = cg.gid) WHERE rn = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN cid_f = cid_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           round(avg(CASE WHEN cid_f = cid_t THEN 1.0 ELSE 0.0 END), 6)
+             AS recall,
+           round(avg(round(s_f - s_t, 6)), 5) AS avg_score_gap
+    FROM flat JOIN tl USING (vec_id)
+    """,
+)
+def q256_two_level_assign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-recall gate for the two-level SemDeDup path (round-5
+    verdict ask #3's telemetry half, the q57 pattern): on a
+    deterministic ~14% probe sample (vec_id % 7 == 0), run BOTH the
+    exact flat argmax (ivf_assign) and the coarse-then-fine two-level
+    assignment (ivf_assign_two_level) against the same K/NC centroid
+    sets q146 uses, and report agreement rate plus the mean cosine gap
+    between the exact-best and two-level-best centroid scores (>= 0 by
+    construction — flat is the exact argmax). Sampling keeps the n*K
+    exact side cheap at every SF while the estimate stays unbiased; the
+    oracle replays both assignments with the same ties->lowest-id
+    rule."""
+    import math
+
+    from etl_jetro_spark.operators.similarity import (
+        _vec,
+        cosine,
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    k = max(32, math.isqrt(emb.count()))
+    nc = max(8, math.isqrt(k))
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    coarse = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("gid"), F.col("embedding").alias("gv")
+    )
+    probes = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id", "embedding"
+    )
+    flat = ivf_assign(probes, "vec_id", "embedding", cents)
+    tl = ivf_assign_two_level(
+        probes, "vec_id", "embedding", cents, coarse, n_probe_cells=3
+    )
+    fl = flat.join(bcast_small(cents), "cid").select(
+        "vec_id",
+        F.col("cid").alias("cid_f"),
+        cosine(_vec("embedding"), _vec("cv")).alias("s_f"),
+    )
+    tl2 = tl.join(bcast_small(cents), "cid").select(
+        "vec_id",
+        F.col("cid").alias("cid_t"),
+        cosine(_vec("embedding"), _vec("cv")).alias("s_t"),
+    )
+    agree = (F.col("cid_f") == F.col("cid_t")).cast("double")
+    return fl.join(tl2, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(agree.cast("long")).cast("long").alias("n_agree"),
+        F.round(F.avg(agree), 6).alias("recall"),
+        F.round(
+            F.avg(F.round(F.col("s_f") - F.col("s_t"), 6)), 5
+        ).alias("avg_score_gap"),
     )

@@ -1725,6 +1725,33 @@ def test_weighted_percentiles_brute_force_and_partition_invariance(spark):
         weighted_group_percentiles(df, ["grp"], "v", "w", {"bad": 0.0})
 
 
+def test_weighted_percentiles_heavy_weight_skew(spark):
+    """ADVICE r5: a fixed 1e-9*total slack picks one row EARLY when one
+    weight dwarfs the rest — weight 1e12 next to unit weights makes
+    1e-9*total = 1000 >> the unit boundary gaps. The per-group
+    min-weight bound (slack <= w_min/2 = 0.5) must keep the exact row:
+    cumulative at v=2 is 1e12+1, p*total for p just above that boundary
+    lands within the old slack but NOT the new one."""
+    from etl_jetro_spark.operators.aggregate import weighted_group_percentiles
+
+    rows = [("g", 1.0, 1e12, 0)] + [
+        ("g", float(v), 1.0, v) for v in range(2, 202)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double, w double, tb long")
+    tot = 1e12 + 200.0
+    # cw at v=k (k>=2) is 1e12 + (k-1), all exactly representable.
+    # p*tot = 1e12 + 148.6 -> exact answer is the first cw >= that:
+    # v=150 (cw = 1e12+149). The old fixed slack 1e-9*tot ≈ 1000 turned
+    # the threshold into ~1e12-851, which v=1 (cw=1e12) already clears —
+    # 149 positions early. The min-weight bound caps slack at 0.5.
+    p = (1e12 + 148.6) / tot
+    got = weighted_group_percentiles(
+        df, ["grp"], "v", "w", {"q": p}, tiebreak=["tb"],
+        num_range_partitions=8,
+    ).collect()[0]
+    assert got["q"] == 150.0
+
+
 def test_triangle_count_known_graphs(spark):
     from etl_jetro_spark.operators.graph import triangle_count
 
@@ -1841,6 +1868,23 @@ def test_target_mix_resample_reaches_target_mix(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         target_mix_resample(df, "id", "grp", {"a": 0.5})
+
+    # unlisted group dropped silently (documented); strict=True raises
+    # when a positive-share target group has no input rows (ADVICE r5)
+    dropped = target_mix_resample(
+        df, "id", "grp", {"a": 0.5, "b": 0.5}, salt="m:"
+    )
+    assert dropped.filter(F.col("grp") == "c").count() == 0
+    with pytest.raises(ValueError, match="unattainable.*'zz'"):
+        target_mix_resample(
+            df, "id", "grp", {"a": 0.5, "zz": 0.5}, salt="m:", strict=True
+        )
+    # strict passes when every positive-share group exists; zero-share
+    # missing groups are fine
+    assert target_mix_resample(
+        df, "id", "grp", {"a": 0.5, "b": 0.5, "zz": 0.0},
+        salt="m:", strict=True,
+    ).count() > 0
 
 
 def test_pagerank_star_and_invariants(spark):

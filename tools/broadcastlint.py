@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Catalog-wide broadcast-hint lint (round-5 verdict ask #1).
+
+A forced ``F.broadcast()`` on a frame that grows with the corpus
+disables the engine's size-based join protection — correct at bench
+SFs, an executor OOM at the 100 TB north star (the round-5 finding:
+BFS frontier/visited, per-item support counts, per-user funnel
+stages). Two enforced rules:
+
+1. **Source rule** — ``plans/queries.py`` may not call ``F.broadcast``
+   directly. Every explicit hint routes through
+   ``plans/hints.bcast_small`` (unconditional, caller asserts the frame
+   is NDV-bounded) or ``plans/hints.bcast_sized`` (gated on Catalyst's
+   own size estimate vs ``autoBroadcastJoinThreshold`` — self-disables
+   at scale).
+
+2. **Measured-growth rule** — the ``bcast_small`` contract is verified,
+   not trusted: for every catalog query, the lint registers each hinted
+   frame (via ``hints._LINT_REGISTRY``), counts it at TWO scale
+   factors, and flags any ``small``-declared frame whose cardinality
+   grows with the data (ratio >= RATIO_FLAG across a 10x SF step AND
+   above an absolute floor — parameter/scalar/enum frames are constant,
+   capped indices are cap-bounded, top-k frames are k-bounded; only a
+   data-keyed frame trips both). ``sized`` frames are exempt: their
+   hint turns itself off past the threshold.
+
+Usage: ``python tools/broadcastlint.py [query_name ...]`` — no args
+lints the whole catalog (source rule + growth rule at
+sf0.001 -> sf0.01). Exit 1 on any violation.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+# 10x the data: a bounded frame stays ~flat (fixture noise aside); a
+# data-keyed frame tracks the corpus. Flag only when both the relative
+# growth and an absolute size say "this is data, not parameters".
+import os
+
+# floor 50 is empirically tight on this catalog: every parameter /
+# enum / top-k / capped frame sits flat across the SF step, so the only
+# frames above both bars are genuinely data-keyed (caught q247 part,
+# q223 per-user first-view on introduction)
+RATIO_FLAG = float(os.environ.get("BCASTLINT_RATIO", "4.0"))
+FLOOR_ROWS = int(os.environ.get("BCASTLINT_FLOOR", "50"))
+
+_RAW_RE = re.compile(r"(?:F|functions)\s*\.\s*broadcast\s*\(")
+
+
+def source_violations(path: str = "etl_jetro_spark/plans/queries.py") -> list[str]:
+    """Rule 1: no raw F.broadcast in the query catalog source."""
+    out = []
+    with open(path) as f:
+        for i, line in enumerate(f, 1):
+            if _RAW_RE.search(line.split("#")[0]):
+                out.append(f"{path}:{i}: raw F.broadcast (route through plans.hints)")
+    return out
+
+
+def hinted_frames(spark, fn, sf_dir):
+    """Build ``fn(spark, sf_dir)`` with the hints registry armed; return
+    the list of (kind, DataFrame) the query hinted."""
+    from etl_jetro_spark.plans import hints
+
+    hints._LINT_REGISTRY = reg = []
+    try:
+        fn(spark, sf_dir)
+    finally:
+        hints._LINT_REGISTRY = None
+    return reg
+
+
+def growth_violations(spark, name, fn) -> list[str]:
+    """Rule 2: count every bcast_small frame at SF_A and SF_B; flag
+    grow-with-data frames."""
+    reg_a = hinted_frames(spark, fn, SF_A)
+    reg_b = hinted_frames(spark, fn, SF_B)
+    if len(reg_a) != len(reg_b):  # data-dependent hint paths: compare by prefix
+        n = min(len(reg_a), len(reg_b))
+        reg_a, reg_b = reg_a[:n], reg_b[:n]
+    out = []
+    for i, ((kind_a, da), (kind_b, db)) in enumerate(zip(reg_a, reg_b)):
+        if kind_a != "small" or kind_b != "small":
+            continue
+        na, nb = da.count(), db.count()
+        ratio = nb / max(na, 1)
+        if nb >= FLOOR_ROWS and ratio >= RATIO_FLAG:
+            out.append(
+                f"{name}: bcast_small frame #{i} grows with data "
+                f"({na} rows @sf0.001 -> {nb} @sf0.01, x{ratio:.1f}) — "
+                f"use a plain join (AQE) or bcast_sized"
+            )
+    return out
+
+
+def main() -> int:
+    from etl_jetro_spark.plans.queries import QUERIES
+    from etl_jetro_spark.session import get_spark
+
+    bad = source_violations()
+    for b in bad:
+        print(f"SRC  {b}")
+
+    spark = get_spark(app_name="broadcastlint", shuffle_partitions=8)
+    names = sys.argv[1:] or list(QUERIES)
+    n_flag = 0
+    for name in names:
+        try:
+            v = growth_violations(spark, name, QUERIES[name])
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_flag += 1
+            continue
+        if v:
+            n_flag += 1
+            for line in v:
+                print(f"FLAG {line}")
+        else:
+            print(f"ok   {name}")
+    print(f"== {len(names) - n_flag} clean, {n_flag} flagged, {len(bad)} source ==")
+    return 1 if (n_flag or bad) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
