@@ -13589,7 +13589,19 @@ def q256_two_level_assign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — flat is the exact argmax). Sampling keeps the n*K
     exact side cheap at every SF while the estimate stays unbiased; the
     oracle replays both assignments with the same ties->lowest-id
-    rule."""
+    rule.
+
+    Measured: ~0.58 at sf0.01 AND sf0.1 (avg cosine gap ~0.03). The
+    fixture's random high-dim vectors are the worst case for coarse
+    quantization — near-uniform pairwise cosine gives the coarse cells
+    almost no structure to exploit; real embedding corpora cluster and
+    route far better. For the DEDUP downstream (q146) the flat-argmax
+    disagreement is mostly harmless either way: near-identical vectors
+    follow the same deterministic coarse routing, so planted dup pairs
+    still co-locate (test_semantic_dedup_collapses_planted_cluster
+    asserts identical verdicts on both paths) — what dedup needs is
+    consistent assignment of near-dups, not agreement with the flat
+    argmax."""
     import math
 
     from etl_jetro_spark.operators.similarity import (
@@ -13633,4 +13645,764 @@ def q256_two_level_assign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(F.round(F.col("s_f") - F.col("s_t"), 6)), 5
         ).alias("avg_score_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-6 wave: corpus-growth curves, distribution fits, concentration,
+# assignment-distribution divergence, agreement statistics
+# --------------------------------------------------------------------------
+
+# Shared by q257/q262: DuckDB CTE assigning every document a 1..10 decile
+# by doc_id rank. The Spark side rides group_ranked (the distributed rank
+# frame) — never a global row_number window over the doc spine.
+_DK_DOC_DECILES = """
+    rk AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM documents),
+    dec AS (SELECT doc_id, CAST(((rn - 1) * 10) // n AS INT) + 1 AS decile
+            FROM rk)
+"""
+
+
+def _doc_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, decile 1..10) by doc_id rank — distributed rank frame
+    (group_ranked with no keys), integer decile arithmetic so both
+    engines bucket identically (no float division at the boundary)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    rk = group_ranked(d, [], "doc_id")
+    return rk.select(
+        F.col("_v").alias("doc_id"),
+        (F.expr("((_rn - 1) * 10) DIV _n") + 1).cast("int").alias("decile"),
+    )
+
+
+@query(
+    "q257_heaps_vocab_growth",
+    f"""
+    WITH wr AS (SELECT doc_id, list_filter({DK_WORDS}, x -> x <> '') AS w
+                FROM documents),
+    toks AS (
+      SELECT doc_id, w[i] AS t FROM wr,
+             UNNEST(generate_series(1, len(w))) AS s(i)
+    ),
+    {_DK_DOC_DECILES},
+    per_docs AS (SELECT decile, count(*) AS nd FROM dec GROUP BY decile),
+    ntok AS (SELECT d.decile, count(*) AS nt
+             FROM toks JOIN dec d USING (doc_id) GROUP BY d.decile),
+    firsts AS (SELECT t, min(doc_id) AS fdoc FROM toks GROUP BY t),
+    nv AS (SELECT d.decile, count(*) AS v
+           FROM firsts f JOIN dec d ON d.doc_id = f.fdoc GROUP BY d.decile),
+    per AS (SELECT p.decile, p.nd,
+                   coalesce(ntok.nt, 0) AS nt, coalesce(nv.v, 0) AS v
+            FROM per_docs p
+            LEFT JOIN ntok ON ntok.decile = p.decile
+            LEFT JOIN nv ON nv.decile = p.decile)
+    SELECT a.decile,
+           CAST(sum(b.nd) AS BIGINT) AS cum_docs,
+           CAST(sum(b.nt) AS BIGINT) AS cum_tokens,
+           CAST(sum(b.v) AS BIGINT)  AS vocab,
+           CASE WHEN sum(b.nt) > 1 AND sum(b.v) > 0
+                THEN round(ln(sum(b.v)) / ln(sum(b.nt)), 6) END AS heaps_beta
+    FROM per a JOIN per b ON b.decile <= a.decile
+    GROUP BY a.decile
+    """,
+)
+def q257_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary
+    vs cumulative token count at ten corpus checkpoints (doc_id-rank
+    deciles) — the saturation diagnostic that tells a data pipeline
+    whether more of the same source still adds new vocabulary, plus the
+    pointwise Heaps exponent ln V / ln N. Distributed shape: token
+    explode is partition-local; first-appearance = min(doc_id) per token
+    (one vocab-sized shuffle); doc ranks ride group_ranked (never a
+    global window over the doc spine); the cumulative step is a
+    10x10 triangular self-join on the decile aggregate — window-free,
+    so the 10-row frame needs no SinglePartition exchange."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(EF.norm_text("text"), " "), lambda w: w != "")
+        ).alias("t"),
+    )
+    dec = _doc_deciles(spark, sf_dir)
+    per_docs = dec.groupBy("decile").agg(F.count(F.lit(1)).alias("nd"))
+    ntok = (
+        toks.join(dec, "doc_id")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    firsts = toks.groupBy("t").agg(F.min("doc_id").alias("fdoc"))
+    nv = (
+        firsts.join(dec, firsts.fdoc == dec.doc_id)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    per = (
+        per_docs.join(ntok, "decile", "left")
+        .join(nv, "decile", "left")
+        .select(
+            "decile",
+            "nd",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.coalesce("v", F.lit(0)).alias("v"),
+        )
+    )
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(b, F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(
+            F.sum("b.nd").cast("long").alias("cum_docs"),
+            F.sum("b.nt").cast("long").alias("cum_tokens"),
+            F.sum("b.v").cast("long").alias("vocab"),
+        )
+    )
+    return cum.select(
+        "decile",
+        "cum_docs",
+        "cum_tokens",
+        "vocab",
+        F.when(
+            (F.col("cum_tokens") > 1) & (F.col("vocab") > 0),
+            F.round(F.log("vocab") / F.log("cum_tokens"), 6),
+        ).alias("heaps_beta"),
+    )
+
+
+@query(
+    "q258_zipf_slope",
+    f"""
+    WITH wr AS (SELECT lang, list_filter({DK_WORDS}, x -> x <> '') AS w
+                FROM documents),
+    toks AS (
+      SELECT lang, w[i] AS t FROM wr,
+             UNNEST(generate_series(1, len(w))) AS s(i)
+    ),
+    cnt AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY lang, t),
+    top AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, t ASC) AS r
+      FROM cnt QUALIFY r <= 200
+    ),
+    xy AS (SELECT lang, ln(r) AS x, ln(c) AS y FROM top),
+    s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM xy GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n,
+                 4) AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q258_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of ln(frequency) on
+    ln(rank) over each language's top-200 tokens — the
+    natural-language sanity check of a crawl (clean text sits near
+    slope -1; boilerplate/spam flattens it). One token-count shuffle;
+    the rank window is PARTITIONED by lang over the post-agg count
+    frame (vocab-sized, sublinear in the corpus) and WindowGroupLimit
+    prunes it to 200 rows per lang; the OLS reduce is langs-sized.
+    Closed-form moment OLS keeps both engines in exact agreement at
+    4 dp."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(EF.norm_text("text"), " "), lambda w: w != "")
+        ).alias("t"),
+    )
+    cnt = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("t").asc())
+    top = cnt.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 200)
+    xy = top.select("lang", F.log("r").alias("x"), F.log("c").alias("y"))
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(num / den, 4).alias("slope"),
+        F.round((F.col("sy") - F.col("sx") * num / den) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.pow(num, 2) / (den * deny), 4).alias("r2"),
+    )
+
+
+@query(
+    "q259_doc_repetition",
+    f"""
+    WITH {_dk_shingles_cte(3).lstrip()},
+    per_pair AS (SELECT doc_id, sh, count(*) AS c FROM sh
+                 GROUP BY doc_id, sh),
+    per_doc AS (SELECT doc_id,
+                       CAST(sum(c) AS DOUBLE) AS tot,
+                       CAST(count(*) AS DOUBLE) AS dis,
+                       max(c) AS mx
+                FROM per_pair GROUP BY doc_id),
+    rep AS (SELECT d.source, 1 - p.dis / p.tot AS r, p.mx
+            FROM per_doc p JOIN documents d USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           round(avg(r), 6)                                    AS avg_repetition,
+           round(avg(CASE WHEN r > 0.2 THEN 1.0 ELSE 0.0 END), 6)
+                                                               AS share_repetitive,
+           round(max(r), 6)                                    AS max_repetition,
+           CAST(max(mx) AS BIGINT)                             AS max_shingle_count
+    FROM rep GROUP BY source
+    """,
+)
+def q259_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition audit: per doc, 1 - distinct/total
+    3-word shingle mass (the boilerplate/template-loop signal CCNet-style
+    LINE dedup misses when the repetition is intra-document), rolled up
+    per source with the share of docs above the 0.2 repetition gate.
+    Docs with fewer than 3 words carry no shingles and are excluded.
+    Scale shape: shingle explode and the (doc_id, sh) count are
+    partition-local until ONE doc-keyed shuffle; everything after is
+    source-sized. No pair joins anywhere — repetition is a per-doc
+    aggregate, not a similarity query."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(EF.word_shingles("text", 3)).alias("sh")
+    )
+    per_pair = sh.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_pair.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("dis"),
+        F.max("c").alias("mx"),
+    )
+    rep = per_doc.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select("source", (1 - F.col("dis") / F.col("tot")).alias("r"), "mx")
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("r"), 6).alias("avg_repetition"),
+        F.round(F.avg((F.col("r") > 0.2).cast("double")), 6).alias(
+            "share_repetitive"
+        ),
+        F.round(F.max("r"), 6).alias("max_repetition"),
+        F.max("mx").cast("long").alias("max_shingle_count"),
+    )
+
+
+@query(
+    "q260_label_cluster_divergence",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 32),
+    assigned AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_Q146_COS.format(a='e.v', b='c.cv')} DESC, c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN c) WHERE rn = 1),
+    cellcnt AS (SELECT label, cid, count(*) AS n
+                FROM assigned GROUP BY label, cid),
+    ltot AS (SELECT label, CAST(sum(n) AS DOUBLE) AS nl FROM cellcnt
+             GROUP BY label),
+    grid AS (SELECT l.label, c.cid, l.nl,
+                    coalesce(cc.n, 0) AS n
+             FROM ltot l CROSS JOIN c
+             LEFT JOIN cellcnt cc ON cc.label = l.label AND cc.cid = c.cid),
+    p AS (SELECT label, cid, (n + 1) / (nl + 32) AS p FROM grid),
+    pairs AS (
+      SELECT a.label AS la, b.label AS lb, a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.cid = b.cid AND a.label < b.label)
+    SELECT la, lb,
+           round(0.5 * sum(pa * ln(2 * pa / (pa + pb)))
+               + 0.5 * sum(pb * ln(2 * pb / (pa + pb))), 6) AS js
+    FROM pairs GROUP BY la, lb
+    """,
+)
+def q260_label_cluster_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution divergence between label groups in EMBEDDING space:
+    assign every vector to its nearest of 32 anchor centroids (the exact
+    ivf_assign argmax, same ties->lowest-cid rule the oracle replays),
+    build each label's add-1-smoothed distribution over the 32 cells,
+    and report Jensen-Shannon divergence for every label pair — the
+    MAUVE-style "are these two sources/stages drawn from the same
+    embedding distribution" audit, SQL-expressible because the cell
+    histogram replaces a density model. Scale shape: one n-row
+    assignment shuffle; everything after is (labels x 32)-bounded."""
+    from etl_jetro_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(emb, "vec_id", "embedding", cents)
+    cellcnt = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label", "cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ltot = cellcnt.groupBy("label").agg(
+        F.sum("n").cast("double").alias("nl")
+    )
+    grid = (
+        ltot.crossJoin(bcast_small(cents.select("cid")))
+        .join(cellcnt, ["label", "cid"], "left")
+        .select(
+            "label",
+            "cid",
+            ((F.coalesce("n", F.lit(0)) + 1) / (F.col("nl") + 32)).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("label").alias("la"), "cid", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("label").alias("lb"), "cid", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "cid").filter(F.col("la") < F.col("lb"))
+    return pairs.groupBy("la", "lb").agg(
+        F.round(
+            0.5
+            * F.sum(
+                F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+            )
+            + 0.5
+            * F.sum(
+                F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ),
+            6,
+        ).alias("js")
+    )
+
+
+@query(
+    "q261_langid_kappa",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS h_en,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('es')}, x))) AS h_es,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('de')}, x))) AS h_de,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS declared,
+             CASE
+               WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+               WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+               WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+               WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+               ELSE 'fr'
+             END AS predicted
+      FROM hits
+    ),
+    cells AS (SELECT declared, predicted, count(*) AS n FROM pred
+              GROUP BY declared, predicted),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cells),
+    rowt AS (SELECT declared AS cls, sum(n) AS nr FROM cells GROUP BY declared),
+    colt AS (SELECT predicted AS cls, sum(n) AS nc FROM cells GROUP BY predicted),
+    po AS (SELECT sum(CASE WHEN declared = predicted THEN n ELSE 0 END) AS agree
+           FROM cells),
+    pe AS (SELECT sum(r.nr * c.nc) AS e
+           FROM rowt r JOIN colt c ON r.cls = c.cls)
+    SELECT CAST(tot.nn AS BIGINT) AS n_docs,
+           round(po.agree / tot.nn, 6) AS po,
+           round(pe.e / (tot.nn * tot.nn), 6) AS pe,
+           round((po.agree / tot.nn - pe.e / (tot.nn * tot.nn))
+                 / (1 - pe.e / (tot.nn * tot.nn)), 6) AS kappa
+    FROM tot CROSS JOIN po CROSS JOIN pe
+    """,
+)
+def q261_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared ``lang`` label and the
+    stopword-heuristic detector — the chance-corrected agreement scalar
+    that q231's confusion matrix summarizes to (kappa near 0 means the
+    labels carry no more signal than the marginals; the metric that
+    decides if declared labels are trustworthy enough to gate the mix).
+    Detection is partition-local; all reduction frames are
+    langs-bounded."""
+    pred = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("declared"), O.lang_id("text").alias("predicted")
+    )
+    cells = pred.groupBy("declared", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("double").alias("nn"))
+    rowt = cells.groupBy(F.col("declared").alias("cls")).agg(
+        F.sum("n").alias("nr")
+    )
+    colt = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("nc")
+    )
+    po = cells.agg(
+        F.sum(
+            F.when(F.col("declared") == F.col("predicted"), F.col("n")).otherwise(
+                0
+            )
+        ).alias("agree")
+    )
+    pe = rowt.join(colt, "cls").agg(
+        F.sum(F.col("nr") * F.col("nc")).alias("e")
+    )
+    poc = F.col("agree") / F.col("nn")
+    pec = F.col("e") / (F.col("nn") * F.col("nn"))
+    return (
+        tot.crossJoin(bcast_small(po))
+        .crossJoin(bcast_small(pe))
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            F.round(poc, 6).alias("po"),
+            F.round(pec, 6).alias("pe"),
+            F.round((poc - pec) / (1 - pec), 6).alias("kappa"),
+        )
+    )
+
+
+@query(
+    "q262_novelty_decile",
+    f"""
+    WITH {_dk_shingles_cte(5).lstrip()},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    firsts AS (SELECT sh, min(doc_id) AS fdoc FROM dsh GROUP BY sh),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CASE WHEN f.fdoc = d.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS novel
+      FROM dsh d JOIN firsts f ON f.sh = d.sh
+      GROUP BY d.doc_id),
+    {_DK_DOC_DECILES.strip().rstrip()}
+    SELECT dec.decile,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           round(avg(novel / nd), 6)       AS avg_novelty,
+           round(min(novel / nd), 6)       AS min_novelty
+    FROM per_doc JOIN dec USING (doc_id)
+    GROUP BY dec.decile
+    """,
+)
+def q262_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY curve: per document, the fraction of its distinct
+    5-word shingles whose global first appearance (min doc_id) is the
+    document itself, aggregated over doc_id-rank deciles — the
+    "is new data still new" trend an ingestion pipeline watches to
+    decide when a source is mined out (the streaming twin of q74's
+    incremental dedup, as a curve instead of a verdict). Docs with
+    fewer than 5 words carry no shingles and are excluded. One
+    shingle-keyed shuffle for first-appearance, one doc-keyed for the
+    per-doc ratio; deciles ride group_ranked (no global window)."""
+    d = load(spark, sf_dir, "documents")
+    dsh = d.select(
+        "doc_id", F.explode(EF.word_shingles("text", 5)).alias("sh")
+    ).distinct()
+    firsts = dsh.groupBy("sh").agg(F.min("doc_id").alias("fdoc"))
+    per_doc = (
+        dsh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.sum((F.col("fdoc") == F.col("doc_id")).cast("int"))
+            .cast("double")
+            .alias("novel"),
+        )
+    )
+    dec = _doc_deciles(spark, sf_dir)
+    nv = F.col("novel") / F.col("nd")
+    return (
+        per_doc.join(dec, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(nv), 6).alias("avg_novelty"),
+            F.round(F.min(nv), 6).alias("min_novelty"),
+        )
+    )
+
+
+@query(
+    "q263_region_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, o.o_custkey AS ck,
+             sum(o.o_totalprice) AS x
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, o.o_custkey),
+    rk AS (SELECT region, x,
+                  row_number() OVER (PARTITION BY region
+                                     ORDER BY x, ck) AS rn
+           FROM rev)
+    SELECT region,
+           CAST(count(*) AS BIGINT)        AS n_cust,
+           round(sum(x), 2)                AS total_rev,
+           round((2.0 * sum(rn * x) - (count(*) + 1) * sum(x))
+                 / (count(*) * sum(x)), 6) AS gini
+    FROM rk GROUP BY region
+    """,
+)
+def q263_region_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of per-customer revenue concentration by
+    region (G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over ascending
+    revenues) — the inequality scalar behind q138-style concentration
+    audits, needing a full per-group rank, not a top-k. The rank rides
+    ``group_ranked`` (range-partitioned rank frame, per-cell offsets
+    broadcast — no region-partitioned window over the customer-scale
+    frame, which region's 5-value skew would serialize); the Gini
+    reduce is region-sized. Customers without orders hold no revenue
+    row and are excluded (the lending-book convention)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(bcast_sized(c), o.o_custkey == c.c_custkey)
+        .join(bcast_small(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast_small(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    rk = group_ranked(rev, ["region"], "x", tiebreak=["ck"])
+    return rk.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.round(F.sum("_v"), 2).alias("total_rev"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("_rn") * F.col("_v"))
+                - (F.count(F.lit(1)) + 1) * F.sum("_v")
+            )
+            / (F.count(F.lit(1)) * F.sum("_v")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q264_packing_efficiency",
+    f"""
+    WITH nt AS (
+      SELECT doc_id,
+             len(list_filter({DK_WORDS}, x -> x <> '')) AS n
+      FROM documents),
+    lens AS (SELECT * FROM (VALUES (128), (256), (512)) AS t(max_len)),
+    x AS (SELECT l.max_len, nt.n,
+                 (nt.n + l.max_len - 1) // l.max_len AS chunks
+          FROM nt CROSS JOIN lens l WHERE nt.n > 0)
+    SELECT max_len,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(sum(n) AS BIGINT)                    AS total_tokens,
+           CAST(sum(chunks) AS BIGINT)               AS total_chunks,
+           round(sum(n) / CAST(sum(chunks) * max_len AS DOUBLE), 6)
+                                                     AS utilization,
+           round(avg(CAST(chunks AS DOUBLE)), 6)     AS avg_chunks_per_doc
+    FROM x GROUP BY max_len
+    """,
+)
+def q264_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing efficiency sweep: for each candidate
+    max_len, the chunk count and pad-waste if every document is split
+    into ceil(tokens/max_len) fixed-size windows — the token-budget
+    planning number that decides sequence length for a training run
+    (utilization = real tokens / padded slots; the q62 chunker's
+    capacity-planning twin). Token counts are partition-local; the
+    3-row length frame cross-joins in; integer ceil-division keeps both
+    engines exact."""
+    d = load(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(EF.norm_text("text"), " "), lambda w: w != "")
+        ).alias("n"),
+    ).filter(F.col("n") > 0)
+    lens = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(128), F.lit(256), F.lit(512)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("max_len")
+    )
+    x = nt.crossJoin(bcast_small(lens)).select(
+        "max_len",
+        "n",
+        F.expr("(n + max_len - 1) DIV max_len").alias("chunks"),
+    )
+    return x.groupBy("max_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("chunks").cast("long").alias("total_chunks"),
+        F.round(
+            F.sum("n") / (F.sum("chunks") * F.col("max_len")).cast("double"),
+            6,
+        ).alias("utilization"),
+        F.round(F.avg(F.col("chunks").cast("double")), 6).alias(
+            "avg_chunks_per_doc"
+        ),
+    )
+
+
+@query(
+    "q265_cohort_ltv",
+    """
+    WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd FROM orders
+               GROUP BY o_custkey),
+    csize AS (SELECT CAST(date_trunc('month', fd) AS DATE) AS cohort,
+                     CAST(count(*) AS BIGINT) AS n_cohort
+              FROM f GROUP BY 1),
+    cell AS (
+      SELECT CAST(date_trunc('month', f.fd) AS DATE) AS cohort,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.fd) * 12 + month(f.fd)) AS months_since,
+             CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS rev_c
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    cum AS (SELECT cohort, months_since,
+                   sum(rev_c) OVER (PARTITION BY cohort ORDER BY months_since
+                                    ROWS UNBOUNDED PRECEDING) AS cum_c
+            FROM cell)
+    SELECT cum.cohort, cum.months_since, csize.n_cohort,
+           ((2 * cum.cum_c * 100 + csize.n_cohort)
+            // (2 * csize.n_cohort)) / 10000.0 AS ltv_per_cust
+    FROM cum JOIN csize ON csize.cohort = cum.cohort
+    """,
+)
+def q265_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, then
+    cumulative revenue per cohort member at each month-since-first —
+    the retention-economics matrix (rows = cohorts, columns = account
+    age) behind q179's retention counts. Month arithmetic is integer
+    (year*12+month), immune to month-length/tz edge cases. Shapes: one
+    customer-keyed first-order aggregate, one (cohort, months)-keyed
+    cell aggregate; the running sum windows over the POST-AGG
+    cohort-month frame partitioned by cohort (bounded by the date
+    span, not the data)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("fd"))
+    csize = f.groupBy(
+        F.date_trunc("month", "fd").cast("date").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    mf = F.year("fd") * 12 + F.month("fd")
+    cell = (
+        o.join(f, "o_custkey")
+        .groupBy(
+            F.date_trunc("month", "fd").cast("date").alias("cohort"),
+            (mo - mf).alias("months_since"),
+        )
+        # accumulate INTEGER CENTS: a double running sum is association-
+        # ordered (DuckDB's windowed sum is a segment tree, Spark's is
+        # sequential — they disagree by ulps exactly at round boundaries);
+        # the cell sum rounds to exact cents (sum error ~1e-9 << 0.5 cent)
+        # and integer cumulation is order-free on both engines
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.withColumn("cum_c", F.sum("rev_c").over(w))
+    # 4-dp half-up rounding of cum_c/(100*n) done ENTIRELY in int64
+    # ((2a+b) div (2b) = round-half-up(a/b) for positive ints): a float
+    # division here lands on .xxxx5 boundaries where Spark (HALF_UP on
+    # the double) and DuckDB (round-half-even bankers on binary) split
+    return cum.join(bcast_small(csize), "cohort").select(
+        "cohort",
+        "months_since",
+        "n_cohort",
+        (
+            F.expr("(2 * cum_c * 100 + n_cohort) div (2 * n_cohort)")
+            / 10000.0
+        ).alias("ltv_per_cust"),
+    )
+
+
+@query(
+    "q266_discount_quantity_lift",
+    """
+    WITH x AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_discount > 0.05 THEN 1 ELSE 0 END AS hi,
+             l.l_quantity AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    s AS (SELECT brand,
+                 CAST(sum(hi) AS BIGINT) AS n_hi,
+                 CAST(sum(1 - hi) AS BIGINT) AS n_lo,
+                 sum(CASE WHEN hi = 1 THEN q END) AS sq_hi,
+                 sum(CASE WHEN hi = 0 THEN q END) AS sq_lo
+          FROM x GROUP BY brand)
+    SELECT brand, n_hi, n_lo,
+           round(sq_hi / n_hi, 4)             AS avg_qty_hi,
+           round(sq_lo / n_lo, 4)             AS avg_qty_lo,
+           round((sq_hi / n_hi) / (sq_lo / n_lo), 6) AS lift
+    FROM s WHERE n_hi >= 30 AND n_lo >= 30
+    """,
+)
+def q266_discount_quantity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount->quantity lift per brand (price-elasticity proxy): mean
+    quantity in deep-discount lines (>5%) vs shallow, brands with at
+    least 30 observations on each side — the merchandising twin of
+    q247's correlation, as a ratio effect size. Single lineitem⋈part
+    pass (part SIZE-GATED broadcast — grows with the catalog), one
+    brand-sized aggregate; the lift arithmetic is derived from sums so
+    both engines divide identical numbers."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    hi = (F.col("l_discount") > 0.05).cast("int")
+    s = (
+        li.join(bcast_sized(p), li.l_partkey == p.p_partkey)
+        .select(F.col("p_brand").alias("brand"), hi.alias("hi"),
+                F.col("l_quantity").alias("q"))
+        .groupBy("brand")
+        .agg(
+            F.sum("hi").cast("long").alias("n_hi"),
+            F.sum(1 - F.col("hi")).cast("long").alias("n_lo"),
+            F.sum(F.when(F.col("hi") == 1, F.col("q"))).alias("sq_hi"),
+            F.sum(F.when(F.col("hi") == 0, F.col("q"))).alias("sq_lo"),
+        )
+    )
+    return s.filter((F.col("n_hi") >= 30) & (F.col("n_lo") >= 30)).select(
+        "brand",
+        "n_hi",
+        "n_lo",
+        F.round(F.col("sq_hi") / F.col("n_hi"), 4).alias("avg_qty_hi"),
+        F.round(F.col("sq_lo") / F.col("n_lo"), 4).alias("avg_qty_lo"),
+        F.round(
+            (F.col("sq_hi") / F.col("n_hi")) / (F.col("sq_lo") / F.col("n_lo")),
+            6,
+        ).alias("lift"),
     )

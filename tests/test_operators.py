@@ -1639,6 +1639,58 @@ def test_semantic_dedup_collapses_planted_cluster(spark):
     assert got[12] == (10, False)
     assert got[99] == (99, True)
 
+    # two-level coarse->fine assignment must reach the same dedup
+    # verdicts: near-identical vectors follow the same (deterministic)
+    # routing through the coarse cells, so planted dups still co-locate
+    # even where the assignment disagrees with the flat argmax
+    coarse = spark.createDataFrame(
+        [(0, a), (1, far)], ["gid", "gv"]
+    )
+    got2 = {
+        r["vec_id"]: (r["component"], r["kept"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, threshold=0.99,
+            coarse=coarse, n_probe_cells=2,
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_ivf_assign_two_level_matches_flat_when_probing_all(spark):
+    """With n_probe_cells >= the coarse-cell count, every fine centroid
+    is reachable, so the two-level argmax must EQUAL the flat argmax
+    (same ties->lowest-id rule) — the approximation comes only from
+    pruning cells, never from the mechanics."""
+    import math
+
+    from etl_jetro_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    dims = 6
+    rows = [
+        (i, [math.sin(0.7 * i + j) for j in range(dims)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in rows[:9]], ["cid", "cv"]
+    )
+    coarse = spark.createDataFrame(
+        [(i, v) for i, v in rows[:3]], ["gid", "gv"]
+    )
+    flat = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(df, "vec_id", "embedding", cents).collect()
+    }
+    tl = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign_two_level(
+            df, "vec_id", "embedding", cents, coarse, n_probe_cells=3
+        ).collect()
+    }
+    assert tl == flat
+
 
 def test_plan_shapes_round4_fixes(spark):
     """Plan-level proofs for the round-4 scale fixes: (a) the capped
