@@ -13882,9 +13882,11 @@ def q259_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local until ONE doc-keyed shuffle; everything after is
     source-sized. No pair joins anywhere — repetition is a per-doc
     aggregate, not a similarity query."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(EF.word_shingles("text", 3)).alias("sh")
+    sh = shingle_rows(d, "doc_id", "text", 3, distinct=False).select(
+        F.col("_id").alias("doc_id"), F.col("_sh").alias("sh")
     )
     per_pair = sh.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
     per_doc = per_pair.groupBy("doc_id").agg(
@@ -14116,10 +14118,12 @@ def q262_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than 5 words carry no shingles and are excluded. One
     shingle-keyed shuffle for first-appearance, one doc-keyed for the
     per-doc ratio; deciles ride group_ranked (no global window)."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
     d = load(spark, sf_dir, "documents")
-    dsh = d.select(
-        "doc_id", F.explode(EF.word_shingles("text", 5)).alias("sh")
-    ).distinct()
+    dsh = shingle_rows(d, "doc_id", "text", 5, distinct=True).select(
+        F.col("_id").alias("doc_id"), F.col("_sh").alias("sh")
+    )
     firsts = dsh.groupBy("sh").agg(F.min("doc_id").alias("fdoc"))
     per_doc = (
         dsh.join(firsts, "sh")

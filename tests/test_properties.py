@@ -503,3 +503,29 @@ def test_distributed_run_count_matches_sequential(spark, vals):
     )
     want = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
     assert got == want
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.text(alphabet=" \tabAB.,1", max_size=40), min_size=1, max_size=8
+    ),
+    st.integers(1, 5),
+)
+def test_shingle_rows_matches_word_shingles_multiset(spark, texts, n):
+    """dedup.shingle_rows (codegen arrays_zip path) produces the exact
+    MULTISET of shingles as the HOF functions.word_shingles for every
+    document — the equivalence the q259/q262 swap relies on (VERDICT r6
+    ask #1). Checked with duplicates (distinct=False) so multiplicity,
+    not just set membership, is pinned."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fast = shingle_rows(df, "doc_id", "text", n, distinct=False)
+    a = sorted((r["_id"], r["_sh"]) for r in fast.collect())
+    hof = df.select(
+        "doc_id", F.explode(EF.word_shingles("text", n)).alias("sh")
+    )
+    b = sorted((r["doc_id"], r["sh"]) for r in hof.collect())
+    assert a == b
