@@ -222,7 +222,7 @@ def group_ranked(
         "_n", F.sum("_c").over(wall)
     )
     return base.join(
-        F.broadcast(meta.select("_pid", *keys, "_start", "_off", "_n")),
+        F.broadcast(meta.select("_pid", *keys, "_start", "_off", "_n")),  # bcast-ok: nparts x keys partition metadata
         ["_pid", *keys],
     ).withColumn(
         "_rn", F.col("_lidx") - F.col("_start") + F.col("_off") + F.lit(1)
@@ -251,11 +251,16 @@ def mad_outliers(
     v = F.col(value)
     df = df.filter(v.isNotNull())
     med = exact_group_percentiles(df, keys, value, {"_med": 0.5})
-    dev = df.join(F.broadcast(med), keys).withColumn(
+    from etl_jetro_spark.plans.hints import bcast_sized
+
+    # med/mad are group-keyed — cardinality tracks the group NDV, which
+    # grows with the data for data-keyed groups, so the hints are
+    # size-gated (AQE picks the strategy past the threshold).
+    dev = df.join(bcast_sized(med), keys).withColumn(
         "_absdev", F.abs(v - F.col("_med"))
     )
     mad = exact_group_percentiles(dev, keys, "_absdev", {"_mad": 0.5})
-    j = dev.join(F.broadcast(mad), keys)
+    j = dev.join(bcast_sized(mad), keys)
     return j.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.any_value(F.col("_med")).alias("med"),
@@ -352,7 +357,7 @@ def weighted_group_percentiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = base.withColumn("_lc", F.sum("_w").over(wloc)).join(
-        F.broadcast(meta.select("_pid", *keys, "_off", "_tw", "_mw")),
+        F.broadcast(meta.select("_pid", *keys, "_off", "_tw", "_mw")),  # bcast-ok: nparts x keys partition metadata
         ["_pid", *keys],
     ).withColumn("_cw", F.col("_off") + F.col("_lc"))
     slack = F.least(F.lit(1e-9) * F.col("_tw"), F.lit(0.5) * F.col("_mw"))

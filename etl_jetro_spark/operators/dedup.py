@@ -102,7 +102,7 @@ def capped_index(
         .filter(F.col("_df") > max_doc_freq)
         .select(key_col)
     )
-    return index.join(F.broadcast(hot), key_col, "left_anti")
+    return index.join(F.broadcast(hot), key_col, "left_anti")  # bcast-ok: df>cap hot keys, Zipf head-bounded
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -455,7 +455,7 @@ def decontaminate(
     # distinct shuffles only hits — never the whole corpus's shingles.
     tr = shingle_rows(train, id_col, text_col, n, distinct=False)
     return (
-        tr.join(F.broadcast(ev), "_sh")
+        tr.join(F.broadcast(ev), "_sh")  # bcast-ok: eval-set shingles; benchmarks are tiny by contract
         .select("_id", "_sh")
         .distinct()
         .groupBy("_id")

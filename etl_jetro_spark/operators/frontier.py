@@ -64,7 +64,7 @@ def pareto_frontier(
     )
     bounds = (
         parted.withColumn("_locmax", F.max("_xmax").over(wloc))
-        .join(F.broadcast(prefix), "_pid")
+        .join(F.broadcast(prefix), "_pid")  # bcast-ok: nparts-row partition metadata
         .select(
             "_x",
             "_xmax",

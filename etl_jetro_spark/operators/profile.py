@@ -145,7 +145,7 @@ def check_foreign_key(
         *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
     ).dropDuplicates()
     if broadcast_parent:
-        pk = F.broadcast(pk)
+        pk = F.broadcast(pk)  # bcast-ok: caller-gated via broadcast_parent flag
     nonnull = child.dropna(subset=child_cols).select(*child_cols)
     orphans = nonnull.join(pk, child_cols, "left_anti")
     return orphans.agg(
@@ -193,7 +193,7 @@ def distribution_drift_tvd(
         F.min(v).alias("_vmin"),
         F.max(v).alias("_vmax"),
     )
-    d = df.crossJoin(F.broadcast(bounds))
+    d = df.crossJoin(F.broadcast(bounds))  # bcast-ok: 1-row scalar aggregate
     # integer arithmetic, no doubles: epoch-ns split values exceed double's
     # 2^53 integer range, and a lossy cast could classify boundary rows
     # differently per engine

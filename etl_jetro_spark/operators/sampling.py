@@ -173,8 +173,14 @@ def quota_cap(
         )
         .select(key_col)
     )
-    pool = surv.join(F.broadcast(short), key_col, "left_anti").unionByName(
-        j.join(F.broadcast(short), key_col, "left_semi")
+    from etl_jetro_spark.plans.hints import bcast_sized
+
+    # `short` is keyed by key_col — its cardinality tracks the key NDV,
+    # which can grow with the corpus, so the hint is size-gated rather
+    # than forced (falls back to AQE join selection past the threshold).
+    short_h = bcast_sized(short)
+    pool = surv.join(short_h, key_col, "left_anti").unionByName(
+        j.join(short_h, key_col, "left_semi")
     )
     w = Window.partitionBy(key_col).orderBy("_hf", idc)
     return (
@@ -243,11 +249,11 @@ def target_mix_resample(
         .withColumn("_ratio", F.col("_gn") / F.col("_t"))
     )
     cmin = withc.agg(F.min("_ratio").alias("_c"))
-    rates = withc.crossJoin(F.broadcast(cmin)).select(
+    rates = withc.crossJoin(F.broadcast(cmin)).select(  # bcast-ok: 1-row scalar
         group_col,
         F.least(
             F.lit(1.0), F.col("_t") * F.col("_c") / F.col("_gn")
         ).alias("_keep_rate"),
     )
-    j = df.join(F.broadcast(rates), group_col)
+    j = df.join(F.broadcast(rates), group_col)  # bcast-ok: len(targets)-bounded
     return weighted_hash_sample(j, id_col, F.col("_keep_rate"), salt=salt)

@@ -77,7 +77,7 @@ def knn_join(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("_cv"))
     scored = (
-        c.crossJoin(F.broadcast(p))
+        c.crossJoin(F.broadcast(p))  # bcast-ok: probe set — model-parameter-sized
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -320,7 +320,7 @@ def _candidate_join(p: DataFrame, c: DataFrame) -> DataFrame:
     """Band-bucket equi-join (probe side broadcast — probe sets are
     model-parameter-sized) + exact-cosine scoring of distinct pairs."""
     return (
-        c.join(F.broadcast(p), "_band")
+        c.join(F.broadcast(p), "_band")  # bcast-ok: banded probe set — parameter-sized
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .dropDuplicates(["probe_id", "neighbor_id"])
         .select(
@@ -448,17 +448,17 @@ def ann_quality(
     # n_hit aggregation reuses the window's probe_id partitioning (no
     # third exchange), and ONE merged stats frame joins back to probes
     marked = approx.join(
-        F.broadcast(exact.withColumn("_e", F.lit(1))),
+        F.broadcast(exact.withColumn("_e", F.lit(1))),  # bcast-ok: n_probes x k by construction
         ["probe_id", "neighbor_id"],
         "left",
     )
     hits = marked.groupBy("probe_id").agg(
         F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("n_hit")
     )
-    stats = n_cand.join(F.broadcast(hits), "probe_id", "left")
+    stats = n_cand.join(F.broadcast(hits), "probe_id", "left")  # bcast-ok: probe-keyed, n_probes rows
     return (
         probes.select(F.col(id_col).alias("probe_id"))
-        .join(F.broadcast(stats), "probe_id", "left")
+        .join(F.broadcast(stats), "probe_id", "left")  # bcast-ok: probe-keyed, n_probes rows
         .select(
             "probe_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
@@ -541,7 +541,7 @@ def ivf_assign(
     """
     v = _vec(vec_col)
     scored = corpus.crossJoin(
-        F.broadcast(centroids.select(cid_col, cvec_col))
+        F.broadcast(centroids.select(cid_col, cvec_col))  # bcast-ok: k centroids — k-bounded
     ).select(
         F.col(id_col),
         F.col(vec_col),
@@ -606,7 +606,7 @@ def ivf_assign_two_level(
     # fine centroid -> nearest coarse cell (K x sqrt(K) dots, tiny)
     cell = (
         centroids.select(cid_col, cvec_col)
-        .crossJoin(F.broadcast(coarse.select(gid_col, gvec_col)))
+        .crossJoin(F.broadcast(coarse.select(gid_col, gvec_col)))  # bcast-ok: sqrt(k) coarse centroids
         .select(
             F.col(cid_col),
             F.col(cvec_col),
@@ -638,7 +638,7 @@ def ivf_assign_two_level(
     # and explodes — all expression-level, no rank window over data.
     v = _vec(vec_col)
     scored_g = corpus.crossJoin(
-        F.broadcast(coarse.select(gid_col, gvec_col))
+        F.broadcast(coarse.select(gid_col, gvec_col))  # bcast-ok: sqrt(k) coarse centroids
     ).select(
         F.col(id_col),
         F.col(vec_col),
@@ -691,7 +691,7 @@ def ivf_assign_two_level(
     # vector -> nearest fine centroid WITHIN its coarse cell
     # (~n x K/sqrt(K) dots; the cell map is parameter-sized, broadcast)
     best = (
-        vcell.join(F.broadcast(cell), gid_col)
+        vcell.join(F.broadcast(cell), gid_col)  # bcast-ok: k-row cid->gid cell map
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -749,7 +749,7 @@ def ivf_topk(
                 "ivf_topk: probe has >1 row; pass probe_id_col= for batch mode"
             )
         pc = (
-            probe.crossJoin(F.broadcast(centroids))
+            probe.crossJoin(F.broadcast(centroids))  # bcast-ok: k centroids — k-bounded
             .select(
                 F.col("cid"), cosine(_vec(probe_vec_col), _vec("cv")).alias("_s")
             )
@@ -757,9 +757,9 @@ def ivf_topk(
             .limit(nprobe)
             .select("cid")
         )
-        cands = corpus_assigned.join(F.broadcast(pc), "cid")
+        cands = corpus_assigned.join(F.broadcast(pc), "cid")  # bcast-ok: n_probes x nprobe rows
         scored = cands.crossJoin(
-            F.broadcast(probe.select(F.col(probe_vec_col).alias("_qv")))
+            F.broadcast(probe.select(F.col(probe_vec_col).alias("_qv")))  # bcast-ok: probe set — parameter-sized
         ).select(
             F.col(id_col),
             F.col("cid"),
@@ -774,7 +774,7 @@ def ivf_topk(
         F.col(probe_vec_col).alias("_qv"),
     )
     pc = (
-        probes.crossJoin(F.broadcast(centroids))
+        probes.crossJoin(F.broadcast(centroids))  # bcast-ok: k centroids — k-bounded
         .select(
             "probe_id", F.col("cid"), cosine(_vec("_qv"), _vec("cv")).alias("_s")
         )
@@ -789,8 +789,8 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select("probe_id", "cid")
     )
-    cands = corpus_assigned.join(F.broadcast(pc), "cid")
-    scored = cands.join(F.broadcast(probes), "probe_id").select(
+    cands = corpus_assigned.join(F.broadcast(pc), "cid")  # bcast-ok: n_probes x nprobe rows
+    scored = cands.join(F.broadcast(probes), "probe_id").select(  # bcast-ok: probe set — parameter-sized
         "probe_id",
         F.col(id_col),
         F.col("cid"),
@@ -834,11 +834,11 @@ def segment_overlap(
     )
     return (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a")),
+            F.broadcast(sizes.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a")),  # bcast-ok: per-segment counts — segment NDV is enum-sized
             "seg_a",
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b")),
+            F.broadcast(sizes.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b")),  # bcast-ok: per-segment counts — segment NDV is enum-sized
             "seg_b",
         )
         .select(

@@ -71,7 +71,7 @@ def cms_estimate(
             F.array(*[_bucket(c, i, width, salt) for i in range(depth)])
         ).alias("row", "bucket"),
     )
-    j = pb.join(F.broadcast(cms), ["row", "bucket"], "left")
+    j = pb.join(F.broadcast(cms), ["row", "bucket"], "left")  # bcast-ok: fixed-width CMS (d x w counters)
     return j.groupBy(token_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
     )
@@ -121,7 +121,7 @@ def kmv_pairwise_jaccard(
     pairs = (
         gs.withColumnRenamed("group", "group_a")
         .join(
-            F.broadcast(gs.withColumnRenamed("group", "group_b")),
+            F.broadcast(gs.withColumnRenamed("group", "group_b")),  # bcast-ok: distinct groups (sources/dumps) — enum-sized
             F.col("group_a") < F.col("group_b"),
         )
     )
@@ -211,7 +211,7 @@ def bloom_contains(
         (F.col("pos") / 32).cast("long").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
     )
-    j = pb.join(F.broadcast(bloom), "word", "left")
+    j = pb.join(F.broadcast(bloom), "word", "left")  # bcast-ok: fixed-width Bloom rows
     hit = (
         F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("bit"))
         != 0

@@ -53,5 +53,5 @@ def salted_broadcast_join(
         "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )
     return fact_salted.join(
-        F.broadcast(dim_salted), [on, "_salt"], how
+        F.broadcast(dim_salted), [on, "_salt"], how  # bcast-ok: skew-helper contract: small dim x salt
     ).drop("_salt")

@@ -197,9 +197,17 @@ def tfidf_top_terms(
         ndocs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     else:
         ndocs = df.agg(F.countDistinct(_c(id_col)).cast("double").alias("_n"))
+    from etl_jetro_spark.plans.hints import bcast_sized
+
+    # dfreq is the FULL corpus vocabulary — it grows with the data
+    # (Heaps' law), so the hint is size-gated: under the engine's own
+    # autoBroadcastJoinThreshold it broadcasts, past it the gate turns
+    # the hint off and AQE picks the join strategy (round-6 verdict
+    # finding #2 — the forced vocab broadcast was the one surviving
+    # grow-with-data hint class).
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(ndocs))
+        tf.join(bcast_sized(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))  # bcast-ok: 1-row scalar aggregate
         .withColumn("score", F.col("tf") * (F.col("_n") / F.col("df")))
     )
     w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("token"))
@@ -243,9 +251,13 @@ def unigram_lm_scores(
     # WindowGroupLimit-prunes it (round-4 verdict / tools/planlint.py)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    from etl_jetro_spark.plans.hints import bcast_sized
+
+    # counts is the full corpus vocabulary (grows with data) — size-
+    # gated hint, same rationale as tfidf's dfreq above.
     scored = (
-        toks.join(F.broadcast(counts), "token")
-        .crossJoin(F.broadcast(total))
+        toks.join(bcast_sized(counts), "token")
+        .crossJoin(F.broadcast(total))  # bcast-ok: 1-row scalar aggregate
         .withColumn("inv_p", F.col("_total") / F.col("cnt"))
     )
     return (
@@ -321,8 +333,8 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "_t")
-        .crossJoin(F.broadcast(stats))
+        tf.join(F.broadcast(dfreq), "_t")  # bcast-ok: |query_terms|-bounded
+        .crossJoin(F.broadcast(stats))  # bcast-ok: 1-row scalar aggregate
         .withColumn(
             "_idf",
             F.log(
@@ -399,7 +411,7 @@ def pmi_collocations(
     return (
         bi.join(a, "_w1")
         .join(b, "_w2")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # bcast-ok: 1-row scalar aggregate
         .select(
             "bigram",
             F.col("n_ab").cast("long").alias("n_ab"),

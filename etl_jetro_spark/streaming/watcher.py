@@ -107,7 +107,7 @@ def match_expected(events: DataFrame, expected_pos: DataFrame) -> DataFrame:
     tagged = events.withColumn("po", extract_po(F.col("path"))).filter(
         F.col("po") != ""
     )
-    return tagged.join(F.broadcast(expected_pos.select("po").distinct()), "po")
+    return tagged.join(F.broadcast(expected_pos.select("po").distinct()), "po")  # bcast-ok: config-sized expected-PO parameter frame
 
 
 def _track_po(
@@ -242,7 +242,7 @@ def run_po_watch(
             .option("rowsPerSecond", 1)
             .load()
             .filter(F.col("value") == 0)  # one tick only: seed, don't re-arm
-            .crossJoin(F.broadcast(expected_pos.select("po").distinct()))
+            .crossJoin(F.broadcast(expected_pos.select("po").distinct()))  # bcast-ok: config-sized expected-PO parameter frame
             .select(
                 "po",
                 F.lit("").alias("path"),

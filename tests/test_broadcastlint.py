@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo/tools")
 from broadcastlint import (  # noqa: E402
     growth_violations,
     hinted_frames,
+    operator_violations,
     source_violations,
 )
 
@@ -100,5 +101,69 @@ def test_bcast_sized_gates_on_threshold(spark, sf_dir):
         assert not hinted(bcast_sized(c))
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         assert not hinted(bcast_sized(c))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_unannotated_raw_broadcast_in_operators():
+    """Round-6 verdict ask #2: the source rule now covers the operator
+    and streaming library — every raw F.broadcast there either routes
+    through plans.hints or carries a same-line '# bcast-ok: <bound>'
+    pragma naming why the frame is bounded."""
+    assert operator_violations() == []
+
+
+def test_growth_rule_flags_data_dependent_hint_path(spark):
+    """ADVICE r6: when a query registers DIFFERENT hint counts/kinds at
+    the two SFs, the lint must flag the mismatch rather than silently
+    comparing a truncated prefix (which can pair mismatched frames)."""
+    from pyspark.sql import functions as F
+
+    from etl_jetro_spark.plans.hints import bcast_small
+
+    def flaky(spark, sf_dir):
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        # hint path depends on the DATA (customer count) — exactly the
+        # shape positional pairing gets wrong
+        if c.count() > 200:
+            return c.join(bcast_small(n), c.c_nationkey == n.n_nationkey)
+        top = c.limit(10)
+        return c.join(bcast_small(n), c.c_nationkey == n.n_nationkey).join(
+            bcast_small(top.select("c_custkey")), "c_custkey", "left_semi"
+        )
+
+    v = growth_violations(spark, "flaky", flaky)
+    assert v and "mismatch" in v[0]
+
+
+def test_bcast_sized_gate_on_post_shuffle_frame(spark, sf_dir):
+    """Round-6 verdict ask #8: pin the gate's behavior on a POST-SHUFFLE
+    frame, where Catalyst's sizeInBytes is a propagated estimate with no
+    CBO stats — the case most exposed to Spark-version drift. The
+    invariant pinned: hint applied iff the gate's own estimate (the
+    optimized plan's sizeInBytes) fits the threshold, for both an
+    over-threshold and an under-threshold configuration."""
+    from etl_jetro_spark.plans.hints import bcast_sized
+
+    agg = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .count()
+    )
+    est = int(agg._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est > 0
+
+    def hinted(df) -> bool:
+        return "ResolvedHint" in str(df._jdf.queryExecution().analyzed())
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # threshold strictly below the estimate -> gate must NOT hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(max(est - 1, 1)))
+        assert not hinted(bcast_sized(agg))
+        # threshold at/above the estimate -> gate must hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(est))
+        assert hinted(bcast_sized(agg))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -51,15 +51,42 @@ RATIO_FLAG = float(os.environ.get("BCASTLINT_RATIO", "4.0"))
 FLOOR_ROWS = int(os.environ.get("BCASTLINT_FLOOR", "50"))
 
 _RAW_RE = re.compile(r"(?:F|functions)\s*\.\s*broadcast\s*\(")
+_PRAGMA = "# bcast-ok:"
 
 
 def source_violations(path: str = "etl_jetro_spark/plans/queries.py") -> list[str]:
-    """Rule 1: no raw F.broadcast in the query catalog source."""
+    """Rule 1a: no raw F.broadcast in the query catalog source."""
     out = []
     with open(path) as f:
         for i, line in enumerate(f, 1):
             if _RAW_RE.search(line.split("#")[0]):
                 out.append(f"{path}:{i}: raw F.broadcast (route through plans.hints)")
+    return out
+
+
+def operator_violations() -> list[str]:
+    """Rule 1b (round-6 verdict ask #2): every raw F.broadcast in the
+    operator/streaming library must either route through plans.hints
+    (bcast_small / bcast_sized) or carry a same-line ``# bcast-ok:
+    <why bounded>`` pragma naming the bound (scalar aggregate,
+    partition metadata, k/probe/parameter-bounded, enum-sized, capped
+    index). An unannotated raw hint is exactly the grow-with-data OOM
+    class the round-6 tfidf/unigram vocab broadcasts fell into."""
+    import glob
+
+    out = []
+    for path in sorted(
+        glob.glob("etl_jetro_spark/operators/*.py")
+        + glob.glob("etl_jetro_spark/streaming/*.py")
+    ):
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                if _RAW_RE.search(line.split("#")[0]) and _PRAGMA not in line:
+                    out.append(
+                        f"{path}:{i}: raw F.broadcast without a "
+                        f"'{_PRAGMA} <bound>' pragma (or route through "
+                        "plans.hints.bcast_sized)"
+                    )
     return out
 
 
@@ -81,10 +108,21 @@ def growth_violations(spark, name, fn) -> list[str]:
     grow-with-data frames."""
     reg_a = hinted_frames(spark, fn, SF_A)
     reg_b = hinted_frames(spark, fn, SF_B)
-    if len(reg_a) != len(reg_b):  # data-dependent hint paths: compare by prefix
-        n = min(len(reg_a), len(reg_b))
-        reg_a, reg_b = reg_a[:n], reg_b[:n]
     out = []
+    if len(reg_a) != len(reg_b) or [k for k, _ in reg_a] != [
+        k for k, _ in reg_b
+    ]:
+        # A data-dependent hint path means the two registries can't be
+        # paired positionally — a truncated-prefix compare would silently
+        # pair mismatched frames exactly when hinting depends on the
+        # data (ADVICE r6). Flag it; the query must hint deterministically.
+        out.append(
+            f"{name}: hint registry mismatch across SFs "
+            f"({[k for k, _ in reg_a]} @sf0.001 vs "
+            f"{[k for k, _ in reg_b]} @sf0.01) — hint paths must not be "
+            "data-dependent"
+        )
+        return out
     for i, ((kind_a, da), (kind_b, db)) in enumerate(zip(reg_a, reg_b)):
         if kind_a != "small" or kind_b != "small":
             continue
@@ -103,7 +141,7 @@ def main() -> int:
     from etl_jetro_spark.plans.queries import QUERIES
     from etl_jetro_spark.session import get_spark
 
-    bad = source_violations()
+    bad = source_violations() + operator_violations()
     for b in bad:
         print(f"SRC  {b}")
 
