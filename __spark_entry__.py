@@ -40,6 +40,24 @@ ROTATE_N = 40
 _R5_NEWEST_N = 25
 _R5_ROTATE_N = 25
 
+# Round 7 (verdict ask #3): two policy fixes.
+#
+# 1. NEWEST_N silently truncated a round's own additions (r06 added 11
+#    queries and q256 — the recall gate for that round's headline fix —
+#    fell out of the signed window). The newest band is now
+#    max(NEWEST_N, number of queries registered THIS round), where the
+#    previous round's catalog size is read from the committed
+#    BENCH_r{N}.json (its n_queries field is the full-catalog count at
+#    round close) — no side-channel, survives any number of additions.
+#
+# 2. The rotation window now prioritizes queries that have NEVER
+#    appeared in a committed CORRECTNESS_r*.json (the driver-signed
+#    record) over contiguous-band order: the contiguous stride was about
+#    to spend 31 of r07's 40 slots re-signing q125-q155 (signed in r04)
+#    while q175-q230 stayed stale. Once the stale set is empty the
+#    window falls back to a per-round offset rotation over the signed
+#    surface — pure maintenance re-signing.
+
 
 def _round_index() -> int:
     """Current round, inferred from the driver's own artifacts: the
@@ -54,19 +72,81 @@ def _round_index() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _prev_close_count() -> int | None:
+    """Catalog size at the PREVIOUS round's close, from the newest
+    committed BENCH_r{N}.json (the driver benches the full catalog, so
+    its n_queries is the full count). None if unreadable."""
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, bestn = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p)) and int(m.group(1)) > bestn:
+            bestn, best = int(m.group(1)), p
+    if best is None:
+        return None
+    try:
+        with open(best) as fh:
+            d = json.load(fh)
+        for cand in (d, d.get("parsed")):
+            if isinstance(cand, dict) and isinstance(
+                cand.get("n_queries"), int
+            ):
+                return cand["n_queries"]
+    except Exception:
+        pass
+    return None
+
+
+def _signed_names() -> set[str]:
+    """Every query with at least one driver-signed row (appears in any
+    committed CORRECTNESS_r*.json, pass or fail — it was attempted)."""
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    signed: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            if isinstance(d, dict):
+                signed.update(k for k in d if re.match(r"q\d+_", k))
+        except Exception:
+            continue
+    return signed
+
+
 def _ordered_names() -> list[str]:
     from etl_jetro_spark.plans.queries import QUERIES
 
     names = list(QUERIES)
     rnd = _round_index()
     newest_n = _R5_NEWEST_N if rnd <= 5 else NEWEST_N
+    if rnd >= 7:
+        prev = _prev_close_count()
+        if prev is not None and 0 < prev <= len(names):
+            newest_n = max(NEWEST_N, len(names) - prev)
     newest = names[-newest_n:][::-1]
     older = names[: -newest_n or None]
     if not older:
         return newest
+    if rnd >= 7:
+        signed = _signed_names()
+        stale = [n for n in older if n not in signed]
+        window = stale[:ROTATE_N]
+        rest_stale = stale[ROTATE_N:]
+        signed_older = [n for n in older if n in signed]
+        fill_n = ROTATE_N - len(window)
+        off = (
+            ((rnd - 7) * ROTATE_N) % len(signed_older)
+            if signed_older
+            else 0
+        )
+        rot = signed_older[off:] + signed_older[:off]
+        return newest + window + rot[:fill_n] + rest_stale + rot[fill_n:]
     # Anchor round 5's rotation at the start of the never-signed band
-    # (q49 onward). r5 advanced by the old 25-stride; rounds >= 6
-    # continue contiguously from where r5 stopped, striding ROTATE_N.
+    # (q49 onward). r5 advanced by the old 25-stride; round 6
+    # continued contiguously from where r5 stopped, striding ROTATE_N.
     anchor = next(
         (i for i, n in enumerate(older) if n.startswith("q49")), 0
     )
