@@ -601,7 +601,10 @@ def ivf_assign_two_level(
     multi-probe top-P (a few hundred bytes), identical row count to
     the flat path.
 
-    Returns (id, cid, vec) — same contract as :func:`ivf_assign`.
+    Returns (id, cid, vec) — same contract as :func:`ivf_assign`:
+    exactly one row per corpus vector. A vector whose probed coarse
+    cells all have zero fine members falls back to the flat argmax
+    (see the stranded-vector anti-join below) rather than dropping.
     """
     # fine centroid -> nearest coarse cell (K x sqrt(K) dots, tiny)
     cell = (
@@ -710,11 +713,23 @@ def ivf_assign_two_level(
             ).alias("_b")
         )
     )
-    return best.select(
+    out = best.select(
         F.col(id_col),
         F.col("_b.cid").alias("cid"),
         F.col("_b.vec").alias(vec_col),
     )
+    # One-row-per-vector contract (ADVICE r6): the cell join above is an
+    # inner join, so a vector whose probed coarse cells all have ZERO
+    # fine members (a gid that is no fine centroid's nearest cell) was
+    # silently dropped. Anti-join the stranded vectors and fall back to
+    # the flat argmax for exactly that set — empty in the common case
+    # (the anti-join prunes to nothing), and never data-scale: only
+    # memberless-cell routing can strand a probe.
+    stranded = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        out.select(id_col), id_col, "left_anti"
+    )
+    fb = ivf_assign(stranded, id_col, vec_col, centroids, cid_col, cvec_col)
+    return out.unionByName(fb)
 
 
 def ivf_topk(

@@ -13568,14 +13568,28 @@ _Q256_NC = (
                  PARTITION BY vg.vec_id
                  ORDER BY {_Q146_COS.format(a='vg.v', b='cg.cv')} DESC, cg.cid
                ) AS rn
-        FROM vg JOIN cg ON vg.gid = cg.gid) WHERE rn = 1)
+        FROM vg JOIN cg ON vg.gid = cg.gid) WHERE rn = 1),
+    -- stranded-vector fallback (one-row-per-vector contract): a probe
+    -- whose coarse cells all have zero fine members inner-joins away in
+    -- tl; it falls back to the flat argmax, mirroring the operator
+    fb AS (
+      SELECT vec_id, cid AS cid_t, sc AS s_t FROM (
+        SELECT p.vec_id, c.cid,
+               {_Q146_COS.format(a='p.v', b='c.cv')} AS sc,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {_Q146_COS.format(a='p.v', b='c.cv')} DESC, c.cid
+               ) AS rn
+        FROM p CROSS JOIN c
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM tl)) WHERE rn = 1),
+    tl_all AS (SELECT * FROM tl UNION ALL SELECT * FROM fb)
     SELECT CAST(count(*) AS BIGINT) AS n_probes,
            CAST(sum(CASE WHEN cid_f = cid_t THEN 1 ELSE 0 END) AS BIGINT)
              AS n_agree,
            round(avg(CASE WHEN cid_f = cid_t THEN 1.0 ELSE 0.0 END), 6)
              AS recall,
            round(avg(round(s_f - s_t, 6)), 5) AS avg_score_gap
-    FROM flat JOIN tl USING (vec_id)
+    FROM flat JOIN tl_all USING (vec_id)
     """,
 )
 def q256_two_level_assign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

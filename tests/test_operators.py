@@ -1692,6 +1692,34 @@ def test_ivf_assign_two_level_matches_flat_when_probing_all(spark):
     assert tl == flat
 
 
+def test_ivf_assign_two_level_keeps_stranded_vectors(spark):
+    """One-row-per-vector contract (ADVICE r6): a vector whose probed
+    coarse cell has ZERO fine members must not drop — it falls back to
+    the flat argmax. Construction: every fine centroid routes to coarse
+    cell g0 (they sit on +x), while the probe vector sits on -x so its
+    single probed cell is g1 — memberless."""
+    from etl_jetro_spark.operators.similarity import ivf_assign_two_level
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [1.0, 0.2])], ["cid", "cv"]
+    )
+    coarse = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], ["gid", "gv"]
+    )
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.15]), (11, [-1.0, 0.3])], ["vec_id", "embedding"]
+    )
+    out = ivf_assign_two_level(
+        df, "vec_id", "embedding", cents, coarse, n_probe_cells=1
+    ).collect()
+    got = {r["vec_id"]: r["cid"] for r in out}
+    assert len(out) == 2  # vec 11 previously dropped
+    assert got[10] in (0, 1)
+    # flat argmax for the stranded vector: cos([-1,.3],[1,.2]) beats
+    # cos([-1,.3],[1,.1]) (less negative), so cid 1
+    assert got[11] == 1
+
+
 def test_plan_shapes_round4_fixes(spark):
     """Plan-level proofs for the round-4 scale fixes: (a) the capped
     winnow index runs its hot-set guard as a broadcast LEFT ANTI join,
