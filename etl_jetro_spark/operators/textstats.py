@@ -40,30 +40,45 @@ STOPWORD_SETS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _stopword_regex(sws: tuple[str, ...]) -> str:
+    """Whole-token alternation over the stopword set. norm_text output is
+    single-space-separated lowercase alphanumerics, so ``\\b`` boundaries
+    match exactly full tokens (a stopword inside a longer token has an
+    alnum neighbor and no boundary)."""
+    return r"\b(" + "|".join(sws) + r")\b"
+
+
 def stopword_hits(col: str | Column, lang: str = "en") -> Column:
-    """Count of tokens that are stopwords of ``lang``."""
-    words = F.split(norm_text(col), " ")
-    sw = F.array(*[F.lit(w) for w in STOPWORD_SETS[lang]])
-    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    """Count of tokens that are stopwords of ``lang``.
+
+    Counted via ``regexp_extract_all`` over the normalized text — fully
+    whole-stage-codegen. (The previous ``F.filter`` lambda HOF was
+    CodegenFallback and duplicated the norm_text subtree per language —
+    the q259/q262 word_shingles defect class; measured on q261 at sf1:
+    18.9 s -> see SCALE.md round-7 table.) Token-equality semantics are
+    identical: a hit is a whole normalized token equal to a stopword."""
+    return F.size(
+        F.regexp_extract_all(
+            norm_text(col), F.lit(_stopword_regex(STOPWORD_SETS[lang])), 0
+        )
+    )
 
 
 def lang_id(col: str | Column) -> Column:
     """Heuristic language ID: the language whose stopword set hits the most
-    tokens; 'und' (undetermined) when nothing hits."""
-    words = F.split(norm_text(col), " ")
-
-    def hit_counter(sws: tuple[str, ...]):
-        # NB: the lambda must take exactly one arg — pyspark passes the array
-        # index to any second parameter, clobbering default-arg closures.
-        arr = F.array(*[F.lit(x) for x in sws])
-        return lambda w: F.array_contains(arr, w)
-
+    tokens; 'und' (undetermined) when nothing hits. Hit counts ride the
+    codegen regex path (see :func:`stopword_hits`); whole-stage codegen's
+    subexpression elimination shares the one norm_text evaluation across
+    the four language counts."""
     hits = {
-        lang: F.size(F.filter(words, hit_counter(sws)))
+        lang: F.size(
+            F.regexp_extract_all(
+                norm_text(col), F.lit(_stopword_regex(sws)), 0
+            )
+        )
         for lang, sws in STOPWORD_SETS.items()
     }
     best = F.greatest(*hits.values())
-    out = F.lit("und")
     expr = None
     for lang, h in hits.items():
         cond = (h == best) & (best > 0)
