@@ -14424,3 +14424,275 @@ def q266_discount_quantity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 wave: memorization/contamination audits, mixture planning,
+# dedup-signal agreement, code-switching, filter sweeps, drift, style
+# --------------------------------------------------------------------------
+
+@query(
+    "q267_memorization_spans",
+    f"""
+    WITH {_dk_shingles_cte(6).lstrip()},
+    dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+    reach AS (SELECT sh, CAST(count(*) AS BIGINT) AS n_docs
+              FROM dsh GROUP BY sh HAVING count(*) >= 2),
+    hits AS (SELECT d.doc_id, d.sh, r.n_docs
+             FROM dsh d JOIN reach r USING (sh))
+    SELECT doc.source,
+           CAST(count(DISTINCT h.sh) AS BIGINT)     AS n_risky_spans,
+           CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs_affected,
+           CAST(max(h.n_docs) AS BIGINT)            AS max_span_reach
+    FROM hits h JOIN documents doc ON doc.doc_id = h.doc_id
+    GROUP BY doc.source
+    """,
+)
+def q267_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span MEMORIZATION audit: 6-word shingles appearing in
+    >= 2 distinct documents are the spans a model is most likely to
+    memorize verbatim (the long-n-gram twin of q72's decontamination —
+    there the reference set is external, here the corpus leaks into
+    itself). Per source: distinct risky spans, documents carrying one,
+    and the widest span reach. Scale shape: codegen shingle_rows
+    (zero-shuffle generation), ONE shingle-keyed count shuffle, the
+    reach frame joins back shingle-keyed (plain join — its size tracks
+    duplicate mass, so no forced broadcast), one source-sized rollup."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    dsh = shingle_rows(d, "doc_id", "text", 6, distinct=True)
+    reach = (
+        dsh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    hits = dsh.join(reach, "_sh")
+    per = hits.join(
+        d.select("doc_id", "source"), hits["_id"] == F.col("doc_id")
+    )
+    return per.groupBy("source").agg(
+        F.countDistinct("_sh").cast("long").alias("n_risky_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_affected"),
+        F.max("n_docs").cast("long").alias("max_span_reach"),
+    )
+
+
+_Q268_TARGETS = (("en", 0.40), ("de", 0.20), ("fr", 0.20), ("es", 0.15), ("zh", 0.05))
+_Q268_BUDGET = 1_000_000
+
+
+@query(
+    "q268_mixture_epoch_plan",
+    f"""
+    WITH tok AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                  AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY lang),
+    tgt AS (SELECT * FROM (VALUES
+      {', '.join(f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in _Q268_TARGETS)}
+    ) AS t(lang, w))
+    SELECT tok.lang, avail_tokens,
+           CAST(round({_Q268_BUDGET} * w) AS BIGINT) AS needed_tokens,
+           CAST(ceil(round({_Q268_BUDGET} * w) / avail_tokens) AS BIGINT)
+             AS epochs,
+           round(round({_Q268_BUDGET} * w) / avail_tokens, 6) AS oversample
+    FROM tok JOIN tgt USING (lang)
+    """,
+)
+def q268_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXTURE epoch planner: given a target language mixture and a
+    token budget, how many epochs of each language's available tokens the
+    sampler must take (epochs > 1 = the source repeats; the oversample
+    ratio is the exact repetition factor) — the planning table behind
+    q176's mixture resampler, answering "can this corpus even serve the
+    target mix" before any sampling runs. One lang-keyed partial-agg
+    shuffle; everything after is mixture-sized arithmetic."""
+    from etl_jetro_spark.operators.textstats import token_count
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("avail_tokens")
+    )
+    tmap = F.create_map(
+        *[x for lang, w in _Q268_TARGETS for x in (F.lit(lang), F.lit(w))]
+    )
+    planned = tok.withColumn("w", tmap[F.col("lang")]).filter(
+        F.col("w").isNotNull()
+    )
+    needed = F.round(F.lit(float(_Q268_BUDGET)) * F.col("w")).cast("long")
+    ratio = needed / F.col("avail_tokens")
+    return planned.select(
+        "lang",
+        "avail_tokens",
+        needed.alias("needed_tokens"),
+        F.ceil(ratio).cast("long").alias("epochs"),
+        F.round(ratio, 6).alias("oversample"),
+    )
+
+
+@query(
+    "q269_lexical_semantic_agreement",
+    f"""
+    WITH {_dk_shingles_cte(3).lstrip()},
+    mh AS (
+      SELECT d.doc_id, s.seed,
+             coalesce(min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.sh)),
+                      md5(CAST(s.seed AS VARCHAR) || ':')) AS mh
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASHES - 1})) AS seed) s
+      LEFT JOIN sh ON sh.doc_id = d.doc_id
+      GROUP BY d.doc_id, s.seed
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             md5(CAST(seed // {_RPB} AS VARCHAR) || ',' ||
+                 string_agg(mh, ',' ORDER BY seed)) AS bk
+      FROM mh GROUP BY doc_id, seed // {_RPB}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_MINHASHES}.0
+               AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.seed = x.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+    scored AS (
+      SELECT e.est_jaccard,
+             round({_Q146_COS.format(a='a.v', b='b.v')}, 6) AS cos
+      FROM est e
+      JOIN emb a ON a.vec_id = e.id_a
+      JOIN emb b ON b.vec_id = e.id_b
+    )
+    SELECT CASE WHEN est_jaccard >= 1.0 THEN 'exact-signature'
+                ELSE 'partial-signature' END                 AS lexical_band,
+           CAST(count(*) AS BIGINT)                          AS n_pairs,
+           round(avg(est_jaccard), 6)                        AS avg_est_jaccard,
+           round(avg(cos), 4)                                AS avg_cosine,
+           round(avg(CASE WHEN cos > 0 THEN 1.0 ELSE 0.0 END), 6)
+                                                             AS share_cos_positive
+    FROM scored GROUP BY 1
+    """,
+)
+def q269_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-SIGNAL agreement audit: do LEXICAL near-dups (MinHash-LSH
+    estimate >= 0.5, q18's machinery) and SEMANTIC near-dups (embedding
+    cosine, q146's signal) agree? Per lexical band (exact vs partial
+    signature match), the mean embedding cosine and the share of pairs
+    with positive cosine calibrate which dedup tier to trust where —
+    template clones with swapped entities score high lexically and flat
+    semantically (exactly the fixture's shape: its embeddings are
+    independent of text, so the audit correctly reports no semantic
+    signal). Candidate pairs come from LSH banding
+    (never all-pairs); embeddings join per-pair by id (docs and vectors
+    share the id space, q200's mapping); everything after is
+    pair-bounded."""
+    from etl_jetro_spark.operators.similarity import _vec, cosine
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    cands = O.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_MINHASHES, bands=_BANDS, shingle_words=3
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    scored = (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "est_jaccard",
+            F.round(cosine(_vec("_va"), _vec("_vb")), 6).alias("cos"),
+        )
+    )
+    band = F.when(
+        F.col("est_jaccard") >= 1.0, "exact-signature"
+    ).otherwise("partial-signature")
+    return scored.groupBy(band.alias("lexical_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("est_jaccard"), 6).alias("avg_est_jaccard"),
+        F.round(F.avg("cos"), 4).alias("avg_cosine"),
+        F.round(F.avg((F.col("cos") > 0).cast("double")), 6).alias(
+            "share_cos_positive"
+        ),
+    )
+
+
+@query(
+    "q270_code_switch_audit",
+    f"""
+    WITH h AS (
+      SELECT source,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS h_en,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('es')}, x))) AS h_es,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('de')}, x))) AS h_de,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+      FROM documents),
+    s AS (SELECT source, list_sort([h_en, h_es, h_de, h_fr]) AS a, nt FROM h),
+    f AS (SELECT source, a[4] AS t1, a[3] AS t2, nt FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t2 >= 2 AND 2 * t2 >= t1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mixed,
+           round(avg(CASE WHEN t2 >= 2 AND 2 * t2 >= t1 THEN 1.0 ELSE 0.0 END),
+                 6) AS mixed_share,
+           round(avg(CASE WHEN nt > 0 THEN CAST(t1 AS DOUBLE) / nt
+                     ELSE 0.0 END), 6) AS avg_top1_ratio
+    FROM f GROUP BY source
+    """,
+)
+def q270_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-SWITCHING audit: a document whose second-best language
+    stopword count is material (>= 2 hits and >= half the best) is
+    language-mixed — the doc-level mixture signal q231/q261's
+    single-label classifier can't express, and the share a curation
+    pipeline watches before trusting doc-level lang routing. All four
+    hit counts ride the codegen regexp path (one normalized-text
+    evaluation shared by subexpression elimination); per-source
+    rollup is the only shuffle."""
+    from etl_jetro_spark.operators.textstats import (
+        STOPWORD_SETS,
+        stopword_hits,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arr = F.sort_array(
+        F.array(*[stopword_hits("text", lang) for lang in STOPWORD_SETS]),
+        asc=False,
+    )
+    f = d.select(
+        "source",
+        arr[0].alias("t1"),
+        arr[1].alias("t2"),
+        token_count("text").alias("nt"),
+    )
+    mixed = (F.col("t2") >= 2) & (2 * F.col("t2") >= F.col("t1"))
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(mixed.cast("int")).cast("long").alias("n_mixed"),
+        F.round(F.avg(mixed.cast("double")), 6).alias("mixed_share"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("nt") > 0, F.col("t1").cast("double") / F.col("nt")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("avg_top1_ratio"),
+    )
