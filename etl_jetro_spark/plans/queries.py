@@ -14696,3 +14696,404 @@ def q270_code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_top1_ratio"),
     )
+
+
+_Q271_SCORED_CTE = f"""
+    feat AS (
+      SELECT doc_id,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             round(least(n_tokens / 20.0, 1.0) * 0.4
+                   + (1 - least(CAST(n_punct AS DOUBLE) / n_chars * 2
+                                + CAST(n_digit AS DOUBLE) / n_chars * 2, 1.0)) * 0.3
+                   + least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0) * 0.3, 6)
+               AS score
+      FROM feat WHERE n_chars > 0 AND n_tokens > 0
+    )"""
+
+
+@query(
+    "q271_quality_filter_sweep",
+    f"""
+    WITH {_Q271_SCORED_CTE.lstrip()},
+    th AS (SELECT CAST(i AS DOUBLE) / 10 AS threshold
+           FROM UNNEST(generate_series(1, 9)) AS t(i)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n_tokens) AS BIGINT) AS ntok FROM scored)
+    SELECT th.threshold,
+           CAST(sum(CASE WHEN s.score >= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           round(sum(CASE WHEN s.score >= th.threshold THEN 1.0 ELSE 0.0 END)
+                 / tot.nd, 6) AS doc_share,
+           CAST(sum(CASE WHEN s.score >= th.threshold THEN s.n_tokens
+                    ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           round(CAST(sum(CASE WHEN s.score >= th.threshold THEN s.n_tokens
+                          ELSE 0 END) AS DOUBLE) / tot.ntok, 6) AS token_share
+    FROM scored s CROSS JOIN th CROSS JOIN tot
+    GROUP BY th.threshold, tot.nd, tot.ntok
+    """,
+)
+def q271_quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-FILTER threshold sweep: documents and tokens retained at
+    each candidate quality-score cutoff 0.1..0.9 — the curve a curation
+    pipeline reads to pick the filter operating point (keep 90% of
+    tokens vs keep 50%). All nine thresholds evaluate as conditional
+    aggregates in ONE scan of the scored frame (no 9x expansion, no
+    per-threshold pass); the 1-row result stacks to 9 rows via an
+    inline-array explode. Scores and comparisons use q24's exact
+    replayed formula, so the boundary behavior is bit-identical on both
+    engines."""
+    from etl_jetro_spark.operators.textstats import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    scored = (
+        quality_score(d, "text")
+        .filter((F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0))
+        .select(
+            F.col("quality_score").alias("score"),
+            F.col("q_n_tokens").alias("n_tokens"),
+        )
+    )
+    ths = [i / 10 for i in range(1, 10)]
+    keep = {t: (F.col("score") >= F.lit(t)).cast("long") for t in ths}
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum("n_tokens").alias("_ntok"),
+        *[F.sum(keep[t]).alias(f"_d{i}") for i, t in enumerate(ths)],
+        *[
+            F.sum(keep[t] * F.col("n_tokens")).alias(f"_k{i}")
+            for i, t in enumerate(ths)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_d{i}").cast("long").alias("n_docs_kept"),
+                F.round(F.col(f"_d{i}") / F.col("_nd"), 6).alias("doc_share"),
+                F.col(f"_k{i}").cast("long").alias("n_tokens_kept"),
+                F.round(
+                    F.col(f"_k{i}").cast("double") / F.col("_ntok"), 6
+                ).alias("token_share"),
+            )
+            for i, t in enumerate(ths)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+@query(
+    "q272_source_quality_drift",
+    f"""
+    WITH {_Q271_SCORED_CTE.lstrip()},
+    rk AS (SELECT d.source, s.score,
+                  row_number() OVER (PARTITION BY d.source
+                                     ORDER BY s.doc_id) AS rn
+           FROM scored s JOIN documents d USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           round(avg(score), 6)                  AS avg_quality,
+           round(regr_slope(score, rn), 5)       AS drift_slope,
+           round(corr(CAST(rn AS DOUBLE), score), 5) AS drift_corr
+    FROM rk GROUP BY source
+    """,
+)
+def q272_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-quality DRIFT screen: per source, the OLS slope (and
+    correlation) of quality score against within-source crawl order
+    (doc_id rank) — "is this source degrading as we crawl deeper", the
+    decision input for per-source depth caps (q175's cap parameter).
+    The rank rides group_ranked (range-partitioned, per-cell offsets
+    broadcast — no source-partitioned window over the doc-scale frame);
+    slope/corr are algebraic one-pass aggregates."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+    from etl_jetro_spark.operators.textstats import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    scored = (
+        quality_score(d, "text")
+        .filter((F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0))
+        .select("doc_id", "source", F.col("quality_score").alias("score"))
+    )
+    rk = group_ranked(scored.select("source", "doc_id"), ["source"], "doc_id")
+    j = rk.select(
+        "source", F.col("_v").alias("doc_id"), F.col("_rn").alias("rn")
+    ).join(scored.select("doc_id", "score"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_quality"),
+        F.round(F.regr_slope(F.col("score"), F.col("rn")), 5).alias(
+            "drift_slope"
+        ),
+        F.round(F.corr(F.col("rn").cast("double"), F.col("score")), 5).alias(
+            "drift_corr"
+        ),
+    )
+
+
+@query(
+    "q273_source_style_similarity",
+    f"""
+    WITH nt AS (SELECT source, {DK_NORM_TEXT} AS t FROM documents),
+    g AS (SELECT source, substring(t, i, 3) AS g
+          FROM nt, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS s(i)),
+    c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+          FROM g GROUP BY source, g),
+    top AS (SELECT source, g, c FROM (
+              SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY c DESC, g) AS rn
+              FROM c) WHERE rn <= 200),
+    nrm AS (SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS n
+            FROM top GROUP BY source),
+    dots AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+             FROM top a JOIN top b ON a.g = b.g AND a.source < b.source
+             GROUP BY 1, 2)
+    SELECT d.source_a, d.source_b,
+           round(d.dot / (x.n * y.n), 6) AS style_cosine
+    FROM dots d
+    JOIN nrm x ON x.source = d.source_a
+    JOIN nrm y ON y.source = d.source_b
+    """,
+)
+def q273_source_style_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source STYLE similarity: cosine between per-source character-
+    3-gram count profiles, restricted to each source's top-200 grams —
+    the authorship/boilerplate fingerprint that groups mirror sites and
+    syndication families before any document-level dedup runs. The
+    normalized text is materialized as a column BEFORE the per-position
+    substring transform (char_shingles_normed contract — the lambda
+    reads an attribute, never re-normalizes); profiles shrink to
+    sources x 200 rows after one (source, gram) count shuffle, so the
+    pairwise stage is gram-keyed over a parameter-sized frame. Integer
+    dot products — no float-order sensitivity until the final divide."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.functions.hashing import char_shingles_normed, norm_text
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "source", norm_text("text").alias("_t")
+    ).select(
+        "source", F.explode(char_shingles_normed(F.col("_t"), 3)).alias("g")
+    )
+    counts = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("g"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    nrm = top.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("n")
+    )
+    a = top.select(
+        F.col("source").alias("source_a"), "g", F.col("c").alias("ca")
+    )
+    b = top.select(
+        F.col("source").alias("source_b"), "g", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = nrm.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = nrm.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        dots.join(bcast_small(na), "source_a")
+        .join(bcast_small(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "style_cosine"
+            ),
+        )
+    )
+
+
+_Q274_CUTOFF = "2000-07-01"
+
+
+@query(
+    "q274_lapsed_high_balance_customers",
+    f"""
+    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+    idle AS (
+      SELECT c.c_mktsegment, c.c_acctbal
+      FROM customer c CROSS JOIN ab
+      WHERE c.c_acctbal > ab.a
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '{_Q274_CUTOFF}'))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           round(sum(c_acctbal), 2)   AS total_balance,
+           round(avg(c_acctbal), 2)   AS avg_balance
+    FROM idle GROUP BY c_mktsegment
+    """,
+)
+def q274_lapsed_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on this schema: LAPSED customers — above-average
+    positive balance, no order since the cutoff — rolled up by market
+    segment (the win-back target list). The anti-join + scalar-subquery
+    decorrelation pattern, q100's EXISTS twin on the negative side: the
+    average is a 1-row scalar aggregate broadcast into the filter; the
+    recency test is a LEFT ANTI against the date-filtered order keys
+    (filter pushed below the key-only projection — no order payload
+    ever shuffles)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit(_Q274_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    idle = (
+        c.join(recent, c["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .crossJoin(bcast_small(ab))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+    )
+
+
+@query(
+    "q275_promo_revenue_share",
+    """
+    WITH j AS (
+      SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+             l.l_extendedprice * (1 - l.l_discount) AS rev,
+             p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT month,
+           round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
+             AS promo_revenue,
+           round(sum(rev), 2) AS total_revenue,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                 / sum(rev), 4) AS promo_share_pct
+    FROM j GROUP BY month
+    """,
+)
+def q275_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-type revenue share. The part dim
+    joins size-gated (bcast_sized — part grows with the business, the
+    q247 catch class); month buckets via a shared date_format/strftime
+    literal so bucketing is identical cross-engine; one month-sized
+    partial-agg rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(
+        bcast_sized(p.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        "p_type",
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0)
+    return j.groupBy("month").agg(
+        F.round(F.sum(promo), 2).alias("promo_revenue"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(100.0 * F.sum(promo) / F.sum("rev"), 4).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+@query(
+    "q276_embedding_centroid_drift",
+    f"""
+    WITH pe AS (
+      SELECT label,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS h,
+             vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cent AS (SELECT label, h, i, avg(x) AS m
+             FROM pe GROUP BY label, h, i),
+    halves AS (SELECT label, h, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+               FROM pe GROUP BY label, h),
+    pairs AS (
+      SELECT a.label,
+             sum(a.m * b.m) AS dot,
+             sqrt(sum(a.m * a.m)) AS na,
+             sqrt(sum(b.m * b.m)) AS nb
+      FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+      WHERE a.h = 'a' AND b.h = 'b'
+      GROUP BY a.label)
+    SELECT p.label,
+           x.n AS n_a, y.n AS n_b,
+           round(p.dot / (p.na * p.nb), 6) AS centroid_cosine
+    FROM pairs p
+    JOIN halves x ON x.label = p.label AND x.h = 'a'
+    JOIN halves y ON y.label = p.label AND y.h = 'b'
+    """,
+)
+def q276_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-DISTRIBUTION drift per label: cosine between the label
+    centroid computed on the even-id half and the odd-id half of the
+    corpus — q142's drift monitor lifted into embedding space (a stable
+    corpus scores ~1; a drifting encoder or source mix pulls it down).
+    Vectors explode to (label, half, dim) once — ONE dim-keyed
+    partial-agg shuffle; centroids are labels x halves x dims rows
+    (metadata-sized), and the pairwise stage runs entirely on them."""
+    e = load(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("h"),
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    cent = pe.groupBy("label", "h", "i").agg(F.avg("x").alias("m"))
+    halves = pe.groupBy("label", "h").agg(
+        F.countDistinct("vec_id").cast("long").alias("n")
+    )
+    a = cent.filter(F.col("h") == "a").select(
+        "label", "i", F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("h") == "b").select(
+        "label", "i", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+        )
+    )
+    ha = halves.filter(F.col("h") == "a").select("label", F.col("n").alias("n_a"))
+    hb = halves.filter(F.col("h") == "b").select("label", F.col("n").alias("n_b"))
+    return (
+        pairs.join(bcast_small(ha), "label")
+        .join(bcast_small(hb), "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
