@@ -49,6 +49,9 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     argv = sys.argv[1:]
+    if "-h" in argv or "--help" in argv:
+        print(__doc__.strip())
+        return 0
     sf = SF_DIR
     if "--sf" in argv:
         i = argv.index("--sf")
