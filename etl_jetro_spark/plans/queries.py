@@ -15097,3 +15097,558 @@ def q276_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 28. Round-7 second wave: leakage-safe splits, corpus vocabulary health,
+#     classic order-analytics shapes, embedding hygiene (q277-q286)
+# --------------------------------------------------------------------------
+
+_Q277_SPLITS = "CASE WHEN {b} < 9000 THEN 'train' WHEN {b} < 9500 THEN 'val' ELSE 'test' END"
+
+
+@query(
+    "q277_leakage_safe_split",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({DK_NORM_TEXT}) AS f FROM documents),
+    rep AS (SELECT f, min(doc_id) AS rep_id FROM fp GROUP BY f),
+    j AS (SELECT fp.doc_id, fp.f, r.rep_id FROM fp JOIN rep r USING (f)),
+    b AS (SELECT f,
+                 {_hexb_sql('split:', 'doc_id', 10_000)} AS bn,
+                 {_hexb_sql('split:', 'rep_id', 10_000)} AS ba
+          FROM j),
+    tagged AS (
+      SELECT 'naive' AS scheme, f, {_Q277_SPLITS.format(b='bn')} AS split FROM b
+      UNION ALL
+      SELECT 'cluster_aware', f, {_Q277_SPLITS.format(b='ba')} FROM b),
+    c AS (SELECT scheme, f, split, count(*) AS c FROM tagged GROUP BY 1, 2, 3),
+    g AS (SELECT scheme, f, sum(c) AS n, sum(c * (c - 1) / 2) AS within
+          FROM c GROUP BY 1, 2),
+    leak AS (SELECT scheme, CAST(sum(n * (n - 1) / 2 - within) AS BIGINT)
+                      AS leaked_pairs
+             FROM g GROUP BY 1),
+    sizes AS (SELECT scheme, split, CAST(sum(c) AS BIGINT) AS n_docs
+              FROM c GROUP BY 1, 2)
+    SELECT s.scheme, s.split, s.n_docs, l.leaked_pairs
+    FROM sizes s JOIN leak l USING (scheme)
+    """,
+)
+def q277_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test splitting: the q62 hash-mod split keyed
+    on the exact-dup CLUSTER representative (min doc_id per normalized-text
+    fingerprint) instead of the raw doc_id, side-by-side with the naive
+    per-doc split it replaces. Output per scheme: split sizes plus the
+    number of duplicate PAIRS whose members land in different splits —
+    the train->test contamination a per-doc split silently ships (the
+    reason dedup must run BEFORE splitting in a training pipeline;
+    cluster_aware is 0 by construction). Pair counts come from per-
+    (scheme, fingerprint, split) group sizes — sum of c·(c-1)/2 algebra,
+    never materialized pairs — so the audit costs two fingerprint-keyed
+    partial-agg shuffles at any scale."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.sampling import split_assign
+
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm_text("text")).alias("f")
+    )
+    rep = d.groupBy("f").agg(F.min("doc_id").alias("rep_id"))
+    j = d.join(rep, "f")
+    naive = split_assign(
+        j.select("f", F.col("doc_id").alias("_id")), "_id", splits, salt="split:"
+    ).select(F.lit("naive").alias("scheme"), "f", "split")
+    aware = split_assign(
+        j.select("f", F.col("rep_id").alias("_id")), "_id", splits, salt="split:"
+    ).select(F.lit("cluster_aware").alias("scheme"), "f", "split")
+    c = (
+        naive.unionByName(aware)
+        .groupBy("scheme", "f", "split")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = c.groupBy("scheme", "f").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("within"),
+    )
+    leak = g.groupBy("scheme").agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2 - F.col("within"))
+        .cast("long")
+        .alias("leaked_pairs")
+    )
+    sizes = c.groupBy("scheme", "split").agg(
+        F.sum("c").cast("long").alias("n_docs")
+    )
+    return sizes.join(bcast_small(leak), "scheme").select(
+        "scheme", "split", "n_docs", "leaked_pairs"
+    )
+
+
+@query(
+    "q278_hapax_profile",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({DK_NORM_TEXT}, ' ')) AS t
+      FROM documents),
+    c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+          FROM toks WHERE t <> '' GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT)    AS token_mass,
+           CAST(count(*) AS BIGINT)  AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                     AS hapax_count,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6)  AS hapax_vocab_share,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6)    AS hapax_token_share
+    FROM c GROUP BY source
+    """,
+)
+def q278_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX-LEGOMENA profile per source: what fraction of each source's
+    vocabulary (and token mass) occurs exactly once — the corpus-health
+    twin of q257's Heaps curve. A high hapax share flags OCR noise /
+    mojibake / ID-like junk tokens (tokenizer-unfriendly); a low one
+    flags boilerplate. One (source, token) partial-agg shuffle — counts
+    combine map-side — then a source-sized rollup; the vocabulary is
+    never collected or broadcast (the q68/q69 lesson)."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(norm_text("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    c = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum((F.col("c") == 1).cast("long"))
+    return c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("token_mass"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        hapax.cast("long").alias("hapax_count"),
+        F.round(hapax / F.count(F.lit(1)), 6).alias("hapax_vocab_share"),
+        F.round(hapax / F.sum("c"), 6).alias("hapax_token_share"),
+    )
+
+
+@query(
+    "q279_returned_revenue_customers",
+    """
+    SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+           any_value(n.n_name) AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q279_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by RETURNED-item revenue — the
+    at-risk accounts list. Return-flag filter pushes to the lineitem
+    scan; the orderkey join is the only data-scale shuffle (customer is
+    size-gated, nation broadcast); global top-20 via orderBy+limit =
+    TakeOrdered (per-partition heaps, never a global sort — planlint
+    rule). Ranked on the ROUNDED revenue with a custkey tiebreak so the
+    cut is float-order stable across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_small(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey").agg(
+        F.first("c_name").alias("c_name"),
+        F.first("n_name").alias("n_name"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@query(
+    "q280_order_return_mix",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, count(*) AS n_items,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret
+      FROM lineitem GROUP BY 1),
+    cls AS (
+      SELECT o.o_orderpriority,
+             CASE WHEN p.n_ret = 0 THEN 'none'
+                  WHEN p.n_ret = p.n_items THEN 'full'
+                  ELSE 'partial' END AS return_class,
+             p.n_items
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey)
+    SELECT o_orderpriority, return_class,
+           CAST(count(*) AS BIGINT)              AS n_orders,
+           round(avg(CAST(n_items AS DOUBLE)), 4) AS avg_items
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def q280_order_return_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order RETURN-mix matrix: per order priority, how many orders came
+    back fully / partially / not at all, with mean basket size per cell —
+    the fulfillment-quality rollup behind q6's supplier view. One
+    orderkey partial-agg shuffle builds the per-order return census; the
+    orders join is key-aligned on the same orderkey (AQE picks the
+    strategy); the final matrix is priorities x 3 cells."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_ret"),
+    )
+    cls = per.join(o, per["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.when(F.col("n_ret") == 0, "none")
+        .when(F.col("n_ret") == F.col("n_items"), "full")
+        .otherwise("partial")
+        .alias("return_class"),
+        "n_items",
+    )
+    return cls.groupBy("o_orderpriority", "return_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg(F.col("n_items").cast("double")), 4).alias("avg_items"),
+    )
+
+
+@query(
+    "q281_cheapest_supplier_observed",
+    """
+    WITH u AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS up
+      FROM lineitem WHERE l_quantity > 0),
+    w AS (SELECT l_partkey, l_suppkey, up,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY up, l_suppkey) AS rn
+          FROM u),
+    win AS (SELECT l_partkey, l_suppkey, up FROM w WHERE rn = 1)
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_parts_won,
+           round(avg(win.up), 4) AS avg_win_price
+    FROM win
+    JOIN supplier s ON s.s_suppkey = win.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q281_cheapest_supplier_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest OBSERVED supplier per part (TPC-H Q2's argmin, recovered
+    from lineitem history since this schema carries no partsupp): per
+    part, the supplier with the lowest observed unit price (suppkey
+    tiebreak), rolled up to how many parts each supplier NATION wins.
+    The argmin is a partkey-partitioned row_number — millions of tiny
+    groups spread evenly, no group ever serialized to one task beyond
+    its own rows; unit-price division is IEEE-identical on both engines
+    so the order (and the winner) agrees bit-for-bit. Supplier joins
+    size-gated, nation broadcast."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    u = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("up", "l_suppkey")
+    win = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = win.join(
+        bcast_sized(s), win["l_suppkey"] == s["s_suppkey"]
+    ).join(bcast_small(n), s["s_nationkey"] == n["n_nationkey"])
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_won"),
+        F.round(F.avg("up"), 4).alias("avg_win_price"),
+    )
+
+
+@query(
+    "q282_large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.sum_qty, 2) AS sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY sum_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def q282_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: LARGE orders (total quantity > 300) with their
+    customers — the bulk-buyer watchlist. The quantity rollup is one
+    orderkey partial-agg shuffle; the HAVING filter collapses it to a
+    tiny frame BEFORE any join (orders joins against the filtered keys,
+    not the reverse); customer is size-gated. Global top-20 via
+    orderBy+limit on integral-valued quantity sums (exact doubles — no
+    float-order risk at the cut; orderkey tiebreak)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+    )
+    j = big.join(o, big["l_orderkey"] == o["o_orderkey"]).join(
+        bcast_sized(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_sq", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q283_embedding_norm_outliers",
+    """
+    WITH nr AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    med AS (SELECT label, quantile_cont(nrm, 0.5) AS med FROM nr GROUP BY 1),
+    dev AS (SELECT n.label, n.nrm, m.med, abs(n.nrm - m.med) AS d
+            FROM nr n JOIN med m USING (label)),
+    madt AS (SELECT label, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(d.med), 6) AS med_norm,
+           round(any_value(t.mad), 6) AS mad_norm,
+           CAST(sum(CASE WHEN d.d > 3.0 * t.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN madt t USING (label)
+    GROUP BY d.label
+    """,
+)
+def q283_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-NORM hygiene per label: exact median + MAD of the L2
+    norms with a 3-MAD outlier census — catches the truncated / zeroed /
+    exploded vectors an encoder bug ships before they poison cosine
+    retrieval (q21/q32) or SemDeDup centroids (q146). Norms reduce
+    IN-EXPRESSION (F.aggregate over the array — sequential fold,
+    bit-identical to DuckDB's list_sum; no dim explode, no shuffle);
+    both medians ride the distributed rank frame via
+    operators.aggregate.mad_outliers (q122's operator on a new
+    modality)."""
+    from etl_jetro_spark.operators.aggregate import mad_outliers
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    nr = e.select(
+        "label",
+        F.sqrt(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    out = mad_outliers(nr, ["label"], "nrm", z=3.0)
+    return out.select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med_norm"),
+        F.round("mad", 6).alias("mad_norm"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
+
+
+@query(
+    "q284_nation_trade_matrix",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           ((sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+             + 50) // 100) / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q284_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade matrix — shipped revenue by
+    (supplier nation, customer nation, ship year), domestic flows
+    excluded. One data-scale shuffle (the orderkey join); supplier and
+    customer dims size-gated, both nation legs broadcast; the rollup
+    output is nations² x years. The classic snowflake star-join whose
+    plan Catalyst should (and does) collapse to broadcast hash joins
+    around a single sort-merge. Revenue accumulates as exact integer
+    10^-4-dollars (price and discount are 2-dp decimals riding doubles),
+    so the sum is order-independent, and the 2-dp rounding happens as
+    integer half-up BEFORE the one exact division — engines disagree on
+    round(double, 2) at .xx5 (Spark rounds the decimal repr, DuckDB the
+    binary value; both float-path variants failed live at sf0.01)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nc = n.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_small(nc), c["c_nationkey"] == F.col("_ck"))
+        .join(bcast_sized(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(bcast_small(ns), s["s_nationkey"] == F.col("_sk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dpct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        (
+            F.floor((F.sum(cents * (100 - dpct)) + 50) / 100) / 100.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "q285_dup_rate_by_length",
+    f"""
+    WITH fp AS (SELECT doc_id, n_chars, md5({DK_NORM_TEXT}) AS f
+                FROM documents),
+    dup AS (SELECT f, count(*) AS cnt FROM fp GROUP BY 1),
+    rk AS (SELECT fp.doc_id, fp.n_chars, d.cnt,
+                  ntile(10) OVER (ORDER BY fp.n_chars, fp.doc_id) AS decile
+           FROM fp JOIN dup d USING (f))
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_share,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_n_chars
+    FROM rk GROUP BY decile
+    """,
+)
+def q285_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE do duplicates live? Exact-dup share by document-length
+    decile — short boilerplate dedups very differently from long-form
+    text, and this is the curve that decides whether a length floor
+    should run before the (much more expensive) near-dup pass. Length
+    deciles come from the distributed rank frame (group_ranked, keys=[]
+    — no SinglePartition window; q92's exact-ntile arithmetic); the dup
+    flag is one fingerprint-keyed count joined back by doc_id."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(norm_text("text")).alias("f")
+    )
+    dup = d.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = d.join(dup, "f").select(
+        "doc_id", (F.col("cnt") > 1).cast("long").alias("is_dup")
+    )
+    r = group_ranked(
+        d.select("n_chars", "doc_id"), [], "n_chars", tiebreak=["doc_id"]
+    )
+    dec = r.select(
+        "doc_id",
+        F.col("_v").alias("n_chars"),
+        _ntile_from_rank(F.col("_rn"), F.col("_n"), 10).alias("decile"),
+    )
+    j = dec.join(flagged, "doc_id")
+    return j.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("dup_docs"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_share"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias(
+            "avg_n_chars"
+        ),
+    )
+
+
+@query(
+    "q286_supplier_share_trend",
+    """
+    WITH m AS (
+      SELECT l_suppkey,
+             (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS m_idx,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT m_idx, sum(rev) AS t FROM m GROUP BY 1),
+    sh AS (SELECT m.l_suppkey, m.m_idx, m.rev / t.t AS share
+           FROM m JOIN tot t USING (m_idx))
+    SELECT l_suppkey AS s_suppkey,
+           CAST(count(*) AS BIGINT)       AS n_months,
+           round(avg(share), 6)           AS avg_share,
+           round(regr_slope(share, m_idx), 7) AS share_slope
+    FROM sh GROUP BY 1 HAVING count(*) >= 18
+    """,
+)
+def q286_supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier MARKET-SHARE trend: per supplier, the OLS slope of its
+    monthly revenue share against a calendar month index — the
+    gaining/losing-ground screen (q272's drift algebra on the commerce
+    side). The (supplier, month) rollup is one partial-agg shuffle;
+    month totals are a calendar-bounded frame (fixed date horizon —
+    flat across SF, hence bcast_small) joined back by month; slope and
+    mean are algebraic one-pass aggregates. Suppliers active < 18
+    months are excluded (slope meaningless)."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_suppkey",
+        (
+            (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+        ).alias("m_idx"),
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    tot = m.groupBy("m_idx").agg(F.sum("rev").alias("t"))
+    sh = m.join(bcast_small(tot), "m_idx").select(
+        "l_suppkey", "m_idx", (F.col("rev") / F.col("t")).alias("share")
+    )
+    return (
+        sh.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.round(F.avg("share"), 6).alias("avg_share"),
+            F.round(
+                F.regr_slope(F.col("share"), F.col("m_idx").cast("double")), 7
+            ).alias("share_slope"),
+        )
+        .filter(F.col("n_months") >= 18)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "n_months",
+            "avg_share",
+            "share_slope",
+        )
+    )
