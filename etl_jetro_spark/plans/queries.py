@@ -15154,16 +15154,35 @@ def q277_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = d.groupBy("f").agg(F.min("doc_id").alias("rep_id"))
     j = d.join(rep, "f")
-    naive = split_assign(
-        j.select("f", F.col("doc_id").alias("_id")), "_id", splits, salt="split:"
-    ).select(F.lit("naive").alias("scheme"), "f", "split")
-    aware = split_assign(
-        j.select("f", F.col("rep_id").alias("_id")), "_id", splits, salt="split:"
-    ).select(F.lit("cluster_aware").alias("scheme"), "f", "split")
-    c = (
-        naive.unionByName(aware)
-        .groupBy("scheme", "f", "split")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Both schemes in ONE pass over the fingerprinted frame: two split
+    # columns, then a 2-element inline-array explode. A unionByName of
+    # two split_assign branches would re-scan documents and re-run the
+    # md5(norm_text) fingerprint + rep join per scheme — Catalyst does
+    # not dedupe the shared subplan (measured 2x at sf1).
+    both = split_assign(
+        split_assign(j, "doc_id", splits, out="_sn", salt="split:"),
+        "rep_id",
+        splits,
+        out="_sa",
+        salt="split:",
+    )
+    tagged = both.select(
+        "f",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("scheme"),
+                    F.col("_sn").alias("split"),
+                ),
+                F.struct(
+                    F.lit("cluster_aware").alias("scheme"),
+                    F.col("_sa").alias("split"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("f", "_s.scheme", "_s.split")
+    c = tagged.groupBy("scheme", "f", "split").agg(
+        F.count(F.lit(1)).alias("c")
     )
     g = c.groupBy("scheme", "f").agg(
         F.sum("c").alias("n"),
