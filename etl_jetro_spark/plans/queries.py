@@ -15671,3 +15671,559 @@ def q286_supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_slope",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 29. Round-7 third wave: the remaining classic TPC-H shapes this schema
+#     can express (Q3/Q4/Q5/Q13/Q19/Q8) plus tokenizer-induction and
+#     event-cadence ops (q287-q296)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q287_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           any_value(o.o_orderdate) AS o_orderdate
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q287_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders placed before the
+    cutoff but not yet shipped by it, for one market segment — the
+    shipping-priority worklist. Both date predicates and the segment
+    filter push to their scans BEFORE the one data-scale orderkey join
+    (customer size-gated); global top-10 is orderBy+limit = TakeOrdered
+    (per-partition heaps — planlint rule), ranked on rounded revenue
+    with an orderkey tiebreak for a float-order-stable cut."""
+    cut = F.to_timestamp(F.lit("1998-07-01"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        bcast_sized(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"]
+    )
+    agg = j.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.first("o_orderdate").alias("o_orderdate"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+@query(
+    "q288_priority_return_exposure",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q288_priority_return_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelation): one quarter's orders that
+    had at least one RETURNED line, counted by order priority — does
+    expedited handling actually reduce returns? The EXISTS becomes a
+    LEFT SEMI join on the orderkey: the returned-lines side is filtered
+    and key-only (no row explosion for multi-line matches), the date
+    window pushes to the orders scan, and the rollup output is
+    priority-sized. This schema carries no commit/receipt dates, so
+    'late lineitem' becomes 'returned lineitem' — same plan shape."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    ret = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(ret, o["o_orderkey"] == ret["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@query(
+    "q289_local_supply_volume",
+    """
+    SELECT r.r_name,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ((sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+             + 50) // 100) / 100.0 AS local_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q289_local_supply_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped by a supplier in the SAME nation
+    as the customer, rolled up by customer region and order year — the
+    local-sourcing volume report. One data-scale shuffle (the orderkey
+    join); customer/supplier size-gated, nation->region broadcast; the
+    same-nation predicate applies after the two dim joins, before the
+    regions x years rollup. Revenue follows q284's exact integer-cent
+    algebra (order-independent sum, half-up in integer space, one
+    division)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_sized(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(bcast_small(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(bcast_small(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dpct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return j.groupBy(
+        "r_name", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (F.floor((F.sum(cents * (100 - dpct)) + 50) / 100) / 100.0).alias(
+            "local_revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "q290_customer_order_distribution",
+    """
+    WITH pc AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+    percust AS (
+      SELECT cu.c_custkey, coalesce(p.c, 0) AS c_count
+      FROM customer cu LEFT JOIN pc p ON p.o_custkey = cu.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM percust GROUP BY c_count
+    """,
+)
+def q290_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders —
+    the engagement histogram, zeros included. Orders pre-aggregate to
+    per-customer counts BEFORE touching the customer dim (the join
+    carries one row per customer, not one per order), the LEFT join
+    keeps never-ordered customers, and the final histogram is a
+    count-sized rollup. Two partial-agg shuffles total; no row ever
+    fans out."""
+    pc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    percust = cu.join(
+        pc, cu["c_custkey"] == pc["o_custkey"], "left"
+    ).select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c_count"))
+    return percust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q291_banded_discount_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q291_banded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size band,
+    quantity band) conditions — the OR-of-ANDs predicate that breaks
+    naive pushdown. Catalyst extracts the common quantity envelope
+    (1 <= qty <= 30) to the lineitem scan and the size envelope to the
+    part scan; the exact disjunction evaluates after the size-gated
+    part join. Single-row output; the point is the predicate plumbing,
+    not the rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(bcast_sized(p), li["l_partkey"] == p["p_partkey"])
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#11") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "q292_nation_market_share",
+    """
+    WITH flows AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             ns.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS v
+      FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation ncu  ON ncu.n_nationkey = c.c_nationkey
+      JOIN region r    ON r.r_regionkey = ncu.n_regionkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA')
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_6' THEN v ELSE 0 END)
+                 / CAST(sum(v) AS DOUBLE), 6) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def q292_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of all revenue sold
+    into a region, per order year. The share is a conditional-over-total
+    aggregate on ONE flow frame — no self-join, no second pass; the
+    region filter prunes via the customer->nation->region broadcast legs
+    before the single data-scale orderkey shuffle. Numerator and
+    denominator accumulate in the same exact integer-cent space, so the
+    ratio is order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    ncu = n.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_rk")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(bcast_sized(c), o["o_custkey"] == c["c_custkey"])
+        .join(bcast_small(ncu), c["c_nationkey"] == F.col("_ck"))
+        .join(bcast_small(r), F.col("_rk") == r["r_regionkey"])
+        .join(bcast_sized(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(bcast_small(ns), s["s_nationkey"] == F.col("_sk"))
+    )
+    v = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_6", v).otherwise(0))
+            / F.sum(v).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q293_bpe_pair_induction",
+    f"""
+    WITH w0 AS (SELECT unnest(string_split({DK_NORM_TEXT}, ' ')) AS w
+                FROM documents),
+    w2 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+    ip AS (SELECT w, unnest(range(1, length(w))) AS i FROM w2),
+    p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair FROM ip)
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30
+    """,
+)
+def q293_bpe_pair_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-candidate induction: the top-30 adjacent
+    character pairs by corpus frequency — exactly the statistic the
+    first byte-pair-encoding merge step selects from, computed the way
+    a tokenizer-training pipeline must at corpus scale (counts combine
+    map-side; the driver never sees more than the final 30 rows). Words
+    materialize behind the first explode boundary, so the per-position
+    lambda reads an ATTRIBUTE — the norm_text regexes run once per doc,
+    not once per character (the q259/q262 lesson). Global top-30 is
+    orderBy+limit = TakeOrdered, count-desc with a pair tiebreak."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return cnt.orderBy(F.desc("cnt"), F.asc("pair")).limit(30)
+
+
+@query(
+    "q294_event_cadence_percentiles",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(CAST(gap AS DOUBLE), 0.50) / 1000000, 6)
+             AS p50_s,
+           round(quantile_cont(CAST(gap AS DOUBLE), 0.90) / 1000000, 6)
+             AS p90_s,
+           round(quantile_cont(CAST(gap AS DOUBLE), 0.99) / 1000000, 6)
+             AS p99_s
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def q294_event_cadence_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event CADENCE profile: exact p50/p90/p99 of the inter-arrival gap
+    between consecutive same-type events of the same user, per event
+    type — the polling-vs-bursty signature that sizes streaming-state
+    watermarks (streaming/stateful.py timers) and rate limits. Gaps
+    come from one lag() over a (user, type)-PARTITIONED window (keyed,
+    WGL-pruned — never a global sort); percentiles ride the distributed
+    exact rank frame (no per-group multiset buffering). Microsecond
+    integers end-to-end: the parquet timestamps carry sub-second
+    precision, so second-truncated math would corrupt every gap."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        # engine contract: ts is epoch ns (BIGINT, us-precision source)
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = e.withColumn("gap", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    pct = exact_group_percentiles(
+        g,
+        ["event_type"],
+        F.col("gap").cast("double"),
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    n = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    return n.join(bcast_small(pct), "event_type").select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("p50") / 1e6, 6).alias("p50_s"),
+        F.round(F.col("p90") / 1e6, 6).alias("p90_s"),
+        F.round(F.col("p99") / 1e6, 6).alias("p99_s"),
+    )
+
+
+@query(
+    "q295_label_silhouette",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cent AS (SELECT label AS clabel, i, avg(x) AS m FROM e GROUP BY 1, 2),
+    nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY 1),
+    ncn AS (SELECT clabel, sqrt(sum(m * m)) AS nc FROM cent GROUP BY 1),
+    dots AS (SELECT e.vec_id, e.label, c.clabel, sum(e.x * c.m) AS dot
+             FROM e JOIN cent c USING (i) GROUP BY 1, 2, 3),
+    cosv AS (SELECT d.vec_id, d.label, d.clabel, d.dot / (v.nv * n.nc) AS cos
+             FROM dots d JOIN nv v USING (vec_id) JOIN ncn n USING (clabel)),
+    pv AS (SELECT vec_id, label,
+                  max(CASE WHEN clabel = label THEN cos END) AS own,
+                  max(CASE WHEN clabel <> label THEN cos END) AS best_other
+           FROM cosv GROUP BY 1, 2)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(own), 6) AS avg_own_cos,
+           round(avg(best_other), 6) AS avg_best_other_cos,
+           round(avg(own - best_other), 6) AS avg_margin
+    FROM pv GROUP BY 1
+    """,
+)
+def q295_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cluster SEPARATION audit (centroid silhouette): per vector,
+    cosine to its own label centroid vs the best other-label centroid;
+    per label, the mean margin — a near-zero or negative margin flags
+    labels that are not separable in embedding space (mislabeled data,
+    or an encoder that can't tell them apart) BEFORE anyone trains a
+    probe on them. Centroids reduce through one dim-keyed partial-agg
+    shuffle to a labels x dims frame, re-assembled into labels-count
+    arrays (k-bounded, bcast_small); every vector then scores all K
+    centroids in ONE broadcast-join pass — n x K rows, never n x n."""
+    from etl_jetro_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pe = e.select("label", F.posexplode("v").alias("i", "x"))
+    cent = pe.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+    cx = e.crossJoin(
+        bcast_small(carr.select(F.col("label").alias("clabel"), "cv"))
+    )
+    per = cx.select(
+        "vec_id", "label", "clabel", cosine(F.col("v"), F.col("cv")).alias("cos")
+    )
+    pv = per.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias(
+            "best_other"
+        ),
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("own"), 6).alias("avg_own_cos"),
+        F.round(F.avg("best_other"), 6).alias("avg_best_other_cos"),
+        F.round(F.avg(F.col("own") - F.col("best_other")), 6).alias(
+            "avg_margin"
+        ),
+    )
+
+
+@query(
+    "q296_vocab_coverage_curve",
+    f"""
+    WITH t0 AS (SELECT unnest(string_split({DK_NORM_TEXT}, ' ')) AS t
+                FROM documents),
+    c AS (SELECT t, count(*) AS c FROM t0 WHERE t <> '' GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM c),
+    a AS (SELECT sum(c) AS total, count(*) AS vocab,
+                 sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS m100,
+                 sum(CASE WHEN rn <= 1000 THEN c ELSE 0 END) AS m1000,
+                 sum(CASE WHEN rn <= 5000 THEN c ELSE 0 END) AS m5000,
+                 sum(CASE WHEN rn <= 20000 THEN c ELSE 0 END) AS m20000
+          FROM r)
+    SELECT top_k, CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(total AS BIGINT) AS total_tokens,
+           CAST(m AS BIGINT) AS covered_tokens,
+           round(m / CAST(total AS DOUBLE), 6) AS covered_share
+    FROM (
+      SELECT CAST(100 AS BIGINT) AS top_k, m100 AS m, vocab, total FROM a
+      UNION ALL
+      SELECT 1000, m1000, vocab, total FROM a
+      UNION ALL
+      SELECT 5000, m5000, vocab, total FROM a
+      UNION ALL
+      SELECT 20000, m20000, vocab, total FROM a)
+    """,
+)
+def q296_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget coverage curve: what share of total token mass
+    the top-K most frequent tokens cover, at K = 100 / 1k / 5k / 20k —
+    the closed-vocab truncation-loss table behind every tokenizer-size
+    decision (the OOV mass is 1 - covered_share). Token counts are one
+    partial-agg shuffle; the global frequency rank rides the
+    DISTRIBUTED rank frame (group_ranked, keys=[] — a plain
+    row_number() window here would serialize the whole vocabulary
+    through one task); all four cutoffs are conditional aggregates in
+    ONE pass over the ranked vocab, stacked by inline-array explode.
+    The vocabulary is never collected or broadcast."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    KS = [100, 1000, 5000, 20000]
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(norm_text("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    c = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    ranked = group_ranked(
+        c.select("t", "c", (-F.col("c")).alias("negc")),
+        [],
+        "negc",
+        tiebreak=["t", "c"],
+    )
+    a = ranked.agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+        *[
+            F.sum(F.when(F.col("_rn") <= k, F.col("c")).otherwise(0)).alias(
+                f"m{k}"
+            )
+            for k in KS
+        ],
+    )
+    return a.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("top_k"),
+                        F.col(f"m{k}").alias("m"),
+                    )
+                    for k in KS
+                ]
+            )
+        ).alias("s"),
+        "vocab",
+        "total",
+    ).select(
+        F.col("s.top_k").alias("top_k"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.col("total").cast("long").alias("total_tokens"),
+        F.col("s.m").cast("long").alias("covered_tokens"),
+        F.round(F.col("s.m") / F.col("total").cast("double"), 6).alias(
+            "covered_share"
+        ),
+    )
