@@ -529,3 +529,47 @@ def test_shingle_rows_matches_word_shingles_multiset(spark, texts, n):
     )
     b = sorted((r["doc_id"], r["sh"]) for r in hof.collect())
     assert a == b
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz019 .,", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_pair_expression_matches_python(spark, texts):
+    """q293's adjacent-character-pair extraction (transform over a
+    position sequence + substr, behind an explode boundary) yields the
+    exact MULTISET of pairs a sequential BPE counter would produce for
+    every word — including the length-1/empty-word guard (F.sequence
+    with an empty range would go DESCENDING, not empty)."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    words = df.select(
+        F.explode(F.split(norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    got = sorted(r["pair"] for r in pairs.collect())
+
+    def norm(t: str) -> str:
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    want = sorted(
+        w[i : i + 2]
+        for t in texts
+        for w in norm(t).split(" ")
+        if len(w) >= 2
+        for i in range(len(w) - 1)
+    )
+    assert got == want
