@@ -16227,3 +16227,477 @@ def q296_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covered_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# 36. Round-7 fourth wave: TPC-H Q9/Q15 shapes, engagement Markov,
+#     per-part robust price dispersion, context-window truncation loss,
+#     prefix dedup yield, token length profile
+# --------------------------------------------------------------------------
+
+@query(
+    "q297_nation_year_profit",
+    """
+    WITH p AS (SELECT p_partkey, p_retailprice FROM part
+               WHERE p_name LIKE '%red%'),
+    j AS (SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.55 * p.p_retailprice * l.l_quantity AS profit
+          FROM lineitem l
+          JOIN p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT nation, o_year,
+           round(sum(profit), 4)        AS sum_profit,
+           CAST(count(*) AS BIGINT)     AS n_lines
+    FROM j GROUP BY nation, o_year
+    """,
+)
+def q297_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape on this schema: profit attribution per supplier
+    NATION x order YEAR for one product family (p_name token filter),
+    with cost proxied at 55% of retail price (no partsupp table here).
+    The name filter pushes to the part scan BEFORE the partkey join
+    (part grows with data -> size-gated, AQE decides past the
+    threshold); supplier joins plain on suppkey; nation is the fixed
+    25-row dim (bcast_small); the one unavoidable data x data join is
+    lineitem x orders on the orderkey — hash-partitioned both sides,
+    no skew (orderkeys are unique on the orders side). Output is
+    nations x years — dimension-sized."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(bcast_sized(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(bcast_small(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.55
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum("profit"), 4).alias("sum_profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q298_peak_quarter_supplier",
+    """
+    WITH r AS (SELECT l_suppkey,
+                      sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT)) AS rev_c
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1996-04-01'
+               GROUP BY l_suppkey),
+    m AS (SELECT max(rev_c) AS mx FROM r)
+    SELECT s.s_suppkey, s.s_name,
+           round(r.rev_c / 100.0, 2) AS total_revenue
+    FROM r JOIN m ON r.rev_c = m.mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+)
+def q298_peak_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over one
+    quarter. Revenue accumulates in INTEGER CENTS (per-line round, then
+    an exact associative integer sum — q265's trick), so the global max
+    and the equality against it are bit-identical cross-engine; a double
+    sum here could crown a different winner per fold order. The global
+    max is a 1-row scalar aggregate CROSS-joined back (broadcast — the
+    planlint-sanctioned global-total shape, never a global window);
+    supplier names join on the suppkey after the revenue frame is
+    already supplier-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    r = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    m = r.agg(F.max("rev_c").alias("mx"))
+    return (
+        r.crossJoin(bcast_small(m))  # 1-row scalar
+        .filter(F.col("rev_c") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q299_engagement_decile_markov",
+    """
+    WITH wkly AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                         user_id, count(*) AS cnt
+                  FROM events GROUP BY wk, user_id),
+    rk AS (SELECT wk, user_id, cnt,
+                  row_number() OVER (PARTITION BY wk
+                                     ORDER BY cnt, user_id) AS rn,
+                  count(*) OVER (PARTITION BY wk) AS n
+           FROM wkly),
+    dec AS (SELECT wk, user_id,
+                   CAST(((rn - 1) * 10) // n AS INT) + 1 AS d
+            FROM rk),
+    tr AS (SELECT a.d AS d_from, b.d AS d_to
+           FROM dec a JOIN dec b
+             ON a.user_id = b.user_id AND b.wk = a.wk + 7),
+    c AS (SELECT d_from, d_to, CAST(count(*) AS BIGINT) AS n_users
+          FROM tr GROUP BY d_from, d_to),
+    t AS (SELECT d_from, sum(n_users) AS tot FROM c GROUP BY d_from)
+    SELECT c.d_from, c.d_to, c.n_users,
+           round(c.n_users / CAST(t.tot AS DOUBLE), 6) AS share
+    FROM c JOIN t USING (d_from)
+    """,
+)
+def q299_engagement_decile_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-decile MARKOV matrix: users bucketed into weekly
+    activity deciles, transition counts between consecutive weeks — the
+    retention-dynamics table (is the top decile sticky? do middle
+    deciles churn downward?). The weekly decile is an explicit
+    row-number formula (floor((rn-1)*10/n)+1, user_id tiebreak) so both
+    engines bucket identically — NOT ntile, whose remainder spreading
+    is engine-defined. The per-week rank rides the distributed rank
+    frame (group_ranked keyed by week — weeks x users rows, no week
+    ever serialized through one task; a data-scale user base spreads
+    across the range partitions). The week-over-week self-join is
+    user-keyed (uniform — each user appears once per week); the final
+    10x10 matrix and its row totals are bounded frames (bcast_small)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    e = load_events(spark, sf_dir)
+    wkly = (
+        e.select(
+            F.date_trunc("week", F.col("ts_utc")).cast("date").alias("wk"),
+            "user_id",
+        )
+        .groupBy("wk", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = group_ranked(wkly, ["wk"], "cnt", tiebreak=["user_id"])
+    dec = rk.select(
+        "wk",
+        "user_id",
+        (
+            F.floor(((F.col("_rn") - 1) * 10) / F.col("_n")).cast("int") + 1
+        ).alias("d"),
+    )
+    a = dec.select(
+        F.col("user_id").alias("u"),
+        F.col("wk").alias("wk_a"),
+        F.col("d").alias("d_from"),
+    )
+    b = dec.select(
+        F.col("user_id").alias("u"),
+        F.col("wk").alias("wk_b"),
+        F.col("d").alias("d_to"),
+    )
+    tr = a.join(
+        b,
+        (a.u == b.u) & (F.col("wk_b") == F.date_add(F.col("wk_a"), 7)),
+    )
+    c = tr.groupBy("d_from", "d_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    t = c.groupBy("d_from").agg(F.sum("n_users").alias("tot"))
+    return c.join(bcast_small(t), "d_from").select(
+        "d_from",
+        "d_to",
+        "n_users",
+        F.round(F.col("n_users") / F.col("tot").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "q300_part_price_dispersion",
+    """
+    WITH li AS (SELECT l_partkey, l_extendedprice / l_quantity AS up
+                FROM lineitem WHERE l_quantity > 0),
+    med AS (SELECT l_partkey, quantile_cont(up, 0.5) AS med
+            FROM li GROUP BY l_partkey),
+    dev AS (SELECT l.l_partkey, l.up, m.med, abs(l.up - m.med) AS dv
+            FROM li l JOIN med m USING (l_partkey)),
+    madt AS (SELECT l_partkey, quantile_cont(dv, 0.5) AS mad
+             FROM dev GROUP BY l_partkey),
+    pp AS (SELECT d.l_partkey, count(*) AS n,
+                  any_value(d.med) AS med, any_value(t.mad) AS mad,
+                  sum(CASE WHEN d.dv > 3.0 * t.mad THEN 1 ELSE 0 END) AS n_out
+           FROM dev d JOIN madt t USING (l_partkey)
+           GROUP BY d.l_partkey)
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT)          AS n_parts,
+           CAST(sum(pp.n) AS BIGINT)         AS n_lines,
+           CAST(sum(pp.n_out) AS BIGINT)     AS n_outlier_lines,
+           round(avg(pp.mad / pp.med), 6)    AS avg_rel_mad
+    FROM pp JOIN part p ON pp.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q300_part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PART robust unit-price dispersion rolled up by brand: exact
+    median + MAD of the observed unit price for EVERY part (the
+    millions-of-small-groups regime — q122 ran the same operator over 5
+    event types; this is its high-cardinality stress shape), then
+    brand-level outlier-line counts and the mean relative MAD. Both
+    medians ride the range-partitioned rank frame inside
+    operators.aggregate.mad_outliers — no per-group multiset, no
+    per-group serial sort, so the shape survives a billion-part
+    catalog; the groups-sized median frames join back size-gated. The
+    brand rollup joins the parts dim on its key and reduces to
+    brand-count rows."""
+    from etl_jetro_spark.operators.aggregate import mad_outliers
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    pp = mad_outliers(up, ["l_partkey"], "up", z=3.0)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        pp.join(p, pp.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("n").cast("long").alias("n_lines"),
+            F.sum("n_outliers").cast("long").alias("n_outlier_lines"),
+            F.round(F.avg(F.col("mad") / F.col("med")), 6).alias(
+                "avg_rel_mad"
+            ),
+        )
+    )
+
+
+@query(
+    "q301_truncation_loss_curve",
+    """
+    WITH d AS (SELECT source,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS nt
+               FROM documents),
+    a AS (SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+                 sum(least(nt, 32)) AS k32,
+                 sum(least(nt, 64)) AS k64,
+                 sum(least(nt, 96)) AS k96,
+                 sum(CASE WHEN nt > 32 THEN 1 ELSE 0 END) AS t32,
+                 sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS t64,
+                 sum(CASE WHEN nt > 96 THEN 1 ELSE 0 END) AS t96
+          FROM d GROUP BY source)
+    SELECT source, ctx_len,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(kept AS BIGINT)         AS kept_tokens,
+           round(1 - kept / CAST(total_tokens AS DOUBLE), 6) AS lost_share,
+           CAST(n_trunc AS BIGINT)      AS n_docs_truncated,
+           round(n_trunc / CAST(n_docs AS DOUBLE), 6) AS trunc_doc_share
+    FROM (
+      SELECT source, CAST(32 AS BIGINT) AS ctx_len, k32 AS kept,
+             t32 AS n_trunc, total_tokens, n_docs FROM a
+      UNION ALL
+      SELECT source, 64, k64, t64, total_tokens, n_docs FROM a
+      UNION ALL
+      SELECT source, 96, k96, t96, total_tokens, n_docs FROM a)
+    """,
+)
+def q301_truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window TRUNCATION-LOSS curve per source: at each candidate
+    context length L, the token mass lost to truncation
+    (sum(max(0, n_tok - L)) / total) and the share of documents cut —
+    the table behind a sequence-length budget decision (too short
+    wastes the corpus tail; the loss curve shows exactly how much).
+    ONE pass: per-doc token counts reduce through a single source-keyed
+    partial-agg shuffle carrying all three cutoffs as conditional
+    aggregates; the sources x 3 output is stacked by inline-array
+    explode (q296's shape). Nothing is broadcast; cutoffs are tuned to
+    the fixture's 10-99-token docs (a real corpus would use
+    512/2048/8192 — the plan is cutoff-count-linear either way)."""
+    from etl_jetro_spark.operators.textstats import token_count
+
+    KS = [32, 64, 96]
+    d = load(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("long").alias("nt")
+    )
+    a = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        *[F.sum(F.least(F.col("nt"), F.lit(k))).alias(f"k{k}") for k in KS],
+        *[
+            F.sum((F.col("nt") > k).cast("long")).alias(f"t{k}")
+            for k in KS
+        ],
+    )
+    return a.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("ctx_len"),
+                        F.col(f"k{k}").alias("kept"),
+                        F.col(f"t{k}").alias("n_trunc"),
+                    )
+                    for k in KS
+                ]
+            )
+        ).alias("s"),
+        "total_tokens",
+        "n_docs",
+    ).select(
+        "source",
+        F.col("s.ctx_len").alias("ctx_len"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("s.kept").cast("long").alias("kept_tokens"),
+        F.round(
+            1 - F.col("s.kept") / F.col("total_tokens").cast("double"), 6
+        ).alias("lost_share"),
+        F.col("s.n_trunc").cast("long").alias("n_docs_truncated"),
+        F.round(
+            F.col("s.n_trunc") / F.col("n_docs").cast("double"), 6
+        ).alias("trunc_doc_share"),
+    )
+
+
+@query(
+    "q302_prefix_dedup_yield",
+    f"""
+    WITH fp AS (SELECT doc_id, source,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS nt,
+                  md5(array_to_string(list_slice(
+                      string_split({DK_NORM_TEXT}, ' '), 1, 20), ' ')) AS f
+                FROM documents),
+    k AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(fp.nt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN fp.doc_id = k.keeper THEN 1 ELSE 0 END)
+                AS BIGINT)            AS kept_docs,
+           CAST(sum(CASE WHEN fp.doc_id = k.keeper THEN fp.nt ELSE 0 END)
+                AS BIGINT)            AS kept_tokens,
+           round(sum(CASE WHEN fp.doc_id = k.keeper THEN fp.nt ELSE 0 END)
+                 / CAST(sum(fp.nt) AS DOUBLE), 6) AS token_yield
+    FROM fp JOIN k USING (f)
+    GROUP BY fp.source
+    """,
+)
+def q302_prefix_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-dedup token yield per source: documents sharing the same
+    normalized 20-token PREFIX collapse to one keeper (min doc_id —
+    boilerplate and mirrored-lede detection, the cheap first pass
+    before MinHash), and each source reports how much of its token
+    mass survives. The prefix fingerprint is a scan-side expression
+    (slice of the normalized split — no shuffle to build); keeper
+    election is one fingerprint-keyed partial-agg shuffle joined back
+    on the same key (exact_duplicates' shape — co-partitioned, zero
+    extra exchange under AQE); the rollup is sources-sized. Keeper
+    election is GLOBAL (min doc_id across sources), so a source that
+    syndicates another's ledes shows the loss — per-source election
+    would hide exactly that."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.textstats import token_count
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("nt"),
+        F.md5(
+            F.array_join(
+                F.slice(F.split(norm_text("text"), " "), 1, 20), " "
+            )
+        ).alias("f"),
+    )
+    k = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    j = fp.join(k, "f")
+    kept = (F.col("doc_id") == F.col("keeper")).cast("long")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum(kept).cast("long").alias("kept_docs"),
+        F.sum(kept * F.col("nt")).cast("long").alias("kept_tokens"),
+        F.round(
+            F.sum(kept * F.col("nt")) / F.sum("nt").cast("double"), 6
+        ).alias("token_yield"),
+    )
+
+
+@query(
+    "q303_token_length_profile",
+    f"""
+    WITH t0 AS (SELECT unnest(string_split({DK_NORM_TEXT}, ' ')) AS t
+                FROM documents),
+    t1 AS (SELECT t, least(len(t), 15) AS lb FROM t0 WHERE t <> ''),
+    g AS (SELECT lb, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+          FROM t1 GROUP BY lb),
+    s AS (SELECT sum(n_tokens) AS tot FROM g)
+    SELECT g.lb AS len_bucket, g.n_tokens, g.n_distinct,
+           round(g.n_tokens / CAST(s.tot AS DOUBLE), 6) AS mass_share
+    FROM g, s
+    """,
+)
+def q303_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token LENGTH profile of the corpus: occurrence count, distinct
+    types, and token-mass share per character-length bucket (capped at
+    15+) — the character-budget histogram a subword tokenizer's
+    max-piece-length and byte-fallback decisions read from. Token
+    explode feeds ONE two-phase aggregate (count + count(DISTINCT t)
+    expand by Spark's distinct-agg rewrite — partials by (lb, t), never
+    a per-group set); the 15-row result takes its mass denominator
+    from a 1-row scalar aggregate cross-joined back (bcast_small) —
+    the global total never rides a global window."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    t1 = (
+        d.select(F.explode(F.split(norm_text("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t", F.least(F.length("t"), F.lit(15)).alias("lb"))
+    )
+    g = t1.groupBy("lb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("n_distinct"),
+    )
+    s = g.agg(F.sum("n_tokens").alias("tot"))
+    return g.crossJoin(bcast_small(s)).select(
+        F.col("lb").alias("len_bucket"),
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_tokens") / F.col("tot").cast("double"), 6).alias(
+            "mass_share"
+        ),
+    )
