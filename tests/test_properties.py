@@ -573,3 +573,91 @@ def test_bpe_pair_expression_matches_python(spark, texts):
         for i in range(len(w) - 1)
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["w1", "w2"]),
+            st.integers(0, 40),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+def test_decile_formula_matches_sequential(spark, rows):
+    """q299's explicit decile bucketing — floor((rn-1)*10/n)+1 over the
+    distributed rank frame with a user tiebreak — matches a sequential
+    per-group sort on arbitrary duplicate-heavy counts. Pins the
+    cross-engine bucketing contract (NOT ntile, whose remainder
+    spreading is engine-defined): every user lands in 1..10 and equal
+    counts break ties by user id identically on both paths."""
+    import math
+
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    df = spark.createDataFrame(rows, "wk string, cnt long, uid long")
+    rk = group_ranked(df, ["wk"], "cnt", tiebreak=["uid"])
+    got = {
+        (r["wk"], r["uid"]): int(
+            math.floor((r["_rn"] - 1) * 10 / r["_n"]) + 1
+        )
+        for r in rk.collect()
+    }
+    exp = {}
+    by_wk: dict[str, list[tuple[int, int]]] = {}
+    for wk, cnt, uid in rows:
+        by_wk.setdefault(wk, []).append((cnt, uid))
+    for wk, items in by_wk.items():
+        items.sort()
+        n = len(items)
+        for i, (_, uid) in enumerate(items):
+            exp[(wk, uid)] = (i * 10) // n + 1
+    assert got == exp
+    assert all(1 <= d <= 10 for d in got.values())
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab c.!X7\t",
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_prefix_fingerprint_matches_python(spark, texts):
+    """q302's 20-token-prefix fingerprint — md5(join(slice(split(
+    norm_text)), ' ')) as a scan-side expression — equals the same
+    pipeline computed sequentially in Python (lowercase, non-alnum ->
+    space, collapse, trim, split, first 20, join, md5). Pins the
+    normalization + slice semantics the DuckDB oracle mirrors with
+    list_slice/array_to_string."""
+    import hashlib
+
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i",
+            F.md5(
+                F.array_join(
+                    F.slice(F.split(norm_text("text"), " "), 1, 20), " "
+                )
+            ).alias("f"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        s = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        s = re.sub(r"\s+", " ", s).strip()
+        pref = " ".join(s.split(" ")[:20])
+        assert got[i] == hashlib.md5(pref.encode()).hexdigest(), (t, s)
