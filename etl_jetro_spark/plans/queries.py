@@ -16701,3 +16701,610 @@ def q303_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mass_share"
         ),
     )
+
+
+@query(
+    "q304_reserve_balance_customers",
+    """
+    WITH ab AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0),
+    sel AS (SELECT c.c_mktsegment, c.c_acctbal
+            FROM customer c CROSS JOIN ab
+            WHERE c.c_acctbal > ab.v
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '1999-01-01'))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c_acctbal), 4) AS total_bal,
+           round(avg(c_acctbal), 6) AS avg_bal
+    FROM sel GROUP BY 1
+    """,
+)
+def q304_reserve_balance_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: dormant buying power — customers whose balance
+    beats the positive-balance average but who placed NO order since
+    1999 (every fixture customer has SOME order, so the lapse cutoff is
+    what makes the cohort non-empty — same move as TPC-H's own 7-year
+    window), rolled up by market segment. The average is a 1-row scalar
+    aggregate CROSS-joined back (bcast_small — never a global window);
+    the lapse test is a LEFT ANTI against the date-filtered orders keys
+    (filter pushes to the orders scan; the anti probe carries ONE
+    column); the segment rollup is segments-sized."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("v")
+    )
+    sel = (
+        c.crossJoin(bcast_small(ab))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return sel.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+    )
+
+
+@query(
+    "q305_part_supplier_variety",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    j AS (SELECT p.p_brand, p.p_size, ps.l_suppkey
+          FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+          WHERE p.p_brand <> 'Brand#45' AND p.p_type NOT LIKE 'MEDIUM%')
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q305_part_supplier_variety(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can source each
+    (brand, size) cell, excluding one brand and one type family — the
+    sourcing-diversity table a procurement planner reads. The
+    supplier-part relation is recovered from lineitem as a DISTINCT
+    key-pair projection (partial-agg dedup BEFORE the part join — the
+    fact table never joins at raw-row width); part is filtered at the
+    scan (both predicates push down) and size-gated for broadcast
+    (bcast_sized — a dim that grows with SF must prove it fits). The
+    count(DISTINCT) expands via Spark's two-phase distinct-agg rewrite:
+    partials keyed by (brand, size, suppkey), never a per-group set."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (~F.col("p_type").startswith("MEDIUM"))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    j = ps.join(
+        bcast_sized(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q306_red_part_top_suppliers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    sq AS (SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+           FROM lineitem l JOIN red r ON l.l_partkey = r.p_partkey
+           WHERE l.l_shipdate >= DATE '1996-01-01'
+             AND l.l_shipdate < DATE '1997-01-01'
+           GROUP BY 1),
+    t AS (SELECT avg(qty) AS thr FROM sq)
+    SELECT s.s_suppkey, s.s_name, round(sq.qty, 4) AS red_qty
+    FROM sq CROSS JOIN t
+    JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+    WHERE sq.qty > t.thr
+    """,
+)
+def q306_red_part_top_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an above-average volume of
+    'red'-named parts in 1996 — the shortlist for a part-family supply
+    contract. The part filter runs at the scan and the surviving keys
+    join size-gated (bcast_sized); the date filter pushes into the
+    lineitem scan, so the only data-scale work is one suppkey-keyed
+    partial-agg shuffle. The threshold is a 1-row scalar aggregate
+    cross-joined back (bcast_small); supplier names attach AFTER the
+    frame is already supplier-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(bcast_sized(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    t = sq.agg(F.avg("qty").alias("thr"))
+    return (
+        sq.crossJoin(bcast_small(t))
+        .filter(F.col("qty") > F.col("thr"))
+        .join(bcast_sized(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("qty", 4).alias("red_qty")
+        )
+    )
+
+
+@query(
+    "q307_late_shipment_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q307_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape: among shipments that left more than 60 days
+    after the order was placed, how many belonged to critical
+    (URGENT/HIGH) orders vs the rest, per line status — the
+    late-but-critical exposure table. One data×data orderkey join
+    (sort-merge; AQE may flip it at runtime) with both scans projected
+    to 3 columns; the lateness predicate references both sides so it
+    filters AT the join, and the priority split is a conditional
+    aggregate in the same linestatus-keyed pass — no second shuffle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q308_sentence_length_profile",
+    """
+    WITH s AS (
+      SELECT source, trim(sv) AS sv
+      FROM (SELECT source, unnest(string_split_regex(text, '[.!?]+')) AS sv
+            FROM documents)
+      WHERE trim(sv) <> ''
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           round(avg(len(sv)), 6) AS avg_len,
+           round(quantile_cont(CAST(len(sv) AS DOUBLE), 0.5), 6) AS p50_len,
+           round(quantile_cont(CAST(len(sv) AS DOUBLE), 0.9), 6) AS p90_len
+    FROM s GROUP BY 1
+    """,
+)
+def q308_sentence_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SENTENCE-length profile per source: count, mean, and exact
+    p50/p90 character length of sentences (split on [.!?]+) — the
+    segmentation signal behind chunking and pack-by-sentence decisions
+    (short-sentence sources pack tight; long-tail sources need
+    mid-sentence splits). The sentence explode is scan-side; the mean
+    rides one source-keyed partial-agg shuffle and the percentiles ride
+    the distributed exact rank frame (operators/aggregate.py — no
+    per-group multiset buffering, matching quantile_cont's
+    interpolation bit-for-bit)."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("sv"),
+        )
+        .select("source", F.trim(F.col("sv")).alias("sv"))
+        .filter(F.col("sv") != "")
+        .select("source", F.length("sv").alias("slen"))
+    )
+    pct = exact_group_percentiles(
+        s,
+        ["source"],
+        F.col("slen").cast("double"),
+        {"p50": 0.5, "p90": 0.9},
+    )
+    n = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.round(F.avg("slen"), 6).alias("avg_len"),
+    )
+    return n.join(bcast_small(pct), "source").select(
+        "source",
+        "n_sentences",
+        "avg_len",
+        F.round("p50", 6).alias("p50_len"),
+        F.round("p90", 6).alias("p90_len"),
+    )
+
+
+@query(
+    "q309_dup_cluster_size_histogram",
+    f"""
+    WITH cl AS (SELECT md5({DK_NORM_TEXT}) AS h,
+                       CAST(count(*) AS BIGINT) AS sz
+                FROM documents GROUP BY 1),
+    g AS (SELECT sz AS cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+          FROM cl GROUP BY 1),
+    t AS (SELECT sum(n_docs) AS tot FROM g)
+    SELECT g.cluster_size, g.n_clusters, g.n_docs,
+           round(g.n_docs / CAST(t.tot AS DOUBLE), 6) AS doc_share
+    FROM g CROSS JOIN t
+    """,
+)
+def q309_dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate CLUSTER-SIZE histogram: how many clusters exist
+    at each multiplicity and what share of the corpus sits in them —
+    the shape that decides whether dedup is worth a MinHash pass (a
+    fat tail of big clusters = boilerplate; all-singletons = skip).
+    Two stacked partial-agg shuffles, each strictly smaller than the
+    last (docs → clusters → sizes); the doc-share denominator is a
+    1-row scalar aggregate cross-joined back (bcast_small). The hash is
+    the shared md5-of-normalized-text key (functions/hashing.py) every
+    exact-dedup query agrees on."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    cl = (
+        d.select(F.md5(norm_text("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    g = cl.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    t = g.agg(F.sum("n_docs").alias("tot"))
+    return g.crossJoin(bcast_small(t)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("tot").cast("double"), 6).alias(
+            "doc_share"
+        ),
+    )
+
+
+@query(
+    "q310_sampling_temperature_sweep",
+    """
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS avail
+      FROM documents GROUP BY 1),
+    x AS (SELECT source, avail, tau
+          FROM tok CROSS JOIN (SELECT unnest([0.5, 0.7, 1.0]) AS tau) ts
+          WHERE avail > 0),
+    d AS (SELECT tau, sum(pow(avail, tau)) AS denom FROM x GROUP BY 1)
+    SELECT x.source, x.tau, x.avail AS avail_tokens,
+           round(pow(x.avail, x.tau) / d.denom, 6) AS p_sample,
+           round(5000000 * pow(x.avail, x.tau) / d.denom / x.avail, 6)
+             AS epochs
+    FROM x JOIN d USING (tau)
+    """,
+)
+def q310_sampling_temperature_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixture-sampling TEMPERATURE sweep: per-source sampling
+    probability p_i ∝ tokens_i^τ at τ ∈ {0.5, 0.7, 1.0} and the
+    implied epochs over each source at a fixed token budget — the
+    GPT-3/PaLM-style knob that trades natural proportions (τ=1)
+    against upweighting small high-quality sources (τ<1), and the
+    companion to q268's fixed-target epoch plan. ONE doc-scale pass
+    (source-keyed token totals); everything after — the τ explode, the
+    per-τ normalizer, the join back — is sources×3-sized arithmetic on
+    bcast_small frames."""
+    from etl_jetro_spark.operators.textstats import token_count
+
+    BUDGET = 5_000_000
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.groupBy("source")
+        .agg(F.sum(token_count("text")).cast("long").alias("avail"))
+        .filter(F.col("avail") > 0)
+    )
+    x = tok.select(
+        "source",
+        "avail",
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.5, 0.7, 1.0)])
+        ).alias("tau"),
+    )
+    den = x.groupBy("tau").agg(
+        F.sum(F.pow(F.col("avail"), F.col("tau"))).alias("denom")
+    )
+    w = F.pow(F.col("avail"), F.col("tau")) / F.col("denom")
+    return x.join(bcast_small(den), "tau").select(
+        "source",
+        "tau",
+        F.col("avail").alias("avail_tokens"),
+        F.round(w, 6).alias("p_sample"),
+        F.round(F.lit(BUDGET) * w / F.col("avail"), 6).alias("epochs"),
+    )
+
+
+@query(
+    "q311_priority_segment_chi2",
+    """
+    WITH cell AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    rt AS (SELECT seg, sum(n) AS rn FROM cell GROUP BY 1),
+    ct AS (SELECT pri, sum(n) AS cn FROM cell GROUP BY 1),
+    tot AS (SELECT sum(n) AS t, CAST(count(DISTINCT seg) AS BIGINT) AS r,
+                   CAST(count(DISTINCT pri) AS BIGINT) AS c
+            FROM cell),
+    s AS (SELECT sum(CAST(cell.n AS DOUBLE) * cell.n / (rt.rn * ct.cn))
+                   AS s2
+          FROM cell JOIN rt USING (seg) JOIN ct USING (pri))
+    SELECT round(tot.t * (s.s2 - 1), 6) AS chi2,
+           (tot.r - 1) * (tot.c - 1) AS dof,
+           round(sqrt(tot.t * (s.s2 - 1)
+                      / (tot.t * least(tot.r - 1, tot.c - 1))), 6)
+             AS cramers_v,
+           CAST(tot.t AS BIGINT) AS n
+    FROM s CROSS JOIN tot
+    """,
+)
+def q311_priority_segment_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square INDEPENDENCE test between market segment and order
+    priority (with Cramér's V effect size) — the categorical-drift
+    companion to q213's KS test and q192's mutual information. Uses the
+    zero-cell-safe identity chi2 = N·(Σ n²/(rowtot·coltot) − 1), so
+    absent contingency cells need no synthesis. One data-scale custkey
+    join + one (seg, pri) partial-agg shuffle; the marginals re-reduce
+    from the ≤ segments×priorities cell frame (bcast_small), and the
+    result is a single row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cell = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rt = cell.groupBy("seg").agg(F.sum("n").alias("rn"))
+    ct = cell.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = cell.agg(
+        F.sum("n").alias("t"),
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("pri").cast("long").alias("c"),
+    )
+    s = (
+        cell.join(bcast_small(rt), "seg")
+        .join(bcast_small(ct), "pri")
+        .agg(
+            F.sum(
+                F.col("n").cast("double")
+                * F.col("n")
+                / (F.col("rn") * F.col("cn"))
+            ).alias("s2")
+        )
+    )
+    chi2 = F.col("t") * (F.col("s2") - 1)
+    return s.crossJoin(bcast_small(tot)).select(
+        F.round(chi2, 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.col("t") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.col("t").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q312_knn_hubness",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM e GROUP BY 1),
+    p AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    dots AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                    sum(p.v * e.v) AS dot
+             FROM p JOIN e USING (i)
+             WHERE p.vec_id <> e.vec_id
+             GROUP BY 1, 2),
+    sc AS (SELECT d.probe_id, d.neighbor_id,
+                  d.dot / (np.nv * nn.nv) AS score
+           FROM dots d
+           JOIN nrm np ON np.vec_id = d.probe_id
+           JOIN nrm nn ON nn.vec_id = d.neighbor_id),
+    rk AS (SELECT neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY score DESC, neighbor_id) AS r
+           FROM sc),
+    deg AS (SELECT neighbor_id, count(*) AS ind
+            FROM rk WHERE r <= 10 GROUP BY 1),
+    alldeg AS (SELECT emb.vec_id, coalesce(deg.ind, 0) AS ind
+               FROM embeddings emb
+               LEFT JOIN deg ON deg.neighbor_id = emb.vec_id),
+    g AS (SELECT CAST(least(ind, 8) AS BIGINT) AS in_degree_bucket,
+                 CAST(count(*) AS BIGINT) AS n_vectors
+          FROM alldeg GROUP BY 1),
+    t AS (SELECT sum(n_vectors) AS tot FROM g)
+    SELECT g.in_degree_bucket, g.n_vectors,
+           round(g.n_vectors / CAST(t.tot AS DOUBLE), 6) AS vec_share
+    FROM g CROSS JOIN t
+    """,
+)
+def q312_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN HUBNESS audit: the in-degree distribution of corpus vectors
+    across the top-10 neighbor lists of a deterministic 10% probe
+    sample (vec_id % 10) — high-dimensional hubs (vectors that appear
+    in "everyone's" neighbor list) poison ANN recall measurement and
+    near-dup thresholds, and this histogram is the standard detector.
+    The neighbor lists come from the blocked EXACT k-NN
+    (operators/similarity.knn_join_blocked — probes hash into blocks,
+    corpus replicates per block, NO broadcast of either side, WGL
+    prunes each probe's shuffle to ~k rows); in-degree is one
+    neighbor-keyed partial-agg shuffle, zero-degree vectors re-enter by
+    a corpus-keyed LEFT join, and the bucket histogram caps at 8+."""
+    from etl_jetro_spark.operators.similarity import knn_join_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    nn = knn_join_blocked(
+        probes, emb, "vec_id", "embedding", k=10, num_probe_blocks=8
+    )
+    deg = nn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ind")
+    )
+    alldeg = (
+        emb.select("vec_id")
+        .join(deg, F.col("vec_id") == F.col("neighbor_id"), "left")
+        .select(F.coalesce(F.col("ind"), F.lit(0)).alias("ind"))
+    )
+    g = alldeg.groupBy(
+        F.least(F.col("ind"), F.lit(8)).cast("long").alias(
+            "in_degree_bucket"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    t = g.agg(F.sum("n_vectors").alias("tot"))
+    return g.crossJoin(bcast_small(t)).select(
+        "in_degree_bucket",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors") / F.col("tot").cast("double"), 6
+        ).alias("vec_share"),
+    )
+
+
+@query(
+    "q313_revenue_lorenz_curve",
+    """
+    WITH rev AS (SELECT o_custkey,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS rev_c
+                 FROM orders GROUP BY 1),
+    rk AS (SELECT rev_c,
+                  row_number() OVER (ORDER BY rev_c, o_custkey) AS rn,
+                  count(*) OVER () AS n
+           FROM rev),
+    dec AS (SELECT CAST(((rn - 1) * 10) // n AS INT) + 1 AS decile, rev_c
+            FROM rk),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(sum(rev_c) AS BIGINT) AS drev
+          FROM dec GROUP BY 1),
+    t AS (SELECT sum(drev) AS tot FROM g),
+    c AS (SELECT a.decile, a.n_cust, a.drev,
+                 CAST(sum(b.drev) AS BIGINT) AS cum
+          FROM g a JOIN g b ON b.decile <= a.decile
+          GROUP BY 1, 2, 3)
+    SELECT c.decile, c.n_cust,
+           round(c.drev / 100.0, 2) AS decile_revenue,
+           round(c.cum / CAST(t.tot AS DOUBLE), 6) AS cum_share
+    FROM c CROSS JOIN t
+    """,
+)
+def q313_revenue_lorenz_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue LORENZ curve: cumulative revenue share at each customer
+    decile (ascending) — the 10-point curve behind q163/q263's scalar
+    Gini, the "bottom 50% of customers hold X% of revenue" table.
+    Revenue accumulates in INTEGER CENTS (exact associative sum — a
+    double here could flip rank order at decile boundaries per fold
+    order); the global decile comes from the distributed rank frame
+    (group_ranked with keys=[] — range-partitioned parallel sort, NO
+    SinglePartition window) with q299's explicit floor((rn−1)·10/n)+1
+    bucketing; the cumulative sum is a ≤10×10 self-join on bcast_small
+    frames, never a running window."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    r = group_ranked(rev, [], "rev_c", tiebreak=["o_custkey"])
+    dec = r.select(
+        (
+            F.floor(((F.col("_rn") - 1) * 10) / F.col("_n")).cast("int")
+            + 1
+        ).alias("decile"),
+        F.col("_v").alias("rev_c"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev_c").cast("long").alias("drev"),
+    )
+    t = g.agg(F.sum("drev").alias("tot"))
+    b = g.select(
+        F.col("decile").alias("d2"), F.col("drev").alias("drev2")
+    )
+    c = (
+        g.join(bcast_small(b), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_cust", "drev")
+        .agg(F.sum("drev2").cast("long").alias("cum"))
+    )
+    return c.crossJoin(bcast_small(t)).select(
+        "decile",
+        "n_cust",
+        F.round(F.col("drev") / 100.0, 2).alias("decile_revenue"),
+        F.round(
+            F.col("cum") / F.col("tot").cast("double"), 6
+        ).alias("cum_share"),
+    )
