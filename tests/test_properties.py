@@ -661,3 +661,102 @@ def test_prefix_fingerprint_matches_python(spark, texts):
         s = re.sub(r"\s+", " ", s).strip()
         pref = " ".join(s.split(" ")[:20])
         assert got[i] == hashlib.md5(pref.encode()).hexdigest(), (t, s)
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ABC"), st.sampled_from("pqr")),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_chi2_identity_matches_direct_formula(spark, pairs):
+    """q311's zero-cell-safe identity chi2 = N*(sum n^2/(rt*ct) - 1)
+    equals the textbook sum over ALL (row, col) combinations of
+    (obs-exp)^2/exp including zero-observed cells — computed on the
+    same Spark agg chain the query uses (cells -> marginals ->
+    identity), against a sequential Python double loop."""
+    df = spark.createDataFrame(pairs, "seg string, pri string")
+    cell = df.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    rt = cell.groupBy("seg").agg(F.sum("n").alias("rn"))
+    ct = cell.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = cell.agg(F.sum("n").alias("t"))
+    got = (
+        cell.join(rt, "seg")
+        .join(ct, "pri")
+        .agg(
+            F.sum(
+                F.col("n").cast("double") * F.col("n")
+                / (F.col("rn") * F.col("cn"))
+            ).alias("s2")
+        )
+        .crossJoin(tot)
+        .select((F.col("t") * (F.col("s2") - 1)).alias("chi2"))
+        .collect()[0]["chi2"]
+    )
+    # sequential reference: full contingency incl. zero cells
+    from collections import Counter
+
+    cnt = Counter(pairs)
+    rows = sorted({s for s, _ in pairs})
+    cols = sorted({p for _, p in pairs})
+    n = len(pairs)
+    rtot = {s: sum(v for (a, _), v in cnt.items() if a == s) for s in rows}
+    ctot = {p: sum(v for (_, b), v in cnt.items() if b == p) for p in cols}
+    exp_chi2 = 0.0
+    for s in rows:
+        for p in cols:
+            e = rtot[s] * ctot[p] / n
+            o = cnt.get((s, p), 0)
+            exp_chi2 += (o - e) ** 2 / e
+    assert abs(got - exp_chi2) < 1e-7 * max(1.0, exp_chi2)
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.integers(0, 10_000_00),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_lorenz_cum_share_matches_sequential(spark, revs):
+    """q313's pipeline — global decile from group_ranked(keys=[]) with
+    the explicit floor((rn-1)*10/n)+1 bucket, then cumulative share by
+    a deciles<=decile self-join — equals the sequential Python Lorenz
+    computation (sort ascending, bucket, running sum)."""
+    import math
+
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    rows = [(i, v) for i, v in enumerate(revs)]
+    df = spark.createDataFrame(rows, "o_custkey long, rev_c long")
+    r = group_ranked(df, [], "rev_c", tiebreak=["o_custkey"])
+    dec = r.select(
+        (
+            F.floor(((F.col("_rn") - 1) * 10) / F.col("_n")).cast("int") + 1
+        ).alias("d"),
+        F.col("_v").alias("rev_c"),
+    )
+    g = dec.groupBy("d").agg(F.sum("rev_c").alias("drev"))
+    b = g.select(F.col("d").alias("d2"), F.col("drev").alias("drev2"))
+    cum = (
+        g.join(b, F.col("d2") <= F.col("d"))
+        .groupBy("d", "drev")
+        .agg(F.sum("drev2").alias("cum"))
+    )
+    got = {r["d"]: (r["drev"], r["cum"]) for r in cum.collect()}
+    # sequential reference
+    ordered = sorted(zip(revs, range(len(revs))))
+    n = len(ordered)
+    drev: dict[int, int] = {}
+    for i, (v, _) in enumerate(ordered):
+        d = math.floor(i * 10 / n) + 1
+        drev[d] = drev.get(d, 0) + v
+    run, exp = 0, {}
+    for d in sorted(drev):
+        run += drev[d]
+        exp[d] = (drev[d], run)
+    assert got == exp
