@@ -17308,3 +17308,416 @@ def q313_revenue_lorenz_curve(
             F.col("cum") / F.col("tot").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+@query(
+    "q314_length_diversity_spearman",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split({DK_NORM_TEXT}, ' ')) AS t
+        FROM documents) WHERE t <> ''),
+    per AS (SELECT doc_id, count(*) AS nt, count(DISTINCT t) AS nd
+            FROM tok GROUP BY 1),
+    v AS (SELECT d.doc_id, d.n_chars,
+                 per.nd / CAST(per.nt AS DOUBLE) AS ratio
+          FROM documents d JOIN per USING (doc_id)),
+    rk AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY ratio, doc_id) AS r_div,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS r_len
+           FROM v)
+    SELECT round(corr(CAST(r_div AS DOUBLE), CAST(r_len AS DOUBLE)), 6)
+             AS spearman_rho,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM rk
+    """,
+)
+def q314_length_diversity_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPEARMAN rank correlation between document length and lexical
+    diversity (distinct-token ratio) — the monotone do-longer-docs-
+    repeat-themselves signal Pearson misses when the relationship is
+    nonlinear (and the fixture's ratio is bounded in (0,1] with a hard
+    ceiling at short lengths). Per-doc ratios reduce through one
+    doc-keyed shuffle; BOTH global rank sequences come from the
+    distributed rank frame (group_ranked keys=[] — range-partitioned
+    parallel sort with doc_id tiebreak, NO SinglePartition window);
+    corr() of the two rank columns is a single scalar aggregate."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(norm_text("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.countDistinct("t").alias("nd"),
+        )
+    )
+    v = d.select("doc_id", "n_chars").join(per, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        (F.col("nd") / F.col("nt").cast("double")).alias("ratio"),
+    )
+    rd = group_ranked(v, [], "ratio", tiebreak=["doc_id"]).select(
+        "doc_id", F.col("_rn").alias("r_div")
+    )
+    rl = group_ranked(v, [], F.col("n_chars").cast("double"),
+                      tiebreak=["doc_id"]).select(
+        "doc_id", F.col("_rn").alias("r_len")
+    )
+    return rd.join(rl, "doc_id").agg(
+        F.round(
+            F.corr(
+                F.col("r_div").cast("double"), F.col("r_len").cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "q315_neyman_allocation",
+    """
+    WITH tok AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS nt
+      FROM documents),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  stddev_pop(CAST(nt AS DOUBLE)) AS sd
+           FROM tok GROUP BY 1),
+    w AS (SELECT source, n_docs, sd, n_docs * sd AS wt FROM st),
+    t AS (SELECT sum(wt) AS tot FROM w)
+    SELECT w.source, w.n_docs, round(w.sd, 6) AS sigma_tokens,
+           round(w.wt / t.tot, 6) AS neyman_share,
+           round(10000 * w.wt / t.tot, 2) AS alloc_docs
+    FROM w CROSS JOIN t
+    """,
+)
+def q315_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN optimal sample allocation across source strata: for a
+    fixed audit budget (10k docs), each source's share is proportional
+    to N_h·σ_h of its token-count distribution — high-variance strata
+    get oversampled, uniform boilerplate strata barely sampled; the
+    standard design for corpus QA at a scale where uniform sampling
+    wastes most of the budget on homogeneous sources. ONE doc-scale
+    source-keyed pass (count + stddev_pop combine map-side); the
+    normalizer is a 1-row scalar cross-joined back (bcast_small)."""
+    from etl_jetro_spark.operators.textstats import token_count
+
+    d = load(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.stddev_pop(token_count("text").cast("double")).alias("sd"),
+    )
+    w = st.select(
+        "source", "n_docs", "sd", (F.col("n_docs") * F.col("sd")).alias("wt")
+    )
+    t = w.agg(F.sum("wt").alias("tot"))
+    return w.crossJoin(bcast_small(t)).select(
+        "source",
+        "n_docs",
+        F.round("sd", 6).alias("sigma_tokens"),
+        F.round(F.col("wt") / F.col("tot"), 6).alias("neyman_share"),
+        F.round(F.lit(10000) * F.col("wt") / F.col("tot"), 2).alias(
+            "alloc_docs"
+        ),
+    )
+
+
+@query(
+    "q316_fully_returned_orders",
+    """
+    WITH oagg AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY 1),
+    j AS (SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+                 CASE WHEN oagg.n_lines = oagg.n_ret THEN 1 ELSE 0 END AS fullret,
+                 rev_c
+          FROM orders o JOIN oagg ON o.o_orderkey = oagg.l_orderkey)
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(fullret) AS BIGINT) AS n_fully_returned,
+           round(sum(fullret) / CAST(count(*) AS DOUBLE), 6) AS full_share,
+           round(sum(CASE WHEN fullret = 1 THEN rev_c ELSE 0 END) / 100.0, 2)
+             AS returned_revenue
+    FROM j GROUP BY 1
+    """,
+)
+def q316_fully_returned_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Relational DIVISION per year: orders where EVERY lineitem came
+    back ('R') — total write-off orders, their share, and the revenue
+    they returned. The division is count(*) = count(returned) on ONE
+    orderkey-keyed partial-agg pass (never a NOT EXISTS double
+    anti-join); the year rollup joins the pre-aggregated frame — the
+    fact table crosses the join at one row per order, not per line.
+    Revenue in integer cents (exact associative sum)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_ret"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("rev_c"),
+    )
+    full = (F.col("n_lines") == F.col("n_ret")).cast("long")
+    j = o.join(lag, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        full.alias("full"),
+        "rev_c",
+    )
+    return j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("full").cast("long").alias("n_fully_returned"),
+        F.round(
+            F.sum("full") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("full_share"),
+        F.round(
+            F.sum(F.when(F.col("full") == 1, F.col("rev_c")).otherwise(0))
+            / 100.0,
+            2,
+        ).alias("returned_revenue"),
+    )
+
+
+@query(
+    "q317_price_percentile_bands",
+    """
+    SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q317_price_percentile_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-value QUARTILE bands per (priority, year) — the exact
+    p25/p50/p75 heatmap behind pricing-drift review. Exercises the
+    distributed rank frame with a COMPOSITE group key
+    (operators/aggregate.exact_group_percentiles — range-partitioned
+    parallel sort over (priority, year, price); no per-group multiset
+    ever buffers in an executor): ~35 small groups at sf0.1, but the
+    same plan holds when one (priority, year) cell is 100 TB."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_totalprice",
+    )
+    pct = exact_group_percentiles(
+        o,
+        ["o_orderpriority", "yr"],
+        "o_totalprice",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+    )
+    n = o.groupBy("o_orderpriority", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return n.join(bcast_small(pct), ["o_orderpriority", "yr"]).select(
+        "o_orderpriority",
+        "yr",
+        "n_orders",
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+    )
+
+
+@query(
+    "q318_distinct_ngram_ratio",
+    f"""
+    WITH wrds AS (SELECT doc_id, {DK_WORDS} AS w FROM documents),
+    s1 AS (SELECT array_to_string(w[i:i+0], ' ') AS sh
+           FROM wrds, UNNEST(generate_series(1, greatest(len(w), 0))) AS t(i)),
+    s2 AS (SELECT array_to_string(w[i:i+1], ' ') AS sh
+           FROM wrds, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)),
+    s3 AS (SELECT array_to_string(w[i:i+2], ' ') AS sh
+           FROM wrds, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+    u AS (
+      SELECT 1 AS n, CAST(count(*) AS BIGINT) AS total,
+             CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct
+      FROM s1 WHERE sh <> ''
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(count(DISTINCT sh) AS BIGINT)
+      FROM s2 WHERE sh <> ''
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(count(DISTINCT sh) AS BIGINT)
+      FROM s3 WHERE sh <> '')
+    SELECT n, total, n_distinct,
+           round(n_distinct / CAST(total AS DOUBLE), 6) AS distinct_ratio
+    FROM u
+    """,
+)
+def q318_distinct_ngram_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus DISTINCT-n-gram ratio curve for n ∈ {1,2,3} — the
+    repetition-by-order signature (unigrams saturate fast; if trigrams
+    do too the corpus is template-heavy and dedup will pay off) that
+    complements q257's Heaps exponent. Each n rides the CODEGEN
+    zero-shuffle shingle generator (dedup.shingle_rows — the round-6
+    verdict's measured-10× lesson: never the per-element HOF) into ONE
+    two-phase distinct-agg shuffle; the three 1-row results union."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    outs = []
+    for n in (1, 2, 3):
+        sh = shingle_rows(d, "doc_id", "text", n, distinct=False)
+        outs.append(
+            sh.agg(
+                F.count(F.lit(1)).cast("long").alias("total"),
+                F.countDistinct("_sh").cast("long").alias("n_distinct"),
+            ).select(F.lit(n).alias("n"), "total", "n_distinct")
+        )
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return u.select(
+        "n",
+        "total",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct") / F.col("total").cast("double"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "q319_hash_bucket_uniformity",
+    f"""
+    WITH b AS (
+      SELECT {_dk_hex8("md5(CAST(doc_id AS VARCHAR))")} % 64 AS bucket
+      FROM documents),
+    g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+          FROM b GROUP BY 1),
+    t AS (SELECT sum(n_docs) AS tot FROM g)
+    SELECT g.bucket, g.n_docs,
+           round(t.tot / 64.0, 4) AS expected,
+           round(g.n_docs / (t.tot / 64.0) - 1, 6) AS rel_dev
+    FROM g CROSS JOIN t
+    """,
+)
+def q319_hash_bucket_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HASH-partition uniformity audit: md5-bucket counts over 64
+    buckets with relative deviation from uniform — the pre-flight check
+    before committing a key to bucketed storage or a consistent-hash
+    shard map (q219); a hot bucket here is a hot task at 100 TB. The
+    bucket is the shared md5 digit-walk (exact integer arithmetic both
+    engines); one partial-agg shuffle to 64 rows, scalar total
+    cross-joined back (bcast_small)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 64
+    )
+    g = d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    t = g.agg(F.sum("n_docs").alias("tot"))
+    return g.crossJoin(bcast_small(t)).select(
+        "bucket",
+        "n_docs",
+        F.round(F.col("tot") / 64.0, 4).alias("expected"),
+        F.round(
+            F.col("n_docs") / (F.col("tot") / 64.0) - 1, 6
+        ).alias("rel_dev"),
+    )
+
+
+@query(
+    "q320_label_anova_f",
+    """
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cell AS (SELECT label, i, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+             FROM e GROUP BY 1, 2),
+    dim AS (SELECT i, sum(n) AS nn, sum(s) AS gs, sum(ss) AS gss,
+                   sum(s * s / n) AS sb
+            FROM cell GROUP BY 1),
+    tot AS (SELECT sum(sb - gs * gs / nn) AS ssb,
+                   sum(gss - sb) AS ssw,
+                   max(nn) AS n_vecs,
+                   CAST(count(*) AS BIGINT) AS d
+            FROM dim),
+    k AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS k FROM e)
+    SELECT round(tot.ssb, 4) AS ss_between,
+           round(tot.ssw, 4) AS ss_within,
+           (k.k - 1) * tot.d AS df_between,
+           (CAST(tot.n_vecs AS BIGINT) - k.k) * tot.d AS df_within,
+           round((tot.ssb / ((k.k - 1) * tot.d))
+                 / (tot.ssw / ((CAST(tot.n_vecs AS BIGINT) - k.k) * tot.d)),
+                 6) AS f_stat
+    FROM tot CROSS JOIN k
+    """,
+)
+def q320_label_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over embedding dimensions pooled: between-label
+    vs within-label variance of the embedding coordinates — the
+    do-labels-explain-the-geometry test behind q295's silhouette and
+    q260's divergence, as a single classical statistic. Everything
+    reduces to SUFFICIENT STATISTICS (n, Σx, Σx²) per (label, dim) in
+    ONE corpus-scale partial-agg shuffle; the labels×dims frame
+    (K·64 rows) re-reduces to per-dim and scalar frames — no second
+    pass over the data, nothing broadcast but 1-row scalars."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "xf")
+    ).select("label", "i", F.col("xf").cast("double").alias("x"))
+    cell = e.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    dim = cell.groupBy("i").agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("gs"),
+        F.sum("ss").alias("gss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    tot = dim.agg(
+        F.sum(
+            F.col("sb") - F.col("gs") * F.col("gs") / F.col("nn")
+        ).alias("ssb"),
+        F.sum(F.col("gss") - F.col("sb")).alias("ssw"),
+        F.max("nn").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    k = emb.agg(F.countDistinct("label").cast("long").alias("k"))
+    dfb = (F.col("k") - 1) * F.col("d")
+    dfw = (F.col("n_vecs").cast("long") - F.col("k")) * F.col("d")
+    return tot.crossJoin(bcast_small(k)).select(
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        F.round(
+            (F.col("ssb") / dfb) / (F.col("ssw") / dfw), 6
+        ).alias("f_stat"),
+    )
