@@ -17721,3 +17721,146 @@ def q320_label_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ssb") / dfb) / (F.col("ssw") / dfw), 6
         ).alias("f_stat"),
     )
+
+
+@query(
+    "q321_positional_token_entropy",
+    f"""
+    WITH wd AS (SELECT doc_id, {DK_WORDS} AS w FROM documents),
+    pw AS (SELECT i AS pos, w[i] AS t
+           FROM wd, UNNEST(generate_series(1, least(len(w), 10))) AS x(i)
+           WHERE w[i] <> ''),
+    c AS (SELECT pos, t, count(*) AS c FROM pw GROUP BY 1, 2),
+    tt AS (SELECT pos, sum(c) AS tot, CAST(count(*) AS BIGINT) AS n_types
+           FROM c GROUP BY 1)
+    SELECT c.pos AS position,
+           CAST(tt.tot AS BIGINT) AS n_docs_at_pos,
+           tt.n_types,
+           round(-sum((c.c / CAST(tt.tot AS DOUBLE))
+                      * ln(c.c / CAST(tt.tot AS DOUBLE))), 6) AS entropy
+    FROM c JOIN tt USING (pos)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q321_positional_token_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITIONAL token entropy: Shannon entropy (nats) of the token
+    distribution at each of the first 10 word positions — near-zero
+    entropy at position 1 screams templated ledes ("Subject:", "FROM
+    the desk of"), the boilerplate signature that survives exact dedup
+    but q302's prefix pass catches. The position slice happens AT THE
+    SCAN (slice before explode — only 10 words per doc ever leave the
+    projection); counts reduce through one (pos, token) partial-agg
+    shuffle; per-position totals re-reduce from that frame and join
+    back bcast_small (10 rows)."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    pw = (
+        d.select(
+            F.posexplode(
+                F.slice(F.split(norm_text("text"), " "), 1, 10)
+            ).alias("p0", "t")
+        )
+        .filter(F.col("t") != "")
+        .select((F.col("p0") + 1).alias("pos"), "t")
+    )
+    c = pw.groupBy("pos", "t").agg(F.count(F.lit(1)).alias("c"))
+    tt = c.groupBy("pos").agg(
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("c") / F.col("tot").cast("double")
+    return (
+        c.join(bcast_small(tt), "pos")
+        .groupBy(
+            F.col("pos").alias("position"),
+            F.col("tot").cast("long").alias("n_docs_at_pos"),
+            "n_types",
+        )
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@query(
+    "q322_text_embedding_norm_corr",
+    """
+    WITH norms AS (
+      SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+      GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 6) AS avg_norm,
+           round(corr(CAST(d.n_chars AS DOUBLE), nrm), 6)
+             AS pearson_len_norm
+    FROM norms JOIN documents d ON d.doc_id = norms.vec_id
+    """,
+)
+def q322_text_embedding_norm_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODAL consistency audit: Pearson correlation between a
+    document's character length and its embedding L2 norm (doc_id ↔
+    vec_id are 1:1 in this corpus) — unnormalized encoders leak length
+    into the norm, which silently turns "semantic" near-dup thresholds
+    (q39/q146) into length filters; this one number is the check. The
+    norm is expression-only (zip-free transform+aggregate fold, zero
+    shuffle, whole-stage codegen); ONE key join and a scalar corr()."""
+    from etl_jetro_spark.operators.similarity import norm as vnorm
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    n = emb.select("vec_id", vnorm(v).alias("nrm"))
+    return n.join(d, F.col("doc_id") == F.col("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(
+            F.corr(F.col("n_chars").cast("double"), F.col("nrm")), 6
+        ).alias("pearson_len_norm"),
+    )
+
+
+@query(
+    "q323_part_token_price_lift",
+    """
+    WITH t AS (SELECT unnest(string_split(p_name, ' ')) AS token,
+                      p_retailprice
+               FROM part),
+    g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_parts,
+                 avg(p_retailprice) AS ap
+          FROM t GROUP BY 1),
+    ga AS (SELECT avg(p_retailprice) AS gavg FROM part)
+    SELECT g.token, g.n_parts, round(g.ap, 4) AS avg_price,
+           round(g.ap / ga.gavg, 6) AS price_lift
+    FROM g CROSS JOIN ga
+    """,
+)
+def q323_part_token_price_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Part-name TOKEN price lift: average retail price per name token
+    against the catalog average — which adjectives command a premium
+    ('hot gear' vs 'small bolt'), the categorical-feature-vs-target
+    screen a pricing model starts from. Token explode at the scan; one
+    token-keyed partial-agg shuffle; the global average is a 1-row
+    scalar aggregate cross-joined back (bcast_small) computed from the
+    part scan directly — not from the token frame, where multi-token
+    names would double-weight."""
+    p = load(spark, sf_dir, "part")
+    t = p.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("token"),
+        "p_retailprice",
+    )
+    g = t.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.avg("p_retailprice").alias("ap"),
+    )
+    ga = p.agg(F.avg("p_retailprice").alias("gavg"))
+    return g.crossJoin(bcast_small(ga)).select(
+        "token",
+        "n_parts",
+        F.round("ap", 4).alias("avg_price"),
+        F.round(F.col("ap") / F.col("gavg"), 6).alias("price_lift"),
+    )
