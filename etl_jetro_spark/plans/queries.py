@@ -17160,7 +17160,7 @@ def q311_priority_segment_chi2(
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings),
     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM e GROUP BY 1),
-    p AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    p AS (SELECT * FROM e WHERE vec_id < 1000),
     dots AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
                     sum(p.v * e.v) AS dot
              FROM p JOIN e USING (i)
@@ -17191,23 +17191,29 @@ def q311_priority_segment_chi2(
 )
 def q312_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN HUBNESS audit: the in-degree distribution of corpus vectors
-    across the top-10 neighbor lists of a deterministic 10% probe
-    sample (vec_id % 10) — high-dimensional hubs (vectors that appear
-    in "everyone's" neighbor list) poison ANN recall measurement and
-    near-dup thresholds, and this histogram is the standard detector.
-    The neighbor lists come from the blocked EXACT k-NN
-    (operators/similarity.knn_join_blocked — probes hash into blocks,
-    corpus replicates per block, NO broadcast of either side, WGL
-    prunes each probe's shuffle to ~k rows); in-degree is one
+    across the top-10 neighbor lists of a FIXED-SIZE deterministic
+    probe panel (vec_id < 1000, q164's pattern) — high-dimensional hubs
+    (vectors that appear in "everyone's" neighbor list) poison ANN
+    recall measurement and near-dup thresholds, and this histogram is
+    the standard detector. The panel is a fixed COUNT, not a fixed
+    RATE: a %-of-corpus sample makes the exact probe×corpus score
+    volume quadratic in the data (measured: 8.4 s at sf0.1 ballooning
+    past 7 min at sf1 with a 10% rate; 1000 probes keep it linear —
+    hubness estimates don't improve past ~1k probes anyway). Neighbor
+    lists come from the Arrow PANEL k-NN
+    (operators/similarity.knn_join_panel — the bounded panel closes
+    over a mapInPandas stage; every corpus batch scores against it with
+    ONE float64 matmul at ~50 ns/pair vs the ~20 µs/pair interpreted
+    expression fold, and emits only its local top-k, so the global
+    top-k window shuffles ≤ k·|panel| rows per batch; corpus streams
+    once, nothing data-scale collected or broadcast); in-degree is one
     neighbor-keyed partial-agg shuffle, zero-degree vectors re-enter by
     a corpus-keyed LEFT join, and the bucket histogram caps at 8+."""
-    from etl_jetro_spark.operators.similarity import knn_join_blocked
+    from etl_jetro_spark.operators.similarity import knn_join_panel
 
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 10 == 0)
-    nn = knn_join_blocked(
-        probes, emb, "vec_id", "embedding", k=10, num_probe_blocks=8
-    )
+    probes = emb.filter(F.col("vec_id") < 1000)
+    nn = knn_join_panel(probes, emb, "vec_id", "embedding", k=10)
     deg = nn.groupBy("neighbor_id").agg(
         F.count(F.lit(1)).cast("long").alias("ind")
     )

@@ -760,3 +760,53 @@ def test_lorenz_cum_share_matches_sequential(spark, revs):
         run += drev[d]
         exp[d] = (drev[d], run)
     assert got == exp
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=3,
+        max_size=24,
+    )
+)
+def test_knn_panel_matches_blocked(spark, vecs):
+    """knn_join_panel (Arrow matmul scoring, per-batch local top-k) returns
+    EXACTLY knn_join_blocked's rows — same neighbors, same ranks, same
+    tie-breaks — on small integer vectors where cosine ties are common
+    (integer coords make exact score collisions likely, stressing the
+    (score DESC, neighbor_id ASC) order both paths must share)."""
+    from etl_jetro_spark.operators.similarity import (
+        knn_join_blocked,
+        knn_join_panel,
+    )
+
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(vecs)
+        if any(x != 0 for x in v)  # zero vector -> NaN cosine on both paths
+    ]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id") % 2 == 0)
+    a = knn_join_blocked(probes, df, "vec_id", "embedding", k=3,
+                         num_probe_blocks=2)
+    b = knn_join_panel(probes, df, "vec_id", "embedding", k=3)
+    key = lambda r: (r["probe_id"], r["rank"])
+    ra = {key(r): (r["neighbor_id"], round(r["score"], 9)) for r in a.collect()}
+    rb = {key(r): (r["neighbor_id"], round(r["score"], 9)) for r in b.collect()}
+    assert ra == rb
+
+
+def test_knn_panel_rejects_data_scale_probes(spark):
+    """The panel cap is a hard contract: a probe side larger than
+    max_panel must raise, steering callers to knn_join_blocked."""
+    from etl_jetro_spark.operators.similarity import knn_join_panel
+
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError):
+        knn_join_panel(df, df, "vec_id", "embedding", k=2, max_panel=5)
