@@ -692,14 +692,25 @@ def ivf_assign_two_level(
             )
         )
     # vector -> nearest fine centroid WITHIN its coarse cell
-    # (~n x K/sqrt(K) dots; the cell map is parameter-sized, broadcast)
+    # (~n x K/sqrt(K) dots; the cell map is parameter-sized, broadcast).
+    # One-row-per-vector contract (ADVICE r6): the cell join is LEFT so a
+    # vector whose probed coarse cells all have ZERO fine members (a gid
+    # that is no fine centroid's nearest cell) survives with a sentinel
+    # score of -2 (below any cosine) instead of being dropped; the argmax
+    # then yields cid = -1 for exactly the stranded set. Both the normal
+    # and the stranded branch FILTER the same aggregate, so the shuffle
+    # is computed once and reused (ReusedExchange) — the earlier
+    # anti-join-the-corpus form re-ran the whole assignment subtree and
+    # cost ~+50% wall (measured 5.3 -> 8.0 s at sf0.1).
     best = (
-        vcell.join(F.broadcast(cell), gid_col)  # bcast-ok: k-row cid->gid cell map
+        vcell.join(F.broadcast(cell), gid_col, "left")  # bcast-ok: k-row cid->gid cell map
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.col(cid_col),
-            cosine(_vec(vec_col), _vec(cvec_col)).alias("_s"),
+            F.coalesce(F.col(cid_col), F.lit(-1)).alias(cid_col),
+            F.coalesce(
+                cosine(_vec(vec_col), _vec(cvec_col)), F.lit(-2.0)
+            ).alias("_s"),
         )
         .groupBy(id_col)
         .agg(
@@ -712,21 +723,21 @@ def ivf_assign_two_level(
                 )
             ).alias("_b")
         )
+        .select(
+            F.col(id_col),
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.vec").alias(vec_col),
+        )
+        # two consumers below (normal + stranded branch): freeze the
+        # aggregate once (lazy, group_ranked's pattern) so the stranded
+        # filter re-reads instead of re-running the assignment
+        .localCheckpoint(eager=False)
     )
-    out = best.select(
-        F.col(id_col),
-        F.col("_b.cid").alias("cid"),
-        F.col("_b.vec").alias(vec_col),
-    )
-    # One-row-per-vector contract (ADVICE r6): the cell join above is an
-    # inner join, so a vector whose probed coarse cells all have ZERO
-    # fine members (a gid that is no fine centroid's nearest cell) was
-    # silently dropped. Anti-join the stranded vectors and fall back to
-    # the flat argmax for exactly that set — empty in the common case
-    # (the anti-join prunes to nothing), and never data-scale: only
-    # memberless-cell routing can strand a probe.
-    stranded = corpus.select(F.col(id_col), F.col(vec_col)).join(
-        out.select(id_col), id_col, "left_anti"
+    out = best.filter(F.col("cid") >= 0)
+    # Stranded set: empty in the common case, never data-scale — only
+    # memberless-cell routing can strand a probe. Flat argmax fallback.
+    stranded = best.filter(F.col("cid") < 0).select(
+        F.col(id_col), F.col(vec_col)
     )
     fb = ivf_assign(stranded, id_col, vec_col, centroids, cid_col, cvec_col)
     return out.unionByName(fb)
