@@ -17870,3 +17870,206 @@ def q323_part_token_price_lift(
         F.round("ap", 4).alias("avg_price"),
         F.round(F.col("ap") / F.col("gavg"), 6).alias("price_lift"),
     )
+
+
+@query(
+    "q324_lang_trigram_signature",
+    f"""
+    WITH nt AS (SELECT lang, {DK_NORM_TEXT} AS s FROM documents),
+    tri AS (SELECT lang, substr(s, i, 3) AS t
+            FROM nt,
+            UNNEST(generate_series(1, greatest(len(s) - 2, 0))) AS x(i)),
+    c AS (SELECT lang, t, CAST(count(*) AS DOUBLE) AS c
+          FROM tri GROUP BY 1, 2),
+    nrm AS (SELECT lang, sqrt(sum(c * c)) AS nv FROM c GROUP BY 1),
+    dt AS (SELECT a.lang AS lang_a, b.lang AS lang_b, sum(a.c * b.c) AS d
+           FROM c a JOIN c b ON a.t = b.t AND a.lang < b.lang
+           GROUP BY 1, 2)
+    SELECT dt.lang_a, dt.lang_b,
+           round(dt.d / (na.nv * nb.nv), 6) AS cosine_sim
+    FROM dt
+    JOIN nrm na ON na.lang = dt.lang_a
+    JOIN nrm nb ON nb.lang = dt.lang_b
+    """,
+)
+def q324_lang_trigram_signature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-LANGUAGE character-trigram signature similarity: cosine
+    between each language pair's corpus-level trigram count vectors —
+    the confusability matrix that predicts exactly which language pairs
+    q25's n-gram lang-id will blur (es/fr high, en/de lower), read
+    BEFORE trusting per-language corpus stats. Normalized text is
+    materialized behind a select boundary, then
+    ``char_shingles_normed`` (the codegen-safe attribute form — NOT the
+    re-normalizing per-element lambda the repo already measured at 38×)
+    explodes at the scan; counts reduce through one (lang, trigram)
+    shuffle; the pairwise dot is a trigram-KEYED self-join (fanout ≤
+    langs² per trigram, never |vocab|²) and the norms are a langs-row
+    bcast_small frame."""
+    from etl_jetro_spark.functions.hashing import (
+        char_shingles_normed,
+        norm_text,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tri = (
+        d.select("lang", norm_text("text").alias("s"))
+        .select("lang", F.explode(char_shingles_normed(F.col("s"), 3)).alias("t"))
+    )
+    c = tri.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    nrm = c.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nv")
+    )
+    a = c.select(
+        F.col("lang").alias("lang_a"), "t", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("lang").alias("lang_b"), "t", F.col("c").alias("cb")
+    )
+    dt = (
+        a.join(b, "t")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("d"))
+    )
+    na = nrm.select(F.col("lang").alias("lang_a"), F.col("nv").alias("na"))
+    nb = nrm.select(F.col("lang").alias("lang_b"), F.col("nv").alias("nb"))
+    return (
+        dt.join(bcast_small(na), "lang_a")
+        .join(bcast_small(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(F.col("d") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+
+
+@query(
+    "q325_term_burstiness",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split({DK_NORM_TEXT}, ' ')) AS t
+        FROM documents) WHERE t <> ''),
+    g AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS cf,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY 1)
+    SELECT term, cf, df, round(cf / CAST(df AS DOUBLE), 6) AS burstiness
+    FROM g ORDER BY cf DESC, term LIMIT 20
+    """,
+)
+def q325_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term BURSTINESS (Church-Gale): collection frequency over document
+    frequency for the 20 most frequent terms — bursty terms (cf ≫ df)
+    repeat within the documents that contain them, which breaks the
+    independence assumption behind q69's unigram LM and inflates q68's
+    raw tf; stopwords sit near cf/df ≈ tokens-per-doc while topical
+    terms spike. ONE (term) partial-agg shuffle with the two-phase
+    distinct-agg rewrite for df; the global top-20 is TakeOrdered
+    ((cf DESC, term) — deterministic at the cut), never a global
+    window."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    g = tok.groupBy(F.col("t").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        g.orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(20)
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.round(F.col("cf") / F.col("df").cast("double"), 6).alias(
+                "burstiness"
+            ),
+        )
+    )
+
+
+@query(
+    "q326_robust_numeric_profile",
+    """
+    WITH v AS (
+      SELECT 'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem),
+    med AS (SELECT col, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+    dv AS (SELECT v.col, abs(v.v - med.med) AS av
+           FROM v JOIN med USING (col)),
+    mad AS (SELECT col, quantile_cont(av, 0.5) AS mad FROM dv GROUP BY 1)
+    SELECT v.col,
+           CAST(count(*) AS BIGINT) AS n,
+           round(med.med, 6) AS median,
+           round(mad.mad, 6) AS mad,
+           round(avg(CASE WHEN abs(v.v - med.med)
+                               > 3.5 * 1.4826 * mad.mad
+                          THEN 1.0 ELSE 0.0 END), 6) AS outlier_share
+    FROM v JOIN med USING (col) JOIN mad USING (col)
+    GROUP BY v.col, med.med, mad.mad
+    """,
+)
+def q326_robust_numeric_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Table-wide ROBUST numeric profile: exact median, MAD, and
+    modified-z outlier share (|v − med| > 3.5·1.4826·MAD) for every
+    numeric lineitem column — q84's profile with breakdown-resistant
+    statistics (one corrupt batch moves a mean arbitrarily; it barely
+    moves a median). Columns STACK into (col, v) by inline-array
+    explode, so all four ride ONE frame through two passes of the
+    distributed exact rank frame (median, then MAD — each
+    range-partitioned, no per-group multiset); the 4-row med/mad frames
+    join back bcast_small and the outlier share is a conditional
+    aggregate in the final keyed pass."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.v")
+    med = exact_group_percentiles(v, ["col"], "v", {"med": 0.5})
+    dv = v.join(bcast_small(med), "col").select(
+        "col", F.abs(F.col("v") - F.col("med")).alias("av")
+    )
+    mad = exact_group_percentiles(dv, ["col"], "av", {"mad": 0.5})
+    j = v.join(bcast_small(med), "col").join(bcast_small(mad), "col")
+    out = (F.abs(F.col("v") - F.col("med")) > 3.5 * 1.4826 * F.col("mad"))
+    return j.groupBy("col", "med", "mad").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(out.cast("double")), 6).alias("outlier_share"),
+    ).select(
+        "col",
+        "n",
+        F.round("med", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        "outlier_share",
+    )
