@@ -26,6 +26,7 @@ from etl_jetro_spark.functions.hashing import (  # noqa: F401
     norm_text,
     simhash_bits,
     word_shingles,
+    word_shingles_normed,
 )
 from etl_jetro_spark.functions.na import (  # noqa: F401
     NA_STRINGS,

@@ -810,3 +810,37 @@ def test_knn_panel_rejects_data_scale_probes(spark):
     )
     with pytest.raises(ValueError):
         knn_join_panel(df, df, "vec_id", "embedding", k=2, max_panel=5)
+
+
+@slow_ok
+@given(
+    st.lists(
+        st.text(alphabet="ab c.X7", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_word_shingles_normed_matches_hof(spark, texts):
+    """word_shingles_normed on a materialized norm column yields the
+    SAME shingle arrays as the self-normalizing word_shingles — the
+    array-form fast path is a pure projection refactor."""
+    from etl_jetro_spark.functions.hashing import (
+        norm_text,
+        word_shingles,
+        word_shingles_normed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    slow = {
+        r["i"]: r["sh"]
+        for r in df.select("i", word_shingles("text", 2).alias("sh")).collect()
+    }
+    fast = {
+        r["i"]: r["sh"]
+        for r in df.select("i", norm_text("text").alias("s"))
+        .select("i", word_shingles_normed(F.col("s"), 2).alias("sh"))
+        .collect()
+    }
+    assert slow == fast
