@@ -18114,3 +18114,157 @@ def q326_robust_numeric_profile(
             "outlier_share",
         )
     )
+
+
+@query(
+    "q327_splurge_orders",
+    """
+    WITH ca AS (SELECT o_custkey, avg(o_totalprice) AS av, count(*) AS n
+                FROM orders GROUP BY 1),
+    j AS (SELECT c.c_mktsegment AS seg, o.o_totalprice,
+                 CASE WHEN o.o_totalprice > 1.5 * ca.av
+                      THEN 1 ELSE 0 END AS splurge
+          FROM orders o
+          JOIN ca ON o.o_custkey = ca.o_custkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE ca.n >= 2)
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(splurge) AS BIGINT) AS n_splurge,
+           round(sum(splurge) / CAST(count(*) AS DOUBLE), 6)
+             AS splurge_share,
+           round(sum(CASE WHEN splurge = 1 THEN o_totalprice ELSE 0 END),
+                 4) AS splurge_revenue
+    FROM j GROUP BY 1
+    """,
+)
+def q327_splurge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery DECORRELATION shape: orders that exceed 1.5×
+    THEIR OWN customer's average order value (customers with ≥2 orders),
+    rolled up by segment — the "orders above own baseline" pattern every
+    anomaly review starts from, written as the decorrelated plan
+    Catalyst would produce: the per-customer average is ONE custkey
+    partial-agg, and the orders→average join lands on the SAME custkey
+    the aggregate just shuffled on, so AQE plans it with no extra
+    exchange on the aggregated side. The segment dim joins after;
+    conditional aggs finish in the rollup pass."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("av"), F.count(F.lit(1)).alias("n")
+    )
+    splurge = (F.col("o_totalprice") > 1.5 * F.col("av")).cast("long")
+    j = (
+        o.join(ca, F.col("o_custkey") == F.col("k"))
+        .filter(F.col("n") >= 2)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_totalprice",
+            splurge.alias("splurge"),
+        )
+    )
+    return j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("splurge").cast("long").alias("n_splurge"),
+        F.round(
+            F.sum("splurge") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("splurge_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("splurge") == 1, F.col("o_totalprice"))
+                .otherwise(0.0)
+            ),
+            4,
+        ).alias("splurge_revenue"),
+    )
+
+
+@query(
+    "q328_theil_sen_trend",
+    """
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+               AS mi,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS DOUBLE) AS rev_c
+      FROM lineitem GROUP BY 1, 2),
+    pr AS (SELECT a.l_suppkey,
+                  (b.rev_c - a.rev_c) / (b.mi - a.mi) AS slope
+           FROM m a JOIN m b
+             ON a.l_suppkey = b.l_suppkey AND a.mi < b.mi),
+    ts AS (SELECT l_suppkey,
+                  quantile_cont(slope, 0.5) AS ts_slope,
+                  CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pr GROUP BY 1),
+    nm AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months
+           FROM m GROUP BY 1)
+    SELECT ts.l_suppkey, nm.n_months, ts.n_pairs,
+           round(ts.ts_slope / 100.0, 4) AS ts_slope
+    FROM ts JOIN nm USING (l_suppkey)
+    ORDER BY ts.ts_slope DESC, ts.l_suppkey LIMIT 10
+    """,
+)
+def q328_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend: median of all pairwise month-over-month
+    revenue slopes per supplier, top-10 climbers — the
+    breakdown-resistant alternative to q286's OLS slope (one crazy
+    month drags a least-squares fit; it barely moves the median slope).
+    Monthly revenue reduces in INTEGER CENTS, and every pair slope is
+    cents/month-index — exact-double arithmetic, bit-identical
+    cross-engine, so the median and the top-10 cut are deterministic.
+    The pairwise self-join is bounded by CALENDAR² per supplier (≤84
+    months → ≤3.5k pairs each), linear in suppliers — never data²; the
+    per-supplier median rides the distributed rank frame
+    (millions-of-small-groups regime, q300's stress) and the top-10 is
+    TakeOrdered."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            "l_suppkey",
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            ).cast("long").alias("mi"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long").alias("cents"),
+        )
+        .groupBy("l_suppkey", "mi")
+        .agg(F.sum("cents").cast("double").alias("rev_c"))
+    )
+    a = m.select("l_suppkey", F.col("mi").alias("mi_a"), F.col("rev_c").alias("ra"))
+    b = m.select("l_suppkey", F.col("mi").alias("mi_b"), F.col("rev_c").alias("rb"))
+    pr = (
+        a.join(b, "l_suppkey")
+        .filter(F.col("mi_a") < F.col("mi_b"))
+        .select(
+            "l_suppkey",
+            (
+                (F.col("rb") - F.col("ra")) / (F.col("mi_b") - F.col("mi_a"))
+            ).alias("slope"),
+        )
+    )
+    ts = exact_group_percentiles(pr, ["l_suppkey"], "slope", {"ts": 0.5})
+    np = pr.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    nm = m.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    return (
+        ts.join(np, "l_suppkey")
+        .join(nm, "l_suppkey")
+        .orderBy(F.col("ts").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+        .select(
+            "l_suppkey",
+            "n_months",
+            "n_pairs",
+            F.round(F.col("ts") / 100.0, 4).alias("ts_slope"),
+        )
+    )
