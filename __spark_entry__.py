@@ -57,6 +57,44 @@ _R5_ROTATE_N = 25
 #    while q175-q230 stayed stale. Once the stale set is empty the
 #    window falls back to a per-round offset rotation over the signed
 #    surface — pure maintenance re-signing.
+#
+# Round 8 (verdict asks #1/#3/#6): backlog-drain policy. The r07 window
+# re-signed 10 already-green newest queries while 78 never-signed
+# queries waited. From round 8 on, while a never-signed backlog exists:
+#
+# - the newest band is EXACTLY this round's additions (no NEWEST_N
+#   floor — re-signing soaked queries is maintenance, draining the
+#   backlog is the contract);
+# - the remaining window budget (WINDOW_BUDGET - additions) goes to the
+#   backlog, ordered: PINNED_STALE first (q256, the r6 recall gate the
+#   judge asked for by name, plus the q267-q278 orphans that r07's own
+#   window overflow starved), then registration order (oldest-starved
+#   first);
+# - if additions alone would eat the window while a backlog exists, a
+#   RuntimeWarning fires and tests/test_rotation.py goes red — the r07
+#   failure mode (62 additions vs a ~50-slot window) becomes an
+#   in-repo test failure instead of a judge finding.
+#
+# Once the backlog is empty the round-7 maintenance rotation resumes.
+WINDOW_BUDGET = 50  # driver-observed signed window (~50 rows/round)
+# Backlog slots a round must leave free while never-signed queries
+# exist: additions above this cap trip the guard.
+MAX_ADDITIONS_WITH_BACKLOG = 40
+PINNED_STALE = (
+    "q256_two_level_assign_recall",
+    "q267_memorization_spans",
+    "q268_mixture_epoch_plan",
+    "q269_lexical_semantic_agreement",
+    "q270_code_switch_audit",
+    "q271_quality_filter_sweep",
+    "q272_source_quality_drift",
+    "q273_source_style_similarity",
+    "q274_lapsed_high_balance_customers",
+    "q275_promo_revenue_share",
+    "q276_embedding_centroid_drift",
+    "q277_leakage_safe_split",
+    "q278_hapax_profile",
+)
 
 
 def _round_index() -> int:
@@ -126,6 +164,42 @@ def _ordered_names() -> list[str]:
         prev = _prev_close_count()
         if prev is not None and 0 < prev <= len(names):
             newest_n = max(NEWEST_N, len(names) - prev)
+    if rnd >= 8:
+        signed = _signed_names()
+        prev = _prev_close_count()
+        additions = (
+            names[prev:]
+            if prev is not None and 0 < prev <= len(names)
+            else names[-NEWEST_N:]
+        )
+        older = names[: len(names) - len(additions) or None]
+        stale = [n for n in older if n not in signed]
+        if stale:
+            if len(additions) > MAX_ADDITIONS_WITH_BACKLOG:
+                import warnings
+
+                warnings.warn(
+                    f"{len(additions)} queries added this round vs a "
+                    f"{WINDOW_BUDGET}-slot driver window while "
+                    f"{len(stale)} never-signed queries wait — the "
+                    f"window will starve the backlog (round-7 failure "
+                    f"mode). Cap additions at "
+                    f"{MAX_ADDITIONS_WITH_BACKLOG}/round until the "
+                    f"backlog is empty.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            pinned = [n for n in PINNED_STALE if n in stale]
+            rest = [n for n in stale if n not in set(pinned)]
+            ordered_stale = pinned + rest
+            signed_older = [n for n in older if n in signed]
+            off = (
+                ((rnd - 8) * ROTATE_N) % len(signed_older)
+                if signed_older
+                else 0
+            )
+            rot = signed_older[off:] + signed_older[:off]
+            return additions[::-1] + ordered_stale + rot
     newest = names[-newest_n:][::-1]
     older = names[: -newest_n or None]
     if not older:

@@ -53,3 +53,96 @@ def test_rotation_window_prefers_never_signed_queries():
     # entirely stale; once they run out the window backfills signed ones
     expect_stale = min(entry.ROTATE_N, max(stale_total, 0))
     assert sum(1 for n in window if n not in signed) >= expect_stale
+
+
+# ---------------------------------------------------------------------------
+# Round-8 backlog-drain policy (round-7 verdict asks #1/#3/#6)
+# ---------------------------------------------------------------------------
+
+
+def test_backlog_window_is_entirely_never_signed():
+    """While a never-signed backlog exists, every slot of the driver's
+    ~50-row window after this round's additions must go to a
+    never-signed query — zero maintenance re-signing."""
+    names = entry._ordered_names()
+    signed = entry._signed_names()
+    prev = entry._prev_close_count()
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    additions = len(QUERIES) - (prev or len(QUERIES))
+    backlog = [
+        n for n in list(QUERIES)[: prev or len(QUERIES)] if n not in signed
+    ]
+    if not backlog:
+        return  # drained: maintenance rotation resumes, nothing to check
+    slots = entry.WINDOW_BUDGET - additions
+    window = names[additions : additions + slots]
+    expect = min(slots, len(backlog))
+    assert sum(1 for n in window if n not in signed) == expect
+
+
+def test_pinned_stale_queries_lead_the_backlog_window():
+    """q256 (the r6 recall gate the judge asked for by name) and the
+    q267-q278 orphans starved by r07's window overflow sit at the very
+    front of the backlog band."""
+    names = entry._ordered_names()
+    signed = entry._signed_names()
+    prev = entry._prev_close_count()
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    additions = len(QUERIES) - (prev or len(QUERIES))
+    pinned_live = [
+        n
+        for n in entry.PINNED_STALE
+        if n in QUERIES and n not in signed
+    ]
+    head = names[additions : additions + len(pinned_live)]
+    assert head == pinned_live
+
+
+def test_round_additions_respect_window_budget_while_backlog_exists():
+    """THE r9 guard: a round must not register more than
+    MAX_ADDITIONS_WITH_BACKLOG new queries while never-signed queries
+    remain — r07 added 62 against a ~50-slot window and starved both
+    the backlog and its own additions. This test goes red the moment a
+    future round repeats that."""
+    signed = entry._signed_names()
+    prev = entry._prev_close_count()
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    assert prev is not None
+    additions = len(QUERIES) - prev
+    backlog = [n for n in list(QUERIES)[:prev] if n not in signed]
+    if backlog:
+        assert additions <= entry.MAX_ADDITIONS_WITH_BACKLOG, (
+            f"{additions} queries added this round while "
+            f"{len(backlog)} never-signed queries wait; cap is "
+            f"{entry.MAX_ADDITIONS_WITH_BACKLOG} until drained"
+        )
+
+
+def test_window_overflow_emits_runtime_warning(monkeypatch):
+    """Simulated r07 failure mode: 62 additions over a backlog fires a
+    RuntimeWarning from _ordered_names (and the ordering still returns
+    a full permutation)."""
+    import warnings
+
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    n = len(QUERIES)
+    monkeypatch.setattr(entry, "_round_index", lambda: 8)
+    monkeypatch.setattr(entry, "_prev_close_count", lambda: n - 62)
+    # mark everything signed except one pre-addition query -> backlog=1
+    all_names = list(QUERIES)
+    monkeypatch.setattr(
+        entry, "_signed_names", lambda: set(all_names) - {all_names[0]}
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        names = entry._ordered_names()
+    assert sorted(names) == sorted(all_names)
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "starve the backlog" in str(w.message)
+        for w in caught
+    )
