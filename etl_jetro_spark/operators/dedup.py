@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small
 
 from etl_jetro_spark.operators.util import spread
 from etl_jetro_spark.functions.hashing import (
@@ -102,7 +103,7 @@ def capped_index(
         .filter(F.col("_df") > max_doc_freq)
         .select(key_col)
     )
-    return index.join(F.broadcast(hot), key_col, "left_anti")  # bcast-ok: df>cap hot keys, Zipf head-bounded
+    return index.join(bcast_small(hot), key_col, "left_anti")  # bound: df>cap hot keys, Zipf head-bounded
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -455,7 +456,7 @@ def decontaminate(
     # distinct shuffles only hits — never the whole corpus's shingles.
     tr = shingle_rows(train, id_col, text_col, n, distinct=False)
     return (
-        tr.join(F.broadcast(ev), "_sh")  # bcast-ok: eval-set shingles; benchmarks are tiny by contract
+        tr.join(bcast_small(ev), "_sh")  # bound: eval-set shingles; benchmarks are tiny by contract
         .select("_id", "_sh")
         .distinct()
         .groupBy("_id")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_sized
 
 from etl_jetro_spark.functions.text import norm_key
 
@@ -32,10 +33,10 @@ def broadcast_lookup(
         fk, dk = "_nk_fact", "_nk_dim"
         f2 = fact.withColumn(fk, norm_key(key))
         d2 = dim.withColumn(dk, norm_key(dim_key)).drop(dim_key)
-        out = f2.join(F.broadcast(d2), f2[fk] == d2[dk], how).drop(fk, dk)  # bcast-ok: operator contract: caller passes a small dim
+        out = f2.join(bcast_sized(d2), f2[fk] == d2[dk], how).drop(fk, dk)  # bound: operator contract: caller passes a small dim
         return out
     d2 = dim.withColumnRenamed(dim_key, key) if dim_key != key else dim
-    return fact.join(F.broadcast(d2), key, how)  # bcast-ok: operator contract: caller passes a small dim
+    return fact.join(bcast_sized(d2), key, how)  # bound: operator contract: caller passes a small dim
 
 
 def map_join(

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small
 
 
 def profile_table(
@@ -145,7 +146,7 @@ def check_foreign_key(
         *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
     ).dropDuplicates()
     if broadcast_parent:
-        pk = F.broadcast(pk)  # bcast-ok: caller-gated via broadcast_parent flag
+        pk = bcast_small(pk)  # bound: caller-gated via broadcast_parent flag
     nonnull = child.dropna(subset=child_cols).select(*child_cols)
     orphans = nonnull.join(pk, child_cols, "left_anti")
     return orphans.agg(
@@ -193,7 +194,7 @@ def distribution_drift_tvd(
         F.min(v).alias("_vmin"),
         F.max(v).alias("_vmax"),
     )
-    d = df.crossJoin(F.broadcast(bounds))  # bcast-ok: 1-row scalar aggregate
+    d = df.crossJoin(bcast_small(bounds))  # bound: 1-row scalar aggregate
     # integer arithmetic, no doubles: epoch-ns split values exceed double's
     # 2^53 integer range, and a lossy cast could classify boundary rows
     # differently per engine

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small, bcast_sized
 
 
 def hash_bucket(col: str | Column, buckets: int = 10_000, salt: str = "") -> Column:
@@ -173,7 +174,6 @@ def quota_cap(
         )
         .select(key_col)
     )
-    from etl_jetro_spark.plans.hints import bcast_sized
 
     # `short` is keyed by key_col — its cardinality tracks the key NDV,
     # which can grow with the corpus, so the hint is size-gated rather
@@ -249,11 +249,11 @@ def target_mix_resample(
         .withColumn("_ratio", F.col("_gn") / F.col("_t"))
     )
     cmin = withc.agg(F.min("_ratio").alias("_c"))
-    rates = withc.crossJoin(F.broadcast(cmin)).select(  # bcast-ok: 1-row scalar
+    rates = withc.crossJoin(bcast_small(cmin)).select(  # bound: 1-row scalar
         group_col,
         F.least(
             F.lit(1.0), F.col("_t") * F.col("_c") / F.col("_gn")
         ).alias("_keep_rate"),
     )
-    j = df.join(F.broadcast(rates), group_col)  # bcast-ok: len(targets)-bounded
+    j = df.join(bcast_small(rates), group_col)  # bound: len(targets)-bounded
     return weighted_hash_sample(j, id_col, F.col("_keep_rate"), salt=salt)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small
 
 
 def _vec(col) -> Column:
@@ -77,7 +78,7 @@ def knn_join(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("_cv"))
     scored = (
-        c.crossJoin(F.broadcast(p))  # bcast-ok: probe set — model-parameter-sized
+        c.crossJoin(bcast_small(p))  # bound: probe set — model-parameter-sized
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -320,7 +321,7 @@ def _candidate_join(p: DataFrame, c: DataFrame) -> DataFrame:
     """Band-bucket equi-join (probe side broadcast — probe sets are
     model-parameter-sized) + exact-cosine scoring of distinct pairs."""
     return (
-        c.join(F.broadcast(p), "_band")  # bcast-ok: banded probe set — parameter-sized
+        c.join(bcast_small(p), "_band")  # bound: banded probe set — parameter-sized
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .dropDuplicates(["probe_id", "neighbor_id"])
         .select(
@@ -448,17 +449,17 @@ def ann_quality(
     # n_hit aggregation reuses the window's probe_id partitioning (no
     # third exchange), and ONE merged stats frame joins back to probes
     marked = approx.join(
-        F.broadcast(exact.withColumn("_e", F.lit(1))),  # bcast-ok: n_probes x k by construction
+        bcast_small(exact.withColumn("_e", F.lit(1))),  # bound: n_probes x k by construction
         ["probe_id", "neighbor_id"],
         "left",
     )
     hits = marked.groupBy("probe_id").agg(
         F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("n_hit")
     )
-    stats = n_cand.join(F.broadcast(hits), "probe_id", "left")  # bcast-ok: probe-keyed, n_probes rows
+    stats = n_cand.join(bcast_small(hits), "probe_id", "left")  # bound: probe-keyed, n_probes rows
     return (
         probes.select(F.col(id_col).alias("probe_id"))
-        .join(F.broadcast(stats), "probe_id", "left")  # bcast-ok: probe-keyed, n_probes rows
+        .join(bcast_small(stats), "probe_id", "left")  # bound: probe-keyed, n_probes rows
         .select(
             "probe_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
@@ -541,7 +542,7 @@ def ivf_assign(
     """
     v = _vec(vec_col)
     scored = corpus.crossJoin(
-        F.broadcast(centroids.select(cid_col, cvec_col))  # bcast-ok: k centroids — k-bounded
+        bcast_small(centroids.select(cid_col, cvec_col))  # bound: k centroids — k-bounded
     ).select(
         F.col(id_col),
         F.col(vec_col),
@@ -605,11 +606,31 @@ def ivf_assign_two_level(
     exactly one row per corpus vector. A vector whose probed coarse
     cells all have zero fine members falls back to the flat argmax
     (see the stranded-vector anti-join below) rather than dropping.
+
+    CONTRACT (ADVICE r7): ``cid_col`` must be a NONNEGATIVE INTEGRAL
+    column — the stranded-vector routing uses cid = -1 / score = -2.0
+    sentinels (below any legitimate id / cosine), so a negative or
+    non-numeric cid would be silently misrouted to the flat fallback.
+    Enforced below. Note the sentinel also routes a vector whose probed
+    cells contain only null-cosine (zero-norm) fine centroids to the
+    flat fallback — that is intentional (the flat path applies the same
+    null-cosine tie-break over ALL centroids, the best answer available).
     """
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        centroids.schema[cid_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise TypeError(
+            f"ivf_assign_two_level requires an integral {cid_col!r} "
+            f"(got {centroids.schema[cid_col].dataType.simpleString()}); "
+            "the stranded-vector sentinel is cid = -1"
+        )
     # fine centroid -> nearest coarse cell (K x sqrt(K) dots, tiny)
     cell = (
         centroids.select(cid_col, cvec_col)
-        .crossJoin(F.broadcast(coarse.select(gid_col, gvec_col)))  # bcast-ok: sqrt(k) coarse centroids
+        .crossJoin(bcast_small(coarse.select(gid_col, gvec_col)))  # bound: sqrt(k) coarse centroids
         .select(
             F.col(cid_col),
             F.col(cvec_col),
@@ -641,7 +662,7 @@ def ivf_assign_two_level(
     # and explodes — all expression-level, no rank window over data.
     v = _vec(vec_col)
     scored_g = corpus.crossJoin(
-        F.broadcast(coarse.select(gid_col, gvec_col))  # bcast-ok: sqrt(k) coarse centroids
+        bcast_small(coarse.select(gid_col, gvec_col))  # bound: sqrt(k) coarse centroids
     ).select(
         F.col(id_col),
         F.col(vec_col),
@@ -703,7 +724,7 @@ def ivf_assign_two_level(
     # anti-join-the-corpus form re-ran the whole assignment subtree and
     # cost ~+50% wall (measured 5.3 -> 8.0 s at sf0.1).
     best = (
-        vcell.join(F.broadcast(cell), gid_col, "left")  # bcast-ok: k-row cid->gid cell map
+        vcell.join(bcast_small(cell), gid_col, "left")  # bound: k-row cid->gid cell map
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -775,7 +796,7 @@ def ivf_topk(
                 "ivf_topk: probe has >1 row; pass probe_id_col= for batch mode"
             )
         pc = (
-            probe.crossJoin(F.broadcast(centroids))  # bcast-ok: k centroids — k-bounded
+            probe.crossJoin(bcast_small(centroids))  # bound: k centroids — k-bounded
             .select(
                 F.col("cid"), cosine(_vec(probe_vec_col), _vec("cv")).alias("_s")
             )
@@ -783,9 +804,9 @@ def ivf_topk(
             .limit(nprobe)
             .select("cid")
         )
-        cands = corpus_assigned.join(F.broadcast(pc), "cid")  # bcast-ok: n_probes x nprobe rows
+        cands = corpus_assigned.join(bcast_small(pc), "cid")  # bound: n_probes x nprobe rows
         scored = cands.crossJoin(
-            F.broadcast(probe.select(F.col(probe_vec_col).alias("_qv")))  # bcast-ok: probe set — parameter-sized
+            bcast_small(probe.select(F.col(probe_vec_col).alias("_qv")))  # bound: probe set — parameter-sized
         ).select(
             F.col(id_col),
             F.col("cid"),
@@ -800,7 +821,7 @@ def ivf_topk(
         F.col(probe_vec_col).alias("_qv"),
     )
     pc = (
-        probes.crossJoin(F.broadcast(centroids))  # bcast-ok: k centroids — k-bounded
+        probes.crossJoin(bcast_small(centroids))  # bound: k centroids — k-bounded
         .select(
             "probe_id", F.col("cid"), cosine(_vec("_qv"), _vec("cv")).alias("_s")
         )
@@ -815,8 +836,8 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select("probe_id", "cid")
     )
-    cands = corpus_assigned.join(F.broadcast(pc), "cid")  # bcast-ok: n_probes x nprobe rows
-    scored = cands.join(F.broadcast(probes), "probe_id").select(  # bcast-ok: probe set — parameter-sized
+    cands = corpus_assigned.join(bcast_small(pc), "cid")  # bound: n_probes x nprobe rows
+    scored = cands.join(bcast_small(probes), "probe_id").select(  # bound: probe set — parameter-sized
         "probe_id",
         F.col(id_col),
         F.col("cid"),
@@ -860,11 +881,11 @@ def segment_overlap(
     )
     return (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a")),  # bcast-ok: per-segment counts — segment NDV is enum-sized
+            bcast_small(sizes.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a")),  # bound: per-segment counts — segment NDV is enum-sized
             "seg_a",
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b")),  # bcast-ok: per-segment counts — segment NDV is enum-sized
+            bcast_small(sizes.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b")),  # bound: per-segment counts — segment NDV is enum-sized
             "seg_b",
         )
         .select(
@@ -1102,10 +1123,28 @@ def knn_join_panel(
     :func:`knn_join_blocked` (ties included; float low-bits may differ
     from the sequential fold by ~1 ulp as numpy sums pairwise).
 
+    Unlike :func:`knn_join` / :func:`knn_join_blocked` (which accept any
+    orderable ID type), the panel path requires an INTEGRAL ``id_col``
+    on BOTH sides: ids ride through int64 numpy arrays and the emitted
+    ``long`` Arrow schema. A non-integer id raises ``TypeError`` here
+    rather than crashing inside the Arrow stage. An empty probe frame
+    returns an empty result with the normal schema.
+
     Returns (probe_id, neighbor_id, score, rank).
     """
     import numpy as np
     from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    _integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for side, df_ in (("probes", probes), ("corpus", corpus)):
+        dt = df_.schema[id_col].dataType
+        if not isinstance(dt, _integral):
+            raise TypeError(
+                f"knn_join_panel requires an integral {id_col!r} "
+                f"({side} has {dt.simpleString()}); use knn_join / "
+                "knn_join_blocked for non-integer ids"
+            )
 
     rows = (
         probes.select(
@@ -1118,6 +1157,10 @@ def knn_join_panel(
         raise ValueError(
             f"probe panel exceeds max_panel={max_panel}; "
             "a data-scale probe side needs knn_join_blocked"
+        )
+    if not rows:
+        return probes.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, score double, rank int"
         )
     pid = np.array([r["probe_id"] for r in rows], dtype=np.int64)
     P = np.array([r["_pv"] for r in rows], dtype=np.float64)

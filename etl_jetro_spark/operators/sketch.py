@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small
 
 
 def _bucket(col: Column, i: int, width: int, salt: str) -> Column:
@@ -71,7 +72,7 @@ def cms_estimate(
             F.array(*[_bucket(c, i, width, salt) for i in range(depth)])
         ).alias("row", "bucket"),
     )
-    j = pb.join(F.broadcast(cms), ["row", "bucket"], "left")  # bcast-ok: fixed-width CMS (d x w counters)
+    j = pb.join(bcast_small(cms), ["row", "bucket"], "left")  # bound: fixed-width CMS (d x w counters)
     return j.groupBy(token_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
     )
@@ -121,7 +122,7 @@ def kmv_pairwise_jaccard(
     pairs = (
         gs.withColumnRenamed("group", "group_a")
         .join(
-            F.broadcast(gs.withColumnRenamed("group", "group_b")),  # bcast-ok: distinct groups (sources/dumps) — enum-sized
+            bcast_small(gs.withColumnRenamed("group", "group_b")),  # bound: distinct groups (sources/dumps) — enum-sized
             F.col("group_a") < F.col("group_b"),
         )
     )
@@ -211,7 +212,7 @@ def bloom_contains(
         (F.col("pos") / 32).cast("long").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
     )
-    j = pb.join(F.broadcast(bloom), "word", "left")  # bcast-ok: fixed-width Bloom rows
+    j = pb.join(bcast_small(bloom), "word", "left")  # bound: fixed-width Bloom rows
     hit = (
         F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("bit"))
         != 0

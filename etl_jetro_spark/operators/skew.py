@@ -46,12 +46,17 @@ def salted_broadcast_join(
     """Join a (possibly skewed) fact to a small dim: the dim is exploded
     ×salt_buckets and the fact salts uniformly, so no single task owns a
     hot key even without broadcast. Output equals a plain join."""
+    from etl_jetro_spark.plans.hints import bcast_sized
+
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     fact_salted = fact.withColumn(
         "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )
+    # size-gated (ADVICE r7): the hint self-disables when dim x salt
+    # outgrows autoBroadcastJoinThreshold; the salted shuffle join that
+    # remains is still skew-free on [on, _salt].
     return fact_salted.join(
-        F.broadcast(dim_salted), [on, "_salt"], how  # bcast-ok: skew-helper contract: small dim x salt
+        bcast_sized(dim_salted), [on, "_salt"], how
     ).drop("_salt")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small, bcast_sized
 
 from etl_jetro_spark.functions.hashing import doc_fingerprint, norm_text
 
@@ -41,11 +42,17 @@ STOPWORD_SETS: dict[str, tuple[str, ...]] = {
 
 
 def _stopword_regex(sws: tuple[str, ...]) -> str:
-    """Whole-token alternation over the stopword set. norm_text output is
-    single-space-separated lowercase alphanumerics, so ``\\b`` boundaries
-    match exactly full tokens (a stopword inside a longer token has an
-    alnum neighbor and no boundary)."""
-    return r"\b(" + "|".join(sws) + r")\b"
+    """Whole-token alternation over the stopword set (each entry
+    regex-escaped, so a future stopword carrying a metacharacter — an
+    apostrophe form, punctuation — can't silently change matching).
+
+    COUPLING (ADVICE r7): Java's ``\\b`` is ASCII-only; this works
+    because :func:`norm_text` strips non-ASCII before matching, which
+    also makes non-ASCII entries like de 'für' unmatchable — they are
+    kept for documentation but contribute no hits by construction."""
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(s) for s in sws) + r")\b"
 
 
 def stopword_hits(col: str | Column, lang: str = "en") -> Column:
@@ -212,7 +219,6 @@ def tfidf_top_terms(
         ndocs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     else:
         ndocs = df.agg(F.countDistinct(_c(id_col)).cast("double").alias("_n"))
-    from etl_jetro_spark.plans.hints import bcast_sized
 
     # dfreq is the FULL corpus vocabulary — it grows with the data
     # (Heaps' law), so the hint is size-gated: under the engine's own
@@ -222,7 +228,7 @@ def tfidf_top_terms(
     # grow-with-data hint class).
     scored = (
         tf.join(bcast_sized(dfreq), "token")
-        .crossJoin(F.broadcast(ndocs))  # bcast-ok: 1-row scalar aggregate
+        .crossJoin(bcast_small(ndocs))  # bound: 1-row scalar aggregate
         .withColumn("score", F.col("tf") * (F.col("_n") / F.col("df")))
     )
     w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("token"))
@@ -266,13 +272,12 @@ def unigram_lm_scores(
     # WindowGroupLimit-prunes it (round-4 verdict / tools/planlint.py)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
-    from etl_jetro_spark.plans.hints import bcast_sized
 
     # counts is the full corpus vocabulary (grows with data) — size-
     # gated hint, same rationale as tfidf's dfreq above.
     scored = (
         toks.join(bcast_sized(counts), "token")
-        .crossJoin(F.broadcast(total))  # bcast-ok: 1-row scalar aggregate
+        .crossJoin(bcast_small(total))  # bound: 1-row scalar aggregate
         .withColumn("inv_p", F.col("_total") / F.col("cnt"))
     )
     return (
@@ -348,8 +353,8 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "_t")  # bcast-ok: |query_terms|-bounded
-        .crossJoin(F.broadcast(stats))  # bcast-ok: 1-row scalar aggregate
+        tf.join(bcast_small(dfreq), "_t")  # bound: |query_terms|-bounded
+        .crossJoin(bcast_small(stats))  # bound: 1-row scalar aggregate
         .withColumn(
             "_idf",
             F.log(
@@ -426,7 +431,7 @@ def pmi_collocations(
     return (
         bi.join(a, "_w1")
         .join(b, "_w2")
-        .crossJoin(F.broadcast(total))  # bcast-ok: 1-row scalar aggregate
+        .crossJoin(bcast_small(total))  # bound: 1-row scalar aggregate
         .select(
             "bigram",
             F.col("n_ab").cast("long").alias("n_ab"),

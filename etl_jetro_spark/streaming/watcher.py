@@ -29,6 +29,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from etl_jetro_spark.plans.hints import bcast_small
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -107,7 +108,7 @@ def match_expected(events: DataFrame, expected_pos: DataFrame) -> DataFrame:
     tagged = events.withColumn("po", extract_po(F.col("path"))).filter(
         F.col("po") != ""
     )
-    return tagged.join(F.broadcast(expected_pos.select("po").distinct()), "po")  # bcast-ok: config-sized expected-PO parameter frame
+    return tagged.join(bcast_small(expected_pos.select("po").distinct()), "po")  # bound: config-sized expected-PO parameter frame
 
 
 def _track_po(
@@ -183,7 +184,18 @@ def move_file_idempotent(
     src: str, dest_dir: str, retries: int = 5, retry_sleep: float = 0.0
 ) -> str | None:
     """T5/T6/T7: move with pre-check (already-delivered wins), bounded
-    retries, and skip-if-same-name — safe under foreachBatch replay."""
+    retries, and skip-if-same-name — safe under foreachBatch replay.
+
+    Reference parity: ``open_retry=5`` / ``open_retry_sleep`` move loop
+    (sheet_bot/utils.py:273-285). A cross-filesystem ``shutil.move`` is
+    copy-then-unlink, so a mid-copy failure can leave a PARTIAL dest
+    file; if it survived, the next replay's already-delivered pre-check
+    would report the truncated copy as delivered. Each failed attempt
+    therefore removes the partial dest while the source still exists —
+    the pre-check only ever sees a dest the source has really left.
+    Returns the dest path, or None when all retries are exhausted (the
+    caller reports ERROR; the reference leaves the PO in ``remaining``
+    and its status row never flips to done)."""
     import shutil
     import time as _t
 
@@ -196,6 +208,11 @@ def move_file_idempotent(
             shutil.move(src, dest)
             return dest
         except OSError:
+            if os.path.exists(dest) and os.path.exists(src):
+                try:
+                    os.remove(dest)  # partial copy: source not consumed
+                except OSError:
+                    pass
             if attempt == retries - 1:
                 return None
             _t.sleep(retry_sleep)
@@ -242,7 +259,7 @@ def run_po_watch(
             .option("rowsPerSecond", 1)
             .load()
             .filter(F.col("value") == 0)  # one tick only: seed, don't re-arm
-            .crossJoin(F.broadcast(expected_pos.select("po").distinct()))  # bcast-ok: config-sized expected-PO parameter frame
+            .crossJoin(bcast_small(expected_pos.select("po").distinct()))  # bound: config-sized expected-PO parameter frame
             .select(
                 "po",
                 F.lit("").alias("path"),
@@ -265,9 +282,19 @@ def run_po_watch(
         keep = []
         for row in rows:
             if row["status"] == "done":
-                move_file_idempotent(
+                moved = move_file_idempotent(
                     row["found_path"].removeprefix("file:"), dest_dir
                 )
+                if moved is None:
+                    # retries exhausted (reference: the PO never goes
+                    # done, sheet_bot/utils.py:283-285) — report ERROR
+                    # exactly once, keeping found_path for diagnosis
+                    if row["po"] not in progress["errored"]:
+                        progress["errored"].add(row["po"])
+                        d = row.asDict()
+                        d["status"] = "error"
+                        _append_memory_rows([d])
+                    continue
                 progress["done"].add(row["po"])
                 keep.append(row)
             elif row["status"] == "error":

@@ -146,3 +146,18 @@ def test_sql_function_registration(spark):
     assert got["a"] == "0000012"
     assert got["b"] == 77
     assert got["c"] is None
+
+
+def test_stopword_regex_escapes_metacharacters():
+    """ADVICE r7: stopword entries are regex-escaped, so a metacharacter
+    entry matches literally instead of silently changing semantics."""
+    import re
+
+    from etl_jetro_spark.operators.textstats import _stopword_regex
+
+    rx = _stopword_regex(("a+b", "c.d", "the"))
+    assert re.search(rx, "x a+b y")
+    assert re.search(rx, "x c.d y")
+    assert re.search(rx, "the end")
+    assert not re.search(rx, "aab")   # 'a+b' must not act as a quantifier
+    assert not re.search(rx, "cxd")   # 'c.d' must not act as a wildcard

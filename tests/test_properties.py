@@ -812,6 +812,56 @@ def test_knn_panel_rejects_data_scale_probes(spark):
         knn_join_panel(df, df, "vec_id", "embedding", k=2, max_panel=5)
 
 
+def test_knn_panel_rejects_non_integral_ids(spark):
+    """ADVICE r7: ids ride int64 numpy arrays and a `long` Arrow schema,
+    so a string id must fail fast with a clear TypeError at plan time,
+    not a numpy crash inside the Arrow stage."""
+    from etl_jetro_spark.operators.similarity import knn_join_panel
+
+    df = spark.range(4).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(TypeError, match="integral"):
+        knn_join_panel(df, df, "vec_id", "embedding", k=2)
+
+
+def test_knn_panel_empty_probe_returns_empty_frame(spark):
+    """ADVICE r7: an empty probe panel short-circuits to an empty result
+    with the normal (probe_id, neighbor_id, score, rank) schema instead
+    of raising an opaque numpy axis error."""
+    from etl_jetro_spark.operators.similarity import knn_join_panel
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    out = knn_join_panel(df.filter(F.lit(False)), df, "vec_id", "embedding", k=2)
+    assert out.columns == ["probe_id", "neighbor_id", "score", "rank"]
+    assert out.count() == 0
+
+
+def test_ivf_two_level_rejects_non_integral_cid(spark):
+    """ADVICE r7: the stranded-vector sentinel is cid = -1, so a string
+    cid column must raise instead of being silently misrouted."""
+    from etl_jetro_spark.operators.similarity import ivf_assign_two_level
+
+    corpus = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "cid string, cv array<double>"
+    )
+    coarse = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "gid long, gv array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ivf_assign_two_level(
+            corpus, "vec_id", "embedding", cents, coarse
+        )
+
+
 @slow_ok
 @given(
     st.lists(

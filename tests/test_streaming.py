@@ -127,6 +127,77 @@ def test_snapshot_poller_settle_timeout_precheck(tmp_path):
     assert st.pending() == set()
 
 
+def test_move_retries_exhausted_cleans_partial_copy(tmp_path, monkeypatch):
+    """Reference open_retry=5 failure injection (sheet_bot/utils.py:273-285):
+    every move attempt dies mid-copy leaving a partial dest; after exactly
+    5 attempts the helper returns None, the partial copy is gone (a replay
+    pre-check must NOT see it as delivered), and the source is intact."""
+    import shutil
+
+    src = tmp_path / "79906-114-5001.pdf"
+    src.write_bytes(b"full-pdf-payload")
+    dest_dir = tmp_path / "out"
+    attempts = []
+
+    def failing_move(s, d):
+        attempts.append(s)
+        with open(d, "wb") as fh:
+            fh.write(b"partial")  # mid-copy death leaves a truncated dest
+        raise OSError("injected: device gone mid-copy")
+
+    monkeypatch.setattr(shutil, "move", failing_move)
+    got = W.move_file_idempotent(str(src), str(dest_dir), retries=5)
+    assert got is None
+    assert len(attempts) == 5
+    assert not (dest_dir / src.name).exists()  # partial cleaned up
+    assert src.read_bytes() == b"full-pdf-payload"  # source untouched
+    # recovery: once moves work again, the same call delivers normally
+    monkeypatch.undo()
+    got2 = W.move_file_idempotent(str(src), str(dest_dir), retries=5)
+    assert got2 and open(got2, "rb").read() == b"full-pdf-payload"
+
+
+def test_po_watch_move_failure_reports_error_row(spark, tmp_path, monkeypatch):
+    """E2E failure injection: the PDF arrives and matches, but every move
+    attempt fails — the status row for that PO must say ERROR (not done),
+    exactly once, with found_path preserved; the file stays in the watch
+    dir. The reference leaves the PO in `remaining` forever in this case
+    (status never flips to done); the engine maps that terminal not-done
+    state to an explicit ERROR row."""
+    import shutil
+
+    watch = tmp_path / "watch"
+    dest = tmp_path / "dest"
+    ckpt = tmp_path / "ckpt"
+    watch.mkdir()
+    (watch / "79906-114-6001.pdf").write_bytes(b"pdf-payload")
+
+    def failing_move(s, d):
+        raise OSError("injected: move always fails")
+
+    monkeypatch.setattr(shutil, "move", failing_move)
+    expected = spark.createDataFrame([("6001",)], ["po"])
+    q = W.run_po_watch(
+        spark,
+        [str(watch)],
+        expected,
+        str(dest),
+        str(ckpt),
+        timeout_seconds=300,
+        available_now=True,
+    )
+    q.awaitTermination(150)
+
+    rows = [r for r in W.memory_status_rows() if r["po"] == "6001"]
+    statuses = [r["status"] for r in rows]
+    assert "error" in statuses and "done" not in statuses
+    assert statuses.count("error") == 1  # exactly-once ERROR
+    err = next(r for r in rows if r["status"] == "error")
+    assert err["found_path"] and err["found_path"].endswith("6001.pdf")
+    assert (watch / "79906-114-6001.pdf").exists()  # never consumed
+    assert not (dest / "79906-114-6001.pdf").exists()
+
+
 def test_move_idempotent(tmp_path):
     src = tmp_path / "a.pdf"
     src.write_bytes(b"x")
