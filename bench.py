@@ -60,6 +60,19 @@ def main() -> None:
             except Exception as e:  # keep benching; a failure shows as null
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 runs.append(None)
+                # Session recovery (round 8): an executor OOM in local
+                # mode poisons the shared block manager — every later
+                # query then dies on FileNotFoundException for vanished
+                # cached blocks (the sf1 first run: ONE q225 OOM
+                # cascaded into 103 spurious nulls). One failure is a
+                # data point; a poisoned session is not. Rebuild the
+                # context so the remaining queries bench clean.
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = get_spark(app_name="etl-jetro-bench")
+                spark.read.parquet(f"{sf_dir}/region.parquet").count()
                 break  # don't re-run a failing query
         ok = [r for r in runs if r is not None]
         timings[short] = min(ok) if ok else None

@@ -64,7 +64,13 @@ def get_spark(
         # would interleave with stdout and corrupt one-line JSON artifacts
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: the driver heap IS the executor heap,
+        # shared by all local[N] task threads. 8g over 32 threads is
+        # 0.25 GB/core — 16-32x below any production executor sizing
+        # (4-8 GB/core), so sf1 rehearsals OOM'd on memory-per-core, not
+        # on plan shape (round-8: q225's hop join at sf1). 32g = 1 GB/core
+        # — still conservative vs production, honest for a scale rehearsal.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
