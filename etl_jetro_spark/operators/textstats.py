@@ -455,6 +455,7 @@ def quality_gate(
     min_stop_frac: float = 0.05,
     min_distinct_frac: float = 0.3,
     lang: str = "en",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style composite quality GATE: per document, evaluate the
     classic rule ladder (length bounds, mean word length, stopword
@@ -463,35 +464,51 @@ def quality_gate(
     reasons for curation telemetry (Rae et al. 2021's repetition/quality
     heuristics, log-free so every stat hashes identically cross-engine).
 
-    All features are partition-local expressions over the normalized
-    token array (the distinct-token ratio uses ``array_distinct``, never
-    a shuffle); the whole gate runs at parquet-scan speed on any corpus.
-    Returns (id, n_tokens, mean_word_len, stop_frac, distinct_frac,
-    keep, first_violation) — ``first_violation`` NULL when kept.
+    All features are partition-local whole-stage-codegen expressions over
+    the normalized text. (Round 8: the token count and stopword count
+    previously rode ``F.filter``/``array_contains`` lambda HOFs —
+    CodegenFallback, interpreted per row, the q259/q262 defect class; the
+    count now comes from ``split`` size and the stopword count from the
+    same ``regexp_extract_all`` alternation :func:`stopword_hits` uses.
+    Identical values: norm_text output is single-space tokens, so split
+    yields no empties except for the empty doc, which both forms send to
+    the too_short rule via the n=0 NULL-ratio guard.) The whole gate runs
+    at parquet-scan speed on any corpus, zero shuffles.
+
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged (e.g. ``("source",)``) — callers aggregating gate verdicts
+    by a grouping column avoid re-joining the corpus on id.
+    Returns (id, *passthrough, n_tokens, mean_word_len, stop_frac,
+    distinct_frac, keep, first_violation) — ``first_violation`` NULL
+    when kept.
     """
     from etl_jetro_spark.functions.hashing import norm_text
 
-    sw = F.array(*[F.lit(w) for w in STOPWORD_SETS[lang]])
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         norm_text(text_col).alias("_t"),
-    ).select(
-        id_col,
-        "_t",
-        F.filter(F.split("_t", " "), lambda w: w != "").alias("_w"),
     )
-    n = F.size("_w")
     # ANSI guard: every ratio is NULL (not an error) on empty docs —
     # they fail the too_short rule before any ratio rule is consulted.
+    n = F.when(F.col("_t") == "", 0).otherwise(F.size(F.split("_t", " ")))
     # norm has single spaces: total word chars = len(norm) - (n - 1)
     mean_len = F.when(n > 0, (F.length("_t") - (n - 1)) / n)
     stop_frac = F.when(
         n > 0,
-        F.size(F.filter(F.col("_w"), lambda w: F.array_contains(sw, w))) / n,
+        F.size(
+            F.regexp_extract_all(
+                F.col("_t"), F.lit(_stopword_regex(STOPWORD_SETS[lang])), 0
+            )
+        )
+        / n,
     )
-    distinct_frac = F.when(n > 0, F.size(F.array_distinct("_w")) / n)
+    distinct_frac = F.when(
+        n > 0, F.size(F.array_distinct(F.split("_t", " "))) / n
+    )
     feats = base.select(
         id_col,
+        *passthrough,
         n.alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(stop_frac, 6).alias("stop_frac"),
@@ -510,6 +527,7 @@ def quality_gate(
     )
     return feats.select(
         id_col,
+        *passthrough,
         "n_tokens",
         "mean_word_len",
         "stop_frac",

@@ -5841,29 +5841,53 @@ def q144_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q145_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition report — the dataset-card aggregate a
     curation pipeline publishes: document/token volume, quality-gate keep
-    rate, and the dominant violation per source. Gate features are
-    partition-local (q143); the report is two partial-agg shuffles over
-    source-sized frames plus a deterministic min-struct argmax for the top
-    violation (q132 pattern — no window over data-sized rows)."""
+    rate, and the dominant violation per source.
+
+    ONE corpus pass (round 8; was 15.4 s at sf1, see SCALE.md): the gate
+    carries ``source`` through via its ``passthrough`` param — no doc_id
+    re-join of the corpus against its own gate output — and everything
+    collapses in a single (source, first_violation) partial agg (a
+    sources x <=6-rules frame). Totals, keep rate, and the deterministic
+    min-struct argmax for the top violation all re-reduce from that
+    NDV-bounded frame (the q326 collapse-first lesson); keep_rate =
+    sum(kept)/sum(n) reproduces avg() exactly (0/1 double sums are
+    exact).
+
+    The lazy checkpoint below is load-bearing: CollapseProject inlines
+    the gate's projection into the aggregate's key/update expressions,
+    duplicating the norm_text regex chain ~31x per row (62
+    regexp_replace nodes in the collapsed plan vs 2 in q143's; WSCG
+    subexpression elimination does not cross the aggregate boundary —
+    measured 61.8 s at sf1, 4x WORSE than the join shape this replaced).
+    Freezing the narrow verdict frame (id, source, 4 doubles, bool,
+    rule) evaluates the gate exactly once — the same corpus-scale-narrow
+    freeze embedding_near_dup uses for its signature frame; at cluster
+    scale MEMORY_AND_DISK spills, never OOMs."""
     from etl_jetro_spark.operators.textstats import quality_gate
 
     d = load(spark, sf_dir, "documents")
-    g = quality_gate(d, "doc_id", "text")
-    j = d.select("doc_id", "source").join(g, "doc_id")
-    stats = j.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+    g = quality_gate(
+        d, "doc_id", "text", passthrough=("source",)
+    ).localCheckpoint(eager=False)
+    cells = g.groupBy("source", "first_violation").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_tokens").alias("_tok"),
+        F.sum(F.col("keep").cast("double")).alias("_kept"),
     )
-    vc = (
-        j.filter(~F.col("keep"))
-        .groupBy("source", "first_violation")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    stats = cells.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        F.round(F.sum("_kept") / F.sum("_n"), 6).alias("keep_rate"),
     )
-    topv = vc.groupBy("source").agg(
-        F.min_by(
-            F.col("first_violation"), F.struct(-F.col("_c"), F.col("first_violation"))
-        ).alias("top_violation")
+    topv = (
+        cells.filter(F.col("first_violation").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.min_by(
+                F.col("first_violation"),
+                F.struct(-F.col("_n"), F.col("first_violation")),
+            ).alias("top_violation")
+        )
     )
     return stats.join(topv, "source", "left").select(
         "source", "n_docs", "n_tokens", "keep_rate", "top_violation"
