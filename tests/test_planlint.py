@@ -84,3 +84,20 @@ def test_group_ranked_plans_are_lint_clean(spark, sf_dir, keys):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = group_ranked(d, keys, F.length("text").cast("double"))
     assert lint_plan(df) == []
+
+
+def test_q145_gate_expressions_not_duplicated_into_aggregate(spark):
+    """CollapseProject regression guard (round 8): q145's quality-gate
+    projection must stay materialized (lazy checkpoint) — if the
+    optimizer ever inlines it into the aggregate again, the norm_text
+    regex chain duplicates per reference (measured 62 regexp_replace
+    nodes and 4x wall at sf1 vs the frozen form's 2-per-evaluation)."""
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    df = QUERIES["q145_source_composition"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") <= 6, (
+        "q145 gate expressions duplicated into the aggregate "
+        f"({plan.count('regexp_replace')} regexp_replace nodes) — "
+        "the verdict-frame freeze was lost"
+    )
