@@ -172,7 +172,10 @@ def _ordered_names() -> list[str]:
             if prev is not None and 0 < prev <= len(names)
             else names[-NEWEST_N:]
         )
-        older = names[: len(names) - len(additions) or None]
+        # NB: no `or None` — when additions span the whole catalog the
+        # correct `older` is the EMPTY list (ADVICE r8: `names[:None]`
+        # returned the full list and _ordered_names emitted duplicates).
+        older = names[: len(names) - len(additions)]
         stale = [n for n in older if n not in signed]
         if stale:
             if len(additions) > MAX_ADDITIONS_WITH_BACKLOG:

@@ -22,6 +22,25 @@ from pyspark.sql import SparkSession
 SESSION_TZ = "America/Chicago"
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default, derived from physical RAM (ADVICE r8: a flat
+    32g default can fail JVM startup on hosts with <32 GB).
+
+    Single-JVM local mode shares the driver heap across all local[N] task
+    threads, so sf1 rehearsals need ~1 GB/core (round-8: 8g/32 threads =
+    0.25 GB/core OOM'd q225's hop join). Policy: a quarter of physical
+    RAM, clamped to [4g, 32g] — 32g on the 128 GiB bench host, 8g on a
+    32 GiB laptop, 4g floor elsewhere. ``SPARK_DRIVER_MEM`` overrides.
+    """
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1024**3)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(32, int(total_gb // 4)))}g"
+
+
 def get_spark(
     app_name: str = "etl-jetro-spark",
     master: str | None = None,
@@ -65,12 +84,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Single-JVM local mode: the driver heap IS the executor heap,
-        # shared by all local[N] task threads. 8g over 32 threads is
-        # 0.25 GB/core — 16-32x below any production executor sizing
-        # (4-8 GB/core), so sf1 rehearsals OOM'd on memory-per-core, not
-        # on plan shape (round-8: q225's hop join at sf1). 32g = 1 GB/core
-        # — still conservative vs production, honest for a scale rehearsal.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # shared by all local[N] task threads (see _default_driver_mem).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -180,6 +180,30 @@ def po_status_stream(
     )
 
 
+def _stage_and_commit(src: str, dest: str, tmp: str) -> None:
+    """Deliver ``src`` to ``dest`` so the final name only ever appears
+    FULLY WRITTEN. Same-filesystem: plain atomic ``os.rename``.
+    Cross-filesystem (EXDEV): copy to ``tmp`` (a temp name inside the
+    dest dir, hence on dest's filesystem), atomically ``os.replace`` it
+    into place, then unlink the source. A hard crash mid-copy — the
+    window the old copy-then-unlink ``shutil.move`` left open (ADVICE
+    r8) — strands only the ``tmp`` staging file, never a truncated
+    ``dest``, so a checkpoint-replay pre-check can trust dest's
+    existence as proof of complete delivery."""
+    import errno
+    import shutil
+
+    try:
+        os.rename(src, dest)
+        return
+    except OSError as e:
+        if e.errno != errno.EXDEV:
+            raise
+    shutil.copy2(src, tmp)
+    os.replace(tmp, dest)
+    os.unlink(src)
+
+
 def move_file_idempotent(
     src: str, dest_dir: str, retries: int = 5, retry_sleep: float = 0.0
 ) -> str | None:
@@ -187,30 +211,33 @@ def move_file_idempotent(
     retries, and skip-if-same-name — safe under foreachBatch replay.
 
     Reference parity: ``open_retry=5`` / ``open_retry_sleep`` move loop
-    (sheet_bot/utils.py:273-285). A cross-filesystem ``shutil.move`` is
-    copy-then-unlink, so a mid-copy failure can leave a PARTIAL dest
-    file; if it survived, the next replay's already-delivered pre-check
-    would report the truncated copy as delivered. Each failed attempt
-    therefore removes the partial dest while the source still exists —
-    the pre-check only ever sees a dest the source has really left.
-    Returns the dest path, or None when all retries are exhausted (the
-    caller reports ERROR; the reference leaves the PO in ``remaining``
-    and its status row never flips to done)."""
-    import shutil
+    (sheet_bot/utils.py:273-285). Delivery goes through
+    :func:`_stage_and_commit`, so ``dest`` appears atomically: the
+    pre-check below never sees a partial file, even after a hard crash
+    (only a ``*.partial`` staging file can be stranded, and each retry
+    sweeps it). Returns the dest path, or None when all retries are
+    exhausted (the caller reports ERROR; the reference leaves the PO in
+    ``remaining`` and its status row never flips to done)."""
     import time as _t
 
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, os.path.basename(src))
+    tmp = dest + ".partial"
     if os.path.exists(dest):
         return dest  # already delivered (replay or duplicate drop)
+    if os.path.exists(tmp):
+        try:
+            os.remove(tmp)  # stale staging file from a prior hard crash
+        except OSError:
+            pass
     for attempt in range(retries):
         try:
-            shutil.move(src, dest)
+            _stage_and_commit(src, dest, tmp)
             return dest
         except OSError:
-            if os.path.exists(dest) and os.path.exists(src):
+            if os.path.exists(tmp):
                 try:
-                    os.remove(dest)  # partial copy: source not consumed
+                    os.remove(tmp)  # half-staged copy: source not consumed
                 except OSError:
                     pass
             if attempt == retries - 1:

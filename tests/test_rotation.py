@@ -39,20 +39,26 @@ def test_newest_band_covers_every_query_added_this_round():
 
 
 def test_rotation_window_prefers_never_signed_queries():
-    """Slots after the newest band go to never-driver-signed queries
-    (registration order) before any already-signed query reappears."""
+    """Invariant of the v3 drain branch (round-8 verdict "What's wrong"
+    #1): after this round's additions band, EVERY never-driver-signed
+    query precedes ANY already-signed query. The round-7-era version of
+    this test recomputed the window with the pre-v3 NEWEST_N/ROTATE_N
+    arithmetic and went red once CORRECTNESS_r08.json existed; asserting
+    the ordering invariant directly is state-independent."""
     names = entry._ordered_names()
     signed = entry._signed_names()
     prev = entry._prev_close_count()
-    newest_n = max(entry.NEWEST_N, len(names) - (prev or len(names)))
-    window = names[newest_n : newest_n + entry.ROTATE_N]
-    stale_total = sum(1 for n in names if n not in signed) - (
-        len(names) - (prev or len(names))
-    )
-    # while stale queries remain beyond the window, the window is
-    # entirely stale; once they run out the window backfills signed ones
-    expect_stale = min(entry.ROTATE_N, max(stale_total, 0))
-    assert sum(1 for n in window if n not in signed) >= expect_stale
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    additions = max(len(QUERIES) - (prev or len(QUERIES)), 0)
+    tail = names[additions:]
+    stale_idx = [i for i, n in enumerate(tail) if n not in signed]
+    signed_idx = [i for i, n in enumerate(tail) if n in signed]
+    if stale_idx and signed_idx:
+        assert max(stale_idx) < min(signed_idx), (
+            "a driver-signed query appears before a never-signed one "
+            "inside the rotation band"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -119,6 +125,24 @@ def test_round_additions_respect_window_budget_while_backlog_exists():
             f"{len(backlog)} never-signed queries wait; cap is "
             f"{entry.MAX_ADDITIONS_WITH_BACKLOG} until drained"
         )
+
+
+def test_full_catalog_additions_do_not_duplicate(monkeypatch):
+    """ADVICE r8: when additions span the whole catalog (no readable
+    BENCH sidecar and catalog <= NEWEST_N), `names[: len - len(additions)
+    or None]` evaluated to names[:None] (the FULL list) and
+    _ordered_names returned duplicates. The slice must yield the empty
+    list instead."""
+    import etl_jetro_spark.plans.queries as qmod
+
+    small = {k: qmod.QUERIES[k] for k in list(qmod.QUERIES)[:5]}
+    monkeypatch.setattr(qmod, "QUERIES", small)
+    monkeypatch.setattr(entry, "_round_index", lambda: 9)
+    monkeypatch.setattr(entry, "_prev_close_count", lambda: None)
+    monkeypatch.setattr(entry, "_signed_names", lambda: set())
+    names = entry._ordered_names()
+    assert len(names) == len(set(names))
+    assert sorted(names) == sorted(small)
 
 
 def test_window_overflow_emits_runtime_warning(monkeypatch):

@@ -129,32 +129,71 @@ def test_snapshot_poller_settle_timeout_precheck(tmp_path):
 
 def test_move_retries_exhausted_cleans_partial_copy(tmp_path, monkeypatch):
     """Reference open_retry=5 failure injection (sheet_bot/utils.py:273-285):
-    every move attempt dies mid-copy leaving a partial dest; after exactly
-    5 attempts the helper returns None, the partial copy is gone (a replay
-    pre-check must NOT see it as delivered), and the source is intact."""
-    import shutil
-
+    every delivery attempt dies mid-copy leaving a half-staged temp file;
+    after exactly 5 attempts the helper returns None, the dest dir is
+    COMPLETELY clean — no dest, no orphan ``*.partial`` staging file
+    (round-8 verdict ask #6) — and the source is intact."""
     src = tmp_path / "79906-114-5001.pdf"
     src.write_bytes(b"full-pdf-payload")
     dest_dir = tmp_path / "out"
     attempts = []
 
-    def failing_move(s, d):
+    def failing_commit(s, d, tmp):
         attempts.append(s)
-        with open(d, "wb") as fh:
-            fh.write(b"partial")  # mid-copy death leaves a truncated dest
+        with open(tmp, "wb") as fh:
+            fh.write(b"partial")  # crash mid-copy: staging file stranded
         raise OSError("injected: device gone mid-copy")
 
-    monkeypatch.setattr(shutil, "move", failing_move)
+    monkeypatch.setattr(W, "_stage_and_commit", failing_commit)
     got = W.move_file_idempotent(str(src), str(dest_dir), retries=5)
     assert got is None
     assert len(attempts) == 5
-    assert not (dest_dir / src.name).exists()  # partial cleaned up
+    assert os.listdir(dest_dir) == []  # no dest, no orphan .partial
     assert src.read_bytes() == b"full-pdf-payload"  # source untouched
     # recovery: once moves work again, the same call delivers normally
     monkeypatch.undo()
     got2 = W.move_file_idempotent(str(src), str(dest_dir), retries=5)
     assert got2 and open(got2, "rb").read() == b"full-pdf-payload"
+
+
+def test_hard_crash_mid_copy_never_exposes_partial_dest(tmp_path, monkeypatch):
+    """ADVICE r8 (medium): a HARD crash during a cross-filesystem copy —
+    no in-process OSError handler runs — must not leave a truncated dest
+    that a checkpoint-replay pre-check would report as delivered. The
+    staged-copy design guarantees it: the crash strands only the
+    ``*.partial`` temp; the final name appears solely via atomic
+    os.replace. Simulated by a copy2 that half-writes then raises
+    KeyboardInterrupt (bypassing the OSError retry/cleanup path), with
+    os.rename forced down the EXDEV branch."""
+    import errno
+    import shutil
+
+    src = tmp_path / "79906-114-5002.pdf"
+    src.write_bytes(b"full-pdf-payload")
+    dest_dir = tmp_path / "out"
+
+    def exdev_rename(s, d):
+        raise OSError(errno.EXDEV, "cross-device link")
+
+    def crashing_copy2(s, d):
+        with open(d, "wb") as fh:
+            fh.write(b"part")
+        raise KeyboardInterrupt  # hard death: no except-OSError cleanup
+
+    monkeypatch.setattr(os, "rename", exdev_rename)
+    monkeypatch.setattr(shutil, "copy2", crashing_copy2)
+    try:
+        W.move_file_idempotent(str(src), str(dest_dir), retries=5)
+    except KeyboardInterrupt:
+        pass
+    dest = dest_dir / src.name
+    assert not dest.exists()  # pre-check can trust dest existence
+    assert src.read_bytes() == b"full-pdf-payload"
+    # replay after recovery: pre-check misses (dest absent), delivery runs
+    monkeypatch.undo()
+    got = W.move_file_idempotent(str(src), str(dest_dir), retries=5)
+    assert got and open(got, "rb").read() == b"full-pdf-payload"
+    assert os.listdir(dest_dir) == [src.name]  # stale .partial replaced/gone
 
 
 def test_po_watch_move_failure_reports_error_row(spark, tmp_path, monkeypatch):
@@ -172,10 +211,10 @@ def test_po_watch_move_failure_reports_error_row(spark, tmp_path, monkeypatch):
     watch.mkdir()
     (watch / "79906-114-6001.pdf").write_bytes(b"pdf-payload")
 
-    def failing_move(s, d):
+    def failing_commit(s, d, tmp):
         raise OSError("injected: move always fails")
 
-    monkeypatch.setattr(shutil, "move", failing_move)
+    monkeypatch.setattr(W, "_stage_and_commit", failing_commit)
     expected = spark.createDataFrame([("6001",)], ["po"])
     q = W.run_po_watch(
         spark,
@@ -195,7 +234,9 @@ def test_po_watch_move_failure_reports_error_row(spark, tmp_path, monkeypatch):
     err = next(r for r in rows if r["status"] == "error")
     assert err["found_path"] and err["found_path"].endswith("6001.pdf")
     assert (watch / "79906-114-6001.pdf").exists()  # never consumed
-    assert not (dest / "79906-114-6001.pdf").exists()
+    # round-8 verdict ask #6: after an exhausted-retry ERROR the dest dir
+    # must hold NO orphan partial file of any name
+    assert not dest.exists() or os.listdir(dest) == []
 
 
 def test_move_idempotent(tmp_path):

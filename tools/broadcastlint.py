@@ -52,6 +52,16 @@ FLOOR_ROWS = int(os.environ.get("BCASTLINT_FLOOR", "50"))
 
 _RAW_RE = re.compile(r"(?:F|functions)\s*\.\s*broadcast\s*\(")
 _PRAGMA = "# bcast-ok:"
+# ADVICE r8: the pragma is RESERVED for RDD-derived partition-metadata
+# frames (Catalyst has no size estimate; nparts-bounded by construction,
+# like RangePartitioner's own bounds broadcast). Enforce, don't document:
+# the pragma text must state the partition-metadata bound AND the site
+# must be on this allowlist. Any other pragma use is a violation.
+_PRAGMA_BOUND_RE = re.compile(r"#\s*bcast-ok:\s*nparts(?:\s|-)")
+_PRAGMA_ALLOWED_FILES = {
+    "etl_jetro_spark/operators/frontier.py",
+    "etl_jetro_spark/operators/aggregate.py",
+}
 
 
 def source_violations(path: str = "etl_jetro_spark/plans/queries.py") -> list[str]:
@@ -86,11 +96,23 @@ def operator_violations() -> list[str]:
     ):
         with open(path) as f:
             for i, line in enumerate(f, 1):
-                if _RAW_RE.search(line.split("#")[0]) and _PRAGMA not in line:
+                if not _RAW_RE.search(line.split("#")[0]):
+                    continue
+                if _PRAGMA not in line:
                     out.append(
                         f"{path}:{i}: raw F.broadcast without a "
-                        f"'{_PRAGMA} <bound>' pragma (or route through "
+                        f"'{_PRAGMA} nparts-...' pragma (or route through "
                         "plans.hints.bcast_sized)"
+                    )
+                elif (
+                    path not in _PRAGMA_ALLOWED_FILES
+                    or not _PRAGMA_BOUND_RE.search(line)
+                ):
+                    out.append(
+                        f"{path}:{i}: '{_PRAGMA}' pragma outside the "
+                        "partition-metadata allowlist (files: "
+                        f"{sorted(_PRAGMA_ALLOWED_FILES)}; text must state "
+                        "an nparts bound) — route through plans.hints"
                     )
     return out
 
