@@ -130,11 +130,12 @@ def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
     return bytes(out)
 
 
-def decode_png(data: bytes) -> dict:
-    """Decode a PNG: returns format/width/height/channels plus pixel stats
-    (count, sum, min, max over all samples). Supports 8-bit depth, color
-    types 0/2/6, no interlace — the honest envelope; anything outside it
-    raises."""
+def png_raster(data: bytes) -> tuple[int, int, int, bytes]:
+    """The parse half of :func:`decode_png`, exposed for patch/tile
+    featurization (ViT-style patching needs the raster, not just its
+    summary stats): returns ``(width, height, channels, unfiltered
+    raster bytes)``. Same envelope — 8-bit depth, color types 0/2/6,
+    no interlace; anything outside it raises."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("PNG: bad signature")
     pos = len(_PNG_SIG)
@@ -171,6 +172,15 @@ def decode_png(data: bytes) -> dict:
     if width is None or ch is None:
         raise ValueError("PNG: missing IHDR")
     px = _png_unfilter(zlib.decompress(bytes(idat)), width, height, ch)
+    return width, height, ch, px
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode a PNG: returns format/width/height/channels plus pixel stats
+    (count, sum, min, max over all samples). Supports 8-bit depth, color
+    types 0/2/6, no interlace — the honest envelope; anything outside it
+    raises."""
+    width, height, ch, px = png_raster(data)
     return {
         "format": "png",
         "width": width,
@@ -204,10 +214,11 @@ def encode_wav(sample_rate: int, samples: list[int], bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> dict:
-    """Decode a RIFF WAVE file: PCM 8/16-bit, any channel count. Returns
-    format/channels/sample_rate/duration plus sample stats (count, sum,
-    min, max over all channels' samples)."""
+def wav_pcm(data: bytes) -> tuple[int, int, tuple]:
+    """The parse half of :func:`decode_wav`, exposed for frame-level
+    featurization (windowed energy / VAD needs the samples, not just
+    their summary stats): returns ``(sample_rate, channels, samples)``
+    with samples interleaved. Same envelope — RIFF PCM 8/16-bit."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("WAV: bad RIFF/WAVE header")
     pos = 12
@@ -237,6 +248,14 @@ def decode_wav(data: bytes) -> dict:
         vals = struct.unpack(f"<{n}h", payload[: 2 * n])
     else:
         vals = tuple(b - 128 for b in payload)
+    return rate, channels, vals
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode a RIFF WAVE file: PCM 8/16-bit, any channel count. Returns
+    format/channels/sample_rate/duration plus sample stats (count, sum,
+    min, max over all channels' samples)."""
+    rate, channels, vals = wav_pcm(data)
     n_frames = len(vals) // channels
     return {
         "format": "wav",

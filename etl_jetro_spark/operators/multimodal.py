@@ -206,3 +206,120 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def image_patch_stats(
+    df: DataFrame,
+    grid_rows: int = 2,
+    grid_cols: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """ViT-style patch featurization over a binary image column: decode
+    each grayscale PNG (operators/codecs.png_raster) inside an Arrow
+    ``mapInPandas`` batch iterator and emit ONE ROW PER PATCH of a
+    ``grid_rows x grid_cols`` tiling — ``(media_id, patch_id, px_count,
+    px_sum, px_min, px_max)``. Pixel ``(x, y)`` belongs to patch
+    ``(y*grid_rows)//h * grid_cols + (x*grid_cols)//w`` — the standard
+    integer tiling that stays exact for any image size (no float
+    resampling), so an oracle can recompute every stat analytically.
+
+    Scale: the fan-out is grid-bounded (rows x cols per image); memory
+    stays at one Arrow batch of blobs regardless of partition size, and
+    partition sizing over the binary column is governed by
+    ``maxPartitionBytes``. Color images raise (honest envelope: patching
+    multi-channel rasters needs a channel policy the caller must pick)."""
+    from etl_jetro_spark.operators.codecs import png_raster
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("patch_id", IntegerType(), False),
+            StructField("px_count", LongType(), False),
+            StructField("px_sum", LongType(), False),
+            StructField("px_min", IntegerType(), False),
+            StructField("px_max", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, ch, px = png_raster(bytes(content))
+                if ch != 1:
+                    raise ValueError(
+                        "image_patch_stats: grayscale rasters only"
+                    )
+                buckets: dict[int, list[int]] = {}
+                for y in range(h):
+                    prow = (y * grid_rows) // h
+                    base = y * w
+                    for x in range(w):
+                        pid = prow * grid_cols + (x * grid_cols) // w
+                        buckets.setdefault(pid, []).append(px[base + x])
+                for pid in sorted(buckets):
+                    vals = buckets[pid]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "patch_id": pid,
+                            "px_count": len(vals),
+                            "px_sum": sum(vals),
+                            "px_min": min(vals),
+                            "px_max": max(vals),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def wav_energy_windows(
+    df: DataFrame,
+    window_ms: int = 10,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-level audio energy (the decode+window half of a VAD /
+    silence-trim stage): decode each PCM WAV (operators/codecs.wav_pcm)
+    inside Arrow ``mapInPandas`` and emit ONE ROW PER ENERGY WINDOW of
+    ``window_ms`` — ``(media_id, window_id, n_samples, sumsq)``. The sum
+    of squares stays an exact BIGINT (16-bit samples: 80 samples x
+    32768^2 << 2^63) so callers derive RMS as ``sqrt(sumsq/n)`` with a
+    single well-defined float op an oracle reproduces bit-for-bit.
+    Multi-channel audio raises (a window policy per channel is the
+    caller's choice). Fan-out is duration-bounded (n_samples/window),
+    memory one Arrow batch."""
+    from etl_jetro_spark.operators.codecs import wav_pcm
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("window_id", IntegerType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("sumsq", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                rate, channels, vals = wav_pcm(bytes(content))
+                if channels != 1:
+                    raise ValueError("wav_energy_windows: mono only")
+                win = max(1, (rate * window_ms) // 1000)
+                for w0 in range(0, len(vals), win):
+                    chunk = vals[w0 : w0 + win]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "window_id": w0 // win,
+                            "n_samples": len(chunk),
+                            "sumsq": sum(s * s for s in chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -18293,3 +18293,687 @@ def q328_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ts") / 100.0, 4).alias("ts_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9 additions: multimodal patch/frame featurization, rank statistics,
+# privacy audit, mixture budget planning, batch-packing economics,
+# Matryoshka embedding ablation, top-k churn.
+# --------------------------------------------------------------------------
+
+@query(
+    "q329_image_patch_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+             (doc_id * 31) % 256 AS a
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             CAST((((g // w) * 2) // h) * 2 + (((g % w) * 2) // w) AS INT)
+               AS patch_id,
+             (a + g) % 256 AS v
+      FROM dims, unnest(generate_series(0, w * h - 1)) AS t(g)
+    )
+    SELECT doc_id AS media_id, patch_id,
+           CAST(count(*) AS BIGINT) AS px_count,
+           CAST(sum(v) AS BIGINT)   AS px_sum,
+           CAST(min(v) AS INT)      AS px_min,
+           CAST(max(v) AS INT)      AS px_max
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def q329_image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 2x2 patch featurization over REAL decoded PNGs: the
+    fixture encodes one grayscale PNG per document (raster a pure
+    function of doc_id), operators/multimodal.image_patch_stats decodes
+    the actual bytes and emits one row per patch with exact integer
+    stats; the oracle recomputes every patch analytically — a wrong
+    byte anywhere in decode/tiling breaks the hash. Scale: grid-bounded
+    fan-out inside a streaming Arrow batch iterator (reference parity:
+    this is the image-side analogue of the reference's per-file feature
+    pass, sheet_bot-era tools have no multimodal path)."""
+    from etl_jetro_spark.operators.multimodal import image_patch_stats
+    from etl_jetro_spark.operators.util import spread
+    from etl_jetro_spark.plans.fixtures import media_png_frame
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
+    return image_patch_stats(media_png_frame(docs))
+
+
+@query(
+    "q330_wav_energy_windows",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id, 50 + doc_id % 100 AS n, doc_id * 7919 AS c
+      FROM documents
+    ),
+    ex AS (
+      SELECT media_id, CAST(g // 80 AS INT) AS window_id,
+             ((c + g * 104729) % 65536) - 32768 AS s
+      FROM dims, unnest(generate_series(0, n - 1)) AS t(g)
+    )
+    SELECT media_id, window_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(sqrt(CAST(sum(s * s) AS BIGINT) / count(*)), 4) AS rms
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q330_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy (the decode half of a VAD/silence-trim
+    stage): one real 8 kHz PCM WAV per document, decoded by
+    operators/multimodal.wav_energy_windows into 10 ms windows — one row
+    per (media, window) with an exact integer sum of squares; RMS is the
+    single float op sqrt(sumsq/n), reproduced bit-for-bit by the oracle
+    from the same deterministic samples."""
+    from etl_jetro_spark.operators.multimodal import wav_energy_windows
+    from etl_jetro_spark.operators.util import spread
+    from etl_jetro_spark.plans.fixtures import media_wav_frame
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
+    win = wav_energy_windows(media_wav_frame(docs), window_ms=10)
+    return win.select(
+        "media_id",
+        "window_id",
+        "n_samples",
+        F.round(F.sqrt(F.col("sumsq") / F.col("n_samples")), 4).alias("rms"),
+    )
+
+
+@query(
+    "q331_mann_whitney_u",
+    """
+    WITH pv AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1v,
+             CAST(count(*) AS BIGINT) AS nv
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n1v, nv,
+             CAST(coalesce(sum(nv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+             CAST(sum(nv - n1v) AS BIGINT) AS n2,
+             CAST(sum(n1v * (2 * cum + nv + 1)) AS BIGINT) AS twor1,
+             CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie
+      FROM ranked
+    )
+    SELECT n1, n2,
+           round((twor1 - n1 * (n1 + 1)) / 2.0, 1) AS u1,
+           round((twor1 - n1 * (n1 + 1) - n1 * n2)
+                 / (2.0 * sqrt(n1 * n2 * ((n1 + n2 + 1)
+                     - tie / ((n1 + n2) * (n1 + n2 - 1.0))) / 12.0)),
+                 4) AS z,
+           round(((twor1 - n1 * (n1 + 1) - n1 * n2)
+                 / (2.0 * sqrt(n1 * n2 * ((n1 + n2 + 1)
+                     - tie / ((n1 + n2) * (n1 + n2 - 1.0))) / 12.0)))
+                 / sqrt(n1 + n2), 6) AS effect_r
+    FROM s
+    """,
+)
+def q331_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with tie correction: do
+    returned lineitems ('R') ship in different quantities than kept ones
+    ('N')? Quantity has a bounded domain (1..50) and massive ties, so
+    this exercises the tie-corrected variance for real. Rank statistics
+    WITHOUT a global sort or empty-partition-spec window: quantities
+    reduce to one row per distinct value (domain-bounded, constant
+    across SFs), cumulative counts come from a broadcast non-equi
+    self-join on that 50-row frame, and everything above is a global
+    one-row aggregate. 2*R1 and the tie term stay exact BIGINTs; z is
+    assembled from them with the identical float expression on both
+    engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    pv = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("long").alias("n1v"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    b = pv.select(
+        F.col("v").alias("bv"), F.col("nv").alias("bnv")
+    )
+    ranked = (
+        pv.join(bcast_small(b), F.col("bv") < F.col("v"), "left")
+        .groupBy("v", "n1v", "nv")
+        .agg(F.coalesce(F.sum("bnv"), F.lit(0)).alias("cum"))
+    )
+    s = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum") + F.col("nv") + 1)
+        ).cast("long").alias("twor1"),
+        F.sum(
+            F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).cast("long").alias("tie"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    twou1 = F.col("twor1") - n1 * (n1 + 1)
+    sig = F.sqrt(
+        n1 * n2 * (
+            (n1 + n2 + 1)
+            - F.col("tie") / ((n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        ) / F.lit(12.0)
+    )
+    z = (twou1 - n1 * n2) / (F.lit(2.0) * sig)
+    return s.select(
+        "n1",
+        "n2",
+        F.round(twou1 / F.lit(2.0), 1).alias("u1"),
+        F.round(z, 4).alias("z"),
+        F.round(z / F.sqrt(n1 + n2), 6).alias("effect_r"),
+    )
+
+
+@query(
+    "q332_k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS gsz
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT CASE WHEN gsz = 1 THEN 'unique'
+                  WHEN gsz <= 4 THEN '2-4'
+                  WHEN gsz <= 9 THEN '5-9'
+                  ELSE '10+' END AS risk_class,
+             gsz
+      FROM g
+    )
+    SELECT risk_class,
+           CAST(count(*) AS BIGINT)  AS n_groups,
+           CAST(sum(gsz) AS BIGINT)  AS n_customers,
+           round(100.0 * sum(gsz) / sum(sum(gsz)) OVER (), 4)
+             AS pct_customers
+    FROM cls GROUP BY 1
+    """,
+)
+def q332_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market segment,
+    account-balance band): how many customers sit in equivalence classes
+    small enough to re-identify (k < 5)? The privacy-governance pass a
+    training-data pipeline runs before release. Two-level aggregation —
+    QI-group sizes, then a 4-class histogram; the global denominator is
+    a one-row re-aggregate joined back broadcast (no empty-partition
+    window). The class split (1 / 2-4 / 5-9 / 10+) is the standard
+    k-threshold ladder."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("gsz"))
+    cls = g.select(
+        F.when(F.col("gsz") == 1, "unique")
+        .when(F.col("gsz") <= 4, "2-4")
+        .when(F.col("gsz") <= 9, "5-9")
+        .otherwise("10+")
+        .alias("risk_class"),
+        "gsz",
+    )
+    agg = cls.groupBy("risk_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gsz").cast("long").alias("n_customers"),
+    )
+    tot = agg.agg(F.sum("n_customers").alias("_tot"))
+    return agg.crossJoin(bcast_small(tot)).select(
+        "risk_class",
+        "n_groups",
+        "n_customers",
+        F.round(100.0 * F.col("n_customers") / F.col("_tot"), 4).alias(
+            "pct_customers"
+        ),
+    )
+
+
+@query(
+    "q333_waterfill_token_budget",
+    """
+    WITH caps AS (
+      SELECT source,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS cap
+      FROM documents GROUP BY 1
+    ),
+    p AS (
+      SELECT source, cap,
+             CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rn,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM caps
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS s,
+             CAST(sum(cap) AS BIGINT) AS total,
+             CAST(sum(cap) * 3 // 5 AS BIGINT) AS b
+      FROM caps
+    ),
+    lam AS (
+      SELECT (b - prefix) / (s - rn + 1.0) AS lam
+      FROM p, tot
+      WHERE prefix + cap * (s - rn + 1) >= b
+      ORDER BY rn LIMIT 1
+    )
+    SELECT source, cap AS cap_tokens,
+           round(least(CAST(cap AS DOUBLE), lam), 2) AS alloc_tokens,
+           CAST(CASE WHEN CAST(cap AS DOUBLE) > lam THEN 1 ELSE 0 END
+                AS INT) AS rationed
+    FROM caps, lam
+    """,
+)
+def q333_waterfill_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    budget of 60% of the corpus, allocate each source min(cap, lambda)
+    where the water level lambda solves sum(min(cap_s, lambda)) = B —
+    the max-min-fair mixture allocator (the closed-form core of
+    DoReMi-style mixture planning; complements q268's epoch plan, which
+    takes weights as given). No sort, no global window: the per-source
+    cap frame is enum-bounded (20 sources at every SF — the bcast_small
+    growth lint verifies that), rank and prefix sums come from a
+    broadcast self-join on it, the budget from a one-row re-aggregate,
+    and lambda is the min_by over the first segment whose full-level
+    total reaches B. Integer prefix sums; lambda is the only division,
+    computed identically on both engines (budget = total*3//5 kept
+    integer-exact)."""
+    d = load(spark, sf_dir, "documents")
+    caps = d.groupBy("source").agg(
+        F.sum(O.token_count("text")).cast("long").alias("cap")
+    )
+    b2 = caps.select(
+        F.col("source").alias("bs"), F.col("cap").alias("bcap")
+    )
+    before = (F.col("bcap") < F.col("cap")) | (
+        (F.col("bcap") == F.col("cap")) & (F.col("bs") < F.col("source"))
+    )
+    p = (
+        caps.join(bcast_small(b2), before, "left")
+        .groupBy("source", "cap")
+        .agg(
+            (F.count("bs") + 1).cast("long").alias("rn"),
+            F.coalesce(F.sum("bcap"), F.lit(0)).cast("long").alias("prefix"),
+        )
+    )
+    tot = caps.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("cap").cast("long").alias("total"),
+        ((F.sum("cap") * 3) / 5).cast("long").alias("b"),
+    )
+    lam = (
+        p.crossJoin(bcast_small(tot))
+        .filter(
+            F.col("prefix") + F.col("cap") * (F.col("s") - F.col("rn") + 1)
+            >= F.col("b")
+        )
+        .agg(
+            F.expr(
+                "min_by((b - prefix) / (s - rn + 1.0), rn)"
+            ).alias("lam")
+        )
+    )
+    return caps.crossJoin(bcast_small(lam)).select(
+        "source",
+        F.col("cap").alias("cap_tokens"),
+        F.round(
+            F.least(F.col("cap").cast("double"), F.col("lam")), 2
+        ).alias("alloc_tokens"),
+        (F.col("cap").cast("double") > F.col("lam"))
+        .cast("int")
+        .alias("rationed"),
+    )
+
+
+@query(
+    "q334_padding_waste",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS tok
+      FROM documents
+    ),
+    nb AS (SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS nb FROM t),
+    ha AS (
+      SELECT doc_id, tok,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM t
+    ),
+    a AS (
+      SELECT tok,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)) % nb
+               AS batch
+      FROM ha, nb
+    ),
+    ab AS (SELECT batch, max(tok) AS mx, count(*) AS c, sum(tok) AS s
+           FROM a GROUP BY 1),
+    arow AS (
+      SELECT 'hash' AS strategy, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS token_sum,
+             CAST(sum(mx * c) AS BIGINT) AS padded_sum
+      FROM ab
+    ),
+    srt AS (
+      SELECT tok, row_number() OVER (ORDER BY tok, doc_id) AS rn FROM t
+    ),
+    bb AS (SELECT (rn - 1) // 32 AS batch, max(tok) AS mx, count(*) AS c,
+                  sum(tok) AS s
+           FROM srt GROUP BY 1),
+    brow AS (
+      SELECT 'sorted' AS strategy, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS token_sum,
+             CAST(sum(mx * c) AS BIGINT) AS padded_sum
+      FROM bb
+    )
+    SELECT strategy, n_docs, n_batches, token_sum, padded_sum,
+           round(100.0 * (padded_sum - token_sum) / padded_sum, 4)
+             AS waste_pct
+    FROM (SELECT * FROM arow UNION ALL SELECT * FROM brow)
+    """,
+)
+def q334_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-packing economics: how many pad tokens does fixed-capacity
+    batching (32 docs/batch) burn under (a) hash-assigned batches — the
+    shuffle-free assignment a distributed loader actually uses — vs
+    (b) length-sorted batches (the bucketing optimization)? Waste per
+    batch = max_len * batch_size - sum_len. Strategy (a) derives the
+    batch from an md5 hash-mod (no ordering anywhere); strategy (b)
+    needs a true global length rank and gets it from the
+    range-partitioned rank frame (operators/aggregate.group_ranked) —
+    NOT an empty-partition-spec window, so the sort scales out. The
+    measured gap (sorted batching typically cuts padding several-fold)
+    is the number that justifies a length-bucketing stage in a training
+    loader."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", O.token_count("text").cast("long").alias("tok")
+    )
+    nb = t.agg(
+        F.ceil(F.count(F.lit(1)) / 32.0).cast("long").alias("nb")
+    )
+    a = (
+        t.crossJoin(bcast_small(nb))
+        .select(
+            "tok",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("pack:"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("nb")
+            ).alias("batch"),
+        )
+    )
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    srt = group_ranked(t, keys=[], value="tok", tiebreak=["doc_id"])
+    b = srt.select(
+        F.col("_v").alias("tok"),
+        ((F.col("_rn") - 1) / 32).cast("long").alias("batch"),
+    )
+
+    def summarize(frame: DataFrame, label: str) -> DataFrame:
+        per = frame.groupBy("batch").agg(
+            F.max("tok").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum("tok").alias("s"),
+        )
+        return per.agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("token_sum"),
+            F.sum(F.col("mx") * F.col("c")).cast("long").alias("padded_sum"),
+        ).select(F.lit(label).alias("strategy"), "*")
+
+    u = summarize(a, "hash").unionAll(summarize(b, "sorted"))
+    return u.select(
+        "strategy",
+        "n_docs",
+        "n_batches",
+        "token_sum",
+        "padded_sum",
+        F.round(
+            100.0
+            * (F.col("padded_sum") - F.col("token_sum"))
+            / F.col("padded_sum"),
+            4,
+        ).alias("waste_pct"),
+    )
+
+
+@query(
+    "q335_matryoshka_agreement",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    qe AS (
+      SELECT qid, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM q
+    ),
+    ce AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT qe.qid, ce.vec_id,
+             sum(ce.v * qe.v)
+               / (sqrt(sum(ce.v * ce.v)) * sqrt(sum(qe.v * qe.v)))
+               AS cfull,
+             sum(CASE WHEN ce.i <= 16 THEN ce.v * qe.v ELSE 0 END)
+               / (sqrt(sum(CASE WHEN ce.i <= 16 THEN ce.v * ce.v ELSE 0 END))
+                * sqrt(sum(CASE WHEN qe.i <= 16 THEN qe.v * qe.v ELSE 0 END)))
+               AS cpref
+      FROM ce JOIN qe USING (i)
+      WHERE ce.vec_id <> qe.qid
+      GROUP BY 1, 2
+    ),
+    rf AS (
+      SELECT qid, vec_id, cfull,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cfull DESC, vec_id) AS rn
+      FROM s
+    ),
+    rp AS (
+      SELECT qid, vec_id, cfull,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cpref DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT rf.qid,
+           rf.vec_id AS top1_full,
+           rp.vec_id AS top1_prefix,
+           CAST(CASE WHEN rf.vec_id = rp.vec_id THEN 1 ELSE 0 END AS INT)
+             AS agree,
+           round(rf.cfull, 4) AS full_score,
+           round(rp.cfull, 4) AS prefix_pick_full_score
+    FROM rf JOIN rp USING (qid)
+    WHERE rf.rn = 1 AND rp.rn = 1
+    """,
+)
+def q335_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation ablation: for every 20th
+    vector as a probe, does the top-1 cosine neighbor chosen with only
+    the FIRST 16 of 64 dimensions agree with the full-dimension choice,
+    and how much full-dim score does the truncated pick give up? The
+    measurement that decides whether an ANN index can run on prefix
+    dims (memory/4) with re-ranking. One pass over probe x corpus
+    scores both cosines; top-1 per probe is a single max-of-struct
+    aggregation — no window, no second shuffle; the probe side is
+    size-chosen by AQE (it grows with data, so no forced hint). The
+    prefix-pick's FULL score rides in the struct, giving the regret
+    column for free."""
+    from etl_jetro_spark.operators.similarity import _vec, dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def sides(df, idc, vc):
+        # Per-side norms ONCE before the pair join — cosine() inside the
+        # join would recompute both norms for every pair (norm work is
+        # |probes| x |corpus| there vs |corpus| here; measured 6.8 -> 3 s
+        # at sf0.1).
+        v = _vec("embedding")
+        p = _vec(F.slice("embedding", 1, 16))
+        return df.select(
+            F.col("vec_id").alias(idc),
+            v.alias(vc),
+            p.alias(vc + "p"),
+            norm(v).alias(vc + "n"),
+            norm(p).alias(vc + "pn"),
+        )
+
+    c = sides(emb, "vec_id", "cv")
+    q = sides(emb.filter(F.col("vec_id") % 20 == 0), "qid", "qv")
+    s = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                dot(F.col("cv"), F.col("qv"))
+                / (F.col("cvn") * F.col("qvn"))
+            ).alias("cfull"),
+            (
+                dot(F.col("cvp"), F.col("qvp"))
+                / (F.col("cvpn") * F.col("qvpn"))
+            ).alias("cpref"),
+        )
+    )
+    top = s.groupBy("qid").agg(
+        F.max(
+            F.struct(
+                F.col("cfull").alias("sc"),
+                (-F.col("vec_id")).alias("neg"),
+                F.col("vec_id").alias("vid"),
+            )
+        ).alias("tf"),
+        F.max(
+            F.struct(
+                F.col("cpref").alias("sc"),
+                (-F.col("vec_id")).alias("neg"),
+                F.col("vec_id").alias("vid"),
+                F.col("cfull").alias("cf"),
+            )
+        ).alias("tp"),
+    )
+    return top.select(
+        "qid",
+        F.col("tf.vid").alias("top1_full"),
+        F.col("tp.vid").alias("top1_prefix"),
+        (F.col("tf.vid") == F.col("tp.vid")).cast("int").alias("agree"),
+        F.round(F.col("tf.sc"), 4).alias("full_score"),
+        F.round(F.col("tp.cf"), 4).alias("prefix_pick_full_score"),
+    )
+
+
+@query(
+    "q336_topk_revenue_churn",
+    """
+    WITH rev AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT yr, l_partkey,
+             CAST(row_number() OVER (PARTITION BY yr
+                  ORDER BY rev_c DESC, l_partkey) AS BIGINT) AS rnk
+      FROM rev
+    ),
+    t95 AS (SELECT l_partkey, rnk FROM rk WHERE yr = 1995 AND rnk <= 20),
+    t96 AS (SELECT l_partkey, rnk FROM rk WHERE yr = 1996 AND rnk <= 20)
+    SELECT coalesce(t95.l_partkey, t96.l_partkey) AS l_partkey,
+           t95.rnk AS rank_1995,
+           t96.rnk AS rank_1996,
+           CASE WHEN t95.l_partkey IS NULL THEN 'entered'
+                WHEN t96.l_partkey IS NULL THEN 'exited'
+                ELSE 'stayed' END AS status,
+           t95.rnk - t96.rnk AS rank_delta
+    FROM t95 FULL JOIN t96 ON t95.l_partkey = t96.l_partkey
+    """,
+)
+def q336_topk_revenue_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter churn: which parts entered / exited / moved inside
+    the revenue top-20 between 1995 and 1996? Rank deltas on integer
+    cents (exact, tie-broken by partkey). Per-year top-20 comes from the
+    range-partitioned rank frame (group_ranked keyed by year) — a
+    2-partition window sort would funnel each year through one task;
+    the rank frame spreads each year's sort across the cluster and the
+    k<=20 cut keeps the join k-bounded."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1995, 1996)
+    )
+    rev = (
+        li.select(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long").alias("cents"),
+        )
+        .groupBy("yr", "l_partkey")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    rk = group_ranked(
+        rev.select("yr", "l_partkey", (-F.col("rev_c")).alias("neg")),
+        keys=["yr"],
+        value="neg",
+        tiebreak=["l_partkey"],
+    ).select("yr", "l_partkey", F.col("_rn").alias("rnk"))
+    t95 = rk.filter((F.col("yr") == 1995) & (F.col("rnk") <= 20)).select(
+        F.col("l_partkey").alias("p95"), F.col("rnk").alias("rank_1995")
+    )
+    t96 = rk.filter((F.col("yr") == 1996) & (F.col("rnk") <= 20)).select(
+        F.col("l_partkey").alias("p96"), F.col("rnk").alias("rank_1996")
+    )
+    j = t95.join(t96, F.col("p95") == F.col("p96"), "full")
+    return j.select(
+        F.coalesce(F.col("p95"), F.col("p96")).alias("l_partkey"),
+        "rank_1995",
+        "rank_1996",
+        F.when(F.col("p95").isNull(), "entered")
+        .when(F.col("p96").isNull(), "exited")
+        .otherwise("stayed")
+        .alias("status"),
+        (F.col("rank_1995") - F.col("rank_1996")).alias("rank_delta"),
+    )
