@@ -205,3 +205,66 @@ def test_decode_media_dispatches_all_four_formats():
     assert decode_media(encode_wav(8000, [0, 1, -1]))["format"] == "wav"
     assert decode_media(encode_bmp24(2, 2, bytes(12)))["format"] == "bmp"
     assert decode_media(encode_gif_header(9, 9))["format"] == "gif"
+
+
+def test_png_raster_exposes_exact_pixels():
+    from etl_jetro_spark.operators.codecs import encode_png, png_raster
+
+    px = bytes((i * 7) % 256 for i in range(5 * 3))
+    w, h, ch, out = png_raster(encode_png(5, 3, px))
+    assert (w, h, ch) == (5, 3, 1) and out == px
+
+
+def test_wav_pcm_exposes_exact_samples():
+    from etl_jetro_spark.operators.codecs import encode_wav, wav_pcm
+
+    samples = [0, 100, -100, 32767, -32768]
+    rate, channels, vals = wav_pcm(encode_wav(8000, samples))
+    assert (rate, channels) == (8000, 1) and list(vals) == samples
+
+
+def test_image_patch_stats_exact_tiling(spark):
+    """2x2 tiling of a 4x4 gradient: each quadrant's stats are hand-
+    computable; color rasters must raise (honest envelope)."""
+    from etl_jetro_spark.operators.codecs import encode_png
+    from etl_jetro_spark.operators.multimodal import image_patch_stats
+
+    px = bytes(range(16))  # 4x4: row y holds 4y..4y+3
+    df = spark.createDataFrame(
+        [(1, encode_png(4, 4, px))], ["media_id", "content"]
+    )
+    rows = {r["patch_id"]: r for r in image_patch_stats(df).collect()}
+    # patch 0 = {0,1,4,5}, 1 = {2,3,6,7}, 2 = {8,9,12,13}, 3 = {10,11,14,15}
+    assert rows[0]["px_sum"] == 10 and rows[0]["px_min"] == 0
+    assert rows[1]["px_sum"] == 18 and rows[1]["px_max"] == 7
+    assert rows[2]["px_sum"] == 42 and rows[3]["px_sum"] == 50
+    assert all(r["px_count"] == 4 for r in rows.values())
+
+    import pytest as _pt
+
+    from etl_jetro_spark.operators.codecs import encode_png as _ep
+
+    rgb = spark.createDataFrame(
+        [(2, _ep(2, 2, bytes(12), color_type=2))], ["media_id", "content"]
+    )
+    with _pt.raises(Exception):
+        image_patch_stats(rgb).collect()
+
+
+def test_wav_energy_windows_exact_framing(spark):
+    """10 ms @ 8 kHz = 80-sample windows; a 100-sample clip yields one
+    full and one 20-sample partial window with exact sum-of-squares."""
+    from etl_jetro_spark.operators.codecs import encode_wav
+    from etl_jetro_spark.operators.multimodal import wav_energy_windows
+
+    samples = [(-1) ** i * (i % 7) for i in range(100)]
+    df = spark.createDataFrame(
+        [(7, encode_wav(8000, samples))], ["media_id", "content"]
+    )
+    rows = {
+        r["window_id"]: r
+        for r in wav_energy_windows(df, window_ms=10).collect()
+    }
+    assert rows[0]["n_samples"] == 80 and rows[1]["n_samples"] == 20
+    assert rows[0]["sumsq"] == sum(s * s for s in samples[:80])
+    assert rows[1]["sumsq"] == sum(s * s for s in samples[80:])
