@@ -1206,3 +1206,38 @@ def knn_join_panel(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_top1_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload: list[str] | None = None,
+    max_panel: int = 100_000,
+) -> DataFrame:
+    """Exact cosine 1-NN per vector over the full corpus (self
+    excluded), for the bounded EVALUATION samples behind purity /
+    mutual-NN audits — production ANN routes through the LSH / IVF
+    operators in this module. Delegates to :func:`knn_join_panel`
+    (k=1, the whole frame as the panel): an expression-fold pair join
+    here measured 23 s warm at sf0.1 (4M interpreted HOF dots) vs ~2 s
+    for the Arrow matmul; the ``max_panel`` contract (raises beyond it)
+    is exactly the boundedness this evaluation path assumes.
+    ``payload`` columns of the NEIGHBOR (e.g. its label) join back on
+    the k-bounded result. Returns
+    ``(id_col, nn_id, nn_score[, nn_<payload>...])``; ties break to the
+    smallest neighbor id."""
+    pay = list(payload or [])
+    nn = knn_join_panel(df, df, id_col, vec_col, k=1, max_panel=max_panel)
+    out = nn.select(
+        F.col("probe_id").alias(id_col),
+        F.col("neighbor_id").alias("nn_id"),
+        F.col("score").alias("nn_score"),
+    )
+    if pay:
+        side = df.select(
+            F.col(id_col).alias("nn_id"),
+            *[F.col(p).alias(f"nn_{p}") for p in pay],
+        )
+        out = out.join(side, "nn_id")
+    return out.select(id_col, "nn_id", "nn_score", *[f"nn_{p}" for p in pay])

@@ -18977,3 +18977,446 @@ def q336_topk_revenue_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         (F.col("rank_1995") - F.col("rank_1996")).alias("rank_delta"),
     )
+
+
+@query(
+    "q337_kruskal_wallis_h",
+    """
+    WITH pvg AS (
+      SELECT l_quantity AS v, l_returnflag AS g,
+             CAST(count(*) AS BIGINT) AS ngv
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pv AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS nv FROM pvg GROUP BY 1),
+    cum AS (
+      SELECT v, nv,
+             CAST(coalesce(sum(nv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+      FROM pv
+    ),
+    grp AS (
+      SELECT g, CAST(sum(ngv) AS BIGINT) AS ng,
+             CAST(sum(ngv * (2 * c + nv + 1)) AS BIGINT) AS tworg
+      FROM pvg JOIN cum USING (v) GROUP BY 1
+    ),
+    ties AS (
+      SELECT CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie FROM pv
+    ),
+    s AS (
+      SELECT CAST(count(*) AS INT) AS n_groups,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(CAST(tworg AS DOUBLE) * CAST(tworg AS DOUBLE)
+                 / (4.0 * ng)) AS rterm
+      FROM grp
+    )
+    SELECT n_groups, n,
+           round((12.0 * rterm / (n * (n + 1.0)) - 3.0 * (n + 1))
+                 / (1.0 - CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)),
+                 4) AS h,
+           round(((12.0 * rterm / (n * (n + 1.0)) - 3.0 * (n + 1))
+                 / (1.0 - CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))
+                 - n_groups + 1) / (n - n_groups), 6) AS epsilon_sq
+    FROM s, ties
+    """,
+)
+def q337_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (rank-based one-way ANOVA, tie-corrected) across
+    the three return flags on shipped quantity — the k-group extension
+    of q331's Mann-Whitney machinery, same scale shape: ranks come from
+    the bounded value domain (one row per distinct quantity, constant
+    across SFs) with cumulative counts via a broadcast non-equi
+    self-join, never a global sort. 2*R_g and the tie term stay exact
+    BIGINTs; R_g is cast to double BEFORE squaring (the long would
+    overflow at sf1 — both engines square the same exact integer-valued
+    double, so results stay bit-identical). epsilon^2 = (H-k+1)/(N-k)
+    is the standard effect size."""
+    li = load(spark, sf_dir, "lineitem")
+    pvg = li.groupBy(
+        F.col("l_quantity").alias("v"), F.col("l_returnflag").alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ngv"))
+    pv = pvg.groupBy("v").agg(F.sum("ngv").cast("long").alias("nv"))
+    b = pv.select(F.col("v").alias("bv"), F.col("nv").alias("bnv"))
+    cum = (
+        pv.join(bcast_small(b), F.col("bv") < F.col("v"), "left")
+        .groupBy("v", "nv")
+        .agg(F.coalesce(F.sum("bnv"), F.lit(0)).cast("long").alias("c"))
+    )
+    grp = (
+        pvg.join(bcast_small(cum), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("ngv").cast("long").alias("ng"),
+            F.sum(
+                F.col("ngv") * (2 * F.col("c") + F.col("nv") + 1)
+            ).cast("long").alias("tworg"),
+        )
+    )
+    ties = pv.agg(
+        F.sum(
+            F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).cast("long").alias("tie")
+    )
+    s = grp.agg(
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(
+            F.col("tworg").cast("double")
+            * F.col("tworg").cast("double")
+            / (F.lit(4.0) * F.col("ng"))
+        ).alias("rterm"),
+    )
+    j = s.crossJoin(bcast_small(ties))
+    n, ng = F.col("n"), F.col("n_groups")
+    h_raw = F.lit(12.0) * F.col("rterm") / (n * (n + F.lit(1.0))) - 3.0 * (
+        n + 1
+    )
+    corr = F.lit(1.0) - F.col("tie").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    h = h_raw / corr
+    return j.select(
+        "n_groups",
+        "n",
+        F.round(h, 4).alias("h"),
+        F.round((h - ng + 1) / (n - ng), 6).alias("epsilon_sq"),
+    )
+
+
+@query(
+    "q338_knn_label_purity",
+    """
+    WITH e AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS cid,
+             b.label AS clab,
+             sum(a.v * b.v)
+               / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS sc
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    nn AS (
+      SELECT qid, qlab, clab,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sc DESC, cid) AS rn
+      FROM s
+    )
+    SELECT qlab AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(CASE WHEN clab = qlab THEN 1.0 ELSE 0.0 END), 6)
+             AS purity
+    FROM nn WHERE rn = 1 GROUP BY 1
+    """,
+)
+def q338_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label purity per label: does each vector's
+    exact cosine nearest neighbor share its label? The standard
+    embedding-quality eval (complements q295's centroid silhouette —
+    purity is local structure, silhouette is global separation).
+    operators/similarity.knn_top1_exact: one pair pass, per-side norms
+    precomputed, top-1 by max-of-struct — brute-force n^2 is the
+    evaluation path on bounded samples; production ANN goes through
+    LSH/IVF."""
+    from etl_jetro_spark.operators.similarity import knn_top1_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    nn = knn_top1_exact(emb, payload=["label"])
+    own = emb.select(F.col("vec_id"), F.col("label"))
+    return (
+        nn.join(own, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.avg(
+                    (F.col("nn_label") == F.col("label")).cast("double")
+                ),
+                6,
+            ).alias("purity"),
+        )
+    )
+
+
+@query(
+    "q339_mutual_nn_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             sum(a.v * b.v)
+               / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS sc
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    nn AS (
+      SELECT qid, cid, sc,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sc DESC, cid) AS rn
+      FROM s
+    )
+    SELECT a.qid AS vec_a, a.cid AS vec_b, round(a.sc, 4) AS score
+    FROM nn a JOIN nn b
+      ON a.cid = b.qid AND b.cid = a.qid AND a.qid < a.cid
+    WHERE a.rn = 1 AND b.rn = 1
+    """,
+)
+def q339_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor mining: pairs (a, b) where each is the
+    other's exact cosine 1-NN — the reciprocal-best-match criterion
+    used for bitext mining and high-precision near-dup seeding (far
+    stricter than one-directional top-1). One knn_top1_exact frame
+    self-joined on the reciprocity condition; output is at most n/2
+    pairs."""
+    from etl_jetro_spark.operators.similarity import knn_top1_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    nn = knn_top1_exact(emb)
+    other = nn.select(
+        F.col("vec_id").alias("o_id"), F.col("nn_id").alias("o_nn")
+    )
+    return (
+        nn.join(
+            other,
+            (F.col("nn_id") == F.col("o_id"))
+            & (F.col("o_nn") == F.col("vec_id")),
+        )
+        .filter(F.col("vec_id") < F.col("nn_id"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("nn_id").alias("vec_b"),
+            F.round(F.col("nn_score"), 4).alias("score"),
+        )
+    )
+
+
+@query(
+    "q340_chunk_overlap_accounting",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n
+      FROM documents
+    ),
+    per AS (
+      SELECT source, n,
+             CASE WHEN n <= 128 THEN 1
+                  ELSE CAST(ceil((n - 128) / 96.0) AS BIGINT) + 1
+                  END AS k
+      FROM t WHERE n > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT)   AS token_sum,
+           CAST(sum(k) AS BIGINT)   AS n_chunks,
+           CAST(sum(128 * (k - 1) + (n - 96 * (k - 1))) AS BIGINT)
+             AS emitted_tokens,
+           round(100.0 * (sum(128 * (k - 1) + (n - 96 * (k - 1))) - sum(n))
+                 / sum(n), 4) AS overhead_pct
+    FROM per GROUP BY 1
+    """,
+)
+def q340_chunk_overlap_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style strided chunking economics: 128-token chunks at stride
+    96 (25% overlap) — per source, how many chunks and how many extra
+    tokens does the overlap re-emit? Extends q64/q65 (exact-partition
+    chunk/packing) with the OVERLAPPING window semantics retrieval
+    pipelines actually use, in CLOSED FORM: chunk count and emitted
+    tokens are pure integer expressions of the doc's token count
+    (k = ceil((n-128)/96)+1; the last chunk covers the tail, never a
+    fully-redundant trailing window) — zero fan-out, one source-keyed
+    shuffle; overhead_pct is the number that prices an overlap policy
+    before a 100 TB re-chunk."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", O.token_count("text").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    k = F.when(F.col("n") <= 128, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("n") - 128) / 96.0).cast("long") + 1
+    )
+    per = t.select("source", "n", k.alias("k"))
+    emitted = 128 * (F.col("k") - 1) + (F.col("n") - 96 * (F.col("k") - 1))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("token_sum"),
+        F.sum("k").cast("long").alias("n_chunks"),
+        F.sum(emitted).cast("long").alias("emitted_tokens"),
+        F.round(
+            100.0 * (F.sum(emitted) - F.sum("n")) / F.sum("n"), 4
+        ).alias("overhead_pct"),
+    )
+
+
+@query(
+    "q341_boilerplate_trigram_mass",
+    f"""
+    WITH wrds AS (
+      SELECT doc_id, source, {DK_WORDS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS sh
+      FROM wrds,
+           UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+    per AS (
+      SELECT source, sh, CAST(count(*) AS BIGINT) AS occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd
+      FROM sh GROUP BY 1, 2
+    )
+    SELECT per.source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN 4 * dfd >= n_docs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(occ) AS BIGINT) AS occ_total,
+           round(100.0 * sum(CASE WHEN 4 * dfd >= n_docs THEN occ
+                             ELSE 0 END) / sum(occ), 4)
+             AS boilerplate_pct
+    FROM per JOIN ds ON per.source = ds.source
+    GROUP BY 1
+    """,
+)
+def q341_boilerplate_trigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate share per source: word trigrams occurring in >= 25%
+    of a source's documents are boilerplate (headers, footers, nav
+    text); what fraction of the source's trigram occurrences do they
+    claim? The CCNet-adjacent corpus-hygiene number one level above
+    q118's exact line dedup. One (source, trigram)-keyed aggregation
+    carries both the occurrence count and the distinct-doc frequency
+    (two-phase distinct-agg rewrite); the per-source doc totals join
+    back broadcast (enum-bounded). Shingles come from shingle_rows —
+    codegen explode, zero pre-shuffle."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", n=3, distinct=False)
+    src = d.select(F.col("doc_id").alias("_id"), "source")
+    per = (
+        sh.join(src, "_id")
+        .groupBy("source", "_sh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occ"),
+            F.countDistinct("_id").cast("long").alias("dfd"),
+        )
+    )
+    ds = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    flagged = 4 * F.col("dfd") >= F.col("n_docs")
+    return (
+        per.join(bcast_small(ds), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(flagged.cast("long")).cast("long").alias("n_flagged"),
+            F.sum("occ").cast("long").alias("occ_total"),
+            F.round(
+                100.0
+                * F.sum(F.when(flagged, F.col("occ")).otherwise(0))
+                / F.sum("occ"),
+                4,
+            ).alias("boilerplate_pct"),
+        )
+    )
+
+
+@query(
+    "q342_topk_rank_overlap",
+    """
+    WITH agg AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    ra AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY rev_c DESC, l_partkey) AS r
+      FROM agg QUALIFY r <= 20
+    ),
+    rb AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY qty DESC, l_partkey) AS r
+      FROM agg QUALIFY r <= 20
+    ),
+    j AS (
+      SELECT ra.r AS r_rev, rb.r AS r_qty
+      FROM ra JOIN rb USING (l_partkey)
+    )
+    SELECT k,
+           CAST(coalesce(sum(CASE WHEN r_rev <= k AND r_qty <= k
+                             THEN 1 END), 0) AS BIGINT) AS n_common,
+           round(coalesce(sum(CASE WHEN r_rev <= k AND r_qty <= k
+                          THEN 1 END), 0) / (1.0 * k), 4) AS overlap_frac
+    FROM (SELECT unnest([5, 10, 20]) AS k), j
+    GROUP BY k
+    """,
+)
+def q342_topk_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-list agreement audit: overlap@k (k = 5/10/20) between the
+    parts ranked by revenue and by shipped quantity — the retrieval-eval
+    primitive (same measurement as comparing two ANN indexes' top-k
+    lists) on exact integer metrics. Each global top-20 is an
+    orderBy+limit (TakeOrdered — never an empty-partition-spec window);
+    ranks are re-derived on the 20-row frames (bounded input, planlint
+    class 'window over GlobalLimit'), and the overlap histogram is a
+    k-explode over the <=20-row join."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    agg = (
+        li.select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("cents").alias("rev_c"),
+            F.sum("q").alias("qty"),
+        )
+    )
+
+    def top20(metric: str, out: str) -> DataFrame:
+        t = agg.orderBy(
+            F.col(metric).desc(), F.col("l_partkey").asc()
+        ).limit(20)
+        w = Window.orderBy(F.col(metric).desc(), F.col("l_partkey").asc())
+        return t.select(
+            "l_partkey", F.row_number().over(w).alias(out)
+        )
+
+    j = top20("rev_c", "r_rev").join(top20("qty", "r_qty"), "l_partkey")
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("k")
+    )
+    return (
+        j.crossJoin(bcast_small(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                ((F.col("r_rev") <= F.col("k")) & (F.col("r_qty") <= F.col("k")))
+                .cast("long")
+            ).alias("n_common"),
+        )
+        .select(
+            "k",
+            "n_common",
+            F.round(F.col("n_common") / (F.lit(1.0) * F.col("k")), 4).alias(
+                "overlap_frac"
+            ),
+        )
+    )
