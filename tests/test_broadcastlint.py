@@ -167,3 +167,25 @@ def test_bcast_sized_gate_on_post_shuffle_frame(spark, sf_dir):
         assert hinted(bcast_sized(agg))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pragma_outside_allowlist_is_flagged(tmp_path, monkeypatch):
+    """ADVICE r8: the '# bcast-ok:' pragma is reserved for the
+    partition-metadata frames — a pragma in any other operator file, or
+    one whose text does not state an nparts bound, must be flagged even
+    though it LOOKS annotated."""
+    import broadcastlint as bl
+
+    op_dir = tmp_path / "etl_jetro_spark" / "operators"
+    op_dir.mkdir(parents=True)
+    (tmp_path / "etl_jetro_spark" / "streaming").mkdir()
+    bad = op_dir / "rogue.py"
+    bad.write_text(
+        "df.join(F.broadcast(big), 'k')  # bcast-ok: trust me\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    out = bl.operator_violations()
+    assert len(out) == 1 and "allowlist" in out[0]
+    # the two real sites (nparts-bounded, allowlisted) stay clean
+    monkeypatch.chdir("/root/repo")
+    assert bl.operator_violations() == []
