@@ -2008,3 +2008,27 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
     assert {(r["id"], r["t"]) for r in want.collect()} == {
         (r["id"], r["t"]) for r in got.collect()
     }
+
+
+def test_knn_top1_exact_ties_and_payload(spark):
+    """Panel-path 1-NN: identical vectors tie on cosine and must break to
+    the SMALLEST neighbor id (the argmax-over-nid-sorted-rows contract);
+    neighbor payload columns ride along."""
+    from etl_jetro_spark.operators.similarity import knn_top1_exact
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.0], "b"),   # exact dup of 1 and 3
+        (3, [1.0, 0.0], "c"),
+        (4, [0.0, 1.0], "d"),   # orthogonal loner
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    nn = {
+        r["vec_id"]: r
+        for r in knn_top1_exact(df, payload=["label"]).collect()
+    }
+    assert nn[1]["nn_id"] == 2 and nn[1]["nn_label"] == "b"
+    assert nn[2]["nn_id"] == 1 and nn[2]["nn_label"] == "a"
+    assert nn[3]["nn_id"] == 1  # ties among {1,2} -> smallest id
+    assert nn[4]["nn_id"] == 1 and abs(nn[4]["nn_score"]) < 1e-12
+    assert abs(nn[1]["nn_score"] - 1.0) < 1e-12
