@@ -8836,7 +8836,8 @@ def q194_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rfm)
     SELECT CAST(r * 100 + f * 10 + m AS BIGINT)  AS segment,
            CAST(count(*) AS BIGINT)              AS n_customers,
-           round(avg(m_raw), 4)                  AS avg_monetary
+           round(CAST(sum(CAST(round(m_raw * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)), 4)        AS avg_monetary
     FROM t GROUP BY 1
     """,
 )
@@ -8875,11 +8876,20 @@ def q195_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quint("f_raw", "f"), "o_custkey")
         .join(quint("m_raw", "m"), "o_custkey")
     )
+    # avg in EXACT integer cents: a float avg of ~1.5M-magnitude values
+    # across a segment sits close enough to the 4-dp rounding boundary
+    # for partial-agg sum order to flip the last digit (caught by the
+    # sf0.1 full gate: 1577931.3013 vs .3012). m_raw is 2-dp-quantized,
+    # so round(m_raw*100) is exact; BIGINT sums are order-free.
     return t.groupBy(
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.round(F.avg("m_raw"), 4).alias("avg_monetary"),
+        F.round(
+            F.sum(F.round(F.col("m_raw") * 100).cast("long"))
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            4,
+        ).alias("avg_monetary"),
     )
 
 
