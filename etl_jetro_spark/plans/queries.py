@@ -19417,3 +19417,254 @@ def q342_topk_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q343_theil_decomposition",
+    """
+    WITH cust AS (
+      SELECT c_nationkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY o_custkey, c_nationkey
+    ),
+    grp AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(cents) AS BIGINT) AS xg,
+             sum(cents * ln(CAST(cents AS DOUBLE))) AS sxl
+      FROM cust GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(sum(xg) AS BIGINT) AS x
+            FROM grp)
+    SELECT n_name AS nation, ng AS n_cust,
+           round(CAST(xg AS DOUBLE) / x, 6) AS rev_share,
+           round(sxl / xg - ln(CAST(xg AS DOUBLE) / ng), 6)
+             AS theil_within,
+           round((CAST(xg AS DOUBLE) / x)
+                 * ln((CAST(xg AS DOUBLE) / ng)
+                      / (CAST(x AS DOUBLE) / n)), 6)
+             AS between_contrib,
+           round((CAST(xg AS DOUBLE) / x)
+                 * (sxl / xg - ln(CAST(xg AS DOUBLE) / ng)), 6)
+             AS within_contrib
+    FROM grp JOIN nation ON n_nationkey = c_nationkey, tot
+    """,
+)
+def q343_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality DECOMPOSITION of customer revenue by nation:
+    unlike Gini (q163/q263/q313), Theil splits exactly into
+    between-group + within-group terms — the question "is revenue
+    inequality driven by rich nations or rich customers inside each
+    nation?" that concentration curves can't answer. Per-customer
+    revenue reduces in integer cents; per-nation sufficient stats are
+    (n_g, X_g, Σ x·ln x), so T_g = Σx·ln(x)/X_g − ln(μ_g) needs no
+    second pass; the global totals re-reduce from the 25-row group
+    frame and join back broadcast."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cust = (
+        o.join(bcast_sized(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey",
+            "c_nationkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cc"),
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum("cc").alias("cents"))
+    )
+    grp = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("cents").cast("long").alias("xg"),
+        F.sum(
+            F.col("cents") * F.log(F.col("cents").cast("double"))
+        ).alias("sxl"),
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("xg").cast("long").alias("x"),
+    )
+    xg, x = F.col("xg").cast("double"), F.col("x").cast("double")
+    mu_g = xg / F.col("ng")
+    mu = x / F.col("n")
+    share = xg / x
+    t_g = F.col("sxl") / xg - F.log(mu_g)
+    return (
+        grp.crossJoin(bcast_small(tot))
+        .join(bcast_small(n), grp.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ng").alias("n_cust"),
+            F.round(share, 6).alias("rev_share"),
+            F.round(t_g, 6).alias("theil_within"),
+            F.round(share * F.log(mu_g / mu), 6).alias("between_contrib"),
+            F.round(share * t_g, 6).alias("within_contrib"),
+        )
+    )
+
+
+@query(
+    "q344_negative_sampling_audit",
+    """
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    cand AS (
+      SELECT e.vec_id, e.label AS a_label,
+             (e.vec_id * 9973 + j * 104729) % n AS neg_id
+      FROM embeddings e, tot, unnest(generate_series(1, 4)) AS t(j)
+    ),
+    hits AS (
+      SELECT c.vec_id, c.a_label, b.label AS n_label
+      FROM cand c JOIN embeddings b ON b.vec_id = c.neg_id
+      WHERE c.neg_id <> c.vec_id
+    )
+    SELECT a_label AS label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_anchors,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           round(sum(CASE WHEN n_label = a_label THEN 1.0 ELSE 0 END)
+                 / count(*), 6) AS fn_rate
+    FROM hits GROUP BY 1
+    """,
+)
+def q344_negative_sampling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative-sampling audit: each vector draws 4
+    deterministic hash-picked 'negatives'; what fraction share the
+    anchor's label (false negatives — pairs a contrastive loss would
+    wrongly push apart)? With 10 roughly-uniform labels the expected
+    rate is ~0.1; a skewed label shows up immediately. Hash-mod pick is
+    engine-portable (no RNG), self-pairs are filtered identically on
+    both sides, and missing ids drop in the equi-join the same way —
+    the audit stays exact at any SF. Complements q221's pair audit
+    (which checks given pairs; this one checks the SAMPLER)."""
+    emb = load(spark, sf_dir, "embeddings")
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = (
+        emb.crossJoin(bcast_small(tot))
+        .select(
+            "vec_id",
+            F.col("label").alias("a_label"),
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+            "n",
+        )
+        .select(
+            "vec_id",
+            "a_label",
+            ((F.col("vec_id") * 9973 + F.col("j") * 104729) % F.col("n"))
+            .alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("vec_id"))
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("n_label")
+    )
+    hits = cand.join(b, "neg_id")
+    return hits.groupBy(F.col("a_label").alias("label")).agg(
+        F.countDistinct("vec_id").cast("long").alias("n_anchors"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(
+            (F.col("n_label") == F.col("a_label")).cast("long")
+        ).cast("long").alias("n_false_neg"),
+        F.round(
+            F.sum((F.col("n_label") == F.col("a_label")).cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fn_rate"),
+    )
+
+
+@query(
+    "q345_quality_dup_calibration",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, md5({DK_NORM_TEXT.replace('text', 'feat.text')}) AS fp,
+             round(least(n_tokens / 20.0, 1.0) * 0.4
+                   + (1 - least(CAST(n_punct AS DOUBLE) / n_chars * 2
+                                + CAST(n_digit AS DOUBLE) / n_chars * 2, 1.0)) * 0.3
+                   + least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0) * 0.3, 6)
+               AS q
+      FROM feat WHERE n_chars > 0 AND n_tokens > 0
+    ),
+    dup AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS grp FROM scored GROUP BY 1
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.q,
+             CASE WHEN d.grp > 1 THEN 1 ELSE 0 END AS is_dup,
+             row_number() OVER (ORDER BY s.q, s.doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored s JOIN dup d USING (fp)
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * count(*)), 6) AS avg_quality,
+           round(sum(CAST(is_dup AS DOUBLE)) / count(*), 6) AS dup_rate
+    FROM flagged GROUP BY 1
+    """,
+)
+def q345_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration table: does the composite quality score (q24)
+    actually predict exact duplication? Documents are cut into global
+    quality DECILES (range-partitioned rank frame — the q299 explicit
+    floor((rn-1)*10/n)+1 bucketing, never engine ntile) and each decile
+    reports its exact-dup membership rate (q17's normalized-md5
+    fingerprint). The filter-threshold-picking table a corpus curator
+    reads before spending a 100 TB dedup pass. Decile means average in
+    exact 1e-6 units (the score is 6-dp-quantized, so round(q*1e6) is
+    integer-exact — the q195 lesson applied preemptively)."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    d = load(spark, sf_dir, "documents")
+    scored = (
+        O.quality_score(d, "text")
+        .filter((F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0))
+        .select(
+            "doc_id",
+            F.md5(norm_text("text")).alias("fp"),
+            F.col("quality_score").alias("q"),
+        )
+        # freeze the narrow frame: TWO consumers below (dup counts +
+        # the join back), and the regex-heavy score/norm projections
+        # must not re-run — nor be CollapseProject-inlined — per
+        # consumer (the q145 lesson; measured 25.3 -> ~8 s at sf1)
+        .localCheckpoint(eager=False)
+    )
+    dup = scored.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("grp")
+    )
+    flagged = scored.join(dup, "fp").select(
+        "doc_id", "q", (F.col("grp") > 1).cast("int").alias("is_dup")
+    )
+    r = group_ranked(flagged, [], "q", tiebreak=["doc_id", "is_dup"])
+    binned = r.select(
+        F.col("_v").alias("q"),
+        F.col("is_dup"),
+        ((F.col("_rn") - 1) * 10 / F.col("_n")).cast("long").alias("b"),
+    )
+    return binned.groupBy((F.col("b") + 1).cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("q") * 1000000).cast("long"))
+            / (F.lit(1000000.0) * F.count(F.lit(1))),
+            6,
+        ).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("is_dup").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
