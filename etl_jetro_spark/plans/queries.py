@@ -19668,3 +19668,476 @@ def q345_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_dup").cast("double")) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q346_wilcoxon_signed_rank",
+    """
+    WITH pr AS (
+      SELECT l_orderkey,
+             max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
+             max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2
+      FROM lineitem WHERE l_linenumber IN (1, 2) GROUP BY 1
+    ),
+    dd AS (
+      SELECT CAST(q1 - q2 AS BIGINT) AS d FROM pr
+      WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 <> q2
+    ),
+    pv AS (
+      SELECT abs(d) AS a,
+             CAST(count(*) AS BIGINT) AS nv,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS posv
+      FROM dd GROUP BY 1
+    ),
+    ranked AS (
+      SELECT a, nv, posv,
+             CAST(coalesce(sum(nv) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM pv
+    ),
+    s AS (
+      SELECT CAST(sum(nv) AS BIGINT) AS n,
+             CAST(sum(CAST(posv AS HUGEINT) * (2 * cum + nv + 1))
+                  AS DOUBLE) AS twow,
+             CAST(sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS DOUBLE) AS tie
+      FROM ranked
+    )
+    SELECT n AS n_pairs,
+           round(twow / 2.0, 1) AS w_plus,
+           round((twow - n * (n + 1.0) / 2.0)
+                 / (2.0 * sqrt((2.0 * n * (n + 1.0) * (2.0 * n + 1.0) - tie)
+                               / 48.0)), 4) AS z,
+           round(((twow - n * (n + 1.0) / 2.0)
+                 / (2.0 * sqrt((2.0 * n * (n + 1.0) * (2.0 * n + 1.0) - tie)
+                               / 48.0)))
+                 / sqrt(CAST(n AS DOUBLE)), 6) AS effect_r
+    FROM s
+    """,
+)
+def q346_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (paired, tie-corrected): within each
+    order, does line 1 ship a different quantity than line 2? The
+    paired difference d = q1 - q2 is an exact integer on the BOUNDED
+    domain [-49, 49], so — like q331's rank-sum — the rank statistic
+    needs NO global sort: nonzero |d| values reduce to a <=49-row
+    value frame, average ranks come from a broadcast non-equi cumsum
+    on that frame, and 2*W+ / the tie term stay exact integers
+    (decimal-summed: at 100 TB n ~ 1e9 pairs and posv*(2cum+nv+1)
+    ~ 4n^2 overflows BIGINT). z and the effect size r = z/sqrt(n) are
+    assembled from the exact integers with the identical float
+    expression on both engines. One orderkey shuffle end to end."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber").isin(1, 2)
+    )
+    pr = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))).alias("q1"),
+        F.max(F.when(F.col("l_linenumber") == 2, F.col("l_quantity"))).alias("q2"),
+    )
+    d = (
+        pr.filter(
+            F.col("q1").isNotNull()
+            & F.col("q2").isNotNull()
+            & (F.col("q1") != F.col("q2"))
+        )
+        .select((F.col("q1") - F.col("q2")).cast("long").alias("d"))
+    )
+    pv = d.groupBy(F.abs(F.col("d")).alias("a")).agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("posv"),
+    )
+    b = pv.select(F.col("a").alias("ba"), F.col("nv").alias("bnv"))
+    ranked = (
+        pv.join(bcast_small(b), F.col("ba") < F.col("a"), "left")
+        .groupBy("a", "nv", "posv")
+        .agg(F.coalesce(F.sum("bnv"), F.lit(0)).alias("cum"))
+    )
+    nvd = F.col("nv").cast("decimal(19,0)")
+    s = ranked.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(
+            F.col("posv").cast("decimal(19,0)")
+            * (2 * F.col("cum") + F.col("nv") + 1).cast("decimal(19,0)")
+        ).cast("double").alias("twow"),
+        F.sum(nvd * nvd * nvd - F.col("nv")).cast("double").alias("tie"),
+    )
+    n = F.col("n")
+    num = F.col("twow") - n * (n + F.lit(1.0)) / F.lit(2.0)
+    sig2 = (
+        F.lit(2.0) * n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0))
+        - F.col("tie")
+    ) / F.lit(48.0)
+    z = num / (F.lit(2.0) * F.sqrt(sig2))
+    return s.select(
+        n.alias("n_pairs"),
+        F.round(F.col("twow") / F.lit(2.0), 1).alias("w_plus"),
+        F.round(z, 4).alias("z"),
+        F.round(z / F.sqrt(n.cast("double")), 6).alias("effect_r"),
+    )
+
+
+@query(
+    "q347_brown_forsythe_variance",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+    ),
+    med AS (
+      SELECT flag, quantile_cont(cents, 0.5) AS med FROM v GROUP BY 1
+    ),
+    z AS (
+      SELECT v.flag,
+             abs(2 * v.cents - CAST(round(2 * m.med) AS BIGINT)) AS z2
+      FROM v JOIN med m ON v.flag = m.flag
+    ),
+    g AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z2) AS HUGEINT) AS s1,
+             sum(CAST(z2 AS HUGEINT) * z2) AS s2
+      FROM z GROUP BY 1
+    ),
+    one AS (
+      SELECT max(CASE WHEN flag = 'A' THEN n END) AS na,
+             max(CASE WHEN flag = 'N' THEN n END) AS nn,
+             max(CASE WHEN flag = 'R' THEN n END) AS nr,
+             CAST(max(CASE WHEN flag = 'A' THEN s1 END) AS DOUBLE) AS s1a,
+             CAST(max(CASE WHEN flag = 'N' THEN s1 END) AS DOUBLE) AS s1n,
+             CAST(max(CASE WHEN flag = 'R' THEN s1 END) AS DOUBLE) AS s1r,
+             CAST(max(CASE WHEN flag = 'A' THEN s2 END) AS DOUBLE) AS s2a,
+             CAST(max(CASE WHEN flag = 'N' THEN s2 END) AS DOUBLE) AS s2n,
+             CAST(max(CASE WHEN flag = 'R' THEN s2 END) AS DOUBLE) AS s2r,
+             CAST(max(CASE WHEN flag = 'A' THEN s1 END)
+                  + max(CASE WHEN flag = 'N' THEN s1 END)
+                  + max(CASE WHEN flag = 'R' THEN s1 END) AS DOUBLE) AS s1t,
+             CAST(sum(n) AS BIGINT) AS nt
+      FROM g
+    ),
+    f AS (
+      SELECT round(
+               (((s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr)
+                 - s1t * s1t / nt) / 2.0)
+               / ((((s2a - s1a * s1a / na) + (s2n - s1n * s1n / nn))
+                   + (s2r - s1r * s1r / nr)) / (nt - 3.0)),
+               4) AS bf_f
+      FROM one
+    )
+    SELECT g.flag AS l_returnflag,
+           g.n AS n_items,
+           CAST(round(2 * m.med) AS BIGINT) AS median_cents_x2,
+           round(CAST(g.s1 AS DOUBLE) / (2.0 * g.n), 4) AS mean_absdev_cents,
+           f.bf_f
+    FROM g JOIN med m ON g.flag = m.flag CROSS JOIN f
+    """,
+)
+def q347_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test: do the A/N/R return classes have equal price SPREAD, not just
+    equal means (q320's ANOVA tests means)? Exactness discipline:
+    prices are exact 2-dp -> cents are exact BIGINTs; the per-group
+    exact median (operators/aggregate.exact_group_percentiles — the
+    range-partitioned parallel sort, no task ever holds a group) at
+    p=0.5 is half-cent-exact, so z = |2*cents - 2*median| is an exact
+    integer. Group sums of z and z^2 stay exact (decimal on Spark,
+    HUGEINT on DuckDB — z^2 sums reach ~1e21 at sf1, past BIGINT at
+    100 TB); the F statistic is assembled from the exact sufficient
+    statistics in ONE fixed-order scalar expression (k=3 groups pivoted
+    to a single row), so no float SUM ever depends on engine iteration
+    order — the q195 lesson applied to a ratio-of-sums statistic.
+
+    Plan shape: ONE range-partition sort of the cents frame
+    (operators/aggregate.group_ranked, checkpointed) feeds BOTH the
+    median rank-probe AND the |z| sufficient-statistics pass — the
+    naive exact_group_percentiles-then-rejoin form re-scanned and
+    re-shuffled lineitem a second time for z (measured 9.2 -> ~7 s
+    at sf0.1)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N", "R")
+    )
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = group_ranked(v, ["flag"], "cents")
+    # type-7 median x2, exact: ranks lo = (n+1) div 2, hi = (n+2) div 2
+    # collapse to lo = hi for odd n, so vlo + vhi is 2*median either way
+    lo = ((F.col("_n") + 1) / 2).cast("long")
+    hi = ((F.col("_n") + 2) / 2).cast("long")
+    med = (
+        ranked.filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        .groupBy("flag")
+        .agg(
+            (
+                F.max(F.when(F.col("_rn") == lo, F.col("_v")))
+                + F.max(F.when(F.col("_rn") == hi, F.col("_v")))
+            ).alias("m2")
+        )
+    )
+    z = ranked.join(bcast_small(med), "flag").select(
+        "flag", F.abs(2 * F.col("_v") - F.col("m2")).alias("z2")
+    )
+    z2d = F.col("z2").cast("decimal(19,0)")
+    g = z.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("z2").cast("decimal(20,0)")).alias("s1"),
+        F.sum(z2d * z2d).alias("s2"),
+    )
+
+    def pick(col: str, flag: str):
+        return F.max(F.when(F.col("flag") == flag, F.col(col)))
+
+    one = g.agg(
+        pick("n", "A").alias("na"),
+        pick("n", "N").alias("nn"),
+        pick("n", "R").alias("nr"),
+        pick("s1", "A").cast("double").alias("s1a"),
+        pick("s1", "N").cast("double").alias("s1n"),
+        pick("s1", "R").cast("double").alias("s1r"),
+        pick("s2", "A").cast("double").alias("s2a"),
+        pick("s2", "N").cast("double").alias("s2n"),
+        pick("s2", "R").cast("double").alias("s2r"),
+        (pick("s1", "A") + pick("s1", "N") + pick("s1", "R"))
+        .cast("double")
+        .alias("s1t"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    s1a, s1n, s1r = F.col("s1a"), F.col("s1n"), F.col("s1r")
+    na, nn, nr, nt = F.col("na"), F.col("nn"), F.col("nr"), F.col("nt")
+    ssb = (
+        s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr
+    ) - F.col("s1t") * F.col("s1t") / nt
+    ssw = (
+        (F.col("s2a") - s1a * s1a / na)
+        + (F.col("s2n") - s1n * s1n / nn)
+    ) + (F.col("s2r") - s1r * s1r / nr)
+    f = one.select(
+        F.round(
+            (ssb / F.lit(2.0)) / (ssw / (nt - F.lit(3.0))), 4
+        ).alias("bf_f")
+    )
+    return (
+        g.join(bcast_small(med), "flag")
+        .crossJoin(bcast_small(f))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").alias("n_items"),
+            F.col("m2").cast("long").alias("median_cents_x2"),
+            F.round(
+                F.col("s1").cast("double") / (F.lit(2.0) * F.col("n")), 4
+            ).alias("mean_absdev_cents"),
+            F.col("bf_f"),
+        )
+    )
+
+
+@query(
+    "q348_kendall_tau_parts",
+    """
+    WITH g AS (
+      SELECT p_brand AS b, p_size AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS yc
+      FROM part GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT CASE WHEN a.s < b.s THEN 1
+                  WHEN a.s > b.s THEN -1 ELSE 0 END AS sx,
+             CASE WHEN CAST(a.yc AS HUGEINT) * b.n
+                       > CAST(b.yc AS HUGEINT) * a.n THEN 1
+                  WHEN CAST(a.yc AS HUGEINT) * b.n
+                       < CAST(b.yc AS HUGEINT) * a.n THEN -1
+                  ELSE 0 END AS sy
+      FROM g a JOIN g b
+        ON (a.b < b.b) OR (a.b = b.b AND a.s < b.s)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tx,
+             CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ty,
+             CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tb
+      FROM pr
+    )
+    SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+           tx AS ties_x, ty AS ties_y, tb AS ties_both,
+           round((c - d) / sqrt((n0 - tx - tb) * 1.0 * (n0 - ty - tb)), 6)
+             AS tau_b
+    FROM s
+    """,
+)
+def q348_kendall_tau_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (complements q314's Spearman —
+    tau counts inversions, is robust to the monotone-transform choice,
+    and has the tie-b correction built in): does part size move with
+    mean retail price across (brand, size) cells? Scale shape: the
+    correlation runs on the SUFFICIENT-STATISTICS frame (one row per
+    (p_brand, p_size) — enum-bounded at <=25x50 rows at ANY corpus
+    size), so the O(cells^2) pair join is a constant-bounded broadcast
+    self-join, never a data-sized all-pairs. Mean comparisons are
+    exact cross-multiplications (yc_a*n_b vs yc_b*n_a, decimal-widened
+    — cents-sums reach ~1e15 and counts ~1e8 at 100 TB, so the product
+    passes BIGINT); concordant/discordant/tie counts are exact
+    integers and tau_b is one identical float expression on both
+    engines."""
+    p = load(spark, sf_dir, "part")
+    g = p.groupBy(
+        F.col("p_brand").alias("b"), F.col("p_size").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+        ).cast("long").alias("yc"),
+    )
+    a = g.select(
+        F.col("b").alias("ab"), F.col("s").alias("asz"),
+        F.col("n").alias("an"), F.col("yc").alias("ayc"),
+    )
+    bb = g.select(
+        F.col("b").alias("bb"), F.col("s").alias("bsz"),
+        F.col("n").alias("bn"), F.col("yc").alias("byc"),
+    )
+    cross_a = F.col("ayc").cast("decimal(19,0)") * F.col("bn").cast(
+        "decimal(19,0)"
+    )
+    cross_b = F.col("byc").cast("decimal(19,0)") * F.col("an").cast(
+        "decimal(19,0)"
+    )
+    # bcast_sized, not bcast_small: the frame saturates at the 25x50
+    # brand/size enum ceiling but is still growing between the lint's
+    # two measurement SFs; the size gate keeps the broadcast measured.
+    pr = a.join(
+        bcast_sized(bb),
+        (F.col("ab") < F.col("bb"))
+        | ((F.col("ab") == F.col("bb")) & (F.col("asz") < F.col("bsz"))),
+    ).select(
+        F.when(F.col("asz") < F.col("bsz"), 1)
+        .when(F.col("asz") > F.col("bsz"), -1)
+        .otherwise(0)
+        .alias("sx"),
+        F.when(cross_a > cross_b, 1)
+        .when(cross_a < cross_b, -1)
+        .otherwise(0)
+        .alias("sy"),
+    )
+    s = pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0))
+        .cast("long").alias("d"),
+        F.sum(
+            F.when((F.col("sx") == 0) & (F.col("sy") != 0), 1).otherwise(0)
+        ).cast("long").alias("tx"),
+        F.sum(
+            F.when((F.col("sy") == 0) & (F.col("sx") != 0), 1).otherwise(0)
+        ).cast("long").alias("ty"),
+        F.sum(
+            F.when((F.col("sx") == 0) & (F.col("sy") == 0), 1).otherwise(0)
+        ).cast("long").alias("tb"),
+    )
+    n0, c, d = F.col("n0"), F.col("c"), F.col("d")
+    tx, ty, tb = F.col("tx"), F.col("ty"), F.col("tb")
+    return s.select(
+        n0.alias("n_pairs"),
+        c.alias("concordant"),
+        d.alias("discordant"),
+        tx.alias("ties_x"),
+        ty.alias("ties_y"),
+        tb.alias("ties_both"),
+        F.round(
+            (c - d)
+            / F.sqrt((n0 - tx - tb) * F.lit(1.0) * (n0 - ty - tb)),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "q349_lone_late_supplier",
+    """
+    WITH x AS (
+      SELECT l.l_suppkey AS sk, l.l_orderkey AS ok,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+      SELECT ok,
+             count(DISTINCT sk) AS nsup,
+             count(DISTINCT CASE WHEN late = 1 THEN sk END) AS nlate,
+             max(CASE WHEN late = 1 THEN sk END) AS lone
+      FROM x GROUP BY 1
+    ),
+    w AS (
+      SELECT lone AS sk, CAST(count(*) AS BIGINT) AS numwait
+      FROM per WHERE nsup >= 2 AND nlate = 1 GROUP BY 1
+    )
+    SELECT s.s_name, w.numwait
+    FROM w JOIN supplier s ON w.sk = s.s_suppkey
+    ORDER BY w.numwait DESC, s.s_name
+    LIMIT 15
+    """,
+)
+def q349_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (waiting-supplier audit): suppliers who were the
+    ONLY late shipper (shipdate > orderdate + 75 days) in a
+    multi-supplier order — the classic exists/not-exists correlated
+    pair (reference semantics: dbgen Q21). Rewritten as what the
+    decorrelated plan SHOULD be: ONE aggregation per order computes
+    (distinct suppliers, distinct late suppliers, the lone late key),
+    so both EXISTS probes collapse into the same orderkey shuffle the
+    lineitem x orders equi-join already runs — no second/third
+    lineitem scan, no anti-join cascade. The per-supplier tally is
+    metadata-sized, the name join broadcasts, and the top-15 is a
+    TakeOrdered with a full (numwait DESC, s_name) tiebreak so the
+    LIMIT cut is deterministic on both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    x = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        F.when(
+            F.col("l_shipdate")
+            > F.expr("timestampadd(DAY, 75, o_orderdate)"),
+            1,
+        ).otherwise(0).alias("late"),
+    )
+    per = x.groupBy("ok").agg(
+        F.countDistinct("sk").alias("nsup"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("sk"))
+        ).alias("nlate"),
+        F.max(F.when(F.col("late") == 1, F.col("sk"))).alias("lone"),
+    )
+    w = (
+        per.filter((F.col("nsup") >= 2) & (F.col("nlate") == 1))
+        .groupBy(F.col("lone").alias("sk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_name"
+    )
+    return (
+        w.join(bcast_sized(sup), "sk")
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(15)
+    )
