@@ -19947,12 +19947,14 @@ def q347_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part GROUP BY 1, 2
     ),
     pr AS (
+      -- both signs oriented a->b: sx = sign(x_b - x_a),
+      -- sy = sign(ybar_b - ybar_a) via exact cross-multiplication
       SELECT CASE WHEN a.s < b.s THEN 1
                   WHEN a.s > b.s THEN -1 ELSE 0 END AS sx,
-             CASE WHEN CAST(a.yc AS HUGEINT) * b.n
-                       > CAST(b.yc AS HUGEINT) * a.n THEN 1
-                  WHEN CAST(a.yc AS HUGEINT) * b.n
-                       < CAST(b.yc AS HUGEINT) * a.n THEN -1
+             CASE WHEN CAST(b.yc AS HUGEINT) * a.n
+                       > CAST(a.yc AS HUGEINT) * b.n THEN 1
+                  WHEN CAST(b.yc AS HUGEINT) * a.n
+                       < CAST(a.yc AS HUGEINT) * b.n THEN -1
                   ELSE 0 END AS sy
       FROM g a JOIN g b
         ON (a.b < b.b) OR (a.b = b.b AND a.s < b.s)
@@ -20023,12 +20025,16 @@ def q348_kendall_tau_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ab") < F.col("bb"))
         | ((F.col("ab") == F.col("bb")) & (F.col("asz") < F.col("bsz"))),
     ).select(
+        # both signs oriented a->b (sx = sign(x_b - x_a), sy =
+        # sign(ybar_b - ybar_a)): a mismatched orientation silently
+        # flips tau's sign on BOTH engines — caught by the
+        # textbook-value oracle test, not by engine parity
         F.when(F.col("asz") < F.col("bsz"), 1)
         .when(F.col("asz") > F.col("bsz"), -1)
         .otherwise(0)
         .alias("sx"),
-        F.when(cross_a > cross_b, 1)
-        .when(cross_a < cross_b, -1)
+        F.when(cross_b > cross_a, 1)
+        .when(cross_b < cross_a, -1)
         .otherwise(0)
         .alias("sy"),
     )
