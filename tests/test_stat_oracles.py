@@ -159,3 +159,192 @@ def test_lone_late_supplier_micro_case():
     assert len(out) == 1
     assert out.iloc[0]["s_name"] == "Supplier#10"
     assert out.iloc[0]["numwait"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Retroactive audit of the OLDER statistical oracles (same rationale: a
+# shared-formula bug passes the engine-parity gate by construction).
+# Each expectation below is derived independently in plain Python from
+# the standard definition, never by re-running the SQL's algebra.
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_orientation_and_value():
+    # R quantities strictly above N: U1 must be maximal and z POSITIVE
+    li = pd.DataFrame(
+        [("R", 3.0), ("R", 4.0), ("N", 1.0), ("N", 2.0)],
+        columns=["l_returnflag", "l_quantity"],
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q331_mann_whitney_u").iloc[0]
+    n1 = n2 = 2
+    r1 = 3 + 4  # ranks of the R group (values 3, 4 rank 3rd, 4th)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    sigma = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)  # no ties
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["u1"] == u1
+    assert out["z"] == round(z, 4) and out["z"] > 0
+    assert out["effect_r"] == round(z / math.sqrt(n1 + n2), 6)
+
+
+def test_kruskal_wallis_tie_corrected_value():
+    groups = {"A": [1.0, 2.0], "N": [2.0, 3.0], "R": [3.0, 3.0]}
+    li = pd.DataFrame(
+        [(g, v) for g, vs in groups.items() for v in vs],
+        columns=["l_returnflag", "l_quantity"],
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q337_kruskal_wallis_h").iloc[0]
+
+    # independent tie-corrected H: average ranks over the pooled sample
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    avg_rank = {
+        v: sum(i + 1 for i, x in enumerate(pooled) if x == v)
+        / pooled.count(v)
+        for v in set(pooled)
+    }
+    rsum = {g: sum(avg_rank[v] for v in vs) for g, vs in groups.items()}
+    h_raw = 12.0 / (n * (n + 1)) * sum(
+        r * r / len(groups[g]) for g, r in rsum.items()
+    ) - 3 * (n + 1)
+    ties = sum(
+        pooled.count(v) ** 3 - pooled.count(v) for v in set(pooled)
+    )
+    h = h_raw / (1 - ties / float(n**3 - n))
+    k = len(groups)
+    assert out["n_groups"] == k and out["n"] == n
+    assert out["h"] == round(h, 4)
+    assert out["epsilon_sq"] == round((h - k + 1) / (n - k), 6)
+
+
+def test_spearman_perfect_monotone_is_one():
+    # diversity ratio and n_chars increase together -> rho = +1
+    docs = pd.DataFrame(
+        [
+            (1, "a a a a", 10),
+            (2, "a b a b", 20),
+            (3, "a b c d", 30),
+        ],
+        columns=["doc_id", "text", "n_chars"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q314_length_diversity_spearman").iloc[0]
+    assert out["n_docs"] == 3
+    assert out["spearman_rho"] == 1.0
+
+
+def test_ks_two_sample_statistic():
+    # hi = {1, 3}, lo = {2, 4}: ECDF gap peaks at 0.5
+    orders = pd.DataFrame(
+        [
+            (1.0, "1-URGENT"),
+            (3.0, "2-HIGH"),
+            (2.0, "5-LOW"),
+            (4.0, "5-LOW"),
+        ],
+        columns=["o_totalprice", "o_orderpriority"],
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    out = _run(con, "q213_ks_test").iloc[0]
+    assert out["n_high"] == 2 and out["n_low"] == 2
+    assert out["ks_stat"] == 0.5
+    crit = 1.36 * math.sqrt((2 + 2) / (2.0 * 2))
+    assert out["critical_05"] == round(crit, 6)
+    assert not out["reject_05"]
+
+
+def test_ab_test_welch_z_orientation():
+    import hashlib
+
+    # find user ids that hash into each arm (oracle: first md5 hex digit
+    # of 'ab:<uid>' even -> A, odd -> B)
+    def arm(uid: int) -> str:
+        d = hashlib.md5(f"ab:{uid}".encode()).hexdigest()[0]
+        return "A" if int(d, 16) % 2 == 0 else "B"
+
+    a_ids = [u for u in range(100) if arm(u) == "A"][:3]
+    b_ids = [u for u in range(100) if arm(u) == "B"][:3]
+    a_vals, b_vals = [1.0, 2.0, 3.0], [5.0, 6.0, 10.0]
+    rows = [("click", v, u) for v, u in zip(a_vals, a_ids)] + [
+        ("click", v, u) for v, u in zip(b_vals, b_ids)
+    ]
+    events = pd.DataFrame(rows, columns=["event_type", "value", "user_id"])
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q160_ab_test").iloc[0]
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    def var_samp(xs):
+        m = mean(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    z = (mean(b_vals) - mean(a_vals)) / math.sqrt(
+        var_samp(a_vals) / len(a_vals) + var_samp(b_vals) / len(b_vals)
+    )
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert out["diff"] == round(mean(b_vals) - mean(a_vals), 6)
+    assert out["z"] == round(z, 6) and out["z"] > 0  # B above A => z > 0
+    assert out["mean_a"] == round(mean(a_vals), 6)
+    assert out["mean_b"] == round(mean(b_vals), 6)
+
+
+def test_theil_sen_median_pairwise_slope():
+    # one supplier, revenues 100/200/400 dollars in consecutive months:
+    # slopes {100, 150, 200} $/month -> median 150
+    t = [pd.Timestamp(f"2000-0{m}-15") for m in (1, 2, 3)]
+    li = pd.DataFrame(
+        [
+            (7, t[0], 100.0, 0.0),
+            (7, t[1], 200.0, 0.0),
+            (7, t[2], 400.0, 0.0),
+        ],
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q328_theil_sen_trend").iloc[0]
+    assert out["l_suppkey"] == 7
+    assert out["n_months"] == 3 and out["n_pairs"] == 3
+    assert out["ts_slope"] == 150.0
+
+
+def test_anova_f_pooled_over_dimensions():
+    # 2 labels x 2 vectors x 2 dims; expectations via the standard
+    # per-dimension one-way ANOVA sums, pooled across dimensions
+    emb = pd.DataFrame(
+        [
+            ("a", [0.0, 0.0]),
+            ("a", [2.0, 2.0]),
+            ("b", [10.0, 0.0]),
+            ("b", [12.0, 2.0]),
+        ],
+        columns=["label", "embedding"],
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q320_label_anova_f").iloc[0]
+
+    cols = {"a": [[0.0, 2.0], [0.0, 2.0]], "b": [[10.0, 12.0], [0.0, 2.0]]}
+    ssb = ssw = 0.0
+    for dim in range(2):
+        allv = cols["a"][dim] + cols["b"][dim]
+        grand = sum(allv) / len(allv)
+        for lab in ("a", "b"):
+            xs = cols[lab][dim]
+            m = sum(xs) / len(xs)
+            ssb += len(xs) * (m - grand) ** 2
+            ssw += sum((x - m) ** 2 for x in xs)
+    k, n_vecs, d = 2, 4, 2
+    dfb, dfw = (k - 1) * d, (n_vecs - k) * d
+    assert out["df_between"] == dfb and out["df_within"] == dfw
+    assert out["ss_between"] == round(ssb, 4)
+    assert out["ss_within"] == round(ssw, 4)
+    assert out["f_stat"] == round((ssb / dfb) / (ssw / dfw), 6)
