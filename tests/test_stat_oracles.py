@@ -348,3 +348,245 @@ def test_anova_f_pooled_over_dimensions():
     assert out["ss_between"] == round(ssb, 4)
     assert out["ss_within"] == round(ssw, 4)
     assert out["f_stat"] == round((ssb / dfb) / (ssw / dfw), 6)
+
+
+# ---------------------------------------------------------------------------
+# Audit wave 2: inequality / causal-adjustment / resampling / information
+# oracles. Same contract — expectations derived from the standard
+# definitions in plain Python, never from the SQL's own algebra. Where a
+# query embeds a deterministic sharding/binning rule (md5 buckets, rank
+# deciles), the rule is replicated to BUILD the input partition, but the
+# STATISTIC on top of it is computed independently.
+# ---------------------------------------------------------------------------
+
+
+def test_theil_decomposition_identity_and_values():
+    # two nations; per-customer order totals chosen integer-cent exact
+    orders = pd.DataFrame(
+        [
+            (1, 100, 10.0), (2, 101, 20.0),          # nation 0
+            (3, 200, 10.0), (4, 201, 40.0), (5, 202, 10.0),  # nation 1
+        ],
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = pd.DataFrame(
+        [(100, 0), (101, 0), (200, 1), (201, 1), (202, 1)],
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = pd.DataFrame(
+        [(0, "N0"), (1, "N1")], columns=["n_nationkey", "n_name"]
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("customer", customer)
+    con.register("nation", nation)
+    out = _run(con, "q343_theil_decomposition").set_index("nation")
+
+    # independent Theil on per-customer revenue in cents
+    groups = {"N0": [1000, 2000], "N1": [1000, 4000, 1000]}
+    allv = [v for vs in groups.values() for v in vs]
+    n, x = len(allv), sum(allv)
+    mu = x / n
+    total_theil = sum((v / x) * math.log(v / mu) for v in allv)
+    between = within = 0.0
+    for name, vs in groups.items():
+        ng, xg = len(vs), sum(vs)
+        mug = xg / ng
+        tg = sum((v / xg) * math.log(v / mug) for v in vs)
+        share = xg / x
+        assert out.loc[name]["rev_share"] == round(share, 6)
+        assert out.loc[name]["theil_within"] == round(tg, 6)
+        assert out.loc[name]["between_contrib"] == round(
+            share * math.log(mug / mu), 6
+        )
+        assert out.loc[name]["within_contrib"] == round(share * tg, 6)
+        between += share * math.log(mug / mu)
+        within += share * tg
+    # decomposition identity: T = T_between + T_within
+    assert abs((between + within) - total_theil) < 1e-12
+
+
+def test_cuped_theta_and_adjustment():
+    # three users, one pre-half and one post-half event each
+    t0, t1 = pd.Timestamp("2000-01-01"), pd.Timestamp("2000-01-02")
+    pre = {1: 1.0, 2: 2.0, 3: 4.0}
+    post = {1: 3.0, 2: 5.0, 3: 8.0}
+    rows = [(u, v, t0) for u, v in pre.items()] + [
+        (u, v, t1) for u, v in post.items()
+    ]
+    events = pd.DataFrame(rows, columns=["user_id", "value", "ts"])
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q161_cuped_adjustment").set_index("user_id")
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    mp, mq = mean(list(pre.values())), mean(list(post.values()))
+    cov = sum(
+        (pre[u] - mp) * (post[u] - mq) for u in pre
+    ) / (len(pre) - 1)
+    var = sum((pre[u] - mp) ** 2 for u in pre) / (len(pre) - 1)
+    theta = cov / var
+    for u in pre:
+        expected = post[u] - theta * (pre[u] - mp)
+        assert out.loc[u]["post_cuped"] == round(expected, 6)
+
+
+def test_jackknife_delete_one_group_se():
+    import hashlib
+
+    # replicate the query's md5 bucket rule to group, then compute the
+    # delete-one-bucket jackknife independently
+    orders = pd.DataFrame(
+        [(k, float(10 * k)) for k in range(1, 41)],
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    out = _run(con, "q209_jackknife_ci").iloc[0]
+
+    def bucket(k: int) -> int:
+        return int(hashlib.md5(f"jk:{k}".encode()).hexdigest()[:8], 16) % 50
+
+    from collections import defaultdict
+
+    b = defaultdict(list)
+    for k in range(1, 41):
+        b[bucket(k)].append(10.0 * k)
+    n = 40
+    s = sum(v for vs in b.values() for v in vs)
+    loo = [
+        (s - sum(vs)) / (n - len(vs)) for vs in b.values()
+    ]
+    m_bar = sum(loo) / len(loo)
+    ss = sum((m - m_bar) ** 2 for m in loo)
+    se = math.sqrt((len(b) - 1.0) / len(b) * ss)
+    assert out["n"] == n
+    assert out["n_buckets"] == len(b)
+    assert out["mean"] == round(s / n, 4)
+    assert out["jackknife_se"] == round(se, 4)
+    assert out["ci_lo"] == round(s / n - 1.96 * se, 4)
+    assert out["ci_hi"] == round(s / n + 1.96 * se, 4)
+
+
+def test_srm_chi2_equal_split():
+    import hashlib
+
+    def arm(uid: int) -> str:
+        d = hashlib.md5(f"ab:{uid}".encode()).hexdigest()[0]
+        return "A" if int(d, 16) % 2 == 0 else "B"
+
+    a_ids = [u for u in range(200) if arm(u) == "A"][:12]
+    b_ids = [u for u in range(200) if arm(u) == "B"][:3]
+    rows = [("view", 1.0, u) for u in a_ids + b_ids]
+    events = pd.DataFrame(rows, columns=["event_type", "value", "user_id"])
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q237_srm_check").iloc[0]
+    na, nb = 12, 3
+    chi2 = (na - nb) ** 2 / (na + nb)  # 81/15 = 5.4 > 3.841
+    assert out["na"] == na and out["nb"] == nb
+    assert out["chi2"] == round(chi2, 6)
+    assert bool(out["srm_detected"]) is True
+
+
+def test_categorical_mutual_information():
+    # 2x2 contingency with known MI
+    docs = []
+    did = 0
+    for lang, source, count in [
+        ("en", "web", 4), ("en", "book", 1),
+        ("fr", "web", 1), ("fr", "book", 4),
+    ]:
+        for _ in range(count):
+            did += 1
+            docs.append((did, lang, source))
+    d = pd.DataFrame(docs, columns=["doc_id", "lang", "source"])
+    con = duckdb.connect()
+    con.register("documents", d)
+    out = _run(con, "q192_categorical_mi").iloc[0]
+
+    n = 10.0
+    nij = {("en", "web"): 4, ("en", "book"): 1,
+           ("fr", "web"): 1, ("fr", "book"): 4}
+    ni = {"en": 5, "fr": 5}
+    nj = {"web": 5, "book": 5}
+    mi = sum(
+        (c / n) * math.log(c * n / (ni[l] * nj[s]))
+        for (l, s), c in nij.items()
+    )
+    h_l = -sum((c / n) * math.log(c / n) for c in ni.values())
+    h_s = -sum((c / n) * math.log(c / n) for c in nj.values())
+    assert out["n_docs"] == 10
+    assert out["mi"] == round(mi, 6)
+    assert out["h_lang"] == round(h_l, 6)
+    assert out["h_source"] == round(h_s, 6)
+    assert out["nmi"] == round(mi / math.sqrt(h_l * h_s), 6)
+
+
+def test_woe_iv_decile_values():
+    # 40 rows -> 10 bins of 4; alternate y so lower bins skew negative,
+    # upper bins skew positive, no zero cells anywhere
+    rows = []
+    for i in range(40):
+        y_pattern = [0, 0, 0, 1] if i < 20 else [0, 1, 1, 1]
+        rows.append((float(i), y_pattern[i % 4]))
+    pri = {1: "1-URGENT", 0: "5-LOW"}
+    orders = pd.DataFrame(
+        [(v, pri[y]) for v, y in rows],
+        columns=["o_totalprice", "o_orderpriority"],
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    out = _run(con, "q222_woe_iv").set_index("bin")
+
+    # replicate the decile rule (rank by (v, y), 10 equal bins), then
+    # compute WOE/IV from the standard definition
+    ranked = sorted(rows)
+    tp = sum(y for _, y in rows)
+    tn = len(rows) - tp
+    for bin_i in range(10):
+        cell = ranked[bin_i * 4 : (bin_i + 1) * 4]
+        npos = sum(y for _, y in cell)
+        nneg = len(cell) - npos
+        woe = math.log((npos / tp) / (nneg / tn))
+        iv = (npos / tp - nneg / tn) * woe
+        assert out.loc[bin_i]["n_pos"] == npos
+        assert out.loc[bin_i]["n_neg"] == nneg
+        assert out.loc[bin_i]["woe"] == round(woe, 6)
+        assert out.loc[bin_i]["iv_term"] == round(iv, 6)
+
+
+def test_gini_sorted_formula():
+    # revenues [1,2,3,4] in one nation: G = 2*30/(4*10) - 5/4 = 0.25
+    orders = pd.DataFrame(
+        [(k, 100 + k, float(k)) for k in range(1, 5)],
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = pd.DataFrame(
+        [(100 + k, 7) for k in range(1, 5)],
+        columns=["c_custkey", "c_nationkey"],
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("customer", customer)
+    out = _run(con, "q163_revenue_gini").iloc[0]
+    assert out["nation"] == 7
+    assert out["n_customers"] == 4
+    assert out["gini"] == 0.25
+
+
+def test_group_regression_matches_ols():
+    # y = 3x + 5 exactly -> slope 3, intercept 5, r2 = 1
+    li = pd.DataFrame(
+        [("A", float(x), 3.0 * x + 5.0) for x in (1, 2, 3, 4)],
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q131_group_regression").iloc[0]
+    assert out["n"] == 4
+    assert out["slope"] == 3.0
+    assert out["intercept"] == 5.0
+    assert out["r2"] == 1.0
