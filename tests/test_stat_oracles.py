@@ -590,3 +590,87 @@ def test_group_regression_matches_ols():
     assert out["slope"] == 3.0
     assert out["intercept"] == 5.0
     assert out["r2"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Audit wave 3: time-series / robust-stats / drift oracles.
+# ---------------------------------------------------------------------------
+
+
+def test_autocorrelation_lag1_perfect_linear():
+    # daily revenue 1,2,3,4 on consecutive days: lag-1 pairs are
+    # ([1,2,3],[2,3,4]) -> corr exactly 1; lags 7/30 have no pairs
+    orders = pd.DataFrame(
+        [
+            (k, pd.Timestamp("2000-01-01") + pd.Timedelta(days=k), float(k + 1))
+            for k in range(4)
+        ],
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    out = _run(con, "q212_autocorrelation")
+    assert len(out) == 1  # only lag 1 has pairs
+    row = out.iloc[0]
+    assert row["lag_days"] == 1 and row["n_pairs"] == 3
+    assert row["autocorr"] == 1.0
+
+
+def test_distribution_drift_tvd():
+    # one event type; first half values all in bin 0, second half split
+    # between bins 0 and 9 -> TVD = 1/2 * (|1 - 0.5| + |0 - 0.5|) = 0.5
+    t0, t1 = pd.Timestamp("2000-01-01"), pd.Timestamp("2000-01-02")
+    rows = [
+        ("click", 0.0, t0), ("click", 0.0, t0),
+        ("click", 0.0, t1), ("click", 10.0, t1),
+    ]
+    events = pd.DataFrame(rows, columns=["event_type", "value", "ts"])
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q142_distribution_drift").iloc[0]
+    assert out["tvd"] == 0.5
+
+
+def test_mad_outlier_census():
+    # values [1,2,3,4,100]: med 3, |d| = [2,1,0,1,97], MAD 1,
+    # outliers (|d| > 3*MAD): only 100
+    events = pd.DataFrame(
+        [("buy", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)],
+        columns=["event_type", "value"],
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q122_mad_outliers").iloc[0]
+    assert out["n"] == 5
+    assert out["med"] == 3.0
+    assert out["mad"] == 1.0
+    assert out["n_outliers"] == 1
+
+
+def test_group_zscore_values():
+    docs = pd.DataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 30)],
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q112_group_zscore").set_index("doc_id")
+    mu, sigma = 20.0, 10.0  # stddev_samp of [10,20,30]
+    for did, nc in [(1, 10), (2, 20), (3, 30)]:
+        assert out.loc[did]["z"] == round((nc - mu) / sigma, 4)
+
+
+def test_winsorized_mean_with_known_quantiles():
+    # values 0..20: quantile_cont(.05) = 1.0, (.95) = 19.0;
+    # clipped: {0 -> 1, 20 -> 19}; winsorized mean stays 10
+    events = pd.DataFrame(
+        [("buy", float(v)) for v in range(21)],
+        columns=["event_type", "value"],
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q133_winsorized_stats").iloc[0]
+    assert out["n"] == 21
+    assert out["n_clipped"] == 2
+    assert out["raw_mean"] == 10.0
+    assert out["winsor_mean"] == 10.0  # symmetric clip preserves mean
