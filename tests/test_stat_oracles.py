@@ -674,3 +674,138 @@ def test_winsorized_mean_with_known_quantiles():
     assert out["n_clipped"] == 2
     assert out["raw_mean"] == 10.0
     assert out["winsor_mean"] == 10.0  # symmetric clip preserves mean
+
+
+# ---------------------------------------------------------------------------
+# Audit wave 4: graph metrics and embedding geometry.
+# ---------------------------------------------------------------------------
+
+
+def _basket(order: int, parts: list[int]) -> list[tuple[int, int]]:
+    return [(order, p) for p in parts]
+
+
+def test_triangle_count_on_known_graphs():
+    # K3 on parts {1,2,3} (every pair co-occurs in TWO orders -> edges)
+    # plus a 4-cycle on {11,12,13,14} (edges, no diagonal) -> 1 triangle
+    rows = []
+    rows += _basket(1, [1, 2, 3]) + _basket(2, [1, 2, 3])
+    for o, (a, b) in enumerate(
+        [(11, 12), (12, 13), (13, 14), (11, 14)], start=10
+    ):
+        rows += _basket(2 * o, [a, b]) + _basket(2 * o + 1, [a, b])
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q156_triangle_count").iloc[0]
+    assert out["n_triangles"] == 1
+
+
+def test_clustering_coefficient_triangle_nodes():
+    rows = _basket(1, [1, 2, 3]) + _basket(2, [1, 2, 3])
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q158_clustering_coefficients").set_index("id")
+    for p in (1, 2, 3):
+        assert out.loc[p]["degree"] == 2
+        assert out.loc[p]["n_triangles"] == 1
+        assert out.loc[p]["coeff"] == 1.0
+
+
+def test_degree_assortativity_star_is_minus_one():
+    # star: center 10, leaves 11..13 (each co-purchase once -> edge)
+    rows = []
+    for o, leaf in enumerate([11, 12, 13], start=1):
+        rows += _basket(o, [10, leaf])
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q220_degree_assortativity").iloc[0]
+    assert out["n_edges"] == 3 and out["n_nodes"] == 4
+    assert out["assortativity"] == -1.0
+
+
+def test_silhouette_orthogonal_clusters():
+    emb = pd.DataFrame(
+        [
+            ("a", [1.0, 0.0]), ("a", [0.0, 1.0]),
+            ("b", [-1.0, 0.0]), ("b", [0.0, -1.0]),
+        ],
+        columns=["label", "embedding"],
+    )
+    emb.insert(0, "vec_id", range(1, 5))
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q295_label_silhouette").set_index("label")
+    own = 1 / math.sqrt(2)  # cos([1,0],[.5,.5])
+    for lab in ("a", "b"):
+        assert out.loc[lab]["n_vecs"] == 2
+        assert out.loc[lab]["avg_own_cos"] == round(own, 6)
+        assert out.loc[lab]["avg_best_other_cos"] == round(-own, 6)
+        assert out.loc[lab]["avg_margin"] == round(2 * own, 6)
+
+
+def _iso_vectors():
+    import numpy as np
+
+    vecs = np.zeros((4, 64))
+    vecs[0, 0], vecs[1, 0] = 2.0, -2.0
+    vecs[2, 1], vecs[3, 1] = 1.0, -1.0
+    return vecs
+
+
+def test_cov_isotropy_two_active_dims():
+    vecs = _iso_vectors()
+    emb = pd.DataFrame(
+        {"vec_id": range(1, 5), "embedding": [list(v) for v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q238_cov_isotropy").iloc[0]
+    # population covariance: var(dim0)=2, var(dim1)=0.5, all else 0.
+    # NB: 2.5/64 = 0.0390625 is an EXACTLY representable half-boundary:
+    # Python's round() banker-rounds it to ...62 while DuckDB and Spark
+    # both round half away from zero to ...63 (they agree with each
+    # other — the parity gate is safe; only a naive python round() in a
+    # test is not). Round half-away-from-zero here.
+    def round_away(x: float, nd: int) -> float:
+        q = 10**nd
+        return math.floor(abs(x) * q + 0.5) / q * (1 if x >= 0 else -1)
+
+    assert out["trace"] == 2.5
+    assert out["mean_variance"] == round_away(2.5 / 64, 6)
+    assert out["offdiag_frobenius"] == 0.0
+    assert out["offdiag_energy_frac"] == 0.0
+    assert out["max_var_ratio"] == round(2.0 / (2.5 / 64), 6)
+
+
+def test_top_principal_component_matches_numpy_power_iteration():
+    import numpy as np
+
+    vecs = _iso_vectors()
+    emb = pd.DataFrame(
+        {"vec_id": range(1, 5), "embedding": [list(v) for v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q228_top_principal_component")
+
+    # replicate the DEFINED procedure (3 power steps from constant
+    # 0.125 init) with numpy linear algebra instead of SQL joins
+    cov = np.cov(vecs.T, bias=True)
+    v = np.full(64, 0.125)
+    for _ in range(2):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    w = cov @ v
+    lam = np.linalg.norm(w)
+    v = w / lam
+    order = sorted(range(64), key=lambda i: (-abs(v[i]), i))[:5]
+    assert list(out["dim"]) == [i + 1 for i in order]  # SQL dims 1-based
+    for row, i in zip(out.itertuples(index=False), order):
+        assert row.loading == round(v[i], 6)
+        assert row.eigenvalue == round(lam, 6)
+    # 3 power steps from the flat init approach (not reach) the true
+    # top eigenvalue 2.0 — the contraction ratio here is 0.25/step
+    assert abs(lam - 2.0) < 0.01
