@@ -809,3 +809,93 @@ def test_top_principal_component_matches_numpy_power_iteration():
     # 3 power steps from the flat init approach (not reach) the true
     # top eigenvalue 2.0 — the contraction ratio here is 0.25/step
     assert abs(lam - 2.0) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Audit wave 5: experiment sizing, changepoint, Zipf fit, KMV sketch.
+# ---------------------------------------------------------------------------
+
+
+def test_ab_power_rule_of_16():
+    events = pd.DataFrame(
+        [("buy", 1.0), ("buy", 2.0), ("buy", 3.0)],
+        columns=["event_type", "value"],
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q233_ab_power_analysis").iloc[0]
+    mean, var = 2.0, 1.0  # var_samp of [1,2,3]
+    mde = 0.05 * mean
+    n_per_arm = math.ceil(16.0 * var / (mde * mde))
+    assert out["mean"] == mean and out["variance"] == var
+    assert out["mde"] == round(mde, 6)
+    assert out["n_per_arm"] == n_per_arm  # 1600
+    assert bool(out["feasible_now"]) is (2 * n_per_arm <= 3)
+
+
+def test_changepoint_step_series():
+    # daily totals [1,1,1,10,10,10]: the SSE-optimal split is after
+    # day 3 with full variance elimination
+    rows = []
+    for d, total in enumerate([1.0, 1.0, 1.0, 10.0, 10.0, 10.0]):
+        rows.append(
+            (d, pd.Timestamp("2000-01-01") + pd.Timedelta(days=d), total)
+        )
+    orders = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    out = _run(con, "q232_changepoint_detection").iloc[0]
+    assert str(out["split_day"])[:10] == "2000-01-03"
+    assert out["n_days_left"] == 3 and out["n_days_right"] == 3
+    assert out["mean_left"] == 1.0 and out["mean_right"] == 10.0
+    assert out["variance_reduction"] == 1.0
+
+
+def test_zipf_slope_ols_on_exact_power_law():
+    # token counts 8,4,2,1 at ranks 1..4: y = ln c vs x = ln r; OLS
+    # computed independently below
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = pd.DataFrame(
+        [(1, text, "en")], columns=["doc_id", "text", "lang"]
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q258_zipf_slope").iloc[0]
+
+    pts = [(math.log(r), math.log(c)) for r, c in
+           [(1, 8), (2, 4), (3, 2), (4, 1)]]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - sx * slope) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert out["lang"] == "en" and out["n_tokens"] == 4
+    assert out["slope"] == round(slope, 4)
+    assert out["intercept"] == round(intercept, 4)
+    assert out["r2"] == round(r2, 4)
+    assert out["slope"] < 0  # frequency falls with rank
+
+
+def test_kmv_exact_when_under_k():
+    # shingle sets smaller than k=32: the bottom-k union estimate
+    # degenerates to the EXACT Jaccard.
+    # S1: {a b c, b c d}; S2: {a b c, b c e} -> J = 1/3
+    docs = pd.DataFrame(
+        [
+            (1, "a b c d", "S1"),
+            (2, "a b c e", "S2"),
+        ],
+        columns=["doc_id", "text", "source"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q119_kmv_source_jaccard").iloc[0]
+    assert out["group_a"] == "S1" and out["group_b"] == "S2"
+    assert out["n_union_k"] == 3
+    assert out["est_jaccard"] == round(1 / 3, 6)
