@@ -899,3 +899,80 @@ def test_kmv_exact_when_under_k():
     assert out["group_a"] == "S1" and out["group_b"] == "S2"
     assert out["n_union_k"] == 3
     assert out["est_jaccard"] == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# Audit wave 6: entropy / divergence / concentration.
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_known_distributions():
+    docs = pd.DataFrame(
+        [(1, "a a b b"), (2, "a b c d")], columns=["doc_id", "text"]
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q134_token_entropy").set_index("doc_id")
+    # H = ln N - (1/N) sum c ln c (nats)
+    assert out.loc[1]["n_tokens"] == 4 and out.loc[1]["n_distinct"] == 2
+    assert out.loc[1]["entropy"] == round(math.log(2), 6)
+    assert out.loc[2]["entropy"] == round(math.log(4), 6)
+
+
+def test_bigram_entropy_uniform():
+    # "a b a b a": bigrams [a b, b a, a b, b a] -> 2 distinct, uniform
+    docs = pd.DataFrame(
+        [(1, "a b a b a", "S1")], columns=["doc_id", "text", "source"]
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q251_bigram_entropy").iloc[0]
+    assert out["n_bigrams"] == 4 and out["n_distinct"] == 2
+    assert out["bigram_entropy"] == round(math.log(2), 6)
+
+
+def test_supplier_hhi_classes():
+    rows = []
+    rows.append((1, 100, 10.0))                      # part 1: monopoly, h=1
+    rows += [(2, 100, 5.0), (2, 101, 5.0)]           # part 2: duopoly, h=.5
+    rows += [(3, 100 + s, 1.0) for s in range(10)]   # part 3: h=.1
+    li = pd.DataFrame(rows, columns=["l_partkey", "l_suppkey", "l_quantity"])
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q249_supplier_hhi").set_index("concentration")
+    assert out.loc["concentrated"]["n_parts"] == 2
+    assert out.loc["concentrated"]["avg_hhi"] == 0.75
+    assert out.loc["competitive"]["n_parts"] == 1
+    assert out.loc["competitive"]["avg_hhi"] == 0.1
+
+
+def test_vocab_kl_js_with_laplace_smoothing():
+    import hashlib
+
+    def half(doc_id: int) -> int:
+        return int(hashlib.md5(f"half:{doc_id}".encode()).hexdigest()[:8], 16) % 2
+
+    a_ids = [d for d in range(1, 50) if half(d) == 0][:1]
+    b_ids = [d for d in range(1, 50) if half(d) == 1][:1]
+    docs = pd.DataFrame(
+        [(a_ids[0], "x x y"), (b_ids[0], "x y y")],
+        columns=["doc_id", "text"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q177_vocab_kl_drift").iloc[0]
+
+    ca, cb = {"x": 2, "y": 1}, {"x": 1, "y": 2}
+    v, na, nb = 2, 3, 3
+    p = {t: (ca[t] + 1) / (na + v) for t in ca}
+    q = {t: (cb[t] + 1) / (nb + v) for t in cb}
+    kl_ab = sum(p[t] * math.log(p[t] / q[t]) for t in p)
+    kl_ba = sum(q[t] * math.log(q[t] / p[t]) for t in q)
+    js = 0.5 * sum(
+        p[t] * math.log(2 * p[t] / (p[t] + q[t])) for t in p
+    ) + 0.5 * sum(q[t] * math.log(2 * q[t] / (p[t] + q[t])) for t in q)
+    assert out["vocab"] == v
+    assert out["tokens_a"] == na and out["tokens_b"] == nb
+    assert out["kl_ab"] == round(kl_ab, 6)
+    assert out["kl_ba"] == round(kl_ba, 6)
+    assert out["js"] == round(js, 6)
