@@ -129,39 +129,79 @@ def query(name: str, oracle: str | None = None):
 @query(
     "q1_pricing_summary",
     """
+    WITH x AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(round(l_discount * 100) AS BIGINT) AS d100
+      FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    ),
+    g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(qty) AS HUGEINT)                  AS sq,
+             CAST(sum(cents) AS HUGEINT)                AS sc,
+             sum(CAST(cents AS HUGEINT) * (100 - d100)) AS sd,
+             CAST(sum(d100) AS HUGEINT)                 AS sdisc,
+             CAST(count(*) AS BIGINT)                   AS n
+      FROM x GROUP BY 1, 2
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                          AS sum_qty,
-           round(sum(l_extendedprice), 4)                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
-           round(avg(l_quantity), 6)                          AS avg_qty,
-           round(avg(l_extendedprice), 6)                     AS avg_price,
-           round(avg(l_discount), 6)                          AS avg_disc,
-           CAST(count(*) AS BIGINT)                           AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           round(CAST(sq AS DOUBLE), 4)                    AS sum_qty,
+           round(CAST(sc AS DOUBLE) / 100, 4)              AS sum_base_price,
+           round(CAST(sd AS DOUBLE) / 10000, 4)            AS sum_disc_price,
+           round(CAST(sq AS DOUBLE) / n, 6)                AS avg_qty,
+           round(CAST(sc AS DOUBLE) / 100 / n, 6)          AS avg_price,
+           round(CAST(sdisc AS DOUBLE) / 100 / n, 6)       AS avg_disc,
+           n                                               AS count_order
+    FROM g
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the reference's groupBy-sum core (A1) with partial
-    aggregation pushed map-side by Catalyst; one shuffle total."""
+    aggregation pushed map-side by Catalyst; one shuffle total.
+
+    All money aggregates run in EXACT integer units (cents; disc-price
+    in cents-of-cents, since price and discount are both 2-dp-exact) and
+    the output doubles are assembled from those integers with one
+    identical expression per engine. The original raw-double sums held
+    to 10x but flipped the last representable digit of an 8e10-magnitude
+    sum at THIRTY-x (sum order differs between Spark's partial-agg tree
+    and DuckDB's sequential fold) — the q195 rounding-boundary class,
+    caught by the round-9 30x spot-gate."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    x = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d100"),
     )
+    g = x.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("qty").cast("decimal(20,0)")).alias("sq"),
+        F.sum(F.col("cents").cast("decimal(20,0)")).alias("sc"),
+        F.sum(
+            F.col("cents").cast("decimal(20,0)") * (100 - F.col("d100"))
+        ).alias("sd"),
+        F.sum(F.col("d100").cast("decimal(20,0)")).alias("sdisc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq").cast("double"), 4).alias("sum_qty"),
+        F.round(F.col("sc").cast("double") / 100, 4).alias("sum_base_price"),
+        F.round(F.col("sd").cast("double") / 10000, 4).alias("sum_disc_price"),
+        F.round(F.col("sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("sc").cast("double") / 100 / n, 6).alias("avg_price"),
+        F.round(F.col("sdisc").cast("double") / 100 / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 # --------------------------------------------------------------------------
@@ -6989,7 +7029,8 @@ def q162_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cust AS (
       SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
-             sum(o.o_totalprice) AS rev
+             CAST(sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS rev
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
     ),
@@ -6997,13 +7038,14 @@ def q162_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT nation, rev,
              row_number() OVER (PARTITION BY nation ORDER BY rev, cust) AS i,
              count(*) OVER (PARTITION BY nation) AS n,
-             sum(rev) OVER (PARTITION BY nation) AS tot
+             CAST(sum(rev) OVER (PARTITION BY nation) AS HUGEINT) AS tot
       FROM cust
     )
     SELECT nation,
            CAST(any_value(n) AS BIGINT) AS n_customers,
-           round(any_value(tot), 4) AS revenue,
-           round(2.0 * sum(i * rev) / (any_value(n) * any_value(tot))
+           round(CAST(any_value(tot) AS DOUBLE) / 1000000, 4) AS revenue,
+           round(2.0 * CAST(sum(CAST(i AS HUGEINT) * rev) AS DOUBLE)
+                 / (any_value(n) * CAST(any_value(tot) AS DOUBLE))
                  - (any_value(n) + 1.0) / any_value(n), 6) AS gini
     FROM r GROUP BY nation
     """,
@@ -7019,21 +7061,35 @@ def q163_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    # row-level micro-dollar quantization BEFORE any sum: o_totalprice
+    # is a raw double, and a float SUM's last ulps depend on fold order
+    # — at 30x the 4-dp round of a ~4e10 total flipped between engines
+    # (round-9 30x gate). Per-row round is order-free; every aggregate
+    # after it is an exact integer.
     cust = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("c_nationkey").alias("nation"),
             F.col("o_custkey").alias("cust"),
         )
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
+            ).cast("long").alias("rev")
+        )
     )
     ranked = group_ranked(cust, ["nation"], "rev", tiebreak=["cust"])
+    tot = F.sum(F.col("_v").cast("decimal(38,0)"))
     return ranked.groupBy("nation").agg(
         F.any_value("_n").cast("long").alias("n_customers"),
-        F.round(F.sum("_v"), 4).alias("revenue"),
+        F.round(tot.cast("double") / 1000000, 4).alias("revenue"),
         F.round(
-            F.lit(2.0) * F.sum(F.col("_rn") * F.col("_v"))
-            / (F.any_value("_n") * F.sum("_v"))
+            F.lit(2.0)
+            * F.sum(
+                F.col("_rn").cast("decimal(19,0)")
+                * F.col("_v").cast("decimal(19,0)")
+            ).cast("double")
+            / (F.any_value("_n") * tot.cast("double"))
             - (F.any_value("_n") + F.lit(1.0)) / F.any_value("_n"),
             6,
         ).alias("gini"),
@@ -7655,14 +7711,20 @@ def q173_monthly_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q174_segment_priority_matrix",
     """
-    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 4) AS revenue,
-           round(sum(o.o_totalprice)
-                 / sum(sum(o.o_totalprice)) OVER (PARTITION BY c.c_mktsegment),
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT))
+                  AS HUGEINT) AS um
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment, priority, n_orders,
+           round(CAST(um AS DOUBLE) / 1000000, 4) AS revenue,
+           round(CAST(um AS DOUBLE)
+                 / CAST(sum(um) OVER (PARTITION BY segment) AS DOUBLE),
                  6) AS share_in_segment
-    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    GROUP BY 1, 2
+    FROM g
     """,
 )
 def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7682,7 +7744,11 @@ def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("o_totalprice").alias("_rev"),
+            # row-level micro-dollar quantization: order-free, so the
+            # revenue column survives any sum order (30x-gate class)
+            F.sum(
+                F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
+            ).alias("_um"),
         )
     )
     w = Window.partitionBy("segment")
@@ -7690,8 +7756,12 @@ def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "priority",
         "n_orders",
-        F.round("_rev", 4).alias("revenue"),
-        F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share_in_segment"),
+        F.round(F.col("_um").cast("double") / 1000000, 4).alias("revenue"),
+        F.round(
+            F.col("_um").cast("double")
+            / F.sum("_um").over(w).cast("double"),
+            6,
+        ).alias("share_in_segment"),
     )
 
 
@@ -9173,7 +9243,8 @@ def q200_multimodal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL') AS region,
            coalesce(n_name, 'ALL') AS nation,
            CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
-           round(sum(o_totalprice), 4) AS revenue,
+           round(CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                      AS DOUBLE) / 1000000, 4) AS revenue,
            CAST(count(*) AS BIGINT)    AS n_orders
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -9205,7 +9276,16 @@ def q201_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.grouping("r_name") + F.grouping("n_name"))
             .cast("long")
             .alias("lvl"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            # micro-dollar row quantization before the sum (30x-gate
+            # float-fold class; the grand-total row is the whole table)
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 1000000)
+                    .cast("decimal(20,0)")
+                ).cast("double")
+                / 1000000,
+                4,
+            ).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
         .select(
@@ -11822,7 +11902,9 @@ def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
-             CAST(round(sum(o_totalprice)) AS BIGINT) AS x
+             CAST(round(CAST(sum(CAST(round(o_totalprice * 1000000)
+                                      AS BIGINT)) AS DOUBLE) / 1000000)
+                  AS BIGINT) AS x
       FROM orders GROUP BY 1
     ),
     cum AS (
@@ -11874,7 +11956,17 @@ def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(unix_date(cast(o_orderdate as date)) as bigint)"
         ).alias("day")
-    ).agg(F.round(F.sum("o_totalprice")).cast("long").alias("x"))
+    ).agg(
+        # micro-dollar row quantization: a raw float day-sum can land
+        # within ulps of a .5 whole-dollar boundary and round apart
+        # between engines (30x gate); the exact integer sum cannot
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
+            ).cast("double")
+            / 1000000
+        ).cast("long").alias("x")
+    )
     nparts = max(spark.sparkContext.defaultParallelism, 8)
     base = (
         daily.repartitionByRange(nparts, "day")
@@ -12914,7 +13006,11 @@ def q244_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment AS segment,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+           round(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * 100 AS HUGEINT)
+                          * (100 - CAST(round(l.l_discount * 100)
+                                        AS BIGINT))) AS DOUBLE)
+                 / 10000, 4)
              AS net_revenue,
            CAST(count(*) AS BIGINT) AS n_lines,
            round(count(*) / CAST(count(DISTINCT o.o_orderkey) AS DOUBLE), 6)
@@ -12942,8 +13038,17 @@ def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.countDistinct("c_custkey").cast("long").alias("n_customers"),
         F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        # exact cents x (100 - disc100): price and discount are both
+        # 2-dp-exact, so the revenue sum is an exact integer in 1e-4
+        # dollars (q1's 30x-gate fix applied to the star rollup)
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("decimal(20,0)")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).cast("double")
+            / 10000,
+            4,
         ).alias("net_revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.round(
@@ -13511,12 +13616,13 @@ def q255_supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     cell AS (
       SELECT dow, pri, CAST(count(*) AS BIGINT) AS n,
-             sum(o_totalprice) AS rev
+             CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+                  AS HUGEINT) AS um
       FROM base GROUP BY dow, pri
     ),
     d AS (SELECT dow, CAST(sum(n) AS BIGINT) AS nd FROM cell GROUP BY dow)
     SELECT CAST(cell.dow AS BIGINT) AS day_of_week, cell.pri, cell.n,
-           round(cell.rev, 4) AS revenue,
+           round(CAST(cell.um AS DOUBLE) / 1000000, 4) AS revenue,
            round(cell.n / CAST(d.nd AS DOUBLE), 6) AS day_share
     FROM cell JOIN d ON d.dow = cell.dow
     """,
@@ -13535,14 +13641,17 @@ def q252_order_dow_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = base.groupBy("dow", "pri").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("o_totalprice").alias("rev"),
+        # micro-dollar row quantization (30x-gate float-fold class)
+        F.sum(
+            F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
+        ).alias("um"),
     )
     d = cell.groupBy("dow").agg(F.sum("n").cast("long").alias("nd"))
     return cell.join(bcast_small(d), "dow").select(
         F.col("dow").cast("long").alias("day_of_week"),
         "pri",
         "n",
-        F.round("rev", 4).alias("revenue"),
+        F.round(F.col("um").cast("double") / 1000000, 4).alias("revenue"),
         F.round(F.col("n") / F.col("nd").cast("double"), 6).alias(
             "day_share"
         ),

@@ -8,6 +8,7 @@ Usage: python tools/diffcheck.py [query_name ...] [--sf DIR]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -65,9 +66,12 @@ def main() -> int:
     spark = get_spark(app_name="diffcheck", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+        # driver testdata ships flat files; make_sf1.py scratch dirs are
+        # Spark-written directories — glob the parts for DuckDB there
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     names = args or list(qs)
