@@ -63,7 +63,14 @@ def main() -> int:
     import __spark_entry__ as entry
     from etl_jetro_spark.session import get_spark
 
-    spark = get_spark(app_name="diffcheck", shuffle_partitions=8)
+    # 30x-scale runs collect multi-GiB result frames for comparison
+    # (q2 at sf3 is 17.7M canonical rows) — the default 1g cap aborts
+    # the COLLECT, not the computation (noop-write verified fine)
+    spark = get_spark(
+        app_name="diffcheck",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships flat files; make_sf1.py scratch dirs are
