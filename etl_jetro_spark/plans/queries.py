@@ -20211,7 +20211,9 @@ def q349_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (waiting-supplier audit): suppliers who were the
     ONLY late shipper (shipdate > orderdate + 75 days) in a
     multi-supplier order — the classic exists/not-exists correlated
-    pair (reference semantics: dbgen Q21). Rewritten as what the
+    pair. Only the decorrelation SHAPE follows dbgen Q21; the
+    predicates are a variant (lateness is shipdate vs orderdate+75d,
+    and there is no o_orderstatus='F' or nation filter). Rewritten as what the
     decorrelated plan SHOULD be: ONE aggregation per order computes
     (distinct suppliers, distinct late suppliers, the lone late key),
     so both EXISTS probes collapse into the same orderkey shuffle the

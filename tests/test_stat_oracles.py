@@ -16,17 +16,30 @@ from __future__ import annotations
 
 import math
 import sys
+from pathlib import Path
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from etl_jetro_spark.plans.queries import ORACLES  # noqa: E402
 
 
 def _run(con: duckdb.DuckDBPyConnection, name: str) -> pd.DataFrame:
     return con.sql(ORACLES[name]).df()
+
+
+def round_away(x: float, nd: int = 0) -> float:
+    """Round half AWAY from zero, like DuckDB/Spark round() — Python's
+    built-in round() banker-rounds exactly-representable half boundaries
+    the other way (see test_cov_isotropy's 2.5/64 case). Used for every
+    expected value so no assertion silently depends on the expectation
+    not landing on a half boundary."""
+    q = 10 ** nd
+    v = math.floor(abs(x) * q + 0.5) / q * (1 if x >= 0 else -1)
+    return int(v) if nd == 0 else v
+
 
 
 def test_wilcoxon_signed_rank_matches_textbook_values():
@@ -50,8 +63,8 @@ def test_wilcoxon_signed_rank_matches_textbook_values():
     z = (w_plus - mean) / math.sqrt(var)
     assert out["n_pairs"] == n
     assert out["w_plus"] == w_plus
-    assert out["z"] == round(z, 4)
-    assert out["effect_r"] == round(z / math.sqrt(n), 6)
+    assert out["z"] == round_away(z, 4)
+    assert out["effect_r"] == round_away(z / math.sqrt(n), 6)
 
 
 def test_kendall_tau_b_matches_hand_worked_example():
@@ -84,7 +97,7 @@ def test_kendall_tau_b_matches_hand_worked_example():
     assert out["ties_x"] == 1
     assert out["ties_y"] == 3
     assert out["ties_both"] == 0
-    assert out["tau_b"] == round(2 / math.sqrt(15), 6)
+    assert out["tau_b"] == round_away(2 / math.sqrt(15), 6)
 
 
 def test_brown_forsythe_matches_plain_python_formula():
@@ -120,13 +133,13 @@ def test_brown_forsythe_matches_plain_python_formula():
     )
     f_expected = (ssb / (k - 1)) / (ssw / (n - k))
     for _, row in out.iterrows():
-        assert row["bf_f"] == round(f_expected, 4)
+        assert row["bf_f"] == round_away(f_expected, 4)
         flag = row["l_returnflag"]
         med = statistics.median(groups[flag])
-        assert row["median_cents_x2"] == round(med * 200)
+        assert row["median_cents_x2"] == round_away(med * 200)
         mean_dev = sum(z[flag]) / len(z[flag])
         # mean_absdev_cents is in cents (half-cent sum / 2n)
-        assert row["mean_absdev_cents"] == round(mean_dev * 100, 4)
+        assert row["mean_absdev_cents"] == round_away(mean_dev * 100, 4)
 
 
 def test_lone_late_supplier_micro_case():
@@ -185,8 +198,8 @@ def test_mann_whitney_orientation_and_value():
     z = (u1 - n1 * n2 / 2.0) / sigma
     assert out["n1"] == n1 and out["n2"] == n2
     assert out["u1"] == u1
-    assert out["z"] == round(z, 4) and out["z"] > 0
-    assert out["effect_r"] == round(z / math.sqrt(n1 + n2), 6)
+    assert out["z"] == round_away(z, 4) and out["z"] > 0
+    assert out["effect_r"] == round_away(z / math.sqrt(n1 + n2), 6)
 
 
 def test_kruskal_wallis_tie_corrected_value():
@@ -217,8 +230,8 @@ def test_kruskal_wallis_tie_corrected_value():
     h = h_raw / (1 - ties / float(n**3 - n))
     k = len(groups)
     assert out["n_groups"] == k and out["n"] == n
-    assert out["h"] == round(h, 4)
-    assert out["epsilon_sq"] == round((h - k + 1) / (n - k), 6)
+    assert out["h"] == round_away(h, 4)
+    assert out["epsilon_sq"] == round_away((h - k + 1) / (n - k), 6)
 
 
 def test_spearman_perfect_monotone_is_one():
@@ -255,7 +268,7 @@ def test_ks_two_sample_statistic():
     assert out["n_high"] == 2 and out["n_low"] == 2
     assert out["ks_stat"] == 0.5
     crit = 1.36 * math.sqrt((2 + 2) / (2.0 * 2))
-    assert out["critical_05"] == round(crit, 6)
+    assert out["critical_05"] == round_away(crit, 6)
     assert not out["reject_05"]
 
 
@@ -290,10 +303,10 @@ def test_ab_test_welch_z_orientation():
         var_samp(a_vals) / len(a_vals) + var_samp(b_vals) / len(b_vals)
     )
     assert out["n_a"] == 3 and out["n_b"] == 3
-    assert out["diff"] == round(mean(b_vals) - mean(a_vals), 6)
-    assert out["z"] == round(z, 6) and out["z"] > 0  # B above A => z > 0
-    assert out["mean_a"] == round(mean(a_vals), 6)
-    assert out["mean_b"] == round(mean(b_vals), 6)
+    assert out["diff"] == round_away(mean(b_vals) - mean(a_vals), 6)
+    assert out["z"] == round_away(z, 6) and out["z"] > 0  # B above A => z > 0
+    assert out["mean_a"] == round_away(mean(a_vals), 6)
+    assert out["mean_b"] == round_away(mean(b_vals), 6)
 
 
 def test_theil_sen_median_pairwise_slope():
@@ -345,9 +358,9 @@ def test_anova_f_pooled_over_dimensions():
     k, n_vecs, d = 2, 4, 2
     dfb, dfw = (k - 1) * d, (n_vecs - k) * d
     assert out["df_between"] == dfb and out["df_within"] == dfw
-    assert out["ss_between"] == round(ssb, 4)
-    assert out["ss_within"] == round(ssw, 4)
-    assert out["f_stat"] == round((ssb / dfb) / (ssw / dfw), 6)
+    assert out["ss_between"] == round_away(ssb, 4)
+    assert out["ss_within"] == round_away(ssw, 4)
+    assert out["f_stat"] == round_away((ssb / dfb) / (ssw / dfw), 6)
 
 
 # ---------------------------------------------------------------------------
@@ -394,12 +407,12 @@ def test_theil_decomposition_identity_and_values():
         mug = xg / ng
         tg = sum((v / xg) * math.log(v / mug) for v in vs)
         share = xg / x
-        assert out.loc[name]["rev_share"] == round(share, 6)
-        assert out.loc[name]["theil_within"] == round(tg, 6)
-        assert out.loc[name]["between_contrib"] == round(
+        assert out.loc[name]["rev_share"] == round_away(share, 6)
+        assert out.loc[name]["theil_within"] == round_away(tg, 6)
+        assert out.loc[name]["between_contrib"] == round_away(
             share * math.log(mug / mu), 6
         )
-        assert out.loc[name]["within_contrib"] == round(share * tg, 6)
+        assert out.loc[name]["within_contrib"] == round_away(share * tg, 6)
         between += share * math.log(mug / mu)
         within += share * tg
     # decomposition identity: T = T_between + T_within
@@ -430,7 +443,7 @@ def test_cuped_theta_and_adjustment():
     theta = cov / var
     for u in pre:
         expected = post[u] - theta * (pre[u] - mp)
-        assert out.loc[u]["post_cuped"] == round(expected, 6)
+        assert out.loc[u]["post_cuped"] == round_away(expected, 6)
 
 
 def test_jackknife_delete_one_group_se():
@@ -464,10 +477,10 @@ def test_jackknife_delete_one_group_se():
     se = math.sqrt((len(b) - 1.0) / len(b) * ss)
     assert out["n"] == n
     assert out["n_buckets"] == len(b)
-    assert out["mean"] == round(s / n, 4)
-    assert out["jackknife_se"] == round(se, 4)
-    assert out["ci_lo"] == round(s / n - 1.96 * se, 4)
-    assert out["ci_hi"] == round(s / n + 1.96 * se, 4)
+    assert out["mean"] == round_away(s / n, 4)
+    assert out["jackknife_se"] == round_away(se, 4)
+    assert out["ci_lo"] == round_away(s / n - 1.96 * se, 4)
+    assert out["ci_hi"] == round_away(s / n + 1.96 * se, 4)
 
 
 def test_srm_chi2_equal_split():
@@ -487,7 +500,7 @@ def test_srm_chi2_equal_split():
     na, nb = 12, 3
     chi2 = (na - nb) ** 2 / (na + nb)  # 81/15 = 5.4 > 3.841
     assert out["na"] == na and out["nb"] == nb
-    assert out["chi2"] == round(chi2, 6)
+    assert out["chi2"] == round_away(chi2, 6)
     assert bool(out["srm_detected"]) is True
 
 
@@ -519,10 +532,10 @@ def test_categorical_mutual_information():
     h_l = -sum((c / n) * math.log(c / n) for c in ni.values())
     h_s = -sum((c / n) * math.log(c / n) for c in nj.values())
     assert out["n_docs"] == 10
-    assert out["mi"] == round(mi, 6)
-    assert out["h_lang"] == round(h_l, 6)
-    assert out["h_source"] == round(h_s, 6)
-    assert out["nmi"] == round(mi / math.sqrt(h_l * h_s), 6)
+    assert out["mi"] == round_away(mi, 6)
+    assert out["h_lang"] == round_away(h_l, 6)
+    assert out["h_source"] == round_away(h_s, 6)
+    assert out["nmi"] == round_away(mi / math.sqrt(h_l * h_s), 6)
 
 
 def test_woe_iv_decile_values():
@@ -554,8 +567,8 @@ def test_woe_iv_decile_values():
         iv = (npos / tp - nneg / tn) * woe
         assert out.loc[bin_i]["n_pos"] == npos
         assert out.loc[bin_i]["n_neg"] == nneg
-        assert out.loc[bin_i]["woe"] == round(woe, 6)
-        assert out.loc[bin_i]["iv_term"] == round(iv, 6)
+        assert out.loc[bin_i]["woe"] == round_away(woe, 6)
+        assert out.loc[bin_i]["iv_term"] == round_away(iv, 6)
 
 
 def test_gini_sorted_formula():
@@ -657,7 +670,7 @@ def test_group_zscore_values():
     out = _run(con, "q112_group_zscore").set_index("doc_id")
     mu, sigma = 20.0, 10.0  # stddev_samp of [10,20,30]
     for did, nc in [(1, 10), (2, 20), (3, 30)]:
-        assert out.loc[did]["z"] == round((nc - mu) / sigma, 4)
+        assert out.loc[did]["z"] == round_away((nc - mu) / sigma, 4)
 
 
 def test_winsorized_mean_with_known_quantiles():
@@ -741,9 +754,9 @@ def test_silhouette_orthogonal_clusters():
     own = 1 / math.sqrt(2)  # cos([1,0],[.5,.5])
     for lab in ("a", "b"):
         assert out.loc[lab]["n_vecs"] == 2
-        assert out.loc[lab]["avg_own_cos"] == round(own, 6)
-        assert out.loc[lab]["avg_best_other_cos"] == round(-own, 6)
-        assert out.loc[lab]["avg_margin"] == round(2 * own, 6)
+        assert out.loc[lab]["avg_own_cos"] == round_away(own, 6)
+        assert out.loc[lab]["avg_best_other_cos"] == round_away(-own, 6)
+        assert out.loc[lab]["avg_margin"] == round_away(2 * own, 6)
 
 
 def _iso_vectors():
@@ -769,15 +782,11 @@ def test_cov_isotropy_two_active_dims():
     # both round half away from zero to ...63 (they agree with each
     # other — the parity gate is safe; only a naive python round() in a
     # test is not). Round half-away-from-zero here.
-    def round_away(x: float, nd: int) -> float:
-        q = 10**nd
-        return math.floor(abs(x) * q + 0.5) / q * (1 if x >= 0 else -1)
-
     assert out["trace"] == 2.5
     assert out["mean_variance"] == round_away(2.5 / 64, 6)
     assert out["offdiag_frobenius"] == 0.0
     assert out["offdiag_energy_frac"] == 0.0
-    assert out["max_var_ratio"] == round(2.0 / (2.5 / 64), 6)
+    assert out["max_var_ratio"] == round_away(2.0 / (2.5 / 64), 6)
 
 
 def test_top_principal_component_matches_numpy_power_iteration():
@@ -804,8 +813,8 @@ def test_top_principal_component_matches_numpy_power_iteration():
     order = sorted(range(64), key=lambda i: (-abs(v[i]), i))[:5]
     assert list(out["dim"]) == [i + 1 for i in order]  # SQL dims 1-based
     for row, i in zip(out.itertuples(index=False), order):
-        assert row.loading == round(v[i], 6)
-        assert row.eigenvalue == round(lam, 6)
+        assert row.loading == round_away(v[i], 6)
+        assert row.eigenvalue == round_away(lam, 6)
     # 3 power steps from the flat init approach (not reach) the true
     # top eigenvalue 2.0 — the contraction ratio here is 0.25/step
     assert abs(lam - 2.0) < 0.01
@@ -828,7 +837,7 @@ def test_ab_power_rule_of_16():
     mde = 0.05 * mean
     n_per_arm = math.ceil(16.0 * var / (mde * mde))
     assert out["mean"] == mean and out["variance"] == var
-    assert out["mde"] == round(mde, 6)
+    assert out["mde"] == round_away(mde, 6)
     assert out["n_per_arm"] == n_per_arm  # 1600
     assert bool(out["feasible_now"]) is (2 * n_per_arm <= 3)
 
@@ -876,9 +885,9 @@ def test_zipf_slope_ols_on_exact_power_law():
     intercept = (sy - sx * slope) / n
     r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert out["lang"] == "en" and out["n_tokens"] == 4
-    assert out["slope"] == round(slope, 4)
-    assert out["intercept"] == round(intercept, 4)
-    assert out["r2"] == round(r2, 4)
+    assert out["slope"] == round_away(slope, 4)
+    assert out["intercept"] == round_away(intercept, 4)
+    assert out["r2"] == round_away(r2, 4)
     assert out["slope"] < 0  # frequency falls with rank
 
 
@@ -898,7 +907,7 @@ def test_kmv_exact_when_under_k():
     out = _run(con, "q119_kmv_source_jaccard").iloc[0]
     assert out["group_a"] == "S1" and out["group_b"] == "S2"
     assert out["n_union_k"] == 3
-    assert out["est_jaccard"] == round(1 / 3, 6)
+    assert out["est_jaccard"] == round_away(1 / 3, 6)
 
 
 # ---------------------------------------------------------------------------
@@ -915,8 +924,8 @@ def test_token_entropy_known_distributions():
     out = _run(con, "q134_token_entropy").set_index("doc_id")
     # H = ln N - (1/N) sum c ln c (nats)
     assert out.loc[1]["n_tokens"] == 4 and out.loc[1]["n_distinct"] == 2
-    assert out.loc[1]["entropy"] == round(math.log(2), 6)
-    assert out.loc[2]["entropy"] == round(math.log(4), 6)
+    assert out.loc[1]["entropy"] == round_away(math.log(2), 6)
+    assert out.loc[2]["entropy"] == round_away(math.log(4), 6)
 
 
 def test_bigram_entropy_uniform():
@@ -928,7 +937,7 @@ def test_bigram_entropy_uniform():
     con.register("documents", docs)
     out = _run(con, "q251_bigram_entropy").iloc[0]
     assert out["n_bigrams"] == 4 and out["n_distinct"] == 2
-    assert out["bigram_entropy"] == round(math.log(2), 6)
+    assert out["bigram_entropy"] == round_away(math.log(2), 6)
 
 
 def test_supplier_hhi_classes():
@@ -973,6 +982,6 @@ def test_vocab_kl_js_with_laplace_smoothing():
     ) + 0.5 * sum(q[t] * math.log(2 * q[t] / (p[t] + q[t])) for t in q)
     assert out["vocab"] == v
     assert out["tokens_a"] == na and out["tokens_b"] == nb
-    assert out["kl_ab"] == round(kl_ab, 6)
-    assert out["kl_ba"] == round(kl_ba, 6)
-    assert out["js"] == round(js, 6)
+    assert out["kl_ab"] == round_away(kl_ab, 6)
+    assert out["kl_ba"] == round_away(kl_ba, 6)
+    assert out["js"] == round_away(js, 6)
