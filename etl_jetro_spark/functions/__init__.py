@@ -28,6 +28,25 @@ from etl_jetro_spark.functions.hashing import (  # noqa: F401
     word_shingles,
     word_shingles_normed,
 )
+from etl_jetro_spark.functions.money import (  # noqa: F401
+    MICRO,
+    cents,
+    disc100,
+    exact_money_sum,
+    exact_net_sum,
+    micro_units,
+    net_units4,
+    sql_cents,
+    sql_disc100,
+    sql_exact_money_sum,
+    sql_exact_net_sum,
+    sql_micro_units,
+    sql_net_units4,
+    sql_sum_micro,
+    sql_sum_net4,
+    sum_micro,
+    sum_net4,
+)
 from etl_jetro_spark.functions.na import (  # noqa: F401
     NA_STRINGS,
     is_na_like,

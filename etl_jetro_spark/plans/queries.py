@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 
 from etl_jetro_spark import functions as EF
 from etl_jetro_spark import operators as O
+from etl_jetro_spark.functions import money as M
+from etl_jetro_spark.functions.money import (
+    sql_cents,
+    sql_disc100,
+    sql_exact_money_sum,
+    sql_exact_net_sum,
+    sql_micro_units,
+    sql_sum_micro,
+)
 from etl_jetro_spark.plans.hints import bcast_sized, bcast_small
 
 # --------------------------------------------------------------------------
@@ -128,13 +137,12 @@ def query(name: str, oracle: str | None = None):
 
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     WITH x AS (
       SELECT l_returnflag, l_linestatus,
              CAST(l_quantity AS BIGINT) AS qty,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents,
-             CAST(round(l_discount * 100) AS BIGINT) AS d100
+             {sql_cents('l_extendedprice')} AS cents,
+             {sql_disc100('l_discount')} AS d100
       FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
     ),
     g AS (
@@ -176,10 +184,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         F.col("l_quantity").cast("long").alias("qty"),
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("d100"),
+        M.cents("l_extendedprice").alias("cents"),
+        M.disc100("l_discount").alias("d100"),
     )
     g = x.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("qty").cast("decimal(20,0)")).alias("sq"),
@@ -7026,10 +7032,10 @@ def q162_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q163_revenue_gini",
-    """
+    f"""
     WITH cust AS (
       SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
-             CAST(sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT))
+             CAST(sum({sql_micro_units('o.o_totalprice')})
                   AS BIGINT) AS rev
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
@@ -7072,11 +7078,7 @@ def q163_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
             F.col("o_custkey").alias("cust"),
         )
-        .agg(
-            F.sum(
-                F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
-            ).cast("long").alias("rev")
-        )
+        .agg(M.sum_micro("o_totalprice").cast("long").alias("rev"))
     )
     ranked = group_ranked(cust, ["nation"], "rev", tiebreak=["cust"])
     tot = F.sum(F.col("_v").cast("decimal(38,0)"))
@@ -7710,12 +7712,11 @@ def q173_monthly_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q174_segment_priority_matrix",
-    """
+    f"""
     WITH g AS (
       SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
              CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT))
-                  AS HUGEINT) AS um
+             {sql_sum_micro('o.o_totalprice')} AS um
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
     )
@@ -7746,9 +7747,7 @@ def q174_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             # row-level micro-dollar quantization: order-free, so the
             # revenue column survives any sum order (30x-gate class)
-            F.sum(
-                F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
-            ).alias("_um"),
+            M.sum_micro("o_totalprice").alias("_um"),
         )
     )
     w = Window.partitionBy("segment")
@@ -9239,12 +9238,11 @@ def q200_multimodal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q201_revenue_rollup",
-    """
+    f"""
     SELECT coalesce(r_name, 'ALL') AS region,
            coalesce(n_name, 'ALL') AS nation,
            CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
-           round(CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
-                      AS DOUBLE) / 1000000, 4) AS revenue,
+           {sql_exact_money_sum('o_totalprice')} AS revenue,
            CAST(count(*) AS BIGINT)    AS n_orders
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -9278,14 +9276,7 @@ def q201_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lvl"),
             # micro-dollar row quantization before the sum (30x-gate
             # float-fold class; the grand-total row is the whole table)
-            F.round(
-                F.sum(
-                    F.round(F.col("o_totalprice") * 1000000)
-                    .cast("decimal(20,0)")
-                ).cast("double")
-                / 1000000,
-                4,
-            ).alias("revenue"),
+            M.exact_money_sum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
         .select(
@@ -11899,11 +11890,10 @@ def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q232_changepoint_detection",
-    """
+    f"""
     WITH daily AS (
       SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
-             CAST(round(CAST(sum(CAST(round(o_totalprice * 1000000)
-                                      AS BIGINT)) AS DOUBLE) / 1000000)
+             CAST({sql_exact_money_sum('o_totalprice', dp=0)}
                   AS BIGINT) AS x
       FROM orders GROUP BY 1
     ),
@@ -11960,12 +11950,9 @@ def q232_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         # micro-dollar row quantization: a raw float day-sum can land
         # within ulps of a .5 whole-dollar boundary and round apart
         # between engines (30x gate); the exact integer sum cannot
-        F.round(
-            F.sum(
-                F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
-            ).cast("double")
-            / 1000000
-        ).cast("long").alias("x")
+        F.round(M.sum_micro("o_totalprice").cast("double") / M.MICRO)
+        .cast("long")
+        .alias("x")
     )
     nparts = max(spark.sparkContext.defaultParallelism, 8)
     base = (
@@ -13002,15 +12989,11 @@ def q244_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q245_segment_star_summary",
-    """
+    f"""
     SELECT c.c_mktsegment AS segment,
            CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-           round(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                               * 100 AS HUGEINT)
-                          * (100 - CAST(round(l.l_discount * 100)
-                                        AS BIGINT))) AS DOUBLE)
-                 / 10000, 4)
+           {sql_exact_net_sum('l.l_extendedprice', 'l.l_discount')}
              AS net_revenue,
            CAST(count(*) AS BIGINT) AS n_lines,
            round(count(*) / CAST(count(DISTINCT o.o_orderkey) AS DOUBLE), 6)
@@ -13041,15 +13024,7 @@ def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact cents x (100 - disc100): price and discount are both
         # 2-dp-exact, so the revenue sum is an exact integer in 1e-4
         # dollars (q1's 30x-gate fix applied to the star rollup)
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-                .cast("decimal(20,0)")
-                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-            ).cast("double")
-            / 10000,
-            4,
-        ).alias("net_revenue"),
+        M.exact_net_sum("l_extendedprice", "l_discount").alias("net_revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.round(
             F.count(F.lit(1))
@@ -13608,7 +13583,7 @@ def q255_supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "q252_order_dow_mix",
-    """
+    f"""
     WITH base AS (
       SELECT dayofweek(o_orderdate) AS dow, o_orderpriority AS pri,
              o_totalprice
@@ -13616,8 +13591,7 @@ def q255_supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     cell AS (
       SELECT dow, pri, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
-                  AS HUGEINT) AS um
+             {sql_sum_micro('o_totalprice')} AS um
       FROM base GROUP BY dow, pri
     ),
     d AS (SELECT dow, CAST(sum(n) AS BIGINT) AS nd FROM cell GROUP BY dow)
@@ -13642,9 +13616,7 @@ def q252_order_dow_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = base.groupBy("dow", "pri").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         # micro-dollar row quantization (30x-gate float-fold class)
-        F.sum(
-            F.round(F.col("o_totalprice") * 1000000).cast("decimal(20,0)")
-        ).alias("um"),
+        M.sum_micro("o_totalprice").alias("um"),
     )
     d = cell.groupBy("dow").agg(F.sum("n").cast("long").alias("nd"))
     return cell.join(bcast_small(d), "dow").select(
