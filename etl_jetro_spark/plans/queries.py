@@ -31,6 +31,7 @@ from etl_jetro_spark.functions.money import (
     sql_exact_net_sum,
     sql_micro_units,
     sql_sum_micro,
+    sql_sum_net4,
 )
 from etl_jetro_spark.plans.hints import bcast_sized, bcast_small
 
@@ -269,9 +270,9 @@ def q2_allocation_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_top_customers",
-    """
+    f"""
     SELECT c.c_custkey, c.c_name,
-           round(sum(o.o_totalprice), 4) AS revenue,
+           {sql_exact_money_sum('o.o_totalprice')} AS revenue,
            CAST(count(*) AS BIGINT)      AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -288,7 +289,7 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(bcast_sized(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            M.exact_money_sum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -298,9 +299,9 @@ def q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q4_regional_revenue",
-    """
+    f"""
     SELECT r.r_name AS region,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_exact_net_sum('l.l_extendedprice', 'l.l_discount', dp=2)} AS revenue,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -325,9 +326,9 @@ def q4_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bcast_small(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            M.exact_net_sum("l_extendedprice", "l_discount", dp=2).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -1627,9 +1628,9 @@ def q41_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q42_shipping_priority",
-    """
+    f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           {sql_exact_net_sum('l.l_extendedprice', 'l.l_discount')} AS revenue,
            CAST(o.o_orderdate AS DATE)                           AS orderdate,
            o.o_orderpriority                                     AS priority
     FROM customer c
@@ -1658,9 +1659,7 @@ def q42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            M.exact_net_sum("l_extendedprice", "l_discount").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -3342,9 +3341,9 @@ def q91_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q92_revenue_deciles",
-    """
+    f"""
     WITH rev AS (
-      SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+      SELECT o_custkey, {sql_exact_money_sum('o_totalprice')} AS revenue
       FROM orders GROUP BY 1)
     SELECT o_custkey, revenue,
            CAST(ntile(10) OVER w AS BIGINT)      AS decile,
@@ -3368,7 +3367,7 @@ def q92_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+        M.exact_money_sum("o_totalprice").alias("revenue")
     )
     r = group_ranked(rev, [], -F.col("revenue"), tiebreak=["o_custkey"])
     n, rn = F.col("_n"), F.col("_rn")
@@ -5473,10 +5472,10 @@ def q138_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q139_revenue_share",
-    """
+    f"""
     WITH rev AS (
       SELECT r_name AS region, n_name AS nation,
-             round(sum(o_totalprice), 2) AS revenue
+             {sql_exact_money_sum('o_totalprice', dp=2)} AS revenue
       FROM orders
       JOIN customer ON c_custkey = o_custkey
       JOIN nation ON n_nationkey = c_nationkey
@@ -5507,7 +5506,7 @@ def q139_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bcast_small(n), c.c_nationkey == n.n_nationkey)
         .join(bcast_small(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(M.exact_money_sum("o_totalprice", dp=2).alias("revenue"))
     )
     rtot = rev.groupBy("region").agg(F.sum("revenue").alias("_rt"))
     gtot = rev.agg(F.sum("revenue").alias("_gt"))
@@ -8890,12 +8889,12 @@ def q194_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q195_rfm_segments",
-    """
+    f"""
     WITH rfm AS (
       SELECT o_custkey,
              max(o_orderdate)                         AS r_raw,
              CAST(count(*) AS BIGINT)                 AS f_raw,
-             round(sum(o_totalprice), 4)              AS m_raw
+             {sql_exact_money_sum('o_totalprice')}    AS m_raw
       FROM orders GROUP BY 1),
     t AS (
       SELECT o_custkey, m_raw,
@@ -8924,7 +8923,7 @@ def q195_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("r_raw"),
         F.count(F.lit(1)).cast("long").alias("f_raw"),
-        F.round(F.sum("o_totalprice"), 4).alias("m_raw"),
+        M.exact_money_sum("o_totalprice").alias("m_raw"),
     )
 
     def quint(col, out):
@@ -9884,14 +9883,15 @@ def q208_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT {_hexb_sql("jk:", "o_orderkey", 50)} AS bucket,
              CAST(count(*) AS BIGINT) AS n_b,
-             sum(o_totalprice)        AS s_b
+             {sql_sum_micro('o_totalprice')} AS s_b
       FROM orders GROUP BY 1
     ),
-    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, sum(s_b) AS s,
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(s_b) AS HUGEINT) AS s,
                    CAST(count(*) AS BIGINT) AS nb
             FROM b),
     loo AS (
-      SELECT (tot.s - b.s_b) / (tot.n - b.n_b) AS m_i
+      SELECT CAST(tot.s - b.s_b AS DOUBLE) / 1000000 / (tot.n - b.n_b) AS m_i
       FROM b CROSS JOIN tot
     ),
     jk AS (
@@ -9902,11 +9902,11 @@ def q208_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tot.n,
            CAST(tot.nb AS BIGINT)                          AS n_buckets,
-           round(tot.s / tot.n, 4)                         AS mean,
+           round(CAST(tot.s AS DOUBLE) / 1000000 / tot.n, 4) AS mean,
            round(sqrt((tot.nb - 1.0) / tot.nb * jk.ss), 4) AS jackknife_se,
-           round(tot.s / tot.n
+           round(CAST(tot.s AS DOUBLE) / 1000000 / tot.n
                  - 1.96 * sqrt((tot.nb - 1.0) / tot.nb * jk.ss), 4) AS ci_lo,
-           round(tot.s / tot.n
+           round(CAST(tot.s AS DOUBLE) / 1000000 / tot.n
                  + 1.96 * sqrt((tot.nb - 1.0) / tot.nb * jk.ss), 4) AS ci_hi
     FROM tot CROSS JOIN jk
     """,
@@ -9926,17 +9926,21 @@ def q209_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket("o_orderkey", 50, "jk:").alias("bucket")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_b"),
-        F.sum("o_totalprice").alias("s_b"),
+        # exact micro-dollar bucket sums (moneylint: raw double money
+        # sums are fold-order-dependent at scale)
+        M.sum_micro("o_totalprice").alias("s_b"),
     )
     tot = b.agg(
         F.sum("n_b").cast("long").alias("n"),
-        F.sum("s_b").alias("s"),
+        F.sum(F.col("s_b").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).cast("long").alias("nb"),
     )
     loo = b.crossJoin(bcast_small(tot)).select(
-        ((F.col("s") - F.col("s_b")) / (F.col("n") - F.col("n_b"))).alias(
-            "m_i"
-        )
+        (
+            (F.col("s") - F.col("s_b")).cast("double")
+            / M.MICRO
+            / (F.col("n") - F.col("n_b"))
+        ).alias("m_i")
     )
     mbar = loo.agg(F.avg("m_i").alias("m_bar"))
     jk = (
@@ -9954,10 +9958,16 @@ def q209_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n",
             F.col("nb").alias("n_buckets"),
-            F.round(F.col("s") / F.col("n"), 4).alias("mean"),
+            F.round(F.col("s").cast("double") / M.MICRO / F.col("n"), 4).alias(
+                "mean"
+            ),
             F.round(se, 4).alias("jackknife_se"),
-            F.round(F.col("s") / F.col("n") - 1.96 * se, 4).alias("ci_lo"),
-            F.round(F.col("s") / F.col("n") + 1.96 * se, 4).alias("ci_hi"),
+            F.round(
+                F.col("s").cast("double") / M.MICRO / F.col("n") - 1.96 * se, 4
+            ).alias("ci_lo"),
+            F.round(
+                F.col("s").cast("double") / M.MICRO / F.col("n") + 1.96 * se, 4
+            ).alias("ci_hi"),
         )
     )
 
@@ -10165,9 +10175,10 @@ def q211_item2item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q212_autocorrelation",
-    """
+    f"""
     WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST({sql_sum_micro('o_totalprice')} AS DOUBLE) / 1000000 AS rev
       FROM orders GROUP BY 1
     ),
     lags(lag_d) AS (VALUES (1), (7), (30))
@@ -10190,7 +10201,8 @@ def q212_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion and joins are metadata-scale regardless of corpus size."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum("o_totalprice").alias("rev")
+        # exact micro-dollar day sum, one double conversion (moneylint)
+        (M.sum_micro("o_totalprice").cast("double") / M.MICRO).alias("rev")
     )
     lags = spark.createDataFrame([(1,), (7,), (30,)], ["lag_d"])
     a = daily.alias("a")
@@ -10635,18 +10647,19 @@ def q217_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q218_wow_growth",
-    """
+    f"""
     WITH wk AS (
       SELECT o_orderpriority AS pri,
              CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS week,
-             sum(o_totalprice) AS rev,
+             {sql_sum_micro('o_totalprice')} AS um,
              CAST(count(*) AS BIGINT) AS n
       FROM orders GROUP BY 1, 2
     )
     SELECT a.pri, CAST(a.week AS BIGINT) AS week, a.n,
-           round(a.rev, 4) AS revenue,
-           round(b.rev, 4) AS prev_revenue,
-           round((a.rev - b.rev) / b.rev, 6) AS wow_growth
+           round(CAST(a.um AS DOUBLE) / 1000000, 4) AS revenue,
+           round(CAST(b.um AS DOUBLE) / 1000000, 4) AS prev_revenue,
+           round(CAST(a.um - b.um AS DOUBLE) / CAST(b.um AS DOUBLE), 6)
+             AS wow_growth
     FROM wk a JOIN wk b ON b.pri = a.pri AND b.week = a.week - 1
     WHERE a.week % 20 = 0
     """,
@@ -10668,7 +10681,8 @@ def q218_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week"),
     ).agg(
-        F.sum("o_totalprice").alias("rev"),
+        # exact micro-dollar week sums (moneylint)
+        M.sum_micro("o_totalprice").alias("um"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     a = wk.alias("a")
@@ -10684,10 +10698,16 @@ def q218_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.pri").alias("pri"),
             F.col("a.week").cast("long").alias("week"),
             F.col("a.n").alias("n"),
-            F.round(F.col("a.rev"), 4).alias("revenue"),
-            F.round(F.col("b.rev"), 4).alias("prev_revenue"),
+            F.round(F.col("a.um").cast("double") / M.MICRO, 4).alias(
+                "revenue"
+            ),
+            F.round(F.col("b.um").cast("double") / M.MICRO, 4).alias(
+                "prev_revenue"
+            ),
             F.round(
-                (F.col("a.rev") - F.col("b.rev")) / F.col("b.rev"), 6
+                (F.col("a.um") - F.col("b.um")).cast("double")
+                / F.col("b.um").cast("double"),
+                6,
             ).alias("wow_growth"),
         )
     )
@@ -13036,7 +13056,7 @@ def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q246_backlog_aging",
-    """
+    f"""
     WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS today FROM orders),
     open_o AS (
       SELECT datediff('day', CAST(o_orderdate AS DATE), mx.today) AS age_d,
@@ -13048,7 +13068,7 @@ def q245_segment_star_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN age_d <= 365 THEN '91-365'
                 ELSE '365+' END AS age_bucket,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 4) AS open_value,
+           {sql_exact_money_sum('o_totalprice')} AS open_value,
            CAST(min(age_d) AS BIGINT) AS min_age_d,
            CAST(max(age_d) AS BIGINT) AS max_age_d
     FROM open_o GROUP BY 1
@@ -13081,7 +13101,7 @@ def q246_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aged.groupBy(bucket.alias("age_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("open_value"),
+        M.exact_money_sum("o_totalprice").alias("open_value"),
         F.min("age_d").cast("long").alias("min_age_d"),
         F.max("age_d").cast("long").alias("max_age_d"),
     )
@@ -14279,10 +14299,10 @@ def q262_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q263_region_revenue_gini",
-    """
+    f"""
     WITH rev AS (
       SELECT r.r_name AS region, o.o_custkey AS ck,
-             sum(o.o_totalprice) AS x
+             CAST(sum({sql_micro_units('o.o_totalprice')}) AS BIGINT) AS x
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -14294,9 +14314,12 @@ def q262_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM rev)
     SELECT region,
            CAST(count(*) AS BIGINT)        AS n_cust,
-           round(sum(x), 2)                AS total_rev,
-           round((2.0 * sum(rn * x) - (count(*) + 1) * sum(x))
-                 / (count(*) * sum(x)), 6) AS gini
+           round(CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) / 1000000, 2)
+             AS total_rev,
+           round((2.0 * CAST(sum(CAST(rn AS HUGEINT) * x) AS DOUBLE)
+                  - (count(*) + 1) * CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE))
+                 / (count(*) * CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE)),
+                 6) AS gini
     FROM rk GROUP BY region
     """,
 )
@@ -14323,18 +14346,26 @@ def q263_region_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("r_name").alias("region"), F.col("o_custkey").alias("ck")
         )
-        .agg(F.sum("o_totalprice").alias("x"))
+        .agg(M.sum_micro("o_totalprice").cast("long").alias("x"))
     )
     rk = group_ranked(rev, ["region"], "x", tiebreak=["ck"])
+    # exact integer Gini arithmetic (q163's fix applied per region):
+    # micro-dollar units cancel in the ratio; only total_rev converts
+    tot = F.sum(F.col("_v").cast("decimal(38,0)"))
+    cnt = F.count(F.lit(1))
     return rk.groupBy("region").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cust"),
-        F.round(F.sum("_v"), 2).alias("total_rev"),
+        cnt.cast("long").alias("n_cust"),
+        F.round(tot.cast("double") / M.MICRO, 2).alias("total_rev"),
         F.round(
             (
-                2.0 * F.sum(F.col("_rn") * F.col("_v"))
-                - (F.count(F.lit(1)) + 1) * F.sum("_v")
+                2.0
+                * F.sum(
+                    F.col("_rn").cast("decimal(19,0)")
+                    * F.col("_v").cast("decimal(19,0)")
+                ).cast("double")
+                - (cnt + 1) * tot.cast("double")
             )
-            / (F.count(F.lit(1)) * F.sum("_v")),
+            / (cnt * tot.cast("double")),
             6,
         ).alias("gini"),
     )
@@ -14404,7 +14435,7 @@ def q264_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q265_cohort_ltv",
-    """
+    f"""
     WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd FROM orders
                GROUP BY o_custkey),
     csize AS (SELECT CAST(date_trunc('month', fd) AS DATE) AS cohort,
@@ -14414,7 +14445,8 @@ def q264_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('month', f.fd) AS DATE) AS cohort,
              (year(o.o_orderdate) * 12 + month(o.o_orderdate))
              - (year(f.fd) * 12 + month(f.fd)) AS months_since,
-             CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS rev_c
+             CAST((2 * {sql_sum_micro('o.o_totalprice')} + 10000)
+                  // 20000 AS BIGINT) AS rev_c
       FROM orders o JOIN f ON f.o_custkey = o.o_custkey
       GROUP BY 1, 2),
     cum AS (SELECT cohort, months_since,
@@ -14454,11 +14486,14 @@ def q265_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # accumulate INTEGER CENTS: a double running sum is association-
         # ordered (DuckDB's windowed sum is a segment tree, Spark's is
-        # sequential — they disagree by ulps exactly at round boundaries);
-        # the cell sum rounds to exact cents (sum error ~1e-9 << 0.5 cent)
-        # and integer cumulation is order-free on both engines
+        # sequential — they disagree by ulps exactly at round boundaries).
+        # Cents come from the EXACT micro-dollar row sum via pure int64
+        # half-up division ((2a+b) div 2b) — no float touches money
+        # before the final display division (moneylint discipline)
         .agg(
-            F.round(F.sum("o_totalprice") * 100, 0)
+            F.floor(
+                (2 * M.sum_micro("o_totalprice") + 10000) / 20000
+            )
             .cast("long")
             .alias("rev_c")
         )
@@ -15363,10 +15398,11 @@ def q278_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q279_returned_revenue_customers",
-    """
+    f"""
     SELECT c.c_custkey, any_value(c.c_name) AS c_name,
            any_value(n.n_name) AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_exact_net_sum('l.l_extendedprice', 'l.l_discount', dp=2)}
+             AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -15399,9 +15435,9 @@ def q279_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFra
     agg = j.groupBy("c_custkey").agg(
         F.first("c_name").alias("c_name"),
         F.first("n_name").alias("n_name"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        M.exact_net_sum("l_extendedprice", "l_discount", dp=2).alias(
+            "revenue"
+        ),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
     return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
@@ -15729,14 +15765,15 @@ def q285_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q286_supplier_share_trend",
-    """
+    f"""
     WITH m AS (
       SELECT l_suppkey,
              (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS m_idx,
-             sum(l_extendedprice * (1 - l_discount)) AS rev
+             {sql_sum_net4('l_extendedprice', 'l_discount')} AS rev
       FROM lineitem GROUP BY 1, 2),
-    tot AS (SELECT m_idx, sum(rev) AS t FROM m GROUP BY 1),
-    sh AS (SELECT m.l_suppkey, m.m_idx, m.rev / t.t AS share
+    tot AS (SELECT m_idx, CAST(sum(rev) AS HUGEINT) AS t FROM m GROUP BY 1),
+    sh AS (SELECT m.l_suppkey, m.m_idx,
+                  CAST(m.rev AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
            FROM m JOIN tot t USING (m_idx))
     SELECT l_suppkey AS s_suppkey,
            CAST(count(*) AS BIGINT)       AS n_months,
@@ -15761,13 +15798,19 @@ def q286_supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
         ).alias("m_idx"),
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "rev"
-        )
+        # exact 1e-4-dollar net units (moneylint); the units cancel in
+        # the share ratio, so no conversion constant appears at all
+        M.sum_net4("l_extendedprice", "l_discount").alias("rev")
     )
-    tot = m.groupBy("m_idx").agg(F.sum("rev").alias("t"))
+    tot = m.groupBy("m_idx").agg(
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("t")
+    )
     sh = m.join(bcast_small(tot), "m_idx").select(
-        "l_suppkey", "m_idx", (F.col("rev") / F.col("t")).alias("share")
+        "l_suppkey",
+        "m_idx",
+        (F.col("rev").cast("double") / F.col("t").cast("double")).alias(
+            "share"
+        ),
     )
     return (
         sh.groupBy("l_suppkey")
@@ -15797,9 +15840,10 @@ def q286_supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q287_shipping_priority",
-    """
+    f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_exact_net_sum('l.l_extendedprice', 'l.l_discount', dp=2)}
+             AS revenue,
            any_value(o.o_orderdate) AS o_orderdate
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -15829,9 +15873,9 @@ def q287_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcast_sized(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"]
     )
     agg = j.groupBy("l_orderkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        M.exact_net_sum("l_extendedprice", "l_discount", dp=2).alias(
+            "revenue"
+        ),
         F.first("o_orderdate").alias("o_orderdate"),
     )
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
@@ -15969,8 +16013,9 @@ def q290_customer_order_distribution(
 
 @query(
     "q291_banded_discount_revenue",
-    """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    f"""
+    SELECT {sql_exact_net_sum('l.l_extendedprice', 'l.l_discount', dp=2)}
+             AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -16000,9 +16045,9 @@ def q291_banded_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#11") & size.between(1, 15) & qty.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        M.exact_net_sum("l_extendedprice", "l_discount", dp=2).alias(
+            "revenue"
+        ),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
 
@@ -18233,8 +18278,11 @@ def q326_robust_numeric_profile(
 
 @query(
     "q327_splurge_orders",
-    """
-    WITH ca AS (SELECT o_custkey, avg(o_totalprice) AS av, count(*) AS n
+    f"""
+    WITH ca AS (SELECT o_custkey,
+                       CAST({sql_sum_micro('o_totalprice')} AS DOUBLE)
+                         / 1000000 / count(*) AS av,
+                       count(*) AS n
                 FROM orders GROUP BY 1),
     j AS (SELECT c.c_mktsegment AS seg, o.o_totalprice,
                  CASE WHEN o.o_totalprice > 1.5 * ca.av
@@ -18248,8 +18296,10 @@ def q326_robust_numeric_profile(
            CAST(sum(splurge) AS BIGINT) AS n_splurge,
            round(sum(splurge) / CAST(count(*) AS DOUBLE), 6)
              AS splurge_share,
-           round(sum(CASE WHEN splurge = 1 THEN o_totalprice ELSE 0 END),
-                 4) AS splurge_revenue
+           round(CAST(CAST(sum(CASE WHEN splurge = 1
+                              THEN {sql_micro_units('o_totalprice')}
+                              ELSE 0 END) AS HUGEINT) AS DOUBLE)
+                 / 1000000, 4) AS splurge_revenue
     FROM j GROUP BY 1
     """,
 )
@@ -18267,8 +18317,15 @@ def q327_splurge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # the baseline average is derived from the EXACT micro-dollar sum
+    # so a knife-edge order can't flip its splurge flag between engines
     ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.avg("o_totalprice").alias("av"), F.count(F.lit(1)).alias("n")
+        (
+            M.sum_micro("o_totalprice").cast("double")
+            / M.MICRO
+            / F.count(F.lit(1))
+        ).alias("av"),
+        F.count(F.lit(1)).alias("n"),
     )
     splurge = (F.col("o_totalprice") > 1.5 * F.col("av")).cast("long")
     j = (
@@ -18289,9 +18346,11 @@ def q327_splurge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("splurge_share"),
         F.round(
             F.sum(
-                F.when(F.col("splurge") == 1, F.col("o_totalprice"))
-                .otherwise(0.0)
-            ),
+                F.when(
+                    F.col("splurge") == 1, M.micro_units("o_totalprice")
+                ).otherwise(F.lit(0).cast("decimal(20,0)"))
+            ).cast("double")
+            / M.MICRO,
             4,
         ).alias("splurge_revenue"),
     )
