@@ -985,3 +985,213 @@ def test_vocab_kl_js_with_laplace_smoothing():
     assert out["kl_ab"] == round_away(kl_ab, 6)
     assert out["kl_ba"] == round_away(kl_ba, 6)
     assert out["js"] == round_away(js, 6)
+
+
+# ---------------------------------------------------------------------------
+# wave 7 (round 10): inference/decomposition oracles that had no
+# first-principles micro-table derivation yet — chi2 independence,
+# Pearson correlation shapes, Lorenz curve, perplexity, burstiness,
+# weighted percentiles, power-law fit, centroid drift, positional entropy
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_2x2_contingency():
+    # segments X/Y vs priorities P/Q, counts [[10,20],[20,10]]:
+    # expected 15 each -> chi2 = 4 * 25/15 = 20/3, dof 1,
+    # Cramer's V = sqrt(chi2 / N) = sqrt((20/3)/60) = 1/3
+    orders = []
+    for _ in range(10):
+        orders.append((1, "P"))
+    for _ in range(20):
+        orders.append((1, "Q"))
+    for _ in range(20):
+        orders.append((2, "P"))
+    for _ in range(10):
+        orders.append((2, "Q"))
+    o = pd.DataFrame(orders, columns=["o_custkey", "o_orderpriority"])
+    c = pd.DataFrame(
+        [(1, "X"), (2, "Y")], columns=["c_custkey", "c_mktsegment"]
+    )
+    con = duckdb.connect()
+    con.register("orders", o)
+    con.register("customer", c)
+    out = _run(con, "q311_priority_segment_chi2").iloc[0]
+    assert out["n"] == 60 and out["dof"] == 1
+    assert out["chi2"] == round_away(20 / 3, 6)
+    assert out["cramers_v"] == round_away(math.sqrt((20 / 3) / 60), 6)
+
+
+def test_corr_matrix_hand_worked_pearson():
+    # q=[1,2,3,4], p=2q (r=1), d=[1,2,4,3]: sample cov(q,d)=4/3,
+    # var(q)=var(d)=5/3 -> r = 0.8
+    li = pd.DataFrame(
+        {
+            "l_quantity": [1.0, 2.0, 3.0, 4.0],
+            "l_extendedprice": [2.0, 4.0, 6.0, 8.0],
+            "l_discount": [1.0, 2.0, 4.0, 3.0],
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q103_corr_matrix").set_index(["col_a", "col_b"])
+    assert out.loc[("l_quantity", "l_extendedprice")]["pearson_r"] == 1.0
+    assert out.loc[("l_quantity", "l_discount")]["pearson_r"] == 0.8
+    assert out.loc[("l_extendedprice", "l_discount")]["pearson_r"] == 0.8
+
+
+def test_discount_quantity_corr_perfect_by_brand():
+    # one brand, 100 lines alternating (d=0.0,q=1)/(d=0.1,q=2):
+    # two-point scatter -> r = 1, avg_discount = 0.05
+    rows = [(1, 0.0, 1.0) if i % 2 == 0 else (1, 0.1, 2.0) for i in range(100)]
+    li = pd.DataFrame(rows, columns=["l_partkey", "l_discount", "l_quantity"])
+    p = pd.DataFrame([(1, "Brand#1")], columns=["p_partkey", "p_brand"])
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    con.register("part", p)
+    out = _run(con, "q247_discount_quantity_corr").iloc[0]
+    assert out["brand"] == "Brand#1" and out["n_lines"] == 100
+    assert out["avg_discount"] == 0.05
+    assert out["disc_qty_corr"] == 1.0
+
+
+def test_lorenz_curve_linear_deciles():
+    # 10 customers with revenue 10..100: decile i holds customer i,
+    # cum_share(i) = (sum of 1..i)*10 / 550
+    o = pd.DataFrame(
+        [(i, float(10 * i)) for i in range(1, 11)],
+        columns=["o_custkey", "o_totalprice"],
+    )
+    con = duckdb.connect()
+    con.register("orders", o)
+    out = _run(con, "q313_revenue_lorenz_curve").set_index("decile")
+    tot = sum(range(1, 11)) * 10
+    for i in range(1, 11):
+        assert out.loc[i]["n_cust"] == 1
+        assert out.loc[i]["decile_revenue"] == 10.0 * i
+        cum = sum(range(1, i + 1)) * 10
+        assert out.loc[i]["cum_share"] == round_away(cum / tot, 6)
+
+
+def test_doc_perplexity_laplace_unigram():
+    # corpus: doc0 = 'a a a b', doc20 = 'b' -> lm: a:3 b:2, C=5, V=2
+    docs = pd.DataFrame(
+        [(0, "a a a b"), (20, "b")], columns=["doc_id", "text"]
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q214_doc_perplexity").set_index("doc_id")
+    h0 = (3 * math.log(7 / 4) + math.log(7 / 3)) / 4
+    h20 = math.log(7 / 3)
+    assert out.loc[0]["n_tokens"] == 4
+    assert out.loc[0]["cross_entropy"] == round_away(h0, 6)
+    assert out.loc[0]["perplexity"] == round_away(math.exp(h0), 4)
+    assert out.loc[20]["n_tokens"] == 1
+    assert out.loc[20]["cross_entropy"] == round_away(h20, 6)
+    assert out.loc[20]["perplexity"] == round_away(math.exp(h20), 4)
+
+
+def test_burstiness_fano_factor():
+    # minute counts [1, 5]: mean 3, sample var 8, fano = 8/3 > 1.5
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [("a", ts0)] + [("a", ts0 + pd.Timedelta(minutes=1))] * 5
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    con = duckdb.connect()
+    con.register("events", ev)
+    out = _run(con, "q216_burstiness").iloc[0]
+    assert out["n_minutes"] == 2
+    assert out["mean_per_min"] == 3.0
+    assert out["fano_factor"] == round_away(8 / 3, 6)
+    assert bool(out["bursty"])
+
+
+def test_term_burstiness_cf_over_df():
+    # 'x x x y' + 'x y': x cf=4 df=2 -> 2.0; y cf=2 df=2 -> 1.0
+    docs = pd.DataFrame(
+        [(1, "x x x y"), (2, "x y")], columns=["doc_id", "text"]
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q325_term_burstiness").set_index("term")
+    assert out.loc["x"]["cf"] == 4 and out.loc["x"]["df"] == 2
+    assert out.loc["x"]["burstiness"] == 2.0
+    assert out.loc["y"]["cf"] == 2 and out.loc["y"]["burstiness"] == 1.0
+
+
+def test_weighted_percentiles_unit_weights():
+    # flag A, v=1..4 with unit weights: wq25 -> 1, median -> 2, wq90 -> 4
+    li = pd.DataFrame(
+        [("A", float(v), 1.0, v, 1) for v in range(1, 5)],
+        columns=[
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+        ],
+    )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = _run(con, "q155_weighted_percentiles").iloc[0]
+    assert out["flag"] == "A"
+    assert out["wq25"] == 1.0 and out["wmedian"] == 2.0 and out["wq90"] == 4.0
+
+
+def test_length_power_law_exact_halving():
+    # log2 buckets 0,1,2 with counts 8,4,2: y = ln 8 - x ln 2 exactly,
+    # so slope = -ln2, intercept = ln8, r2 = 1
+    n_chars = [1] * 8 + [2] * 4 + [4] * 2
+    docs = pd.DataFrame({"n_chars": n_chars})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q184_length_power_law").iloc[0]
+    assert out["n_buckets"] == 3
+    assert out["slope"] == round_away(-math.log(2), 6)
+    assert out["intercept"] == round_away(math.log(8), 6)
+    assert out["r2"] == 1.0
+
+
+def test_centroid_drift_known_cosine():
+    # label L: even half {(1,0),(0,1)} -> centroid (.5,.5); odd half
+    # {(1,0),(1,0)} -> (1,0); cosine = .5 / (sqrt(.5)*1) = 1/sqrt(2)
+    emb = pd.DataFrame(
+        {
+            "label": ["L"] * 4,
+            "vec_id": [0, 2, 1, 3],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 0.0]],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q276_embedding_centroid_drift").iloc[0]
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["centroid_cosine"] == round_away(1 / math.sqrt(2), 6)
+
+
+def test_text_embedding_norm_corr_proportional():
+    # norms 5, 10, 2 with n_chars equal to the norm -> r = 1
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[3.0, 4.0], [6.0, 8.0], [0.0, 2.0]],
+        }
+    )
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "n_chars": [5, 10, 2]})
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    con.register("documents", docs)
+    out = _run(con, "q322_text_embedding_norm_corr").iloc[0]
+    assert out["n_vecs"] == 3
+    assert out["avg_norm"] == round_away(17 / 3, 6)
+    assert out["pearson_len_norm"] == 1.0
+
+
+def test_positional_token_entropy_first_two_positions():
+    # docs 'a b' / 'a c': pos1 all 'a' -> H=0; pos2 {b,c} -> H=ln2
+    docs = pd.DataFrame([(1, "a b"), (2, "a c")], columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q321_positional_token_entropy").set_index("position")
+    assert out.loc[1]["n_docs_at_pos"] == 2 and out.loc[1]["n_types"] == 1
+    assert out.loc[1]["entropy"] == 0.0
+    assert out.loc[2]["n_docs_at_pos"] == 2 and out.loc[2]["n_types"] == 2
+    assert out.loc[2]["entropy"] == round_away(math.log(2), 6)
