@@ -48,6 +48,62 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
+# Per-cell canon() is O(rows x cols) python objects — fine for the
+# catalog's result sizes, but a 17.7M-row frame (q2 at sf3) takes >1 h
+# in norm_cell alone. Above BIG_ROWS both frames go through a
+# VECTORIZED normalize-sort-compare; any apparent mismatch falls back
+# to the proven tuple path before being reported, so the fast path can
+# never introduce a false FAIL.
+BIG_ROWS = 1_000_000
+
+
+def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    out = {}
+    for c in sorted(df.columns):
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64").round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            # match norm_cell: date-only timestamps render as the date
+            all_midnight = bool((s.dropna() == s.dropna().dt.normalize()).all())
+            out[c] = (
+                s.dt.strftime("%Y-%m-%d") if all_midnight else s.astype(str)
+            )
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        else:
+            out[c] = s.map(norm_cell)
+    nf = pd.DataFrame(out)
+    return nf.sort_values(
+        by=list(nf.columns), kind="mergesort", na_position="last"
+    ).reset_index(drop=True)
+
+
+def fast_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool | None:
+    """Vectorized order-insensitive compare. True/False, or None when a
+    column pair is not vectorizable (mixed object types) — caller falls
+    back to canon()."""
+    try:
+        ca, cb = _canon_frame(a), _canon_frame(b)
+    except (TypeError, ValueError):
+        return None
+    if list(ca.columns) != list(cb.columns):
+        return False
+    for c in ca.columns:
+        sa, sb = ca[c], cb[c]
+        if pd.api.types.is_float_dtype(sa) and pd.api.types.is_float_dtype(sb):
+            both_nan = sa.isna() & sb.isna()
+            if not bool((both_nan | (sa == sb)).all()):
+                return False
+        elif str(sa.dtype) != str(sb.dtype):
+            return None
+        elif not sa.equals(sb):
+            return False
+    return True
+
+
 def main() -> int:
     argv = sys.argv[1:]
     if "-h" in argv or "--help" in argv:
@@ -106,11 +162,16 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(ddf.columns):
             problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
         if not problems:
-            a, b = canon(sdf), canon(ddf)
-            if a != b:
-                diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
-                k = diffs[0] if diffs else min(len(a), len(b)) - 1
-                problems.append(f"values differ at sorted row {k}:\n  spark={a[k]}\n  duck ={b[k]}")
+            fast = fast_equal(sdf, ddf) if len(sdf) > BIG_ROWS else None
+            if fast is True:
+                pass
+            else:
+                # fast path said False/None -> confirm on the tuple path
+                a, b = canon(sdf), canon(ddf)
+                if a != b:
+                    diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+                    k = diffs[0] if diffs else min(len(a), len(b)) - 1
+                    problems.append(f"values differ at sorted row {k}:\n  spark={a[k]}\n  duck ={b[k]}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
