@@ -20289,3 +20289,1095 @@ def q349_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# 34. Round-10 wave: fused retrieval eval (RRF, rerank-budget recall,
+#     label NDCG), per-source contamination matrices, dedup-state TTL /
+#     eviction audits, int8-retrieval agreement, centroid confusion
+# --------------------------------------------------------------------------
+
+
+def _probe_scores_sql(sa_cond: str, sb_cond: str, per: int = 25) -> str:
+    """Shared oracle CTE block: ``sc(qid, cid, sa, sb)`` — every corpus
+    vector scored against an adaptive ~`per`-probe slice (m = max(5,
+    ceil(n/per)), the q221 adaptive-parameter pattern), with two cosine
+    channels defined by dim predicates over ``c.i``/``q.i`` (1-based).
+    Probe x corpus is ~per x n dim-join rows — LINEAR in the corpus at
+    any scale, never pairwise."""
+    sa_q = sa_cond.replace("c.i", "q.i")
+    sb_q = sb_cond.replace("c.i", "q.i")
+    return f"""
+    md AS (SELECT greatest(5, CAST(ceil(count(*) / {per}.0) AS BIGINT)) AS m
+           FROM embeddings),
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   sqrt(sum(CASE WHEN {sa_cond.replace("c.i", "i")}
+                            THEN x * x ELSE 0 END)) AS na,
+                   sqrt(sum(CASE WHEN {sb_cond.replace("c.i", "i")}
+                            THEN x * x ELSE 0 END)) AS nb
+            FROM e GROUP BY 1),
+    ok AS (SELECT vec_id FROM nrm WHERE na > 0 AND nb > 0),
+    qp AS (SELECT e.* FROM e CROSS JOIN md JOIN ok USING (vec_id)
+           WHERE e.vec_id % md.m = 0),
+    cp AS (SELECT e.* FROM e JOIN ok USING (vec_id)),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             sum(CASE WHEN {sa_cond} THEN c.x * q.x ELSE 0 END) AS da,
+             sum(CASE WHEN {sb_cond} THEN c.x * q.x ELSE 0 END) AS db
+      FROM cp c JOIN qp q ON c.i = q.i AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT dots.qid, dots.cid,
+             dots.da / (nq.na * nc.na) AS sa,
+             dots.db / (nq.nb * nc.nb) AS sb
+      FROM dots
+      JOIN nrm nq ON nq.vec_id = dots.qid
+      JOIN nrm nc ON nc.vec_id = dots.cid)
+    """  # noqa: S608 (static fragments, no user input)
+
+
+def _probe_scores(
+    spark: SparkSession, sf_dir: str, mode: str, cut: int, per: int = 25
+) -> DataFrame:
+    """Spark twin of :func:`_probe_scores_sql`: (qid, cid, sa, sb).
+
+    ``mode='halves'``: sa = cosine over dims 1..cut, sb over dims
+    cut+1..d (two independent retrieval systems from one embedding).
+    ``mode='prefix'``: sa = cosine over dims 1..cut (cheap stage-1),
+    sb = full-dim cosine (the reranker / ground truth).
+
+    The probe slice is ~`per` vectors at ANY corpus size (adaptive
+    modulus, q221 pattern), so the dim-join is per x n x d rows —
+    linear in the corpus with a fixed constant; all scoring is
+    expression-only codegen (no UDF, no collect of the corpus)."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    m = max(5, math.ceil(emb.count() / float(per)))
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),  # 1-based, matching the oracle
+        F.col("xf").cast("double").alias("x"),
+    )
+    in_a = F.col("i") <= cut
+    in_b = (F.col("i") > cut) if mode == "halves" else F.lit(True)
+    nrm = e.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.when(in_a, F.col("x") * F.col("x")).otherwise(0.0))).alias("na"),
+        F.sqrt(F.sum(F.when(in_b, F.col("x") * F.col("x")).otherwise(0.0))).alias("nb"),
+    )
+    ok = nrm.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "vec_id", "na", "nb"
+    )
+    ee = e.join(ok.select("vec_id"), "vec_id")
+    q = ee.filter(F.col("vec_id") % m == 0).select(
+        F.col("vec_id").alias("_qid"),
+        F.col("i").alias("_qi"),
+        F.col("x").alias("_qx"),
+    )
+    dots = (
+        ee.join(
+            bcast_sized(q),
+            (F.col("i") == F.col("_qi"))
+            & (F.col("vec_id") != F.col("_qid")),
+        )
+        .groupBy(F.col("_qid").alias("qid"), F.col("vec_id").alias("cid"))
+        .agg(
+            F.sum(F.when(in_a, F.col("x") * F.col("_qx")).otherwise(0.0)).alias("da"),
+            F.sum(F.when(in_b, F.col("x") * F.col("_qx")).otherwise(0.0)).alias("db"),
+        )
+    )
+    nq = ok.select(
+        F.col("vec_id").alias("qid"),
+        F.col("na").alias("qna"),
+        F.col("nb").alias("qnb"),
+    )
+    nc = ok.select(
+        F.col("vec_id").alias("cid"),
+        F.col("na").alias("cna"),
+        F.col("nb").alias("cnb"),
+    )
+    return (
+        dots.join(bcast_sized(nq), "qid")
+        .join(nc, "cid")
+        .select(
+            "qid",
+            "cid",
+            (F.col("da") / (F.col("qna") * F.col("cna"))).alias("sa"),
+            (F.col("db") / (F.col("qnb") * F.col("cnb"))).alias("sb"),
+        )
+    )
+
+
+def _rank_frame(scored: DataFrame, col: str, out: str) -> DataFrame:
+    """Per-probe descending rank of `col` with a cid tiebreak, via the
+    distributed rank machinery (never a probe-partitioned window whose
+    partition holds the whole corpus)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    r = group_ranked(
+        scored.select("qid", "cid", col), ["qid"], -F.col(col), tiebreak=["cid"]
+    )
+    return r.select("qid", "cid", F.col("_rn").alias(out))
+
+
+@query(
+    "q350_rrf_rank_fusion",
+    f"""
+    WITH {_probe_scores_sql("c.i <= 32", "c.i > 32")},
+    r AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS ra,
+             row_number() OVER (PARTITION BY qid ORDER BY sb DESC, cid) AS rb
+      FROM sc),
+    f AS (
+      SELECT qid, cid, ra, rb,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY 1.0 / (60 + ra) + 1.0 / (60 + rb) DESC, cid) AS rf
+      FROM r)
+    SELECT qid,
+           CAST(min(CASE WHEN ra = 1 THEN cid END) AS BIGINT) AS top1_a,
+           CAST(min(CASE WHEN rb = 1 THEN cid END) AS BIGINT) AS top1_b,
+           CAST(min(CASE WHEN rf = 1 THEN cid END) AS BIGINT) AS top1_fused,
+           CAST(min(CASE WHEN rf = 1 THEN ra END) AS BIGINT)
+             AS fused_rank_in_a,
+           CAST(min(CASE WHEN rf = 1 THEN rb END) AS BIGINT)
+             AS fused_rank_in_b
+    FROM f GROUP BY qid
+    """,
+)
+def q350_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems (cosine over the
+    front half of the embedding vs the back half — two cheap independent
+    views of one index): per probe, the top-1 under each system and
+    under RRF (k=60), with the fused pick's rank in each source list —
+    the standard eval for 'does fusion beat either retriever'. RRF is a
+    pure function of INTEGER ranks, so the fused ordering is exact on
+    both engines regardless of float fold. The probe slice is adaptive
+    (~25 probes at any corpus size) and scoring is a per x n x d
+    dim-join — linear, never pairwise; ranks ride the distributed rank
+    frame, not a corpus-sized window partition."""
+    scored = _probe_scores(spark, sf_dir, "halves", 32)
+    ra = _rank_frame(scored, "sa", "ra")
+    rb = _rank_frame(scored, "sb", "rb")
+    r = ra.join(rb, ["qid", "cid"])
+    rrf = (
+        1.0 / (60 + F.col("ra")) + 1.0 / (60 + F.col("rb"))
+    ).alias("rrf")
+    f = _rank_frame(r.select("qid", "cid", "ra", "rb", rrf), "rrf", "rf").join(
+        r, ["qid", "cid"]
+    )
+    return f.groupBy("qid").agg(
+        F.min(F.when(F.col("ra") == 1, F.col("cid"))).cast("long").alias("top1_a"),
+        F.min(F.when(F.col("rb") == 1, F.col("cid"))).cast("long").alias("top1_b"),
+        F.min(F.when(F.col("rf") == 1, F.col("cid"))).cast("long").alias("top1_fused"),
+        F.min(F.when(F.col("rf") == 1, F.col("ra"))).cast("long").alias("fused_rank_in_a"),
+        F.min(F.when(F.col("rf") == 1, F.col("rb"))).cast("long").alias("fused_rank_in_b"),
+    )
+
+
+@query(
+    "q351_rerank_recall_tradeoff",
+    f"""
+    WITH {_probe_scores_sql("c.i <= 16", "TRUE")},
+    r AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS rp,
+             row_number() OVER (PARTITION BY qid ORDER BY sb DESC, cid) AS rt
+      FROM sc),
+    ks(k1) AS (VALUES (5), (10), (20)),
+    per AS (
+      SELECT r.qid, ks.k1,
+             sum(CASE WHEN rt <= 5 AND rp <= ks.k1 THEN 1 ELSE 0 END) / 5.0
+               AS recall5
+      FROM r CROSS JOIN ks GROUP BY 1, 2)
+    SELECT CAST(k1 AS BIGINT) AS stage1_depth,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(recall5), 6) AS avg_recall_at_5,
+           round(min(recall5), 6) AS worst_recall_at_5
+    FROM per GROUP BY k1
+    """,
+)
+def q351_rerank_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank-budget tradeoff: stage-1 retrieves top-k1 by a cheap
+    16-dim prefix cosine, stage-2 reranks those k1 by full-dim cosine
+    (the cross-encoder stand-in — deterministic, so the oracle can
+    mirror it). Because the reranker ranks by the SAME score as the
+    ground truth, recall@5 after rerank is exactly |full-top5 ∩
+    prefix-topk1| / 5 — reported per stage-1 depth k1 ∈ {{5,10,20}}
+    as the 'how much candidate budget buys how much recall' curve.
+    Integer-rank arithmetic end-to-end; adaptive ~25-probe slice keeps
+    the scoring linear in the corpus at a fixed constant."""
+    scored = _probe_scores(spark, sf_dir, "prefix", 16)
+    rp = _rank_frame(scored, "sa", "rp")
+    rt = _rank_frame(scored, "sb", "rt")
+    r = rp.join(rt, ["qid", "cid"])
+    ks = spark.createDataFrame([(5,), (10,), (20,)], ["k1"])
+    per = (
+        r.crossJoin(bcast_small(ks))
+        .groupBy("qid", "k1")
+        .agg(
+            (
+                F.sum(
+                    ((F.col("rt") <= 5) & (F.col("rp") <= F.col("k1"))).cast(
+                        "long"
+                    )
+                )
+                / 5.0
+            ).alias("recall5")
+        )
+    )
+    return per.groupBy(F.col("k1").cast("long").alias("stage1_depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.round(F.avg("recall5"), 6).alias("avg_recall_at_5"),
+        F.round(F.min("recall5"), 6).alias("worst_recall_at_5"),
+    )
+
+
+@query(
+    "q352_retrieval_label_ndcg",
+    f"""
+    WITH {_probe_scores_sql("c.i <= 16", "TRUE")},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT sc.qid, sc.cid, sc.sa, sc.sb,
+             CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+      FROM sc JOIN lbl lq ON lq.vec_id = sc.qid
+              JOIN lbl lc ON lc.vec_id = sc.cid),
+    r AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS rp,
+             row_number() OVER (PARTITION BY qid ORDER BY sb DESC, cid) AS rt
+      FROM rel),
+    dcg AS (
+      SELECT qid,
+             sum(CASE WHEN rp <= 10 THEN rel / log2(rp + 1.0) ELSE 0 END)
+               AS dcg_prefix,
+             sum(CASE WHEN rt <= 10 THEN rel / log2(rt + 1.0) ELSE 0 END)
+               AS dcg_full,
+             CAST(sum(rel) AS BIGINT) AS n_rel
+      FROM r GROUP BY qid),
+    ideal AS (
+      SELECT d.qid,
+             sum(1.0 / log2(g.i + 1.0)) AS idcg
+      FROM dcg d JOIN (SELECT unnest(generate_series(1, 10)) AS i) g
+        ON g.i <= least(10, d.n_rel)
+      GROUP BY d.qid)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(d.dcg_prefix / i.idcg), 6) AS avg_ndcg10_prefix,
+           round(avg(d.dcg_full / i.idcg), 6)   AS avg_ndcg10_full,
+           round(avg(d.dcg_full / i.idcg) - avg(d.dcg_prefix / i.idcg), 6)
+             AS full_dim_gain
+    FROM dcg d JOIN ideal i ON i.qid = d.qid
+    WHERE d.n_rel > 0
+    """,
+)
+def q352_retrieval_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance NDCG@10 of the cheap 16-dim prefix retriever vs
+    the full-dim retriever: binary relevance = candidate shares the
+    probe's label; the gain column is the measured retrieval value of
+    the back 48 dims — the number that decides whether the cheap index
+    is good enough to serve. IDCG comes from a 10-row series joined on
+    least(10, n_rel), so every float in the metric is assembled from
+    integer ranks and counts by one identical expression per engine.
+    Probes adaptive (~25), scoring linear in the corpus."""
+    scored = _probe_scores(spark, sf_dir, "prefix", 16)
+    lbl = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    rel = (
+        scored.join(
+            bcast_sized(lbl.select(F.col("vec_id").alias("qid"),
+                                   F.col("label").alias("_lq"))), "qid"
+        )
+        .join(
+            lbl.select(F.col("vec_id").alias("cid"),
+                       F.col("label").alias("_lc")), "cid"
+        )
+        .select(
+            "qid", "cid", "sa", "sb",
+            (F.col("_lq") == F.col("_lc")).cast("long").alias("rel"),
+        )
+    )
+    rp = _rank_frame(rel, "sa", "rp")
+    rt = _rank_frame(rel, "sb", "rt")
+    r = rel.select("qid", "cid", "rel").join(rp, ["qid", "cid"]).join(
+        rt, ["qid", "cid"]
+    )
+    dcg = r.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("rp") <= 10, F.col("rel") / F.log2(F.col("rp") + 1.0))
+            .otherwise(0.0)
+        ).alias("dcg_prefix"),
+        F.sum(
+            F.when(F.col("rt") <= 10, F.col("rel") / F.log2(F.col("rt") + 1.0))
+            .otherwise(0.0)
+        ).alias("dcg_full"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    series = spark.range(1, 11).select(F.col("id").alias("i"))
+    ideal = (
+        dcg.select("qid", "n_rel")
+        .join(bcast_small(series), F.col("i") <= F.least(F.lit(10), F.col("n_rel")))
+        .groupBy("qid")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    return (
+        dcg.filter(F.col("n_rel") > 0)
+        .join(ideal, "qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(F.avg(F.col("dcg_prefix") / F.col("idcg")), 6).alias(
+                "avg_ndcg10_prefix"
+            ),
+            F.round(F.avg(F.col("dcg_full") / F.col("idcg")), 6).alias(
+                "avg_ndcg10_full"
+            ),
+            F.round(
+                F.avg(F.col("dcg_full") / F.col("idcg"))
+                - F.avg(F.col("dcg_prefix") / F.col("idcg")),
+                6,
+            ).alias("full_dim_gain"),
+        )
+    )
+
+
+_SQL_WORDS = (
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "q353_source_overlap_matrix",
+    f"""
+    WITH wrds AS (SELECT doc_id, source, {_SQL_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS sh
+      FROM wrds,
+           UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.src_a, s.src_b, s.n_shared,
+           ta.n AS n_a, tb.n AS n_b,
+           round(s.n_shared
+                 / CAST(ta.n + tb.n - s.n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared s
+    JOIN tot ta ON ta.source = s.src_a
+    JOIN tot tb ON tb.source = s.src_b
+    """,
+)
+def q353_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair contamination matrix at the word-trigram level:
+    distinct shared trigrams and trigram-set Jaccard for every unordered
+    source pair — the cross-source duplication map a corpus curator
+    reads before assigning mixture weights (ADVICE r9 family: per-source
+    overlap matrices). The pair space is #sources², never corpus-sized:
+    the (source, trigram) frame is deduped FIRST (one shuffle), and the
+    trigram-keyed self-join fans out at most #sources rows per trigram.
+    Shingles ride shingle_rows (codegen explode, zero pre-shuffle)."""
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(d, "doc_id", "text", n=3, distinct=False)
+        .join(d.select(F.col("doc_id").alias("_id"), "source"), "_id")
+        .select("source", "_sh")
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "_sh")
+    b = sh.select(F.col("source").alias("src_b"), "_sh")
+    shared = (
+        a.join(b, "_sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            bcast_small(tot.select(F.col("source").alias("src_a"),
+                                   F.col("n").alias("n_a"))), "src_a"
+        )
+        .join(
+            bcast_small(tot.select(F.col("source").alias("src_b"),
+                                   F.col("n").alias("n_b"))), "src_b"
+        )
+        .select(
+            "src_a", "src_b", "n_shared", "n_a", "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q354_source_uniqueness_audit",
+    f"""
+    WITH wrds AS (SELECT doc_id, source, {_SQL_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS sh
+      FROM wrds,
+           UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    leak AS (
+      SELECT a.source,
+             CAST(count(DISTINCT a.sh) AS BIGINT) AS n_leaked
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1),
+    pair AS (
+      SELECT a.source AS src, b.source AS other,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+      GROUP BY 1, 2),
+    top AS (
+      SELECT src, other, n_shared,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY n_shared DESC, other) AS rn
+      FROM pair)
+    SELECT tot.source,
+           tot.n AS n_trigrams,
+           coalesce(leak.n_leaked, 0) AS n_shared_any,
+           round(coalesce(leak.n_leaked, 0) / CAST(tot.n AS DOUBLE), 6)
+             AS shared_frac,
+           top.other    AS top_overlap_source,
+           top.n_shared AS top_overlap_count
+    FROM tot
+    LEFT JOIN leak ON leak.source = tot.source
+    LEFT JOIN top  ON top.src = tot.source AND top.rn = 1
+    """,
+)
+def q354_source_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source uniqueness: how much of a source's distinct trigram
+    vocabulary appears in ANY other source, and which single other
+    source overlaps it most — the directional readout that says 'this
+    feed is a rebrand of that one' (the argmax column) next to q353's
+    symmetric matrix. Same linear shingle plan; the cross-source join
+    fans out at most #sources per trigram; the argmax window runs on
+    the #sources²-row pair frame."""
+    from pyspark.sql import Window
+
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(d, "doc_id", "text", n=3, distinct=False)
+        .join(d.select(F.col("doc_id").alias("_id"), "source"), "_id")
+        .select("source", "_sh")
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"))
+    a = sh.select(F.col("source").alias("src"), "_sh")
+    b = sh.select(F.col("source").alias("other"), "_sh")
+    cross = a.join(b, "_sh").filter(F.col("src") != F.col("other"))
+    leak = (
+        cross.select("src", "_sh")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_any"))
+    )
+    pair = cross.groupBy("src", "other").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("n_shared").desc(), F.col("other")
+    )
+    top = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("other").alias("top_overlap_source"),
+            F.col("n_shared").alias("top_overlap_count"),
+        )
+    )
+    return (
+        tot.withColumnRenamed("source", "_src")
+        .join(leak, F.col("_src") == leak["src"], "left")
+        .drop("src")
+        .join(bcast_small(top), F.col("_src") == top["src"], "left")
+        .drop("src")
+        .select(
+            F.col("_src").alias("source"),
+            "n_trigrams",
+            F.coalesce("n_shared_any", F.lit(0)).alias("n_shared_any"),
+            F.round(
+                F.coalesce("n_shared_any", F.lit(0))
+                / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("shared_frac"),
+            "top_overlap_source",
+            "top_overlap_count",
+        )
+    )
+
+
+@query(
+    "q355_eval_contamination_depth",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef',
+                      substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1))
+               - 1) % 2) = 0 AS is_eval
+      FROM documents),
+    wrds AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      FROM wrds,
+           UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)),
+    train_sh AS (
+      SELECT DISTINCT sh.sh
+      FROM sh JOIN h USING (doc_id) WHERE NOT h.is_eval),
+    ev AS (
+      SELECT sh.doc_id, sh.sh,
+             CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sh JOIN h USING (doc_id)
+      LEFT JOIN train_sh t ON t.sh = sh.sh
+      WHERE h.is_eval),
+    depth AS (
+      SELECT doc_id,
+             sum(hit) / CAST(count(*) AS DOUBLE) AS d
+      FROM ev GROUP BY doc_id),
+    binned AS (
+      SELECT CASE WHEN d = 0 THEN 'clean'
+                  WHEN d < 0.25 THEN 'lo'
+                  WHEN d < 0.75 THEN 'mid'
+                  ELSE 'hi' END AS bin, d
+      FROM depth)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(d), 6) AS avg_depth
+    FROM binned GROUP BY bin
+    """,
+)
+def q355_eval_contamination_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination DEPTH distribution: a deterministic md5
+    half-split plays train vs eval; per eval doc, the fraction of its
+    distinct 5-gram shingles that appear anywhere in train, bucketed
+    into clean / <25% / <75% / ≥75% bins — the graded readout one level
+    past q72's binary decontamination verdict (a doc 3% contaminated
+    and one 90% contaminated need different treatment). The train set
+    collapses to DISTINCT shingles before the probe join (one shuffle
+    each side, shingle-keyed equi-join, never pairwise); the md5 split
+    reuses q62's engine-portable hash idiom."""
+    from etl_jetro_spark.functions.hashing import norm_text  # noqa: F401
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    d = load(spark, sf_dir, "documents")
+    is_eval = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+                                          F.col("doc_id").cast("string"))), 1, 1),
+               16, 10).cast("long") % 2 == 0
+    )
+    h = d.select(F.col("doc_id").alias("_id"), is_eval.alias("is_eval"))
+    sh = shingle_rows(d, "doc_id", "text", n=5, distinct=True).join(h, "_id")
+    train_sh = (
+        sh.filter(~F.col("is_eval")).select("_sh").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = (
+        sh.filter(F.col("is_eval"))
+        .join(train_sh, "_sh", "left")
+        .select("_id", F.coalesce("_hit", F.lit(0)).alias("hit"))
+    )
+    depth = ev.groupBy("_id").agg(
+        (F.sum("hit") / F.count(F.lit(1)).cast("double")).alias("d")
+    )
+    bin_ = (
+        F.when(F.col("d") == 0, "clean")
+        .when(F.col("d") < 0.25, "lo")
+        .when(F.col("d") < 0.75, "mid")
+        .otherwise("hi")
+    )
+    return depth.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("d"), 6).alias("avg_depth"),
+    )
+
+
+@query(
+    "q356_dedup_ttl_hit_rates",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    g AS (
+      SELECT s - lag(s) OVER (PARTITION BY user_id, event_type
+                              ORDER BY s, event_id) AS gap
+      FROM e),
+    ttls(ttl) AS (VALUES (60), (600), (3600))
+    SELECT CAST(ttl AS BIGINT) AS ttl_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= ttl
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_hits,
+           round(sum(CASE WHEN gap IS NOT NULL AND gap <= ttl
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS hit_rate
+    FROM g CROSS JOIN ttls
+    GROUP BY ttl
+    """,
+)
+def q356_dedup_ttl_hit_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup TTL sizing: if a (user, event_type) key's state
+    entry lives TTL seconds past its last event, what fraction of
+    events would be suppressed as duplicates? Swept for TTL ∈ {60 s,
+    10 min, 1 h} — the hit-rate-vs-state-cost curve that picks the
+    watermark for a `dropDuplicatesWithinWatermark` job. The per-key
+    gap is ONE lag window partitioned by key (one hash exchange, local
+    sorts — the q208 sessionization shape); the TTL sweep is a 3-row
+    broadcast cross join over the already-computed gaps, so the corpus
+    is scanned once no matter how many TTLs are audited."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    g = e.select((F.col("s") - F.lag("s").over(w)).alias("gap"))
+    ttls = spark.createDataFrame([(60,), (600,), (3600,)], ["ttl"])
+    hit = (F.col("gap").isNotNull() & (F.col("gap") <= F.col("ttl"))).cast(
+        "long"
+    )
+    return (
+        g.crossJoin(bcast_small(ttls))
+        .groupBy(F.col("ttl").cast("long").alias("ttl_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(hit).cast("long").alias("n_dup_hits"),
+            F.round(
+                F.sum(hit) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("hit_rate"),
+        )
+    )
+
+
+@query(
+    "q357_dedup_state_peak",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, s, event_id,
+             CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 600
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                          ORDER BY s, event_id)),
+    iv0 AS (
+      SELECT user_id, event_type, s,
+             sum(brk) OVER (PARTITION BY user_id, event_type
+                            ORDER BY s, event_id
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM g),
+    iv AS (
+      SELECT user_id, event_type, iid,
+             min(s) AS s0, max(s) + 600 AS s1
+      FROM iv0 GROUP BY 1, 2, 3),
+    pts AS (
+      SELECT s0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT s1 AS t, -1 AS delta FROM iv),
+    sweep AS (
+      SELECT t, sum(delta) AS d FROM pts GROUP BY t),
+    run AS (
+      SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS live
+      FROM sweep)
+    SELECT CAST((SELECT count(DISTINCT (user_id, event_type)) FROM iv)
+                AS BIGINT) AS n_keys,
+           CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_admissions,
+           CAST((SELECT sum(s1 - s0) FROM iv) AS BIGINT)
+             AS state_seconds,
+           CAST(max(live) AS BIGINT) AS peak_live_state
+    FROM run
+    """,
+)
+def q357_dedup_state_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-state capacity audit at TTL = 600 s: per-key live intervals
+    [event, last-event + TTL) are MERGED (a new interval starts only
+    when the gap exceeds the TTL — the q208 break-flag idiom), then a
+    +1/-1 boundary sweep over the merged intervals yields the PEAK
+    number of simultaneously live state entries — the number that sizes
+    executor state memory for the streaming dedup operator. Admissions
+    and state-seconds are interval-frame aggregates. The global running
+    sum runs over the boundary frame COLLAPSED to distinct timestamps
+    (bounded by the time horizon, not the corpus) via the q232
+    distributed-cumsum idiom: range partition + local window + bounded
+    per-partition offsets."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s"),
+    )
+    wk = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("s").over(wk).isNull()
+            | ((F.col("s") - F.lag("s").over(wk)) > 600),
+            1,
+        ).otherwise(0),
+    )
+    iv0 = g.withColumn(
+        "iid",
+        F.sum("brk").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = iv0.groupBy("user_id", "event_type", "iid").agg(
+        F.min("s").alias("s0"), (F.max("s") + 600).alias("s1")
+    )
+    stats = iv.agg(
+        F.countDistinct("user_id", "event_type").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_admissions"),
+        F.sum(F.col("s1") - F.col("s0")).cast("long").alias("state_seconds"),
+    )
+    pts = iv.select(F.col("s0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("s1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = pts.groupBy("t").agg(F.sum("delta").alias("d"))
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    base = (
+        sweep.repartitionByRange(nparts, "t")
+        .sortWithinPartitions("t")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = base.select("_pid", "t", F.sum("d").over(wl).alias("ld"))
+    pidtot = base.groupBy("_pid").agg(F.sum("d").alias("td"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, 0)
+    off = pidtot.select(
+        "_pid", (F.sum("td").over(woff) - F.col("td")).alias("od")
+    )
+    peak = (
+        loc.join(bcast_small(off), "_pid")
+        .agg(F.max(F.col("ld") + F.col("od")).cast("long").alias("peak_live_state"))
+    )
+    return stats.crossJoin(peak).select(
+        "n_keys", "n_admissions", "state_seconds", "peak_live_state"
+    )
+
+
+@query(
+    "q358_ttl_eviction_scaling",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    g AS (
+      SELECT s - lag(s) OVER (PARTITION BY user_id, event_type
+                              ORDER BY s, event_id) AS gap
+      FROM e),
+    keys AS (
+      SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS nk
+      FROM e),
+    ttls(ttl) AS (VALUES (60), (600), (3600))
+    SELECT CAST(ttl AS BIGINT) AS ttl_s,
+           keys.nk AS n_keys,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > ttl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admissions,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > ttl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_evictions,
+           round(sum(CASE WHEN gap IS NULL OR gap > ttl THEN 1 ELSE 0 END)
+                 / CAST(keys.nk AS DOUBLE), 6) AS readmissions_per_key,
+           CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= ttl THEN gap
+                         ELSE ttl END) AS BIGINT) AS state_seconds
+    FROM g CROSS JOIN ttls CROSS JOIN keys
+    GROUP BY ttl, keys.nk
+    """,
+)
+def q358_ttl_eviction_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL eviction economics, swept for TTL ∈ {60 s, 10 min, 1 h}:
+    admissions (= evictions — every admitted entry expires exactly
+    once), re-admission pressure per key, and total state-seconds,
+    derived in CLOSED FORM from the per-key gap frame — an event
+    extends the live interval by min(gap, TTL), an over-TTL gap closes
+    one interval and admits another, so no interval frame needs
+    materializing per TTL. One lag window over the corpus; the sweep is
+    a 3-row cross join. Read next to q357 (exact peak at one TTL) and
+    q356 (hit rates): together they are the sizing sheet for the
+    streaming dedup operator's state store."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    g = e.select((F.col("s") - F.lag("s").over(w)).alias("gap"))
+    nk = e.agg(
+        F.countDistinct("user_id", "event_type").cast("long").alias("nk")
+    )
+    ttls = spark.createDataFrame([(60,), (600,), (3600,)], ["ttl"])
+    admit = (F.col("gap").isNull() | (F.col("gap") > F.col("ttl"))).cast("long")
+    state_inc = F.when(
+        F.col("gap").isNotNull() & (F.col("gap") <= F.col("ttl")), F.col("gap")
+    ).otherwise(F.col("ttl"))
+    return (
+        g.crossJoin(bcast_small(ttls))
+        .crossJoin(bcast_small(nk))
+        .groupBy(F.col("ttl").cast("long").alias("ttl_s"), F.col("nk"))
+        .agg(
+            F.sum(admit).cast("long").alias("n_admissions"),
+            F.sum(admit).cast("long").alias("n_evictions"),
+            F.round(F.sum(admit) / F.col("nk").cast("double"), 6).alias(
+                "readmissions_per_key"
+            ),
+            F.sum(state_inc).cast("long").alias("state_seconds"),
+        )
+        .select(
+            "ttl_s",
+            F.col("nk").alias("n_keys"),
+            "n_admissions",
+            "n_evictions",
+            "readmissions_per_key",
+            "state_seconds",
+        )
+    )
+
+
+@query(
+    "q359_quantized_top1_agreement",
+    f"""
+    WITH {_probe_scores_sql("TRUE", "TRUE")},
+    e2 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+    scl AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale
+            FROM e2 GROUP BY vec_id),
+    dq AS (
+      SELECT e2.vec_id, e2.i,
+             CAST(round(CASE WHEN scl.scale > 0 THEN e2.x / scl.scale
+                             ELSE 0 END) AS INTEGER) * scl.scale AS xq
+      FROM e2 JOIN scl USING (vec_id)),
+    qn AS (SELECT vec_id, sqrt(sum(xq * xq)) AS nq FROM dq GROUP BY vec_id),
+    md2 AS (SELECT greatest(5, CAST(ceil(count(*) / 25.0) AS BIGINT)) AS m
+            FROM embeddings),
+    qs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             sum(c.xq * q.xq) AS dotq
+      FROM dq c
+      JOIN (SELECT dq.* FROM dq CROSS JOIN md2
+            WHERE dq.vec_id % md2.m = 0) q
+        ON c.i = q.i AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    sq AS (
+      SELECT qs.qid, qs.cid, qs.dotq / (a.nq * b.nq) AS sq
+      FROM qs JOIN qn a ON a.vec_id = qs.qid
+              JOIN qn b ON b.vec_id = qs.cid
+      WHERE a.nq > 0 AND b.nq > 0),
+    rf AS (SELECT qid, cid, sa,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sa DESC, cid) AS r
+           FROM sc),
+    rq AS (SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sq DESC, cid) AS r
+           FROM sq)
+    SELECT rf.qid,
+           rf.cid AS top1_float,
+           rq.cid AS top1_int8,
+           CAST(CASE WHEN rf.cid = rq.cid THEN 1 ELSE 0 END AS BIGINT)
+             AS agree,
+           round(rf.sa, 4) AS float_top1_cos
+    FROM rf JOIN rq ON rq.qid = rf.qid AND rq.r = 1
+    WHERE rf.r = 1
+    """,
+)
+def q359_quantized_top1_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 quantization change retrieval answers? Per probe, the
+    top-1 neighbor under full-precision cosine vs cosine over the
+    DEQUANTIZED int8 vectors (per-vector symmetric scale = max|x|/127,
+    the q71 scheme) — the go/no-go audit before shipping a quantized
+    index. Quantized values are reconstructed with one identical
+    expression per engine (round-to-int is exact, scale is a
+    deterministic per-vector scalar), so both rank frames are engine-
+    portable. Probes adaptive (~25), both scoring passes linear in the
+    corpus; ranks on the distributed rank frame."""
+    scored = _probe_scores(spark, sf_dir, "prefix", 64)
+    emb = load(spark, sf_dir, "embeddings")
+    import math
+
+    m = max(5, math.ceil(emb.count() / 25.0))
+    e2 = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    scl = e2.groupBy("vec_id").agg(
+        (F.max(F.abs(F.col("x"))) / 127.0).alias("scale")
+    )
+    dq = (
+        e2.join(scl, "vec_id")
+        .select(
+            "vec_id",
+            "i",
+            (
+                F.round(
+                    F.when(
+                        F.col("scale") > 0, F.col("x") / F.col("scale")
+                    ).otherwise(0.0)
+                ).cast("int")
+                * F.col("scale")
+            ).alias("xq"),
+        )
+    )
+    qn = dq.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("xq") * F.col("xq"))).alias("nq")
+    )
+    qprobe = dq.filter(F.col("vec_id") % m == 0).select(
+        F.col("vec_id").alias("_qid"),
+        F.col("i").alias("_qi"),
+        F.col("xq").alias("_qx"),
+    )
+    qs = (
+        dq.join(
+            bcast_sized(qprobe),
+            (F.col("i") == F.col("_qi"))
+            & (F.col("vec_id") != F.col("_qid")),
+        )
+        .groupBy(F.col("_qid").alias("qid"), F.col("vec_id").alias("cid"))
+        .agg(F.sum(F.col("xq") * F.col("_qx")).alias("dotq"))
+    )
+    sq = (
+        qs.join(
+            bcast_sized(
+                qn.select(F.col("vec_id").alias("qid"), F.col("nq").alias("qa"))
+            ),
+            "qid",
+        )
+        .join(
+            qn.select(F.col("vec_id").alias("cid"), F.col("nq").alias("qb")),
+            "cid",
+        )
+        .filter((F.col("qa") > 0) & (F.col("qb") > 0))
+        .select("qid", "cid", (F.col("dotq") / (F.col("qa") * F.col("qb"))).alias("sq"))
+    )
+    rf = _rank_frame(scored.select("qid", "cid", "sa"), "sa", "r").join(
+        scored.select("qid", "cid", "sa"), ["qid", "cid"]
+    ).filter(F.col("r") == 1)
+    rq = _rank_frame(sq, "sq", "r").filter(F.col("r") == 1)
+    return (
+        rf.select("qid", F.col("cid").alias("top1_float"), "sa")
+        .join(rq.select("qid", F.col("cid").alias("top1_int8")), "qid")
+        .select(
+            "qid",
+            "top1_float",
+            "top1_int8",
+            (F.col("top1_float") == F.col("top1_int8"))
+            .cast("long")
+            .alias("agree"),
+            F.round("sa", 4).alias("float_top1_cos"),
+        )
+    )
+
+
+@query(
+    "q360_label_centroid_confusion",
+    """
+    WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings),
+    cent AS (SELECT label AS clab, i, avg(x) AS m FROM e GROUP BY 1, 2),
+    cn AS (SELECT clab, sqrt(sum(m * m)) AS nc FROM cent GROUP BY 1),
+    vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM e GROUP BY 1),
+    s AS (
+      SELECT e.vec_id, e.label, cent.clab,
+             sum(e.x * cent.m) AS dot
+      FROM e JOIN cent ON cent.i = e.i
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT s.vec_id, s.label, s.clab,
+             s.dot / (vn.nv * cn.nc) AS cos
+      FROM s JOIN vn USING (vec_id) JOIN cn USING (clab)
+      WHERE vn.nv > 0 AND cn.nc > 0),
+    pick AS (
+      SELECT vec_id, label, clab AS pred
+      FROM (SELECT vec_id, label, clab,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, clab) AS rn
+            FROM sc)
+      WHERE rn = 1)
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(pred AS BIGINT)  AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pick GROUP BY 1, 2
+    """,
+)
+def q360_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label confusion matrix: each vector is assigned
+    to the label centroid with highest cosine (deterministic label-asc
+    tiebreak) and tallied against its true label — the one-pass
+    'are these labels even linearly separable' diagnostic run before
+    training a classifier on the embeddings. Centroids are a
+    (label x dim) aggregate (enum-bounded, broadcast back); assignment
+    is n x #labels x d — linear in the corpus; no window, no pairwise
+    join anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = e.groupBy(F.col("label").alias("clab"), "i").agg(
+        F.avg("x").alias("m")
+    )
+    cn = cent.groupBy("clab").agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nc"))
+    vn = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"))
+    s = (
+        e.join(bcast_small(cent.withColumnRenamed("i", "_ci")),
+               F.col("i") == F.col("_ci"))
+        .groupBy("vec_id", "label", "clab")
+        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
+    )
+    sc = (
+        s.join(vn, "vec_id")
+        .join(bcast_small(cn), "clab")
+        .filter((F.col("nv") > 0) & (F.col("nc") > 0))
+        .select(
+            "vec_id",
+            "label",
+            "clab",
+            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("cos"),
+        )
+    )
+    pick = sc.groupBy("vec_id", "label").agg(
+        F.min_by(
+            F.col("clab"), F.struct(-F.col("cos"), F.col("clab"))
+        ).alias("pred")
+    )
+    return pick.groupBy(
+        F.col("label").cast("long").alias("true_label"),
+        F.col("pred").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
