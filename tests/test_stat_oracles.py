@@ -1195,3 +1195,113 @@ def test_positional_token_entropy_first_two_positions():
     assert out.loc[1]["entropy"] == 0.0
     assert out.loc[2]["n_docs_at_pos"] == 2 and out.loc[2]["n_types"] == 2
     assert out.loc[2]["entropy"] == round_away(math.log(2), 6)
+
+
+# ---------------------------------------------------------------------------
+# wave 8 (round 10): the new retrieval-fusion and dedup-state-TTL oracles,
+# derived by hand on micro tables, plus the cross-query state-accounting
+# invariant (q357's interval frame vs q358's closed form)
+# ---------------------------------------------------------------------------
+
+
+def _ttl_events() -> pd.DataFrame:
+    # key A=(1,'click'): s = 0, 100, 800, 5000; key B=(2,'view'): s = 0
+    rows = [
+        (1, "click", 10, 0),
+        (1, "click", 11, 100),
+        (1, "click", 12, 800),
+        (1, "click", 13, 5000),
+        (2, "view", 20, 0),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "event_id", "s"])
+    df["ts"] = pd.to_datetime(df.pop("s"), unit="s")
+    return df
+
+
+def test_ttl_hit_rates_micro():
+    con = duckdb.connect()
+    con.register("events", _ttl_events())
+    out = _run(con, "q356_dedup_ttl_hit_rates").set_index("ttl_s")
+    # gaps: A -> [null, 100, 700, 4200], B -> [null]
+    assert out.loc[60]["n_dup_hits"] == 0
+    assert out.loc[600]["n_dup_hits"] == 1   # gap 100
+    assert out.loc[3600]["n_dup_hits"] == 2  # gaps 100, 700
+    for ttl, hits in ((60, 0), (600, 1), (3600, 2)):
+        assert out.loc[ttl]["n_events"] == 5
+        assert out.loc[ttl]["hit_rate"] == round_away(hits / 5, 6)
+
+
+def test_ttl_state_peak_micro():
+    con = duckdb.connect()
+    con.register("events", _ttl_events())
+    out = _run(con, "q357_dedup_state_peak").iloc[0]
+    # TTL=600 merged intervals: A [0,700) [800,1400) [5000,5600), B [0,600)
+    assert out["n_keys"] == 2
+    assert out["n_admissions"] == 4
+    assert out["state_seconds"] == 700 + 600 + 600 + 600
+    assert out["peak_live_state"] == 2  # A and B both live in [0,600)
+
+
+def test_ttl_eviction_scaling_micro_and_invariant():
+    con = duckdb.connect()
+    con.register("events", _ttl_events())
+    out = _run(con, "q358_ttl_eviction_scaling").set_index("ttl_s")
+    assert out.loc[60]["n_admissions"] == 5
+    assert out.loc[60]["state_seconds"] == 5 * 60
+    assert out.loc[600]["n_admissions"] == 4
+    assert out.loc[600]["state_seconds"] == 2500
+    assert out.loc[3600]["n_admissions"] == 3
+    assert out.loc[3600]["state_seconds"] == 3600 + 100 + 700 + 3600 + 3600
+    # closed form must agree with q357's explicit interval frame at 600 s
+    peak = _run(con, "q357_dedup_state_peak").iloc[0]
+    assert out.loc[600]["state_seconds"] == peak["state_seconds"]
+    assert out.loc[600]["n_admissions"] == peak["n_admissions"]
+
+
+def _pad(front: list[float], back: list[float]) -> list[float]:
+    # 34-dim vector: dims 1-2 = front, dims 33-34 = back, zeros between
+    return front + [0.0] * 30 + back
+
+
+def test_rrf_fusion_hand_worked():
+    # probe v0 (m = max(5, ceil(4/25)) = 5 -> only vec_id 0 probes).
+    # front cosines vs v0: v1=1, v3=1/sqrt(2), v2=0 -> ra = 1,3,2...
+    # back cosines: v2=1, v3=1/sqrt(2), v1=0 -> rb: v2=1, v3=2, v1=3.
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                _pad([1.0, 0.0], [1.0, 0.0]),
+                _pad([1.0, 0.0], [0.0, 1.0]),
+                _pad([0.0, 1.0], [1.0, 0.0]),
+                _pad([1.0, 1.0], [1.0, 1.0]),
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q350_rrf_rank_fusion").iloc[0]
+    assert out["qid"] == 0
+    assert out["top1_a"] == 1 and out["top1_b"] == 2
+    # rrf(v1) = 1/61 + 1/63 == rrf(v2) exactly (commutative float add);
+    # the cid tiebreak picks v1, which ranked 1 in A and 3 in B
+    assert out["top1_fused"] == 1
+    assert out["fused_rank_in_a"] == 1 and out["fused_rank_in_b"] == 3
+
+
+def test_centroid_confusion_micro():
+    # label 0: {(1,0),(1,0)} -> centroid (1,0); label 1: {(0,1),(1,0)}
+    # -> centroid (.5,.5). Predictions: (1,0)->0 (cos 1 vs .707),
+    # (0,1)->1 (cos 0 vs .707) => confusion (0,0,2),(1,0,1),(1,1,1)
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "label": [0, 0, 1, 1],
+            "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    out = _run(con, "q360_label_centroid_confusion")
+    got = {(r.true_label, r.pred_label): r.n for r in out.itertuples()}
+    assert got == {(0, 0): 2, (1, 1): 1, (1, 0): 1}
