@@ -132,6 +132,28 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _SQL_PCTL(p: str, v: str = "v") -> str:
+    """Exact linear-interpolation percentile as an aggregate expression
+    over a ranked CTE with columns (v, rn, n) — rn = 1-based ascending
+    rank, n = group count, NULLs pre-filtered.
+
+    Mirrors operators.aggregate.exact_group_percentiles BIT-FOR-BIT:
+    r = 1.0 + (n-1)*p, frac = r - floor(r), bound = vlo + frac*(vhi-vlo)
+    — the SAME IEEE ops in the same order, so both engines produce the
+    identical double. DuckDB's quantile_cont must NOT be used where the
+    quantile feeds a comparison: it lerps as (1-f)*a + f*b, which is
+    1-2 ulp off the data value EVEN WHEN a == b (e.g. 2.52 ->
+    2.5200000000000005), and a strict comparison against that bound
+    flips entire tie blocks — the q133 sf3 (30x oracle gate) defect."""
+    r_row = f"(1.0 + CAST(n - 1 AS DOUBLE) * {p})"
+    lo_rank = f"CAST(floor({r_row}) AS BIGINT)"
+    r_agg = f"(1.0 + CAST(any_value(n) - 1 AS DOUBLE) * {p})"
+    vlo = f"min(CASE WHEN rn = {lo_rank} THEN {v} END)"
+    vhi = f"coalesce(min(CASE WHEN rn = {lo_rank} + 1 THEN {v} END), {vlo})"
+    frac = f"({r_agg} - floor({r_agg}))"
+    return f"({vlo} + {frac} * ({vhi} - {vlo}))"
+
+
 # --------------------------------------------------------------------------
 # 1. Aggregation core (A1, P8, W2) — flagship
 # --------------------------------------------------------------------------
@@ -4237,12 +4259,18 @@ def q112_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q113_equidepth_histogram",
-    """
-    WITH b AS (
-      SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
-             quantile_cont(l_extendedprice, 0.50) AS p50,
-             quantile_cont(l_extendedprice, 0.75) AS p75
-      FROM lineitem
+    f"""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    b AS (
+      SELECT {_SQL_PCTL('0.25')} AS p25,
+             {_SQL_PCTL('0.5')}  AS p50,
+             {_SQL_PCTL('0.75')} AS p75
+      FROM r
     )
     SELECT CASE WHEN l_extendedprice < p25 THEN 0
                 WHEN l_extendedprice < p50 THEN 1
@@ -4651,15 +4679,25 @@ def q121_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q122_mad_outliers",
-    """
+    f"""
     WITH ev AS (SELECT event_type, value FROM events
                 WHERE value IS NOT NULL),
-    med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-                 FROM ev GROUP BY 1),
+    r1 AS (SELECT event_type, value AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM ev),
+    med AS (SELECT event_type, {_SQL_PCTL('0.5')} AS med
+            FROM r1 GROUP BY event_type),
     dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
             FROM ev e JOIN med m USING (event_type)),
-    madt AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
-             FROM dev GROUP BY 1)
+    r2 AS (SELECT event_type, d AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+    madt AS (SELECT event_type, {_SQL_PCTL('0.5')} AS mad
+             FROM r2 GROUP BY event_type)
     SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
            round(any_value(d.med), 6) AS med,
            round(any_value(t.mad), 6) AS mad,
@@ -5155,12 +5193,19 @@ def q132_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q133_winsorized_stats",
-    """
-    WITH b AS (
+    f"""
+    WITH r AS (
+      SELECT event_type, value AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY 1
+             {_SQL_PCTL('0.05')} AS lo,
+             {_SQL_PCTL('0.95')} AS hi
+      FROM r GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -15595,16 +15640,24 @@ def q282_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q283_embedding_norm_outliers",
-    """
+    f"""
     WITH nr AS (
       SELECT label,
              sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings),
-    med AS (SELECT label, quantile_cont(nrm, 0.5) AS med FROM nr GROUP BY 1),
+    r1 AS (SELECT label, nrm AS v,
+                  row_number() OVER (PARTITION BY label ORDER BY nrm) AS rn,
+                  count(*) OVER (PARTITION BY label) AS n
+           FROM nr WHERE nrm IS NOT NULL),
+    med AS (SELECT label, {_SQL_PCTL('0.5')} AS med FROM r1 GROUP BY label),
     dev AS (SELECT n.label, n.nrm, m.med, abs(n.nrm - m.med) AS d
             FROM nr n JOIN med m USING (label)),
-    madt AS (SELECT label, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+    r2 AS (SELECT label, d AS v,
+                  row_number() OVER (PARTITION BY label ORDER BY d) AS rn,
+                  count(*) OVER (PARTITION BY label) AS n
+           FROM dev),
+    madt AS (SELECT label, {_SQL_PCTL('0.5')} AS mad FROM r2 GROUP BY label)
     SELECT d.label, CAST(count(*) AS BIGINT) AS n,
            round(any_value(d.med), 6) AS med_norm,
            round(any_value(t.mad), 6) AS mad_norm,
