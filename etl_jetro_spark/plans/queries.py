@@ -20384,8 +20384,8 @@ def _probe_scores_sql(sa_cond: str, sb_cond: str, per: int = 25) -> str:
       GROUP BY 1, 2),
     sc AS (
       SELECT dots.qid, dots.cid,
-             dots.da / (nq.na * nc.na) AS sa,
-             dots.db / (nq.nb * nc.nb) AS sb
+             round(dots.da / (nq.na * nc.na), 12) AS sa,
+             round(dots.db / (nq.nb * nc.nb), 12) AS sb
       FROM dots
       JOIN nrm nq ON nq.vec_id = dots.qid
       JOIN nrm nc ON nc.vec_id = dots.cid)
@@ -20454,14 +20454,24 @@ def _probe_scores(
         F.col("na").alias("cna"),
         F.col("nb").alias("cnb"),
     )
+    # round-12 before any ranking: a corpus with EXACT duplicate
+    # vectors (every scaled testdata set has 30-copy clusters) gives
+    # identical candidates fold-order ulp-different dots, so a rank's
+    # tie would otherwise break on noise instead of the cid tiebreak
+    # (caught by the sf3 oracle gate on q359). 1e-12 >> ulp, << any
+    # genuine score gap.
     return (
         dots.join(bcast_sized(nq), "qid")
         .join(nc, "cid")
         .select(
             "qid",
             "cid",
-            (F.col("da") / (F.col("qna") * F.col("cna"))).alias("sa"),
-            (F.col("db") / (F.col("qnb") * F.col("cnb"))).alias("sb"),
+            F.round(F.col("da") / (F.col("qna") * F.col("cna")), 12).alias(
+                "sa"
+            ),
+            F.round(F.col("db") / (F.col("qnb") * F.col("cnb")), 12).alias(
+                "sb"
+            ),
         )
     )
 
@@ -21227,24 +21237,27 @@ def q358_ttl_eviction_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq AS (
       SELECT e2.vec_id, e2.i,
              CAST(round(CASE WHEN scl.scale > 0 THEN e2.x / scl.scale
-                             ELSE 0 END) AS INTEGER) * scl.scale AS xq
+                             ELSE 0 END) AS BIGINT) AS qi
       FROM e2 JOIN scl USING (vec_id)),
-    qn AS (SELECT vec_id, sqrt(sum(xq * xq)) AS nq FROM dq GROUP BY vec_id),
+    qn AS (SELECT vec_id, CAST(sum(qi * qi) AS BIGINT) AS n2
+           FROM dq GROUP BY vec_id),
     md2 AS (SELECT greatest(5, CAST(ceil(count(*) / 25.0) AS BIGINT)) AS m
             FROM embeddings),
     qs AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
-             sum(c.xq * q.xq) AS dotq
+             CAST(sum(c.qi * q.qi) AS BIGINT) AS dotq
       FROM dq c
       JOIN (SELECT dq.* FROM dq CROSS JOIN md2
             WHERE dq.vec_id % md2.m = 0) q
         ON c.i = q.i AND c.vec_id <> q.vec_id
       GROUP BY 1, 2),
     sq AS (
-      SELECT qs.qid, qs.cid, qs.dotq / (a.nq * b.nq) AS sq
+      SELECT qs.qid, qs.cid,
+             round(CAST(qs.dotq AS DOUBLE)
+                   / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)), 12) AS sq
       FROM qs JOIN qn a ON a.vec_id = qs.qid
               JOIN qn b ON b.vec_id = qs.cid
-      WHERE a.nq > 0 AND b.nq > 0),
+      WHERE a.n2 > 0 AND b.n2 > 0),
     rf AS (SELECT qid, cid, sa,
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY sa DESC, cid) AS r
@@ -21288,28 +21301,33 @@ def q359_quantized_top1_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     scl = e2.groupBy("vec_id").agg(
         (F.max(F.abs(F.col("x"))) / 127.0).alias("scale")
     )
+    # INTEGER quantized coordinates: the per-vector positive scale
+    # cancels in cosine, so the whole quantized score is exact integer
+    # arithmetic until one final division - fold-order-free on both
+    # engines (the dequantized-float form gave identical duplicate
+    # candidates ulp-different dots at sf3 and broke top-1 ties on
+    # noise; sf3 oracle gate catch)
     dq = (
         e2.join(scl, "vec_id")
         .select(
             "vec_id",
             "i",
-            (
-                F.round(
-                    F.when(
-                        F.col("scale") > 0, F.col("x") / F.col("scale")
-                    ).otherwise(0.0)
-                ).cast("int")
-                * F.col("scale")
-            ).alias("xq"),
+            F.round(
+                F.when(
+                    F.col("scale") > 0, F.col("x") / F.col("scale")
+                ).otherwise(0.0)
+            )
+            .cast("long")
+            .alias("qi"),
         )
     )
     qn = dq.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("xq") * F.col("xq"))).alias("nq")
+        F.sum(F.col("qi") * F.col("qi")).cast("long").alias("n2")
     )
     qprobe = dq.filter(F.col("vec_id") % m == 0).select(
         F.col("vec_id").alias("_qid"),
         F.col("i").alias("_qi"),
-        F.col("xq").alias("_qx"),
+        F.col("qi").alias("_qx"),
     )
     qs = (
         dq.join(
@@ -21318,21 +21336,29 @@ def q359_quantized_top1_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("vec_id") != F.col("_qid")),
         )
         .groupBy(F.col("_qid").alias("qid"), F.col("vec_id").alias("cid"))
-        .agg(F.sum(F.col("xq") * F.col("_qx")).alias("dotq"))
+        .agg(F.sum(F.col("qi") * F.col("_qx")).cast("long").alias("dotq"))
     )
     sq = (
         qs.join(
             bcast_sized(
-                qn.select(F.col("vec_id").alias("qid"), F.col("nq").alias("qa"))
+                qn.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qa"))
             ),
             "qid",
         )
         .join(
-            qn.select(F.col("vec_id").alias("cid"), F.col("nq").alias("qb")),
+            qn.select(F.col("vec_id").alias("cid"), F.col("n2").alias("qb")),
             "cid",
         )
         .filter((F.col("qa") > 0) & (F.col("qb") > 0))
-        .select("qid", "cid", (F.col("dotq") / (F.col("qa") * F.col("qb"))).alias("sq"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.col("dotq").cast("double")
+                / F.sqrt((F.col("qa") * F.col("qb")).cast("double")),
+                12,
+            ).alias("sq"),
+        )
     )
     rf = _rank_frame(scored.select("qid", "cid", "sa"), "sa", "r").join(
         scored.select("qid", "cid", "sa"), ["qid", "cid"]
