@@ -20460,7 +20460,7 @@ def _probe_scores(
     # tie would otherwise break on noise instead of the cid tiebreak
     # (caught by the sf3 oracle gate on q359). 1e-12 >> ulp, << any
     # genuine score gap.
-    return (
+    scored = (
         dots.join(bcast_sized(nq), "qid")
         .join(nc, "cid")
         .select(
@@ -20474,6 +20474,11 @@ def _probe_scores(
             ),
         )
     )
+    # barrier: every consumer ranks this frame 2-3 times (one
+    # group_ranked pass per channel); without it Catalyst re-inlines
+    # the corpus-sized dim-join into each rank plan and the scoring
+    # runs once PER RANK FRAME instead of once per query
+    return scored.localCheckpoint(eager=False)
 
 
 def _rank_frame(scored: DataFrame, col: str, out: str) -> DataFrame:
