@@ -94,6 +94,11 @@ from etl_jetro_spark.operators.rangejoin import (  # noqa: F401
     interval_overlap_join,
     range_join,
 )
+from etl_jetro_spark.operators.retrieval import (  # noqa: F401
+    probe_channel_scores,
+    rank_channel,
+    rrf,
+)
 from etl_jetro_spark.operators.timeseries import (  # noqa: F401
     cohort_retention,
     funnel,

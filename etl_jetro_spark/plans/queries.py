@@ -20395,102 +20395,23 @@ def _probe_scores_sql(sa_cond: str, sb_cond: str, per: int = 25) -> str:
 def _probe_scores(
     spark: SparkSession, sf_dir: str, mode: str, cut: int, per: int = 25
 ) -> DataFrame:
-    """Spark twin of :func:`_probe_scores_sql`: (qid, cid, sa, sb).
+    """Spark twin of :func:`_probe_scores_sql` — delegates to the engine
+    operator :func:`operators.retrieval.probe_channel_scores` (adaptive
+    ~`per`-probe slice, expression-only codegen, round-12 tie hygiene,
+    checkpoint barrier; see that module's docstring for the scale and
+    determinism story)."""
+    from etl_jetro_spark.operators.retrieval import probe_channel_scores
 
-    ``mode='halves'``: sa = cosine over dims 1..cut, sb over dims
-    cut+1..d (two independent retrieval systems from one embedding).
-    ``mode='prefix'``: sa = cosine over dims 1..cut (cheap stage-1),
-    sb = full-dim cosine (the reranker / ground truth).
-
-    The probe slice is ~`per` vectors at ANY corpus size (adaptive
-    modulus, q221 pattern), so the dim-join is per x n x d rows —
-    linear in the corpus with a fixed constant; all scoring is
-    expression-only codegen (no UDF, no collect of the corpus)."""
-    import math
-
-    emb = load(spark, sf_dir, "embeddings")
-    m = max(5, math.ceil(emb.count() / float(per)))
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "xf")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),  # 1-based, matching the oracle
-        F.col("xf").cast("double").alias("x"),
+    return probe_channel_scores(
+        load(spark, sf_dir, "embeddings"), mode, cut, per=per
     )
-    in_a = F.col("i") <= cut
-    in_b = (F.col("i") > cut) if mode == "halves" else F.lit(True)
-    nrm = e.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.when(in_a, F.col("x") * F.col("x")).otherwise(0.0))).alias("na"),
-        F.sqrt(F.sum(F.when(in_b, F.col("x") * F.col("x")).otherwise(0.0))).alias("nb"),
-    )
-    ok = nrm.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
-        "vec_id", "na", "nb"
-    )
-    ee = e.join(ok.select("vec_id"), "vec_id")
-    q = ee.filter(F.col("vec_id") % m == 0).select(
-        F.col("vec_id").alias("_qid"),
-        F.col("i").alias("_qi"),
-        F.col("x").alias("_qx"),
-    )
-    dots = (
-        ee.join(
-            bcast_sized(q),
-            (F.col("i") == F.col("_qi"))
-            & (F.col("vec_id") != F.col("_qid")),
-        )
-        .groupBy(F.col("_qid").alias("qid"), F.col("vec_id").alias("cid"))
-        .agg(
-            F.sum(F.when(in_a, F.col("x") * F.col("_qx")).otherwise(0.0)).alias("da"),
-            F.sum(F.when(in_b, F.col("x") * F.col("_qx")).otherwise(0.0)).alias("db"),
-        )
-    )
-    nq = ok.select(
-        F.col("vec_id").alias("qid"),
-        F.col("na").alias("qna"),
-        F.col("nb").alias("qnb"),
-    )
-    nc = ok.select(
-        F.col("vec_id").alias("cid"),
-        F.col("na").alias("cna"),
-        F.col("nb").alias("cnb"),
-    )
-    # round-12 before any ranking: a corpus with EXACT duplicate
-    # vectors (every scaled testdata set has 30-copy clusters) gives
-    # identical candidates fold-order ulp-different dots, so a rank's
-    # tie would otherwise break on noise instead of the cid tiebreak
-    # (caught by the sf3 oracle gate on q359). 1e-12 >> ulp, << any
-    # genuine score gap.
-    scored = (
-        dots.join(bcast_sized(nq), "qid")
-        .join(nc, "cid")
-        .select(
-            "qid",
-            "cid",
-            F.round(F.col("da") / (F.col("qna") * F.col("cna")), 12).alias(
-                "sa"
-            ),
-            F.round(F.col("db") / (F.col("qnb") * F.col("cnb")), 12).alias(
-                "sb"
-            ),
-        )
-    )
-    # barrier: every consumer ranks this frame 2-3 times (one
-    # group_ranked pass per channel); without it Catalyst re-inlines
-    # the corpus-sized dim-join into each rank plan and the scoring
-    # runs once PER RANK FRAME instead of once per query
-    return scored.localCheckpoint(eager=False)
 
 
 def _rank_frame(scored: DataFrame, col: str, out: str) -> DataFrame:
-    """Per-probe descending rank of `col` with a cid tiebreak, via the
-    distributed rank machinery (never a probe-partitioned window whose
-    partition holds the whole corpus)."""
-    from etl_jetro_spark.operators.aggregate import group_ranked
+    """Engine operator :func:`operators.retrieval.rank_channel`."""
+    from etl_jetro_spark.operators.retrieval import rank_channel
 
-    r = group_ranked(
-        scored.select("qid", "cid", col), ["qid"], -F.col(col), tiebreak=["cid"]
-    )
-    return r.select("qid", "cid", F.col("_rn").alias(out))
+    return rank_channel(scored, col, out)
 
 
 @query(
@@ -20533,13 +20454,13 @@ def q350_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _probe_scores(spark, sf_dir, "halves", 32)
     ra = _rank_frame(scored, "sa", "ra")
     rb = _rank_frame(scored, "sb", "rb")
+    from etl_jetro_spark.operators.retrieval import rrf as rrf_score
+
     r = ra.join(rb, ["qid", "cid"])
-    rrf = (
-        1.0 / (60 + F.col("ra")) + 1.0 / (60 + F.col("rb"))
-    ).alias("rrf")
-    f = _rank_frame(r.select("qid", "cid", "ra", "rb", rrf), "rrf", "rf").join(
-        r, ["qid", "cid"]
+    fused = r.select(
+        "qid", "cid", "ra", "rb", rrf_score("ra", "rb", k=60).alias("rrf")
     )
+    f = _rank_frame(fused, "rrf", "rf").join(r, ["qid", "cid"])
     return f.groupBy("qid").agg(
         F.min(F.when(F.col("ra") == 1, F.col("cid"))).cast("long").alias("top1_a"),
         F.min(F.when(F.col("rb") == 1, F.col("cid"))).cast("long").alias("top1_b"),
