@@ -21386,3 +21386,236 @@ def q360_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("label").cast("long").alias("true_label"),
         F.col("pred").cast("long").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# 35. Round-10 wave 2: evaluation & calibration analytics
+#     (operators/evalstats.py) — score calibration (Brier/ECE), paired
+#     classifier tests (McNemar, Cochran Q), multiple-testing control,
+#     conformal coverage, embedding-geometry diagnostics
+# --------------------------------------------------------------------------
+
+_DK_QFEAT = f"""feat AS (
+      SELECT doc_id, text,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+             len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+             len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, md5({DK_NORM_TEXT.replace('text', 'feat.text')}) AS fp,
+             round(least(n_tokens / 20.0, 1.0) * 0.4
+                   + (1 - least(CAST(n_punct AS DOUBLE) / n_chars * 2
+                                + CAST(n_digit AS DOUBLE) / n_chars * 2, 1.0)) * 0.3
+                   + least(CAST(n_stop AS DOUBLE) / n_tokens * 4, 1.0) * 0.3, 6)
+               AS q
+      FROM feat WHERE n_chars > 0 AND n_tokens > 0
+    ),
+    dup AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS grp FROM scored GROUP BY 1
+    ),
+    """
+
+
+def _q361_oracle() -> str:
+    from etl_jetro_spark.operators.evalstats import brier_decomposition_sql
+
+    return brier_decomposition_sql(
+        """SELECT CAST(round(s.q * 1000000) AS BIGINT) AS p6,
+                  CASE WHEN d.grp = 1 THEN 1 ELSE 0 END AS y
+           FROM scored s JOIN dup d USING (fp)""",
+        pre_ctes=_DK_QFEAT,
+    )
+
+
+@query("q361_quality_brier_decomposition", None)
+def q361_quality_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the composite quality score (q24/q345)
+    read as a probabilistic forecast that a document is EXACT-DUP-FREE
+    (q17's normalized-md5 fingerprint): Brier score, reliability,
+    resolution, uncertainty over ten fixed-width probability bins, plus
+    the expected calibration error — the "can I trust this score as a
+    keep-probability" audit run before spending a 100 TB filter pass
+    (q345 shows the decile curve; this is the one-row decision scalar).
+
+    Exactness at scale: the score is 6-dp-quantized, so every moment
+    (raw Brier numerator, ECE numerator, per-bin sums) is an exact
+    integer carried as DECIMAL(38,0)/HUGEINT; only the 10-term bin
+    combine runs in double (bounded count — static-wobble class). Scale
+    shape: one fingerprint shuffle + one 10-group aggregate, both
+    data-linear; zero windows over data."""
+    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.operators import evalstats as ES
+
+    d = load(spark, sf_dir, "documents")
+    scored = (
+        O.quality_score(d, "text")
+        .filter((F.col("q_n_chars") > 0) & (F.col("q_n_tokens") > 0))
+        .select(
+            "doc_id",
+            F.md5(norm_text("text")).alias("fp"),
+            F.col("quality_score").alias("q"),
+        )
+    )
+    dup = scored.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("grp"))
+    rows = scored.join(dup, "fp").select(
+        F.round(F.col("q") * 1000000).cast("long").alias("p6"),
+        (F.col("grp") == 1).cast("int").alias("y"),
+    )
+    return ES.brier_decomposition(rows, "p6", "y", n_bins=10)
+
+
+ORACLES["q361_quality_brier_decomposition"] = _q361_oracle()
+
+
+@query(
+    "q363_langid_mcnemar",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS h_en,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('es')}, x))) AS h_es,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('de')}, x))) AS h_de,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS declared,
+             CASE
+               WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+               WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+               WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+               WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+               ELSE 'fr'
+             END AS predicted
+      FROM hits
+    ),
+    maj AS (
+      SELECT lang AS mlang
+      FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1
+            ORDER BY c DESC, lang LIMIT 1)
+    ),
+    paired AS (
+      SELECT CASE WHEN declared = predicted THEN 1 ELSE 0 END AS a,
+             CASE WHEN declared = (SELECT mlang FROM maj) THEN 1 ELSE 0 END AS b
+      FROM pred
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      FROM paired
+    )
+    SELECT n, n_both, n_only_a, n_only_b, n_neither,
+           CASE WHEN n_only_a + n_only_b > 0 THEN
+             round(CAST((abs(n_only_a - n_only_b) - 1)
+                        * (abs(n_only_a - n_only_b) - 1) AS DOUBLE)
+                   / CAST(n_only_a + n_only_b AS DOUBLE), 6)
+           END AS chi2
+    FROM agg
+    """,
+)
+def q363_langid_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (continuity-corrected): is the stopword
+    lang-id heuristic (q25/q261) more accurate against the declared
+    label than the majority-class baseline (predict the corpus's most
+    common language, ties lang-asc)? Discordant pairs only carry the
+    signal — the textbook way to compare two classifiers evaluated on
+    the SAME documents, where the naive two-proportion z overstates
+    significance by ignoring the pairing. Accuracy indicators are
+    exact integers; the single division happens after all counts.
+    Detection is partition-local regex work (no shuffle before the
+    one 5-counter aggregate); the baseline is a 1-row broadcast."""
+    from etl_jetro_spark.operators import evalstats as ES
+
+    d = load(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("declared"), O.lang_id("text").alias("predicted")
+    )
+    maj = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.min_by(
+                F.col("lang"), F.struct(-F.col("c"), F.col("lang"))
+            ).alias("mlang")
+        )
+    )
+    paired = pred.crossJoin(bcast_small(maj)).select(
+        (F.col("declared") == F.col("predicted")).alias("ca"),
+        (F.col("declared") == F.col("mlang")).alias("cb"),
+    )
+    return ES.mcnemar(paired, F.col("ca"), F.col("cb"))
+
+
+@query(
+    "q364_quality_gates_cochran_q",
+    """
+    WITH g AS (
+      SELECT CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS g0,
+             CASE WHEN len(regexp_replace(text, '[^0-9]', '', 'g')) <= 5
+                  THEN 1 ELSE 0 END AS g1,
+             CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END) >= 30 THEN 1 ELSE 0 END AS g2
+      FROM documents),
+    r AS (SELECT g0, g1, g2, g0 + g1 + g2 AS rr FROM g),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g0) AS BIGINT) AS s0,
+             CAST(sum(g1) AS BIGINT) AS s1,
+             CAST(sum(g2) AS BIGINT) AS s2,
+             CAST(sum(rr) AS BIGINT) AS sr,
+             CAST(sum(rr * rr) AS BIGINT) AS sr2
+      FROM r)
+    SELECT n,
+           round(s0 / CAST(n AS DOUBLE), 6) AS rate_g0,
+           round(s1 / CAST(n AS DOUBLE), 6) AS rate_g1,
+           round(s2 / CAST(n AS DOUBLE), 6) AS rate_g2,
+           CASE WHEN 3 * sr - sr2 > 0 THEN
+             round(CAST(2 * (3 * (CAST(s0 AS HUGEINT) * s0
+                                  + CAST(s1 AS HUGEINT) * s1
+                                  + CAST(s2 AS HUGEINT) * s2)
+                             - CAST(s0 + s1 + s2 AS HUGEINT)
+                               * (s0 + s1 + s2)) AS DOUBLE)
+                   / CAST(3 * sr - sr2 AS DOUBLE), 6)
+           END AS q_stat,
+           CAST(2 AS BIGINT) AS dof
+    FROM agg
+    """,
+)
+def q364_quality_gates_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three paired binary quality gates (length
+    sweet spot, low digit noise, minimum token count) applied to every
+    document — "do these gates differ in pass rate on the same corpus,
+    or are they interchangeable filters?" The k-sample generalization
+    of McNemar; rejecting means the gates encode genuinely different
+    criteria and a curator cannot drop one as redundant. Every moment
+    (per-gate totals, per-row pass counts and their squares) is an
+    exact integer with DECIMAL(38,0)/HUGEINT guards on the squared
+    column totals; one final division. One partition-local pass, one
+    6-counter aggregate — no shuffle beyond the partial-agg combine."""
+    from etl_jetro_spark.operators import evalstats as ES
+    from etl_jetro_spark.operators.textstats import token_count
+
+    d = load(spark, sf_dir, "documents")
+    return ES.cochran_q(
+        d,
+        [
+            F.col("n_chars").between(200, 2000),
+            F.length(F.regexp_replace("text", "[^0-9]", "")) <= 5,
+            token_count("text") >= 30,
+        ],
+    )

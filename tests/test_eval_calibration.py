@@ -1,0 +1,181 @@
+"""Textbook-value checks for the evaluation & calibration family
+(operators/evalstats.py + queries q361/q363/q364 and the later wave).
+
+Same discipline as tests/test_stat_oracles.py: the driver's gate proves
+Spark == DuckDB; these tests run the ORACLE SQL (or the shared SQL
+builders) alone on hand-constructed micro-tables against values derived
+independently in plain Python, so a formula bug shared by both engines
+cannot ship green."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from etl_jetro_spark.operators.evalstats import (  # noqa: E402
+    brier_decomposition_sql,
+    two_sided_p_sql,
+)
+from etl_jetro_spark.plans.queries import ORACLES  # noqa: E402
+
+
+def test_brier_decomposition_textbook():
+    # 8 forecasts in two bins (0.1x and 0.7x), hand-worked Murphy terms.
+    rows = [
+        (100_000, 0),  # bin 1 (p=0.1): outcomes 0,0,0,1
+        (100_000, 0),
+        (120_000, 0),
+        (140_000, 1),
+        (700_000, 1),  # bin 7 (p=0.7): outcomes 1,1,0,1
+        (720_000, 1),
+        (700_000, 0),
+        (740_000, 1),
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["p6", "y"]))
+    out = con.sql(
+        brier_decomposition_sql("SELECT p6, y FROM t")
+    ).df().iloc[0]
+
+    ps = [r[0] / 1e6 for r in rows]
+    ys = [r[1] for r in rows]
+    n = len(rows)
+    ybar = sum(ys) / n
+    brier = sum((p - y) ** 2 for p, y in zip(ps, ys)) / n
+    # bins: first four rows, last four rows
+    bins = [rows[:4], rows[4:]]
+    rel = res = ece = 0.0
+    for b in bins:
+        nk = len(b)
+        qk = sum(r[0] for r in b) / 1e6 / nk
+        yk = sum(r[1] for r in b) / nk
+        rel += nk * (qk - yk) ** 2
+        res += nk * (yk - ybar) ** 2
+        ece += nk * abs(qk - yk)
+    rel, res, ece = rel / n, res / n, ece / n
+    unc = ybar * (1 - ybar)
+
+    assert out["n_rows"] == n
+    assert out["base_rate"] == round(ybar, 6)
+    assert abs(out["brier"] - brier) < 1e-9
+    assert abs(out["reliability"] - rel) < 1e-9
+    assert abs(out["resolution"] - res) < 1e-9
+    assert abs(out["uncertainty"] - unc) < 1e-9
+    assert abs(out["ece"] - ece) < 1e-9
+    # Murphy identity for the binned forecast
+    assert abs(out["brier_binned"] - (rel - res + unc)) < 1e-9
+
+
+def _doc(doc_id, lang, text, n_chars=None):
+    return {
+        "doc_id": doc_id,
+        "lang": lang,
+        "source": "s0",
+        "text": text,
+        "n_chars": n_chars if n_chars is not None else len(text),
+    }
+
+
+def test_mcnemar_textbook_counts():
+    # Classifier A = stopword lang-id; B = majority declared lang.
+    # 6 docs: majority declared = 'en' (3 en, 2 es, 1 de).
+    # en-stopword text => pred 'en'; es-stopword text => pred 'es';
+    # no stopwords => 'und'.
+    en, es, und = "the and of to in", "el la de que los", "zzz qqq vvv"
+    docs = [
+        _doc(1, "en", en),   # A right, B right  -> both
+        _doc(2, "en", es),   # A wrong, B right  -> only_b
+        _doc(3, "en", und),  # A wrong, B right  -> only_b
+        _doc(4, "es", es),   # A right, B wrong  -> only_a
+        _doc(5, "es", en),   # A wrong, B wrong  -> neither
+        _doc(6, "de", und),  # A wrong, B wrong  -> neither
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = con.sql(ORACLES["q363_langid_mcnemar"]).df().iloc[0]
+    assert (
+        out["n"],
+        out["n_both"],
+        out["n_only_a"],
+        out["n_only_b"],
+        out["n_neither"],
+    ) == (6, 1, 1, 2, 2)
+    # chi2 = (|1-2| - 1)^2 / (1+2) = 0/3 = 0
+    assert out["chi2"] == 0.0
+
+
+def test_cochran_q_textbook():
+    # Hand-worked Cochran's Q, k=3: gates g0 (200<=n_chars<=2000),
+    # g1 (<=5 digits), g2 (>=30 tokens). Build rows hitting chosen
+    # patterns: (1,1,1), (1,1,0), (1,0,0), (0,1,0) x 2.
+    long_text = " ".join("wx" for _ in range(30))  # 30 tokens, no digits
+    digits = "1 2 3 4 5 6 7"  # 7 digit chars, 7 tokens
+    rows = [
+        _doc(1, "en", long_text, n_chars=300),   # g=(1,1,1)
+        _doc(2, "en", "short", n_chars=300),     # g=(1,1,0)
+        _doc(3, "en", digits, n_chars=500),      # g=(1,0,0)
+        _doc(4, "en", "tiny", n_chars=10),       # g=(0,1,0)
+        _doc(5, "en", "tiny", n_chars=10),       # g=(0,1,0)
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    out = con.sql(ORACLES["q364_quality_gates_cochran_q"]).df().iloc[0]
+    g = [(1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 1, 0), (0, 1, 0)]
+    s = [sum(r[j] for r in g) for j in range(3)]
+    r = [sum(row) for row in g]
+    k = 3
+    num = (k - 1) * (k * sum(x * x for x in s) - sum(s) ** 2)
+    den = k * sum(r) - sum(x * x for x in r)
+    assert out["n"] == 5
+    assert [out["rate_g0"], out["rate_g1"], out["rate_g2"]] == [
+        round(x / 5, 6) for x in s
+    ]
+    assert abs(out["q_stat"] - num / den) < 1e-9
+    assert out["dof"] == 2
+
+
+def test_two_sided_p_matches_normal_table():
+    # A&S 26.2.17 |err| < 7.5e-8; check against table values of
+    # 2*(1 - Phi(z)).
+    con = duckdb.connect()
+    for z, expected in [
+        (0.0, 1.0),
+        (1.0, 0.3173105078629141),
+        (1.959963984540054, 0.05),
+        (2.5758293035489004, 0.01),
+        (-1.0, 0.3173105078629141),
+    ]:
+        got = con.sql(
+            f"SELECT {two_sided_p_sql(str(z))} AS p"
+        ).fetchone()[0]
+        assert abs(got - expected) < 2e-7, (z, got, expected)
+
+
+def test_mcnemar_continuity_correction_formula():
+    # Direct formula check on asymmetric counts via a crafted corpus:
+    # push 5 only_a and 1 only_b -> chi2 = (|5-1|-1)^2/6 = 1.5
+    en, es, und = "the and of to in", "el la de que los", "zzz qqq vvv"
+    docs = []
+    i = 1
+    # 5x: A right (es text declared es), B wrong (majority en)
+    for _ in range(5):
+        docs.append(_doc(i, "es", es))
+        i += 1
+    # 1x: A wrong, B right (en declared, no stopwords)
+    docs.append(_doc(i, "en", und))
+    i += 1
+    # pad majority to 'en': add en-declared en-text docs (both correct)
+    for _ in range(6):
+        docs.append(_doc(i, "en", en))
+        i += 1
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = con.sql(ORACLES["q363_langid_mcnemar"]).df().iloc[0]
+    assert (out["n_only_a"], out["n_only_b"]) == (5, 1)
+    assert abs(out["chi2"] - 1.5) < 1e-12
