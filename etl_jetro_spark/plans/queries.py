@@ -21619,3 +21619,354 @@ def q364_quality_gates_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count("text") >= 30,
         ],
     )
+
+
+def _q362_oracle() -> str:
+    from etl_jetro_spark.operators.evalstats import two_sided_p_sql
+
+    return f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(s1) AS BIGINT) AS ts1,
+             CAST(sum(s2) AS BIGINT) AS ts2
+      FROM per),
+    d AS (
+      SELECT source, n,
+             CAST(n AS DOUBLE) AS ns, CAST(s1 AS DOUBLE) AS s1s,
+             CAST(s2 AS DOUBLE) AS s2s,
+             CAST(tn - n AS DOUBLE) AS nr, CAST(ts1 - s1 AS DOUBLE) AS s1r,
+             CAST(ts2 - s2 AS DOUBLE) AS s2r
+      FROM per CROSS JOIN tot),
+    zs AS (
+      SELECT source, n,
+             (s1s / ns - s1r / nr)
+               / sqrt((s2s - s1s * s1s / ns) / (ns - 1) / ns
+                      + (s2r - s1r * s1r / nr) / (nr - 1) / nr) AS z
+      FROM d),
+    ps AS (
+      SELECT source, n, z,
+             round({two_sided_p_sql('z')}, 12) AS p12
+      FROM zs),
+    ranked AS (
+      SELECT source, n, z, p12,
+             row_number() OVER (ORDER BY p12, source) AS p_rank,
+             count(*) OVER () AS m
+      FROM ps),
+    dec AS (
+      SELECT source, n, z, p12, p_rank, m,
+             CASE WHEN p12 <= 0.05 * p_rank / m THEN 1 ELSE 0 END AS bh_ok,
+             CASE WHEN p12 <= 0.05 / (m - p_rank + 1) THEN 1 ELSE 0 END
+               AS holm_ok
+      FROM ranked),
+    k AS (
+      SELECT source, n, z, p12, p_rank, m,
+             max(CASE WHEN bh_ok = 1 THEN p_rank END) OVER () AS bh_k,
+             min(holm_ok) OVER (ORDER BY p_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS holm_all
+      FROM dec)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           round(z, 6) AS z,
+           round(p12, 8) AS p_value,
+           CAST(p_rank AS BIGINT) AS p_rank,
+           CAST(m AS BIGINT) AS m,
+           CAST(CASE WHEN coalesce(p_rank <= bh_k, false) THEN 1 ELSE 0 END
+                AS BIGINT) AS bh_reject,
+           CAST(CASE WHEN holm_all = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS holm_reject
+    FROM k
+    """
+
+
+@query("q362_source_length_fdr", None)
+def q362_source_length_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length anomaly audit with multiple-testing
+    control: for each source, a Welch z two-sample test of its n_chars
+    mean against all other sources, then Benjamini-Hochberg (FDR) and
+    Holm (FWER) decisions at alpha = 0.05 across the 20-hypothesis
+    family (operators/evalstats.bh_holm) — the correction a platform
+    MUST apply when it screens hundreds of sources, or ~5% of healthy
+    sources get flagged by chance.
+
+    Portability: z is derived purely from integer sums via one fixed
+    +,-,*,/,sqrt sequence (correctly-rounded IEEE ops — bit-identical
+    cross-engine); the only non-correctly-rounded primitive is exp()
+    inside the A&S normal CDF, absorbed by the 12 dp round BEFORE
+    ranking, so BH/Holm decide on identical values. Scale shape: one
+    partial-agg pass over documents; everything after is
+    #sources-bounded (the one global window is metadata-sized)."""
+    from etl_jetro_spark.operators import evalstats as ES
+
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s1").cast("long").alias("ts1"),
+        F.sum("s2").cast("long").alias("ts2"),
+    )
+    dd = per.crossJoin(bcast_small(tot)).select(
+        "source",
+        "n",
+        F.col("n").cast("double").alias("ns"),
+        F.col("s1").cast("double").alias("s1s"),
+        F.col("s2").cast("double").alias("s2s"),
+        (F.col("tn") - F.col("n")).cast("double").alias("nr"),
+        (F.col("ts1") - F.col("s1")).cast("double").alias("s1r"),
+        (F.col("ts2") - F.col("s2")).cast("double").alias("s2r"),
+    )
+    ns, s1s, s2s = F.col("ns"), F.col("s1s"), F.col("s2s")
+    nr, s1r, s2r = F.col("nr"), F.col("s1r"), F.col("s2r")
+    z = (s1s / ns - s1r / nr) / F.sqrt(
+        (s2s - s1s * s1s / ns) / (ns - F.lit(1)) / ns
+        + (s2r - s1r * s1r / nr) / (nr - F.lit(1)) / nr
+    )
+    ps = dd.select(
+        "source",
+        "n",
+        z.alias("z"),
+        F.round(ES.two_sided_p(z), 12).alias("p12"),
+    )
+    out = ES.bh_holm(ps, ["source"], "p12", alpha=0.05)
+    return out.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("z", 6).alias("z"),
+        F.round("p12", 8).alias("p_value"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        F.col("m").cast("long").alias("m"),
+        F.col("bh_reject").cast("long").alias("bh_reject"),
+        F.col("holm_reject").cast("long").alias("holm_reject"),
+    )
+
+
+ORACLES["q362_source_length_fdr"] = _q362_oracle()
+
+
+@query(
+    "q368_conformal_length_coverage",
+    """
+    WITH hb AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)) % 2 AS bkt
+      FROM (SELECT source, n_chars,
+                   md5('conf:' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents)),
+    calib AS (SELECT source, v FROM hb WHERE bkt = 0),
+    tst AS (SELECT source, v FROM hb WHERE bkt = 1),
+    ranked AS (
+      SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM calib),
+    alphas AS (SELECT unnest([1, 2]) AS a),
+    qh AS (
+      SELECT r.source, al.a, r.n AS n_cal, r.v AS q_hat,
+             CASE WHEN ((r.n + 1) * (10 - al.a) + 9) // 10 > r.n
+                  THEN 1 ELSE 0 END AS inf_bound
+      FROM ranked r CROSS JOIN alphas al
+      WHERE r.rn = least(((r.n + 1) * (10 - al.a) + 9) // 10, r.n)),
+    cov AS (
+      SELECT q.source, q.a, q.n_cal, q.q_hat, q.inf_bound,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN q.inf_bound = 1 OR t.v <= q.q_hat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+      FROM qh q JOIN tst t ON t.source = q.source
+      GROUP BY q.source, q.a, q.n_cal, q.q_hat, q.inf_bound)
+    SELECT source,
+           CAST(a AS BIGINT) AS alpha_tenths,
+           CAST(n_cal AS BIGINT) AS n_cal,
+           n_test,
+           CASE WHEN inf_bound = 0 THEN q_hat END AS q_hat,
+           round(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage,
+           round((10 - a) / 10.0, 6) AS target
+    FROM cov
+    """,
+)
+def q368_conformal_length_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit per source: calibrate a one-sided
+    upper bound on document length on a deterministic md5 half-split
+    (doc_id parity correlates with source in this schema, so the split
+    rides sampling.hash_bucket; the k-th smallest calibration score,
+    k = ceil((n+1)(1-alpha)) in EXACT integer arithmetic —
+    operators/evalstats.conformal_upper), then measures empirical
+    coverage on the held-out half for alpha in {0.1, 0.2}.
+    Finite-sample distribution-free coverage is the guarantee a serving
+    pipeline quotes when it truncates documents by a learned bound; the
+    audit checks the guarantee actually holds per source. All decisions
+    are integer order statistics (no float quantile lerp — the q133
+    lesson by construction). Scale shape: the calibration rank rides
+    group_ranked's range-partitioned sort; the per-(source, alpha)
+    bound frame is metadata-sized and broadcast into the test join."""
+    from etl_jetro_spark.operators import evalstats as ES
+    from etl_jetro_spark.operators.sampling import hash_bucket
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+        hash_bucket("doc_id", 2, salt="conf:").alias("bkt"),
+    )
+    calib = d.filter(F.col("bkt") == 0).select("source", "v")
+    tst = d.filter(F.col("bkt") == 1).select("source", "v")
+    outs = []
+    for a in (1, 2):
+        bounds = ES.conformal_upper(calib, ["source"], "v", a).withColumn(
+            "alpha_tenths", F.lit(a).cast("long")
+        )
+        cov = (
+            tst.join(bcast_small(bounds), "source")
+            .groupBy(
+                "source", "alpha_tenths", "n_cal", "q_hat", "inf_bound"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.sum(
+                    (
+                        F.col("inf_bound") | (F.col("v") <= F.col("q_hat"))
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("n_cov"),
+            )
+        )
+        outs.append(cov)
+    allc = outs[0].unionByName(outs[1])
+    return allc.select(
+        "source",
+        "alpha_tenths",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        "n_test",
+        F.when(~F.col("inf_bound"), F.col("q_hat")).alias("q_hat"),
+        F.round(F.col("n_cov").cast("double") / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+        F.round(
+            (F.lit(10) - F.col("alpha_tenths")) / F.lit(10.0), 6
+        ).alias("target"),
+    )
+
+
+@query(
+    "q371_source_shortdoc_eb_shrinkage",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM documents GROUP BY source),
+    mom AS (
+      SELECT CAST(max(n) AS DOUBLE) AS nn,
+             CAST(count(*) AS DOUBLE) AS s,
+             CAST(sum(k) AS DOUBLE) AS sk,
+             CAST(sum(k * k) AS DOUBLE) AS sk2
+      FROM per),
+    ab0 AS (
+      SELECT nn, sk / (s * nn) AS pooled,
+             nn * (sk2 / s / (sk / s) - sk / s - 1) + sk / s AS den,
+             nn * (sk / s) - sk2 / s AS anum,
+             (nn - sk / s) * (nn - sk2 / s / (sk / s)) AS bnum
+      FROM mom
+      WHERE sk > 0),
+    ab AS (
+      SELECT nn, pooled,
+             CASE WHEN den > 0 AND anum / den > 0 AND bnum / den > 0
+                  THEN 1 ELSE 0 END AS ok,
+             anum / den AS ah, bnum / den AS bh
+      FROM ab0)
+    SELECT p.source,
+           p.n AS n_docs,
+           p.k AS k_short,
+           round(CAST(p.k AS DOUBLE) / p.n, 6) AS raw_rate,
+           round(CASE WHEN ab.ok = 1
+                      THEN (ab.ah + p.k) / (ab.ah + ab.bh + ab.nn)
+                      ELSE ab.pooled END, 6) AS shrunk_rate,
+           CASE WHEN ab.ok = 1 THEN round(ab.ah, 6) END AS alpha_hat,
+           CASE WHEN ab.ok = 1 THEN round(ab.bh, 6) END AS beta_hat
+    FROM per p CROSS JOIN ab
+    """,
+)
+def q371_source_shortdoc_eb_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source short-document rates
+    under a beta-binomial model fitted by method of moments (the
+    equal-n design: every source contributes the same document count,
+    which the driver's generator guarantees at every SF). A source with
+    3/25 short docs should NOT be ranked by its raw 12% against a
+    source at 2/25 — the EB posterior mean (alpha+k)/(alpha+beta+n)
+    borrows strength across sources and shrinks small-sample extremes
+    toward the corpus rate; this is the canonical fix for small-cell
+    league tables in data-quality dashboards. When the family is UNDER-
+    dispersed (between-source variance below binomial — the MoM
+    denominator or an estimate goes non-positive) the model degenerates
+    to zero between-source variance and the output falls back to
+    complete pooling (shrunk = corpus rate, alpha/beta NULL). All
+    moments are exact integer sums; the estimator is one fixed division
+    sequence from them (identical doubles cross-engine).
+    #sources-bounded after one partial-agg pass."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("n_chars") < 200).cast("long")).cast("long").alias("k"),
+    )
+    mom = per.agg(
+        F.max("n").cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("s"),
+        F.sum("k").cast("double").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("double").alias("sk2"),
+    ).filter(F.col("sk") > 0)
+    nn, s, sk, sk2 = (F.col(c) for c in ("nn", "s", "sk", "sk2"))
+    den = nn * (sk2 / s / (sk / s) - sk / s - F.lit(1)) + sk / s
+    ab0 = mom.select(
+        "nn",
+        (sk / (s * nn)).alias("pooled"),
+        den.alias("den"),
+        (nn * (sk / s) - sk2 / s).alias("anum"),
+        ((nn - sk / s) * (nn - sk2 / s / (sk / s))).alias("bnum"),
+    )
+    ab = ab0.select(
+        "nn",
+        "pooled",
+        (
+            (F.col("den") > 0)
+            & (F.col("anum") / F.col("den") > 0)
+            & (F.col("bnum") / F.col("den") > 0)
+        )
+        .cast("int")
+        .alias("ok"),
+        (F.col("anum") / F.col("den")).alias("ah"),
+        (F.col("bnum") / F.col("den")).alias("bh"),
+    )
+    return per.crossJoin(bcast_small(ab)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("k_short"),
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            F.when(
+                F.col("ok") == 1,
+                (F.col("ah") + F.col("k"))
+                / (F.col("ah") + F.col("bh") + F.col("nn")),
+            ).otherwise(F.col("pooled")),
+            6,
+        ).alias("shrunk_rate"),
+        F.when(F.col("ok") == 1, F.round("ah", 6)).alias("alpha_hat"),
+        F.when(F.col("ok") == 1, F.round("bh", 6)).alias("beta_hat"),
+    )

@@ -179,3 +179,166 @@ def test_mcnemar_continuity_correction_formula():
     out = con.sql(ORACLES["q363_langid_mcnemar"]).df().iloc[0]
     assert (out["n_only_a"], out["n_only_b"]) == (5, 1)
     assert abs(out["chi2"] - 1.5) < 1e-12
+
+
+def _phi_as(z: float) -> float:
+    # Independent Python implementation of A&S 26.2.17 for expectations.
+    t = 1.0 / (1.0 + 0.2316419 * abs(z))
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    pdf = 0.3989422804014327 * math.exp(-0.5 * z * z)
+    return 2.0 * pdf * poly
+
+
+def test_welch_bh_holm_micro_corpus():
+    # 3 sources x 4 docs with hand-controllable lengths; source C is the
+    # obvious outlier. Expectations derived independently in Python.
+    lens = {
+        "A": [100, 110, 120, 130],
+        "B": [101, 111, 121, 131],
+        "C": [500, 510, 520, 530],
+    }
+    docs, i = [], 1
+    for s, vs in lens.items():
+        for v in vs:
+            docs.append(
+                {"doc_id": i, "lang": "en", "source": s,
+                 "text": "x", "n_chars": v}
+            )
+            i += 1
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = (
+        con.sql(ORACLES["q362_source_length_fdr"])
+        .df()
+        .set_index("source")
+        .sort_index()
+    )
+
+    # independent Welch z + BH/Holm in plain Python
+    import statistics
+
+    all_vals = {s: vs for s, vs in lens.items()}
+    stats = {}
+    for s in lens:
+        xs = all_vals[s]
+        rest = [v for s2, vs in all_vals.items() if s2 != s for v in vs]
+        ms, mr = sum(xs) / len(xs), sum(rest) / len(rest)
+        vs_, vr = statistics.variance(xs), statistics.variance(rest)
+        z = (ms - mr) / math.sqrt(vs_ / len(xs) + vr / len(rest))
+        stats[s] = (z, min(_phi_as(z), 2.0))  # two-sided p
+    m = len(stats)
+    order = sorted(stats, key=lambda s: (round(stats[s][1], 12), s))
+    alpha = 0.05
+    # BH: largest i with p_(i) <= alpha*i/m, reject all ranks <= i
+    ks = [
+        i
+        for i, s in enumerate(order, 1)
+        if round(stats[s][1], 12) <= alpha * i / m
+    ]
+    bh_k = max(ks) if ks else 0
+    holm_ok = [
+        round(stats[s][1], 12) <= alpha / (m - i + 1)
+        for i, s in enumerate(order, 1)
+    ]
+    for i, s in enumerate(order, 1):
+        row = out.loc[s]
+        assert row["p_rank"] == i
+        assert abs(row["z"] - round(stats[s][0], 6)) < 1e-6
+        assert row["bh_reject"] == int(i <= bh_k)
+        assert row["holm_reject"] == int(all(holm_ok[:i]))
+    # scenario sanity: C is the most anomalous source (vs-rest tests
+    # flag A/B too here, since C shifts every "rest" — that is correct
+    # behavior of the statistic, not a defect)
+    assert out.loc["C"]["p_rank"] == 1 and out.loc["C"]["bh_reject"] == 1
+
+
+def test_conformal_exact_order_statistic_and_k():
+    import hashlib
+
+    # one source, 9 calibration + some test docs; q_hat must be the
+    # k-th smallest with k = ceil((n+1)(1-alpha)) in exact integers.
+    docs = []
+    cal_vals, test_vals = [], []
+    i = 0
+    while len(cal_vals) < 9 or len(test_vals) < 6:
+        b = int(hashlib.md5(f"conf:{i}".encode()).hexdigest()[:8], 16) % 2
+        v = 100 + 10 * i
+        if b == 0 and len(cal_vals) < 9:
+            docs.append({"doc_id": i, "lang": "en", "source": "S",
+                         "text": "x", "n_chars": v})
+            cal_vals.append(v)
+        elif b == 1 and len(test_vals) < 6:
+            docs.append({"doc_id": i, "lang": "en", "source": "S",
+                         "text": "x", "n_chars": v})
+            test_vals.append(v)
+        i += 1
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = con.sql(ORACLES["q368_conformal_length_coverage"]).df()
+    for a in (1, 2):
+        row = out[out.alpha_tenths == a].iloc[0]
+        n = len(cal_vals)
+        k = math.ceil((n + 1) * (10 - a) / 10)  # exact for tenths
+        assert row["n_cal"] == n and row["n_test"] == len(test_vals)
+        assert row["q_hat"] == sorted(cal_vals)[min(k, n) - 1]
+        cov = sum(v <= row["q_hat"] for v in test_vals) / len(test_vals)
+        assert abs(row["coverage"] - round(cov, 6)) < 1e-9
+
+
+def test_eb_shrinkage_moment_estimator():
+    # k = [0, 1, 5] successes out of n = 10 per source (OVER-dispersed:
+    # var(k) = 14/3 > n*p*(1-p) = 1.6, so the MoM is valid); hand
+    # moments: m1 = 2, m2 = 26/3. Standard beta-binomial MoM estimator.
+    docs, i = [], 0
+    for s, k in [("A", 0), ("B", 1), ("C", 5)]:
+        for j in range(10):
+            docs.append(
+                {"doc_id": i, "lang": "en", "source": s, "text": "x",
+                 "n_chars": 100 if j < k else 300}
+            )
+            i += 1
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = (
+        con.sql(ORACLES["q371_source_shortdoc_eb_shrinkage"])
+        .df()
+        .set_index("source")
+        .sort_index()
+    )
+    n, m1, m2 = 10.0, 2.0, 26.0 / 3.0
+    den = n * (m2 / m1 - m1 - 1) + m1
+    ah = (n * m1 - m2) / den
+    bh = (n - m1) * (n - m2 / m1) / den
+    assert abs(out.loc["A"]["alpha_hat"] - round(ah, 6)) < 1e-6
+    assert abs(out.loc["A"]["beta_hat"] - round(bh, 6)) < 1e-6
+    pooled = m1 / n
+    for s, k in [("A", 0), ("B", 1), ("C", 5)]:
+        raw = k / n
+        shrunk = (ah + k) / (ah + bh + n)
+        assert abs(out.loc[s]["shrunk_rate"] - round(shrunk, 6)) < 1e-6
+        # shrinkage property: strictly between raw rate and pooled mean
+        lo, hi = sorted((raw, pooled))
+        if raw != pooled:
+            assert lo < shrunk < hi
+
+
+def test_eb_shrinkage_underdispersed_falls_back_to_pooling():
+    # k = [2, 2, 2] out of 10: zero between-source variance — the MoM
+    # denominator goes negative, the model degenerates, and the output
+    # must fall back to complete pooling with NULL alpha/beta.
+    docs, i = [], 0
+    for s in ("A", "B", "C"):
+        for j in range(10):
+            docs.append(
+                {"doc_id": i, "lang": "en", "source": s, "text": "x",
+                 "n_chars": 100 if j < 2 else 300}
+            )
+            i += 1
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = con.sql(ORACLES["q371_source_shortdoc_eb_shrinkage"]).df()
+    assert (out["shrunk_rate"] == 0.2).all()
+    assert out["alpha_hat"].isna().all() and out["beta_hat"].isna().all()
