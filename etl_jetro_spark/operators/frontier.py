@@ -80,3 +80,47 @@ def pareto_frontier(
         F.col("_premax").isNull() | (F.col("_premax") < F.col(max_col))
     ) & (F.col("_xmax") <= F.col(max_col))
     return j.filter(keep).select(*df.columns).unionByName(null_rows)
+
+
+def running_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running maximum of ``value_col`` over the global
+    ``order_col`` ordering, as a DISTRIBUTED two-pass sweep (the same
+    decomposition :func:`pareto_frontier` uses): range-partition by the
+    order key, partition-local running max, then a metadata-sized
+    cross-partition prefix — no single-task global window at any data
+    size. Adds ``_runmax``; all input columns are preserved.
+
+    ``order_col`` must be UNIQUE (an event id, an arrival sequence):
+    the local window runs a ROWS frame, so ties would take an
+    arbitrary intra-tie order. NULL order or value rows are the
+    caller's problem — filter first."""
+    spark = df.sparkSession
+    nparts = num_range_partitions or max(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    parted = (
+        df.repartitionByRange(nparts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # freeze pid/order for both consumers
+    )
+    pmax = parted.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # nparts rows — the only unpartitioned window, over metadata
+    prefix = pmax.select("_pid", F.max("_pmax").over(woff).alias("_prev"))
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("_locmax", F.max(value_col).over(wloc))
+        .join(F.broadcast(prefix), "_pid")  # bcast-ok: nparts-row partition metadata
+        .withColumn("_runmax", F.greatest("_locmax", "_prev"))
+        .drop("_pid", "_locmax", "_prev")
+    )

@@ -21970,3 +21970,210 @@ def q371_source_shortdoc_eb_shrinkage(
         F.when(F.col("ok") == 1, F.round("ah", 6)).alias("alpha_hat"),
         F.when(F.col("ok") == 1, F.round("bh", 6)).alias("beta_hat"),
     )
+
+
+@query(
+    "q365_event_value_friedman",
+    """
+    WITH per AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1, 2),
+    fullb AS (
+      SELECT user_id FROM per GROUP BY user_id HAVING count(*) = 5),
+    t AS (SELECT p.* FROM per p JOIN fullb USING (user_id)),
+    ranked AS (
+      SELECT user_id, event_type,
+             2 * rank() OVER (PARTITION BY user_id ORDER BY v6)
+               + count(*) OVER (PARTITION BY user_id, v6) - 1 AS r2
+      FROM t),
+    pert AS (
+      SELECT event_type,
+             CAST(sum(r2) AS HUGEINT) AS r2j,
+             CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a4j,
+             CAST(count(*) AS BIGINT) AS nblk
+      FROM ranked GROUP BY 1),
+    agg AS (
+      SELECT max(nblk) AS n_blocks,
+             sum((r2j - CAST(nblk AS HUGEINT) * 6)
+                 * (r2j - CAST(nblk AS HUGEINT) * 6)) AS num,
+             sum(a4j) AS a4
+      FROM pert)
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(5 AS BIGINT) AS k_treatments,
+           CASE WHEN a4 - CAST(n_blocks AS HUGEINT) * 5 * 36 > 0 THEN
+             round(4.0 * CAST(num AS DOUBLE)
+                   / CAST(a4 - CAST(n_blocks AS HUGEINT) * 5 * 36 AS DOUBLE),
+                   6)
+           END AS chi2,
+           CAST(4 AS BIGINT) AS dof
+    FROM agg
+    """,
+)
+def q365_event_value_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's blocked rank test (tie-corrected): within each user
+    that produced all five event types, rank the per-type total value
+    and test whether the five types draw systematically different
+    spend — the nonparametric repeated-measures ANOVA a platform runs
+    across treatment arms evaluated on the SAME users (blocking removes
+    between-user spend variance that a pooled Kruskal-Wallis would
+    swallow). Row-level 1e-6 quantization makes every per-(user, type)
+    total an exact integer, so ranks never sit on float fold noise;
+    mid-ranks ride half-units (2r = 2*rank + ties - 1, an integer) and
+    the statistic is exact integers until one final division
+    (operators/evalstats.friedman). The rank window is 5-bounded and
+    user-partitioned; reduction frames are #event-types-bounded."""
+    from etl_jetro_spark.operators import evalstats as ES
+
+    e = load_events(spark, sf_dir)
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v6")
+    )
+    return ES.friedman(per, "user_id", "event_type", "v6", k=5)
+
+
+@query(
+    "q372_purchase_sprt_evalue",
+    """
+    WITH daily AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY 1),
+    walk AS (
+      SELECT day, n_events, n_purchases,
+             sum(n_purchases * 0.04139268515822499
+                 + (n_events - n_purchases) * -0.010995384301463193)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS log10_e_raw
+      FROM daily)
+    SELECT CAST(day AS BIGINT) AS day,
+           n_events, n_purchases,
+           round(log10_e_raw, 6) AS log10_e,
+           CAST(CASE WHEN round(log10_e_raw, 9) >= 1.3010299956639813
+                     THEN 1 ELSE 0 END AS BIGINT) AS crossed
+    FROM walk
+    """,
+)
+def q372_purchase_sprt_evalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anytime-valid sequential test (SPRT e-process) of the daily
+    purchase-conversion rate: H0 p=0.2 vs H1 p=0.22, one likelihood-
+    ratio factor per day, cumulative log10 e-value and the
+    'evidence crossed 1/alpha = 20' flag — the modern always-valid
+    monitoring rule that lets a pipeline peek at a metric every day
+    WITHOUT alpha inflation (classic fixed-horizon tests are invalid
+    under continuous monitoring). The two per-day log-LR coefficients
+    are Python-precomputed double literals embedded in BOTH engines
+    (log10 is not correctly-rounded; embedding kills the 1-ulp seam),
+    counts are exact integers, and the cumulative walk is an ordered
+    #days-bounded window; the crossing decision compares the
+    9 dp-rounded walk to a literal. One partial-agg pass over events;
+    everything after is calendar-bounded."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.withColumn(
+        "log10_e_raw",
+        F.sum(
+            F.col("n_purchases") * F.lit(0.04139268515822499)
+            + (F.col("n_events") - F.col("n_purchases"))
+            * F.lit(-0.010995384301463193)
+        ).over(w),
+    )
+    return walk.select(
+        F.col("day").cast("long").alias("day"),
+        "n_events",
+        "n_purchases",
+        F.round("log10_e_raw", 6).alias("log10_e"),
+        (F.round("log10_e_raw", 9) >= F.lit(1.3010299956639813))
+        .cast("long")
+        .alias("crossed"),
+    )
+
+
+@query(
+    "q370_watermark_lateness_audit",
+    """
+    WITH rm AS (
+      SELECT event_id, epoch_ns(ts) AS tsn,
+             max(epoch_ns(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+      FROM events),
+    late AS (SELECT mx - tsn AS lat FROM rm),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lat > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN lat > 60000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d60,
+             CAST(sum(CASE WHEN lat > 300000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d300,
+             CAST(sum(CASE WHEN lat > 900000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d900,
+             CAST(sum(CASE WHEN lat > 3600000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d3600,
+             CAST(sum(CASE WHEN lat > 21600000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d21600
+      FROM late)
+    SELECT t.delay_s, t.n_dropped, agg.n AS n_events,
+           round(CAST(t.n_dropped AS DOUBLE) / agg.n, 6) AS dropped_frac
+    FROM agg, LATERAL (VALUES
+      (CAST(0 AS BIGINT), d0), (CAST(60 AS BIGINT), d60),
+      (CAST(300 AS BIGINT), d300), (CAST(900 AS BIGINT), d900),
+      (CAST(3600 AS BIGINT), d3600), (CAST(21600 AS BIGINT), d21600))
+      AS t(delay_s, n_dropped)
+    """,
+)
+def q370_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing audit: treating event_id as the arrival
+    sequence, the per-row lateness is (max event-time seen so far) -
+    (own event time) — exactly the quantity Structured Streaming's
+    ``withWatermark`` compares against its delay threshold. For a grid
+    of candidate delays (0 s to 6 h) the audit reports how many rows a
+    streaming aggregation WOULD drop as too-late — the table an
+    engineer reads to pick the delay before deploying the stream
+    (SURVEY §2 T5's late/dup handling, quantified). The running max is
+    the distributed two-pass sweep (operators/frontier.running_prefix_
+    max — range-partition by arrival, partition-local window, metadata
+    prefix; no single-task global window), lateness is exact integer
+    nanoseconds, and the threshold histogram is one conditional
+    aggregate, unpivoted to a 6-row grid."""
+    from etl_jetro_spark.operators.frontier import running_prefix_max
+
+    e = load_events(spark, sf_dir).select("event_id", "ts")
+    rm = running_prefix_max(e, "event_id", "ts")
+    late = rm.select((F.col("_runmax") - F.col("ts")).alias("lat"))
+    grid_s = [0, 60, 300, 900, 3600, 21600]
+    agg = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((F.col("lat") > d * 1_000_000_000).cast("long"))
+            .cast("long")
+            .alias(f"d{d}")
+            for d in grid_s
+        ],
+    )
+    stack = ", ".join(f"{d}L, d{d}" for d in grid_s)
+    return agg.select(
+        F.expr(f"stack({len(grid_s)}, {stack}) AS (delay_s, n_dropped)"),
+        F.col("n").alias("n_events"),
+    ).select(
+        "delay_s",
+        "n_dropped",
+        "n_events",
+        F.round(F.col("n_dropped").cast("double") / F.col("n_events"), 6).alias(
+            "dropped_frac"
+        ),
+    )

@@ -342,3 +342,140 @@ def test_eb_shrinkage_underdispersed_falls_back_to_pooling():
     out = con.sql(ORACLES["q371_source_shortdoc_eb_shrinkage"]).df()
     assert (out["shrunk_rate"] == 0.2).all()
     assert out["alpha_hat"].isna().all() and out["beta_hat"].isna().all()
+
+
+def _friedman_py(blocks):
+    # independent tie-corrected Friedman implementation (mid-ranks)
+    k = len(blocks[0])
+    n = len(blocks)
+    rsum = [0.0] * k
+    a = 0.0
+    for b in blocks:
+        order = sorted(range(k), key=lambda j: b[j])
+        ranks = [0.0] * k
+        i = 0
+        while i < k:
+            j = i
+            while j + 1 < k and b[order[j + 1]] == b[order[i]]:
+                j += 1
+            mid = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = mid
+            i = j + 1
+        for j in range(k):
+            rsum[j] += ranks[j]
+            a += ranks[j] ** 2
+    c = n * k * (k + 1) ** 2 / 4
+    num = sum((r - n * (k + 1) / 2) ** 2 for r in rsum)
+    return n, (k - 1) * num / (a - c)
+
+
+def test_friedman_textbook_perfect_agreement_and_ties():
+    types = ["click", "error", "purchase", "signup", "view"]
+    # 3 users; two in perfect agreement, one with a tie block
+    blocks = [
+        [1.0, 2.0, 3.0, 4.0, 5.0],
+        [1.0, 2.0, 3.0, 4.0, 5.0],
+        [1.0, 1.0, 3.0, 4.0, 5.0],  # tie on the first two
+    ]
+    rows = []
+    for u, b in enumerate(blocks):
+        for t, v in zip(types, b):
+            rows.append({"user_id": u, "event_type": t, "value": v})
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows))
+    out = con.sql(ORACLES["q365_event_value_friedman"]).df().iloc[0]
+    n, chi2 = _friedman_py(blocks)
+    assert out["n_blocks"] == n and out["k_treatments"] == 5
+    assert abs(out["chi2"] - round(chi2, 6)) < 1e-6
+    assert out["dof"] == 4
+
+    # perfect agreement alone maxes the statistic at n*(k-1)
+    rows2 = [
+        {"user_id": u, "event_type": t, "value": v}
+        for u in range(3)
+        for t, v in zip(types, [1.0, 2.0, 3.0, 4.0, 5.0])
+    ]
+    con2 = duckdb.connect()
+    con2.register("events", pd.DataFrame(rows2))
+    out2 = con2.sql(ORACLES["q365_event_value_friedman"]).df().iloc[0]
+    assert abs(out2["chi2"] - 3 * 4) < 1e-9
+
+
+def test_friedman_drops_incomplete_blocks():
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = [
+        {"user_id": 0, "event_type": t, "value": float(i + 1)}
+        for i, t in enumerate(types)
+    ]
+    rows += [  # user 1 missing two types -> dropped
+        {"user_id": 1, "event_type": "click", "value": 9.0},
+        {"user_id": 1, "event_type": "view", "value": 1.0},
+    ]
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows))
+    out = con.sql(ORACLES["q365_event_value_friedman"]).df().iloc[0]
+    assert out["n_blocks"] == 1
+
+
+def test_sprt_evalue_walk_hand_computed():
+    c1, c0 = 0.04139268515822499, -0.010995384301463193
+    days = [(0, 10, 2), (1, 5, 3), (2, 8, 0)]
+    rows = []
+    eid = 0
+    for day, n, k in days:
+        for i in range(n):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("1970-01-01")
+                    + pd.Timedelta(days=day, minutes=i),
+                    "user_id": 1,
+                    "event_type": "purchase" if i < k else "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows))
+    out = (
+        con.sql(ORACLES["q372_purchase_sprt_evalue"]).df().set_index("day")
+    )
+    cum = 0.0
+    for day, n, k in days:
+        cum += k * c1 + (n - k) * c0
+        row = out.loc[day]
+        assert (row["n_events"], row["n_purchases"]) == (n, k)
+        assert abs(row["log10_e"] - round(cum, 6)) < 1e-9
+        assert row["crossed"] == int(round(cum, 9) >= 1.3010299956639813)
+
+
+def test_watermark_lateness_hand_computed():
+    # arrival order 1..5 with event times (seconds):
+    # running max:  100, 100, 200, 200, 200
+    # lateness:       0,  50,   0,  10, 190
+    secs = [100, 50, 200, 190, 10]
+    rows = [
+        {
+            "event_id": i + 1,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s),
+            "user_id": 1,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, s in enumerate(secs)
+    ]
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows))
+    out = (
+        con.sql(ORACLES["q370_watermark_lateness_audit"])
+        .df()
+        .set_index("delay_s")
+    )
+    expect = {0: 3, 60: 1, 300: 0, 900: 0, 3600: 0, 21600: 0}
+    for d, n_late in expect.items():
+        assert out.loc[d]["n_dropped"] == n_late
+        assert out.loc[d]["n_events"] == 5
+        assert abs(out.loc[d]["dropped_frac"] - round(n_late / 5, 6)) < 1e-9

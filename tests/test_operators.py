@@ -2032,3 +2032,29 @@ def test_knn_top1_exact_ties_and_payload(spark):
     assert nn[3]["nn_id"] == 1  # ties among {1,2} -> smallest id
     assert nn[4]["nn_id"] == 1 and abs(nn[4]["nn_score"]) < 1e-12
     assert abs(nn[1]["nn_score"] - 1.0) < 1e-12
+
+
+def test_running_prefix_max_matches_sequential(spark):
+    """The distributed two-pass sweep must equal the sequential running
+    max, including across range-partition boundaries (many partitions
+    forced over a small frame)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_jetro_spark.operators.frontier import running_prefix_max
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 1000) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ord INT, v INT"
+    )
+    got = {
+        r["ord"]: r["_runmax"]
+        for r in running_prefix_max(df, "ord", "v", 16).collect()
+    }
+    run, expect = -1, {}
+    for i, v in enumerate(vals):
+        run = max(run, v)
+        expect[i] = run
+    assert got == expect
