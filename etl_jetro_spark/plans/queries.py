@@ -22177,3 +22177,330 @@ def q370_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "dropped_frac"
         ),
     )
+
+
+def _dk_qprefix(name: str, dims: int, units: float) -> str:
+    """DuckDB CTE: first ``dims`` coordinates of every embedding,
+    quantized to exact integers at ``units`` (mirror of
+    operators/evalstats.quantized_prefix)."""
+    return f"""{name} AS (
+      SELECT vec_id AS _vid, i, CAST(round(x * {units}) AS BIGINT) AS xq
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings)
+      WHERE i <= {dims})"""
+
+
+@query(
+    "q366_embedding_participation_ratio",
+    f"""
+    WITH {_dk_qprefix('e16', 16, 10000.0)},
+    mom AS (
+      SELECT a.i AS ii, b.i AS jj,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS sxy
+      FROM e16 a JOIN e16 b ON a._vid = b._vid
+      GROUP BY 1, 2),
+    sums AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS sx FROM e16 GROUP BY 1),
+    nij AS (
+      SELECT m.ii, m.jj, m.n,
+             CAST(m.n AS HUGEINT) * m.sxy - sa.sx * sb.sx AS nv
+      FROM mom m JOIN sums sa ON sa.i = m.ii JOIN sums sb ON sb.i = m.jj),
+    agg AS (
+      SELECT max(n) AS n,
+             CAST(sum(CASE WHEN ii = jj THEN nv END) AS HUGEINT) AS trn,
+             sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)) AS sumsq
+      FROM nij)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(16 AS BIGINT) AS dims,
+           round(CAST(trn AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * 100000000.0), 6) AS total_var,
+           round(CAST(trn AS DOUBLE) * CAST(trn AS DOUBLE) / sumsq, 6)
+             AS participation_ratio,
+           round(CAST(trn AS DOUBLE) * CAST(trn AS DOUBLE) / sumsq / 16, 6)
+             AS eff_dim_frac
+    FROM agg
+    """,
+)
+def q366_embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective dimensionality of the embedding space WITHOUT an
+    eigendecomposition: the participation ratio PR = (tr C)^2 / tr(C^2)
+    of the covariance of the first 16 coordinates (the Matryoshka
+    prefix, q335's convention) — equal to (sum lambda)^2 / sum lambda^2
+    over the eigenvalues, i.e. ~16 when variance is isotropic and ~1
+    when one direction dominates; the collapse diagnostic a platform
+    tracks before trusting ANN recall or cosine thresholds. tr(C^2) is
+    the squared Frobenius norm, so the whole statistic needs only the
+    16x16 second-moment grid: coordinates are quantized to exact
+    integers at 1e-4 (operators/evalstats.quantized_prefix), every
+    moment is an exact DECIMAL(38,0)/HUGEINT, the centered numerators
+    N_ij = n*S_ij - S_i*S_j are exact integers IDENTICAL on both
+    engines, and the n^2 normalization cancels in the ratio. Scale
+    shape: one 256-fanout self-join reduced in a single shuffle;
+    everything after is 256-bounded."""
+    from etl_jetro_spark.operators import evalstats as ES
+
+    emb = load(spark, sf_dir, "embeddings")
+    e16 = ES.quantized_prefix(emb, "vec_id", "embedding", 16, 10000.0)
+    m = ES.pair_moments(e16, e16)
+    nij = m.select(
+        "ii",
+        "jj",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).alias("nv"),
+    )
+    agg = nij.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("ii") == F.col("jj"), F.col("nv"))).alias("trn"),
+        F.sum(F.col("nv").cast("double") * F.col("nv").cast("double")).alias(
+            "sumsq"
+        ),
+    )
+    trn_d = F.col("trn").cast("double")
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.lit(16).cast("long").alias("dims"),
+        F.round(trn_d / (n_d * n_d * F.lit(100000000.0)), 6).alias(
+            "total_var"
+        ),
+        F.round(trn_d * trn_d / F.col("sumsq"), 6).alias(
+            "participation_ratio"
+        ),
+        F.round(trn_d * trn_d / F.col("sumsq") / F.lit(16), 6).alias(
+            "eff_dim_frac"
+        ),
+    )
+
+
+@query(
+    "q367_quantization_cka",
+    f"""
+    WITH {_dk_qprefix('ex', 8, 10000.0)},
+    {_dk_qprefix('ey', 8, 100.0).lstrip()},
+    momxy AS (
+      SELECT a.i AS ii, b.i AS jj, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS sxy
+      FROM ex a JOIN ey b ON a._vid = b._vid GROUP BY 1, 2),
+    momxx AS (
+      SELECT a.i AS ii, b.i AS jj, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS sxy
+      FROM ex a JOIN ex b ON a._vid = b._vid GROUP BY 1, 2),
+    momyy AS (
+      SELECT a.i AS ii, b.i AS jj, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS sxy
+      FROM ey a JOIN ey b ON a._vid = b._vid GROUP BY 1, 2),
+    sx AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM ex GROUP BY 1),
+    sy AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM ey GROUP BY 1),
+    fro AS (
+      SELECT 'xy' AS which, max(m.n) AS n,
+             sum(CAST(CAST(m.n AS HUGEINT) * m.sxy - a.s * b.s AS DOUBLE)
+                 * CAST(CAST(m.n AS HUGEINT) * m.sxy - a.s * b.s AS DOUBLE))
+               AS f2
+      FROM momxy m JOIN sx a ON a.i = m.ii JOIN sy b ON b.i = m.jj
+      UNION ALL
+      SELECT 'xx', max(m.n),
+             sum(CAST(CAST(m.n AS HUGEINT) * m.sxy - a.s * b.s AS DOUBLE)
+                 * CAST(CAST(m.n AS HUGEINT) * m.sxy - a.s * b.s AS DOUBLE))
+      FROM momxx m JOIN sx a ON a.i = m.ii JOIN sx b ON b.i = m.jj
+      UNION ALL
+      SELECT 'yy', max(m.n),
+             sum(CAST(CAST(m.n AS HUGEINT) * m.sxy - a.s * b.s AS DOUBLE)
+                 * CAST(CAST(m.n AS HUGEINT) * m.sxy - a.s * b.s AS DOUBLE))
+      FROM momyy m JOIN sy a ON a.i = m.ii JOIN sy b ON b.i = m.jj)
+    SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS dims,
+           round(max(CASE WHEN which = 'xy' THEN f2 END)
+                 / sqrt(max(CASE WHEN which = 'xx' THEN f2 END)
+                        * max(CASE WHEN which = 'yy' THEN f2 END)), 6)
+             AS cka
+    FROM fro
+    """,
+)
+def q367_quantization_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between the full-
+    precision embedding prefix (8 dims, 1e-4 quantization) and its
+    COARSE 2-decimal counterpart — "does aggressive quantization
+    preserve the feature geometry?" as one scalar in [0, 1]:
+    CKA = ||Cxy||_F^2 / (||Cxx||_F ||Cyy||_F). The representation-
+    similarity metric used to compare layers/models, here auditing a
+    storage-precision decision. Every cross-moment grid is exact
+    integers (operators/evalstats.pair_moments); the per-matrix
+    quantization scales cancel exactly in the ratio, so the statistic
+    measures geometry, not units. Three 64-fanout joins reduced in one
+    shuffle each; everything after is 64-bounded."""
+    from etl_jetro_spark.operators import evalstats as ES
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = ES.quantized_prefix(emb, "vec_id", "embedding", 8, 10000.0)
+    ey = ES.quantized_prefix(emb, "vec_id", "embedding", 8, 100.0)
+    fros = []
+    for which, (ea, eb) in (
+        ("xy", (ex, ey)),
+        ("xx", (ex, ex)),
+        ("yy", (ey, ey)),
+    ):
+        m = ES.pair_moments(ea, eb)
+        fros.append(
+            m.agg(
+                F.max("n").alias("n"), ES.centered_gram_fro2(m).alias("f2")
+            ).select(F.lit(which).alias("which"), "n", "f2")
+        )
+    fro = fros[0].unionByName(fros[1]).unionByName(fros[2])
+    return fro.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.lit(8).cast("long").alias("dims"),
+        F.round(
+            F.max(F.when(F.col("which") == "xy", F.col("f2")))
+            / F.sqrt(
+                F.max(F.when(F.col("which") == "xx", F.col("f2")))
+                * F.max(F.when(F.col("which") == "yy", F.col("f2")))
+            ),
+            6,
+        ).alias("cka"),
+    )
+
+
+@query(
+    "q369_label_davies_bouldin",
+    f"""
+    WITH {_dk_qprefix('e', 64, 10000.0)},
+    lab AS (SELECT vec_id AS _vid, label FROM embeddings),
+    el AS (SELECT e._vid, lab.label, e.i, e.xq FROM e JOIN lab USING (_vid)),
+    csum AS (
+      SELECT label, i, CAST(sum(xq) AS HUGEINT) AS sx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY 1, 2),
+    pv AS (
+      SELECT el._vid, el.label,
+             CAST(sum((CAST(el.xq AS HUGEINT) * c.n - c.sx)
+                      * (CAST(el.xq AS HUGEINT) * c.n - c.sx)) AS HUGEINT)
+               AS ssq,
+             max(c.n) AS n
+      FROM el JOIN csum c ON c.label = el.label AND c.i = el.i
+      GROUP BY 1, 2),
+    s AS (
+      SELECT label, max(n) AS n_members,
+             round(avg(sqrt(CAST(ssq AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * 10000.0)), 9) AS s_intra
+      FROM pv GROUP BY 1),
+    m AS (
+      SELECT a.label AS la, b.label AS lb,
+             round(sqrt(CAST(sum((a.sx * b.n - b.sx * a.n)
+                                 * (a.sx * b.n - b.sx * a.n)) AS DOUBLE))
+                   / (CAST(max(a.n) AS DOUBLE) * max(b.n) * 10000.0), 9)
+               AS dist
+      FROM csum a JOIN csum b ON a.i = b.i AND a.label <> b.label
+      GROUP BY 1, 2),
+    ratio AS (
+      SELECT m.la, m.lb, (sa.s_intra + sb.s_intra) / m.dist AS r
+      FROM m JOIN s sa ON sa.label = m.la JOIN s sb ON sb.label = m.lb),
+    pick AS (
+      SELECT la, lb, r,
+             row_number() OVER (PARTITION BY la ORDER BY r DESC, lb) AS rn
+      FROM ratio)
+    SELECT CAST(s.label AS BIGINT) AS label,
+           s.n_members,
+           round(s.s_intra, 6) AS s_intra,
+           CAST(p.lb AS BIGINT) AS worst_other,
+           round(p.r, 6) AS db_term
+    FROM s JOIN pick p ON p.la = s.label AND p.rn = 1
+    """,
+)
+def q369_label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality terms per label: S_i = mean
+    Euclidean distance of members to their label centroid, M_ij =
+    centroid separation, and per-label DB term = max_j (S_i + S_j) /
+    M_ij with the offending neighbor — the "which labels smear into
+    which" table read next to q295's silhouette and q360's confusion
+    matrix before trusting the labels for training. Exactness: 1e-4
+    quantized coordinates make every squared deviation an exact
+    HUGEINT/DECIMAL(38,0) integer ((xq*n - Sx)^2 sums — no float ever
+    reaches the aggregates); sqrt of identical integers is identical;
+    the only fold-order float is the per-label member AVERAGE, rounded
+    to 9 dp before the ratio/argmax so a last-ulp seam cannot flip the
+    worst-neighbor pick (the q359 lesson). Scale shape: one broadcast
+    centroid join + per-vector 64-group reduce (data-linear), then
+    labels^2 x dims bounded frames."""
+    from etl_jetro_spark.operators import evalstats as ES
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = ES.quantized_prefix(emb, "vec_id", "embedding", 64, 10000.0)
+    el = e.join(
+        emb.select(F.col("vec_id").alias("_vid"), "label"), "_vid"
+    )
+    csum = el.groupBy("label", "i").agg(
+        F.sum("xq").cast("decimal(38,0)").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    diff = F.col("xq").cast("decimal(38,0)") * F.col("n") - F.col("sx")
+    pv = (
+        el.join(bcast_small(csum), ["label", "i"])
+        .groupBy("_vid", "label")
+        .agg(F.sum(diff * diff).alias("ssq"), F.max("n").alias("n"))
+    )
+    s = pv.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_members"),
+        F.round(
+            F.avg(
+                F.sqrt(F.col("ssq").cast("double"))
+                / (F.col("n").cast("double") * F.lit(10000.0))
+            ),
+            9,
+        ).alias("s_intra"),
+    )
+    a = csum.select(
+        F.col("label").alias("la"), "i",
+        F.col("sx").alias("sxa"), F.col("n").alias("na"),
+    )
+    b = csum.select(
+        F.col("label").alias("lb"), "i",
+        F.col("sx").alias("sxb"), F.col("n").alias("nb"),
+    )
+    cd = F.col("sxa") * F.col("nb") - F.col("sxb") * F.col("na")
+    m = (
+        a.join(b, "i")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(cd * cd).cast("double"))
+                / (
+                    F.max("na").cast("double")
+                    * F.max("nb")
+                    * F.lit(10000.0)
+                ),
+                9,
+            ).alias("dist")
+        )
+    )
+    sa = s.select(F.col("label").alias("la"), F.col("s_intra").alias("si_a"))
+    sb = s.select(F.col("label").alias("lb"), F.col("s_intra").alias("si_b"))
+    ratio = (
+        m.join(bcast_small(sa), "la")
+        .join(bcast_small(sb), "lb")
+        .select(
+            "la", "lb",
+            ((F.col("si_a") + F.col("si_b")) / F.col("dist")).alias("r"),
+        )
+    )
+    pick = ratio.groupBy("la").agg(
+        F.min_by(F.struct("lb", "r"), F.struct(-F.col("r"), F.col("lb"))).alias(
+            "w"
+        )
+    )
+    return (
+        s.join(pick, s["label"] == pick["la"])
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_members",
+            F.round("s_intra", 6).alias("s_intra"),
+            F.col("w.lb").cast("long").alias("worst_other"),
+            F.round(F.col("w.r"), 6).alias("db_term"),
+        )
+    )

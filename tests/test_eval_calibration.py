@@ -479,3 +479,88 @@ def test_watermark_lateness_hand_computed():
         assert out.loc[d]["n_dropped"] == n_late
         assert out.loc[d]["n_events"] == 5
         assert abs(out.loc[d]["dropped_frac"] - round(n_late / 5, 6)) < 1e-9
+
+
+def _emb_table(vecs, dims, labels=None):
+    rows = []
+    for i, v in enumerate(vecs):
+        emb = list(v) + [0.0] * (dims - len(v))
+        rows.append(
+            {
+                "vec_id": i,
+                "embedding": [float(x) for x in emb],
+                "label": (labels[i] if labels else 0),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_participation_ratio_hand_computed():
+    # 3 vectors, only dims 1-2 vary, zero means:
+    # raw second moments S11 = S22 = 2, S12 = 1 ->
+    # PR = (tr N)^2 / sum N^2 = (2+2)^2 / (4+1+1+4) = 1.6
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        _emb_table([[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]], 16),
+    )
+    out = con.sql(
+        ORACLES["q366_embedding_participation_ratio"]
+    ).df().iloc[0]
+    assert out["n_vectors"] == 3 and out["dims"] == 16
+    assert abs(out["participation_ratio"] - 1.6) < 1e-9
+    assert abs(out["eff_dim_frac"] - 0.1) < 1e-9
+    # total_var = tr(C) = (n*S11 + n*S22) / n^2 = (6 + 6) / 9 = 4/3
+    assert abs(out["total_var"] - round(4 / 3, 6)) < 1e-9
+
+
+def test_participation_ratio_isotropic_maxes_at_rank():
+    # 4 one-hot directions +/- in 4 dims -> isotropic rank-4 covariance
+    vecs = []
+    for d in range(4):
+        up = [0.0] * 4
+        dn = [0.0] * 4
+        up[d], dn[d] = 1.0, -1.0
+        vecs += [up, dn]
+    con = duckdb.connect()
+    con.register("embeddings", _emb_table(vecs, 16))
+    out = con.sql(
+        ORACLES["q366_embedding_participation_ratio"]
+    ).df().iloc[0]
+    assert abs(out["participation_ratio"] - 4.0) < 1e-9
+
+
+def test_cka_exact_one_when_coarse_quantization_lossless():
+    # values exactly representable at 2 decimals -> the 1e2-unit view
+    # equals the 1e4-unit view up to scale, and linear CKA must be 1.
+    vecs = [
+        [0.25, -0.5, 0.75, 0.1, 0.2, -0.3, 0.4, -0.25],
+        [-0.75, 0.5, 0.25, -0.1, 0.3, 0.2, -0.4, 0.05],
+        [0.5, 0.25, -0.25, 0.35, -0.2, 0.1, 0.15, -0.05],
+    ]
+    con = duckdb.connect()
+    con.register("embeddings", _emb_table(vecs, 8))
+    out = con.sql(ORACLES["q367_quantization_cka"]).df().iloc[0]
+    assert out["n_vectors"] == 3 and out["dims"] == 8
+    assert abs(out["cka"] - 1.0) < 1e-9
+
+
+def test_davies_bouldin_hand_geometry():
+    # two 1-D clusters on the first axis: {0, 2} and {10, 12}.
+    # centroids 1 and 11, S_i = 1 each, M = 10, DB term = 0.2 for both.
+    vecs = [[0.0], [2.0], [10.0], [12.0]]
+    con = duckdb.connect()
+    con.register(
+        "embeddings", _emb_table(vecs, 64, labels=[0, 0, 1, 1])
+    )
+    out = (
+        con.sql(ORACLES["q369_label_davies_bouldin"])
+        .df()
+        .set_index("label")
+    )
+    for lab, other in ((0, 1), (1, 0)):
+        row = out.loc[lab]
+        assert row["n_members"] == 2
+        assert abs(row["s_intra"] - 1.0) < 1e-9
+        assert row["worst_other"] == other
+        assert abs(row["db_term"] - 0.2) < 1e-9
