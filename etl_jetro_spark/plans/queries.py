@@ -22504,3 +22504,326 @@ def q369_label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w.r"), 6).alias("db_term"),
         )
     )
+
+
+_BENFORD_P = (
+    ("1", "0.3010299956639812"),
+    ("2", "0.17609125905568124"),
+    ("3", "0.12493873660829992"),
+    ("4", "0.09691001300805642"),
+    ("5", "0.07918124604762482"),
+    ("6", "0.06694678963061322"),
+    ("7", "0.05799194697768673"),
+    ("8", "0.05115252244738129"),
+    ("9", "0.04575749056067514"),
+)
+
+
+@query(
+    "q373_order_total_benford",
+    f"""
+    WITH bp(digit, p) AS (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_P)}),
+    fd AS (
+      SELECT CAST(substr(CAST({sql_cents('o_totalprice')} AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE {sql_cents('o_totalprice')} > 0),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM fd GROUP BY 1),
+    g AS (
+      SELECT bp.digit, bp.p, coalesce(obs.n_obs, 0) AS n_obs,
+             sum(coalesce(obs.n_obs, 0)) OVER () AS n
+      FROM bp LEFT JOIN obs ON obs.digit = bp.digit),
+    t AS (
+      SELECT digit, p, n_obs, n,
+             (CAST(n_obs AS DOUBLE) - n * p) * (CAST(n_obs AS DOUBLE) - n * p)
+               / (n * p) AS term
+      FROM g)
+    SELECT CAST(digit AS BIGINT) AS digit,
+           n_obs,
+           round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_frac,
+           round(p, 6) AS benford_p,
+           round(sum(term) OVER (), 6) AS chi2,
+           CAST(8 AS BIGINT) AS dof
+    FROM t
+    """,
+)
+def q373_order_total_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: the observed first-
+    digit distribution of o_totalprice (in exact integer cents — the
+    first digit comes from the DECIMAL STRING, never from a floatable
+    log10 whose boundary ulp could misbin powers of ten) against
+    Benford's law, with the 8-df chi-square distance — the standard
+    fabricated-data / generator-drift screen a platform runs over any
+    numeric column it ingests. Expected digit probabilities are Python-
+    precomputed literals shared by both engines; counts are exact; the
+    chi-square combines 9 bounded terms. One partial-agg pass over
+    orders; everything after is 9-rows-bounded."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = M.cents("o_totalprice")
+    fd = o.select(cents.alias("c")).filter(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    bp = spark.createDataFrame(
+        [(int(d), float(p)) for d, p in _BENFORD_P], "digit INT, p DOUBLE"
+    )
+    wall = Window.partitionBy()
+    g = (
+        bcast_small(bp)
+        .join(obs, "digit", "left")
+        .select(
+            "digit",
+            "p",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        )
+        .withColumn("n", F.sum("n_obs").over(wall))
+    )
+    term = (
+        (F.col("n_obs").cast("double") - F.col("n") * F.col("p"))
+        * (F.col("n_obs").cast("double") - F.col("n") * F.col("p"))
+        / (F.col("n") * F.col("p"))
+    )
+    t = g.withColumn("term", term)
+    return t.select(
+        F.col("digit").cast("long").alias("digit"),
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+            "obs_frac"
+        ),
+        F.round("p", 6).alias("benford_p"),
+        F.round(F.sum("term").over(wall), 6).alias("chi2"),
+        F.lit(8).cast("long").alias("dof"),
+    )
+
+
+@query(
+    "q374_group_kfold_balance",
+    """
+    WITH hb AS (
+      SELECT user_id, event_type, value,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+            + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+            + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)) % 5 AS fold
+      FROM (SELECT user_id, event_type, value,
+                   md5('fold:' || CAST(user_id AS VARCHAR)) AS hx
+            FROM events))
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS purchase_share,
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * count(*)), 6) AS avg_value
+    FROM hb GROUP BY fold
+    """,
+)
+def q374_group_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold cross-validation assignment + balance audit: folds
+    are assigned by md5 hash of user_id (sampling.hash_bucket), so a
+    user's events can NEVER straddle folds — the leakage-safe CV
+    primitive for behavioral data (a random row split would leak user
+    identity across train/test). The audit reports what a curator
+    checks before trusting the folds: event and user counts, purchase
+    share, and mean event value per fold (value totals ride exact 1e-6
+    integer units). One hash pass + one 5-group aggregate; the count-
+    distinct is Spark's two-stage partial distinct, never a collect."""
+    from etl_jetro_spark.operators.sampling import hash_bucket
+
+    e = load_events(spark, sf_dir)
+    hb = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        hash_bucket("user_id", 5, salt="fold:").alias("fold"),
+    )
+    return hb.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(
+            F.sum((F.col("event_type") == "purchase").cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("purchase_share"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).cast(
+                "double"
+            )
+            / (F.lit(1000000.0) * F.count(F.lit(1))),
+            6,
+        ).alias("avg_value"),
+    )
+
+
+_RBO_W = (
+    "0.23541639942571424",
+    "0.13541639942571426",
+    "0.09041639942571428",
+    "0.06341639942571428",
+    "0.045191399425714276",
+    "0.03206939942571428",
+    "0.022227899425714286",
+    "0.014635885139999999",
+    "0.008657173890000001",
+    "0.00387420489",
+)
+
+
+@query(
+    "q375_prefix_full_rbo",
+    f"""
+    WITH {_probe_scores_sql("c.i <= 16", "TRUE")},
+    w(m, wt) AS (VALUES
+      {", ".join(f"({m}, {w})" for m, w in enumerate(_RBO_W, 1))}),
+    r AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS rp,
+             row_number() OVER (PARTITION BY qid ORDER BY sb DESC, cid) AS rt
+      FROM sc),
+    mx AS (
+      SELECT qid, greatest(rp, rt) AS m, CAST(count(*) AS BIGINT) AS cnt
+      FROM r WHERE greatest(rp, rt) <= 10 GROUP BY 1, 2),
+    per AS (
+      SELECT mx.qid,
+             sum(CAST(mx.cnt AS DOUBLE) * w.wt) AS rbo_trunc,
+             CAST(sum(CASE WHEN mx.m = 1 THEN mx.cnt ELSE 0 END) AS BIGINT)
+               AS top1_agree,
+             CAST(sum(mx.cnt) AS BIGINT) AS overlap_at_10
+      FROM mx JOIN w ON w.m = mx.m GROUP BY 1)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           top1_agree,
+           overlap_at_10,
+           round(rbo_trunc, 6) AS rbo_trunc,
+           round(rbo_trunc / 0.6513215599, 6) AS rbo_norm
+    FROM per
+    """,
+)
+def q375_prefix_full_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (truncated at depth 10, p = 0.9) between the
+    cheap 16-dim prefix ranking and the full-dim ranking, per probe —
+    the top-weighted list-similarity metric that upgrades q342's flat
+    overlap@k: agreement at rank 1 counts ~6x rank 10, matching how
+    retrieval traffic actually concentrates. Identity: RBO_trunc =
+    sum_d (1-p) p^(d-1) X_d / d with X_d = |top-d ∩ top-d|; since
+    X_d = sum_(m<=d) cnt_m over m = max(rank_a, rank_b), the metric
+    collapses to ONE weighted sum over the m-histogram with Python-
+    precomputed tail-weight literals W_m = sum_(d>=m) w_d shared by
+    both engines (no pow() at query time); rbo_norm rescales by
+    1 - p^10 so identical prefixes score 1. Integer ranks ride the
+    distributed rank frame; per-probe output is #probes-bounded."""
+    scored = _probe_scores(spark, sf_dir, "prefix", 16)
+    rp = _rank_frame(scored, "sa", "rp")
+    rt = _rank_frame(scored, "sb", "rt")
+    r = rp.join(rt, ["qid", "cid"])
+    mx = (
+        r.select(
+            "qid", F.greatest(F.col("rp"), F.col("rt")).alias("m")
+        )
+        .filter(F.col("m") <= 10)
+        .groupBy("qid", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = spark.createDataFrame(
+        [(m, float(wt)) for m, wt in enumerate(_RBO_W, 1)], "m INT, wt DOUBLE"
+    )
+    per = (
+        mx.join(bcast_small(w), "m")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.col("cnt").cast("double") * F.col("wt")).alias(
+                "rbo_trunc"
+            ),
+            F.sum(F.when(F.col("m") == 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("top1_agree"),
+            F.sum("cnt").cast("long").alias("overlap_at_10"),
+        )
+    )
+    return per.select(
+        F.col("qid").cast("long").alias("qid"),
+        "top1_agree",
+        "overlap_at_10",
+        F.round("rbo_trunc", 6).alias("rbo_trunc"),
+        F.round(F.col("rbo_trunc") / F.lit(0.6513215599), 6).alias(
+            "rbo_norm"
+        ),
+    )
+
+
+@query(
+    "q376_doclen_hill_tail_index",
+    """
+    WITH r AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents WHERE n_chars > 0),
+    ks(k) AS (VALUES (50), (100)),
+    ref AS (
+      SELECT ks.k, r.v AS vref FROM ks JOIN r ON r.rn = ks.k + 1),
+    tail AS (
+      SELECT ref.k, ref.vref,
+             avg(ln(CAST(r.v AS DOUBLE) / ref.vref)) AS invalpha
+      FROM ref JOIN r ON r.rn <= ref.k
+      GROUP BY 1, 2)
+    SELECT CAST(k AS BIGINT) AS k,
+           vref AS threshold,
+           round(invalpha, 6) AS inv_alpha,
+           CASE WHEN invalpha > 0 THEN round(1.0 / invalpha, 6) END
+             AS hill_alpha
+    FROM tail
+    """,
+)
+def q376_doclen_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index at k in {50,
+    100}: 1/alpha = mean over the k largest lengths of ln(x_(i) /
+    x_(k+1)) — the heavy-tail exponent a pipeline monitors because
+    truncation budgets, packing efficiency, and shuffle skew all hinge
+    on how Pareto the length tail is (alpha <= 2 means variance is
+    effectively unbounded and mean-based capacity planning lies). The
+    global descending rank rides the range-partitioned rank frame (no
+    single-task sort); only the k+1 tail rows join the reference
+    order statistic, so the post-rank work is k-bounded. ln() is
+    output-only (no decision made on it) — static-wobble class under
+    the 6 dp round."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    r = group_ranked(
+        d.select(F.col("n_chars").cast("long").alias("v"), "doc_id"),
+        [],
+        -F.col("v"),
+        tiebreak=["doc_id"],
+    )
+    vals = r.select((-F.col("_v")).alias("v"), F.col("_rn").alias("rn"))
+    ks = spark.createDataFrame([(50,), (100,)], ["k"])
+    ref = (
+        bcast_small(ks)
+        .join(vals, F.col("rn") == F.col("k") + 1)
+        .select("k", F.col("v").alias("vref"))
+    )
+    tail = (
+        vals.join(bcast_small(ref), F.col("rn") <= F.col("k"))
+        .groupBy("k", "vref")
+        .agg(
+            F.avg(
+                F.log(F.col("v").cast("double") / F.col("vref"))
+            ).alias("invalpha")
+        )
+    )
+    return tail.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("vref").alias("threshold"),
+        F.round("invalpha", 6).alias("inv_alpha"),
+        F.when(
+            F.col("invalpha") > 0, F.round(1.0 / F.col("invalpha"), 6)
+        ).alias("hill_alpha"),
+    )

@@ -564,3 +564,117 @@ def test_davies_bouldin_hand_geometry():
         assert abs(row["s_intra"] - 1.0) < 1e-9
         assert row["worst_other"] == other
         assert abs(row["db_term"] - 0.2) < 1e-9
+
+
+def test_benford_chi2_hand_computed():
+    from etl_jetro_spark.plans.queries import _BENFORD_P
+
+    # cents: 100,150,200,999 -> first digits 1,1,2,9
+    prices = [1.00, 1.50, 2.00, 9.99]
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame({"o_orderkey": range(4), "o_totalprice": prices}),
+    )
+    out = (
+        con.sql(ORACLES["q373_order_total_benford"]).df().set_index("digit")
+    )
+    obs = {1: 2, 2: 1, 9: 1}
+    n = 4
+    ps = {int(d): float(p) for d, p in _BENFORD_P}
+    chi2 = sum(
+        (obs.get(d, 0) - n * ps[d]) ** 2 / (n * ps[d]) for d in range(1, 10)
+    )
+    for d in range(1, 10):
+        row = out.loc[d]
+        assert row["n_obs"] == obs.get(d, 0)
+        assert abs(row["benford_p"] - round(ps[d], 6)) < 1e-9
+        assert abs(row["chi2"] - round(chi2, 6)) < 1e-6
+        assert row["dof"] == 8
+
+
+def test_group_kfold_exclusive_and_counts():
+    import hashlib
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        for j in range(3):  # 3 events per user
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_type": "purchase" if j == 0 else "view",
+                    "value": 1.5,
+                }
+            )
+            eid += 1
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows))
+    out = con.sql(ORACLES["q374_group_kfold_balance"]).df().set_index("fold")
+
+    def fold(u):
+        return int(hashlib.md5(f"fold:{u}".encode()).hexdigest()[:8], 16) % 5
+
+    expect_users = {f: 0 for f in range(5)}
+    for u in range(40):
+        expect_users[fold(u)] += 1
+    for f in range(5):
+        if expect_users[f] == 0:
+            assert f not in out.index
+            continue
+        row = out.loc[f]
+        # group exclusivity: every user contributes ALL 3 events to one fold
+        assert row["n_users"] == expect_users[f]
+        assert row["n_events"] == 3 * expect_users[f]
+        assert abs(row["purchase_share"] - round(1 / 3, 6)) < 1e-9
+        assert abs(row["avg_value"] - 1.5) < 1e-9
+
+
+def test_rbo_identity_against_direct_form():
+    # 6 vectors whose dims beyond 16 are zero -> prefix and full
+    # rankings coincide, so X_d = min(d, 5) and the histogram-collapse
+    # form must equal the direct RBO sum.
+    import random
+
+    rng = random.Random(3)
+    vecs = []
+    for _ in range(6):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(16)] + [0.0] * 4
+        vecs.append(v)
+    con = duckdb.connect()
+    con.register("embeddings", _emb_table(vecs, 20))
+    out = con.sql(ORACLES["q375_prefix_full_rbo"]).df()
+    p = 0.9
+    direct = sum(
+        (1 - p) * p ** (d - 1) * min(d, 5) / d for d in range(1, 11)
+    )
+    assert len(out) >= 1  # probes = vec_id % 5 == 0 -> {0, 5}
+    for _, row in out.iterrows():
+        assert row["top1_agree"] == 1
+        assert row["overlap_at_10"] == 5
+        assert abs(row["rbo_trunc"] - round(direct, 6)) < 1e-6
+        assert abs(
+            row["rbo_norm"] - round(direct / (1 - p**10), 6)
+        ) < 1e-6
+
+
+def test_hill_estimator_hand_computed():
+    # 120 docs, lengths 1000/i**0.5-ish: exact Pareto would give
+    # alpha = 2; check the estimator value against plain Python.
+    lens = [int(1000 / (i**0.5)) + 1 for i in range(1, 121)]
+    docs = [
+        {"doc_id": i, "lang": "en", "source": "s0", "text": "x",
+         "n_chars": v}
+        for i, v in enumerate(lens)
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    out = con.sql(ORACLES["q376_doclen_hill_tail_index"]).df().set_index("k")
+    ordered = sorted(lens, reverse=True)
+    for k in (50, 100):
+        vref = ordered[k]  # (k+1)-th largest
+        inv = sum(math.log(ordered[i] / vref) for i in range(k)) / k
+        row = out.loc[k]
+        assert row["threshold"] == vref
+        assert abs(row["inv_alpha"] - round(inv, 6)) < 1e-6
+        assert abs(row["hill_alpha"] - round(1 / inv, 6)) < 1e-4
