@@ -99,6 +99,17 @@ from etl_jetro_spark.operators.retrieval import (  # noqa: F401
     rank_channel,
     rrf,
 )
+from etl_jetro_spark.operators.evalstats import (  # noqa: F401
+    bh_holm,
+    brier_decomposition,
+    cochran_q,
+    conformal_upper,
+    friedman,
+    mcnemar,
+    pair_moments,
+    quantized_prefix,
+    two_sided_p,
+)
 from etl_jetro_spark.operators.timeseries import (  # noqa: F401
     cohort_retention,
     funnel,
