@@ -91,41 +91,66 @@ def bh_holm(
     decisions over a family of hypotheses — one input row each.
 
     The family must be METADATA-SIZED (#sources, #nations, #configs —
-    never data-scale): the procedure is a global sort by definition, so
-    it runs as a bounded unpartitioned window, the same class as the
-    catalog's post-limit rank frames. ``p_col`` must already be engine-
-    rounded (12 dp) so ranks agree across engines; ties break on
-    ``key_cols`` ascending.
+    never data-scale): the procedure is a global sort by definition.
+    It is implemented WITHOUT any global window (the planlint contract:
+    Spark never WindowGroupLimit-prunes an empty partition spec) — the
+    rank is 1 + count of lexicographically-smaller rows via a broadcast
+    non-equi self-join, and every global scalar joins back broadcast;
+    all frames stay m-bounded. ``p_col`` must already be engine-rounded
+    (12 dp) so ranks agree across engines; ties break on ``key_cols``
+    ascending (the (p, keys) tuple must be unique).
 
     Adds: ``m`` (family size), ``p_rank`` (1-based ascending),
     ``bh_reject`` (p_(i) <= alpha*i/m for some i >= rank, i.e. rank <=
     argmax passing index), ``holm_reject`` (p_(j) <= alpha/(m-j+1) for
     ALL j <= rank).
     """
-    w = Window.orderBy(F.col(p_col).asc(), *[F.col(k).asc() for k in key_cols])
-    wall = Window.partitionBy()
-    ranked = df.withColumn("p_rank", F.row_number().over(w)).withColumn(
-        "m", F.count(F.lit(1)).over(wall)
+    order_cols = [p_col, *key_cols]
+    other = df.select(
+        *[F.col(c).alias(f"_o_{c}") for c in order_cols]
     )
+    # lexicographic (other < row) over (p, keys...), built innermost-out
+    lt = F.lit(False)
+    for c in reversed(order_cols):
+        a, b = F.col(f"_o_{c}"), F.col(c)
+        lt = (a < b) | ((a == b) & lt)
+    ranked = (
+        df.join(F.broadcast(other), lt, "left")  # bcast-ok: m-row family
+        .groupBy(*df.columns)
+        .agg(
+            (F.count(F.col(f"_o_{p_col}")) + 1).cast("long").alias("p_rank")
+        )
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = ranked.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row scalar
     bh_ok = F.col(p_col) <= F.lit(alpha) * F.col("p_rank") / F.col("m")
     holm_ok = (
         F.col(p_col) <= F.lit(alpha) / (F.col("m") - F.col("p_rank") + 1)
     )
-    wpre = Window.orderBy("p_rank").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        ranked.withColumn(
-            "_bh_k",
-            F.max(F.when(bh_ok, F.col("p_rank"))).over(wall),
+    flagged = ranked.withColumn("_bh_ok", bh_ok).withColumn(
+        "_holm_ok", holm_ok.cast("int")
+    )
+    bhk = flagged.agg(
+        F.max(F.when(F.col("_bh_ok"), F.col("p_rank"))).alias("_bh_k")
+    )
+    pre = flagged.select(
+        F.col("p_rank").alias("_o_rank"), F.col("_holm_ok").alias("_o_ok")
+    )
+    holm = (
+        flagged.join(
+            F.broadcast(pre), F.col("_o_rank") <= F.col("p_rank")  # bcast-ok: m rows
         )
+        .groupBy(*[c for c in flagged.columns])
+        .agg(F.min("_o_ok").alias("_holm_all"))
+    )
+    return (
+        holm.crossJoin(F.broadcast(bhk))  # bcast-ok: 1-row scalar
         .withColumn(
             "bh_reject",
             F.coalesce(F.col("p_rank") <= F.col("_bh_k"), F.lit(False)),
         )
-        .withColumn(
-            "holm_reject",
-            F.min(holm_ok.cast("int")).over(wpre) == 1,
-        )
-        .drop("_bh_k")
+        .withColumn("holm_reject", F.col("_holm_all") == 1)
+        .drop("_bh_k", "_bh_ok", "_holm_ok", "_holm_all")
     )
 
 
@@ -170,17 +195,14 @@ def brier_decomposition(
         F.sum("_y").cast("long").alias("sy"),
         F.sum("_se").cast("decimal(38,0)").alias("sse"),
     )
-    # global exact moments ride along every bin row (bounded frame)
-    wall = Window.partitionBy()
-    g = per_bin.select(
-        "nk",
-        "sq",
-        "sy",
-        "sse",
-        F.sum("nk").over(wall).alias("n"),
-        F.sum("sy").over(wall).alias("syall"),
-        F.sum("sse").over(wall).alias("sseall"),
+    # global exact moments join back broadcast (never a global window —
+    # the planlint contract)
+    tot = per_bin.agg(
+        F.sum("nk").alias("n"),
+        F.sum("sy").alias("syall"),
+        F.sum("sse").alias("sseall"),
     )
+    g = per_bin.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row scalar
     # per-bin exact integer numerators, combined in double (n_bins terms)
     cal_num = F.col("sq").cast("double") - 1_000_000.0 * F.col(
         "sy"

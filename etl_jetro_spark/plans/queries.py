@@ -22074,12 +22074,12 @@ def q372_purchase_sprt_evalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     under continuous monitoring). The two per-day log-LR coefficients
     are Python-precomputed double literals embedded in BOTH engines
     (log10 is not correctly-rounded; embedding kills the 1-ulp seam),
-    counts are exact integers, and the cumulative walk is an ordered
-    #days-bounded window; the crossing decision compares the
+    counts are exact integers, and the cumulative walk is a #days-
+    bounded broadcast non-equi self-join (never a global window — the
+    planlint contract; the ≤31-term double sum is the static-wobble
+    class, absorbed by the rounds); the crossing decision compares the
     9 dp-rounded walk to a literal. One partial-agg pass over events;
     everything after is calendar-bounded."""
-    from pyspark.sql import Window
-
     e = load_events(spark, sf_dir)
     daily = e.groupBy(
         F.expr("ts div 86400000000000").alias("day")
@@ -22089,14 +22089,20 @@ def q372_purchase_sprt_evalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchases"),
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    walk = daily.withColumn(
-        "log10_e_raw",
-        F.sum(
+    terms = daily.select(
+        F.col("day").alias("_tday"),
+        (
             F.col("n_purchases") * F.lit(0.04139268515822499)
             + (F.col("n_events") - F.col("n_purchases"))
             * F.lit(-0.010995384301463193)
-        ).over(w),
+        ).alias("_term"),
+    )
+    walk = (
+        daily.join(
+            bcast_small(terms), F.col("_tday") <= F.col("day")  # bcast-ok: #days rows
+        )
+        .groupBy("day", "n_events", "n_purchases")
+        .agg(F.sum("_term").alias("log10_e_raw"))
     )
     return walk.select(
         F.col("day").cast("long").alias("day"),
@@ -22562,10 +22568,9 @@ def q373_order_total_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     fabricated-data / generator-drift screen a platform runs over any
     numeric column it ingests. Expected digit probabilities are Python-
     precomputed literals shared by both engines; counts are exact; the
-    chi-square combines 9 bounded terms. One partial-agg pass over
-    orders; everything after is 9-rows-bounded."""
-    from pyspark.sql import Window
-
+    chi-square combines 9 bounded terms (global scalars join back
+    broadcast — never a global window, the planlint contract). One
+    partial-agg pass over orders; everything after is 9-rows-bounded."""
     o = load(spark, sf_dir, "orders")
     cents = M.cents("o_totalprice")
     fd = o.select(cents.alias("c")).filter(F.col("c") > 0).select(
@@ -22575,31 +22580,31 @@ def q373_order_total_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = spark.createDataFrame(
         [(int(d), float(p)) for d, p in _BENFORD_P], "digit INT, p DOUBLE"
     )
-    wall = Window.partitionBy()
-    g = (
-        bcast_small(bp)
-        .join(obs, "digit", "left")
+    g0 = (
+        bp.join(bcast_small(obs), "digit", "left")
         .select(
             "digit",
             "p",
             F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
         )
-        .withColumn("n", F.sum("n_obs").over(wall))
     )
+    tot = g0.agg(F.sum("n_obs").cast("long").alias("n"))
+    g = g0.crossJoin(bcast_small(tot))
     term = (
         (F.col("n_obs").cast("double") - F.col("n") * F.col("p"))
         * (F.col("n_obs").cast("double") - F.col("n") * F.col("p"))
         / (F.col("n") * F.col("p"))
     )
     t = g.withColumn("term", term)
-    return t.select(
+    chi = t.agg(F.sum("term").alias("chi2t"))
+    return t.crossJoin(bcast_small(chi)).select(
         F.col("digit").cast("long").alias("digit"),
         "n_obs",
         F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
             "obs_frac"
         ),
         F.round("p", 6).alias("benford_p"),
-        F.round(F.sum("term").over(wall), 6).alias("chi2"),
+        F.round("chi2t", 6).alias("chi2"),
         F.lit(8).cast("long").alias("dof"),
     )
 
