@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_jetro_spark.operators.aggregate import group_ranked
+from etl_jetro_spark.plans.hints import bcast_small
 
 # ---------------------------------------------------------------------------
 # Normal CDF (Abramowitz & Stegun 26.2.17) — portable Spark SQL / DuckDB
@@ -115,14 +116,14 @@ def bh_holm(
         a, b = F.col(f"_o_{c}"), F.col(c)
         lt = (a < b) | ((a == b) & lt)
     ranked = (
-        df.join(F.broadcast(other), lt, "left")  # bcast-ok: m-row family
+        df.join(bcast_small(other), lt, "left")
         .groupBy(*df.columns)
         .agg(
             (F.count(F.col(f"_o_{p_col}")) + 1).cast("long").alias("p_rank")
         )
     )
     tot = df.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    ranked = ranked.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row scalar
+    ranked = ranked.crossJoin(bcast_small(tot))
     bh_ok = F.col(p_col) <= F.lit(alpha) * F.col("p_rank") / F.col("m")
     holm_ok = (
         F.col(p_col) <= F.lit(alpha) / (F.col("m") - F.col("p_rank") + 1)
@@ -137,14 +138,12 @@ def bh_holm(
         F.col("p_rank").alias("_o_rank"), F.col("_holm_ok").alias("_o_ok")
     )
     holm = (
-        flagged.join(
-            F.broadcast(pre), F.col("_o_rank") <= F.col("p_rank")  # bcast-ok: m rows
-        )
+        flagged.join(bcast_small(pre), F.col("_o_rank") <= F.col("p_rank"))
         .groupBy(*[c for c in flagged.columns])
         .agg(F.min("_o_ok").alias("_holm_all"))
     )
     return (
-        holm.crossJoin(F.broadcast(bhk))  # bcast-ok: 1-row scalar
+        holm.crossJoin(bcast_small(bhk))
         .withColumn(
             "bh_reject",
             F.coalesce(F.col("p_rank") <= F.col("_bh_k"), F.lit(False)),
@@ -202,7 +201,7 @@ def brier_decomposition(
         F.sum("sy").alias("syall"),
         F.sum("sse").alias("sseall"),
     )
-    g = per_bin.crossJoin(F.broadcast(tot))  # bcast-ok: 1-row scalar
+    g = per_bin.crossJoin(bcast_small(tot))
     # per-bin exact integer numerators, combined in double (n_bins terms)
     cal_num = F.col("sq").cast("double") - 1_000_000.0 * F.col(
         "sy"
