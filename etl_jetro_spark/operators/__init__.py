@@ -110,6 +110,12 @@ from etl_jetro_spark.operators.evalstats import (  # noqa: F401
     quantized_prefix,
     two_sided_p,
 )
+from etl_jetro_spark.operators.corpusstats import (  # noqa: F401
+    ols_fit,
+    plogq_sum,
+    sql_ols_select,
+    word_rows,
+)
 from etl_jetro_spark.operators.timeseries import (  # noqa: F401
     cohort_retention,
     funnel,

@@ -124,3 +124,52 @@ def running_prefix_max(
         .withColumn("_runmax", F.greatest("_locmax", "_prev"))
         .drop("_pid", "_locmax", "_prev")
     )
+
+
+def running_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running SUM of ``value_col`` over the global
+    ``order_col`` ordering — the same distributed two-pass sweep as
+    :func:`running_prefix_max` (range-partition by the order key,
+    partition-local cumsum, metadata-sized cross-partition offsets), so
+    no single-task global window at any data size. Adds ``_runsum``;
+    all input columns are preserved. Exactness: when ``value_col`` is
+    an integer/decimal type the cumsum is exact (sums of exact values
+    in a fixed order); double values inherit the usual fold caveat.
+
+    ``order_col`` must be UNIQUE (a rank from
+    ``operators.aggregate.group_ranked``, an event id): the local
+    window runs a ROWS frame, so ties would take an arbitrary
+    intra-tie order."""
+    spark = df.sparkSession
+    nparts = num_range_partitions or max(
+        spark.sparkContext.defaultParallelism, 8
+    )
+    parted = (
+        df.repartitionByRange(nparts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # freeze pid/order for both consumers
+    )
+    psum = parted.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # nparts rows — the only unpartitioned window, over metadata
+    prefix = psum.select("_pid", F.sum("_psum").over(woff).alias("_prev"))
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("_locsum", F.sum(value_col).over(wloc))
+        .join(F.broadcast(prefix), "_pid")  # bcast-ok: nparts-row partition metadata
+        .withColumn(
+            "_runsum",
+            F.col("_locsum") + F.coalesce(F.col("_prev"), F.lit(0)),
+        )
+        .drop("_pid", "_locsum", "_prev")
+    )

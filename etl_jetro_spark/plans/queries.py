@@ -22837,3 +22837,837 @@ def q376_doclen_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("invalpha") > 0, F.round(1.0 / F.col("invalpha"), 6)
         ).alias("hill_alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# 16. Corpus comparison & mixture design (operators/corpusstats.py)
+# --------------------------------------------------------------------------
+
+# Shared DuckDB fragments: normalized word rows and the source-term
+# count frame (exact BIGINT counts — every probability downstream is a
+# division of these on both engines).
+_DK_WF = (
+    f"w0 AS (SELECT source, doc_id, unnest({DK_WORDS}) AS w FROM documents),\n"
+    "    wf AS (SELECT source, doc_id, w FROM w0 WHERE w <> '')"
+)
+_DK_TC = (
+    "tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt\n"
+    "          FROM wf GROUP BY 1, 2)"
+)
+_LN2 = "0.6931471805599453"  # Python-precomputed ln(2), shared literal
+
+from etl_jetro_spark.operators.corpusstats import sql_ols_select  # noqa: E402
+
+_OLS = sql_ols_select()
+
+
+def _source_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, w, cnt) — the engine-side mirror of ``_DK_TC``: one
+    corpus-linear explode + one map-side-combined groupBy."""
+    from etl_jetro_spark.operators.corpusstats import word_rows
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        word_rows(d, "text", "source")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+@query(
+    "q377_source_js_divergence",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, sum(cnt) AS cg FROM tc GROUP BY 1
+        ORDER BY cg DESC, w LIMIT 200)),
+    sv AS (SELECT tc.source, tc.w, tc.cnt FROM tc JOIN vocab USING (w)),
+    tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM sv GROUP BY 1),
+    grid AS (
+      SELECT t.source, v.w, t.n, coalesce(sv.cnt, 0) AS cnt
+      FROM tot t CROSS JOIN vocab v
+      LEFT JOIN sv ON sv.source = t.source AND sv.w = v.w),
+    pr AS (SELECT source, w, CAST(cnt AS DOUBLE) / n AS p FROM grid),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.p AS pa, b.p AS pb, (a.p + b.p) / 2.0 AS m
+      FROM pr a JOIN pr b ON a.w = b.w AND a.source < b.source),
+    agg AS (
+      SELECT src_a, src_b,
+             CAST(sum(CASE WHEN pa > 0 OR pb > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_support,
+             sum(CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / m) ELSE 0 END)
+           + sum(CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / m) ELSE 0 END)
+               AS jsd
+      FROM pairs GROUP BY 1, 2)
+    SELECT src_a, src_b, n_support,
+           round(jsd, 6) + 0.0 AS jsd_nats,
+           round(jsd / {_LN2}, 6) + 0.0 AS jsd_bits
+    FROM agg
+    """,
+)
+def q377_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions over the shared top-200 global vocabulary — the
+    mixture-design distance a curator reads to decide which sources are
+    redundant (JSD ~ 0) vs complementary before weighting them. The
+    token pass is corpus-linear (one explode + one map-side-combined
+    agg); EVERYTHING after the term frame is bounded by #sources x 200:
+    the vocab is TakeOrdered (count desc, term asc — exact-integer
+    tie-break), per-source counts renormalize within the vocab by exact
+    BIGINT totals, and the 190-pair JSD runs on a 4000-row grid. Both
+    engines divide the same exact integers, so ln() sees bit-identical
+    arguments; the divergence sums are output-only (6 dp). jsd_bits
+    rescales by a Python-precomputed ln(2) literal shared by both
+    engines (0 <= jsd_bits <= 1)."""
+    tc = _source_term_counts(spark, sf_dir)
+    vocab = (
+        tc.groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("cg"))
+        .orderBy(F.desc("cg"), F.asc("w"))
+        .limit(200)
+        .select("w")
+    )
+    sv = tc.join(bcast_small(vocab), "w")
+    tot = sv.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    grid = (
+        bcast_small(tot)
+        .crossJoin(bcast_small(vocab))
+        .join(sv, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("n")
+             ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "w", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), "w", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    agg = pairs.groupBy("src_a", "src_b").agg(
+        F.sum(
+            F.when((F.col("pa") > 0) | (F.col("pb") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_support"),
+        (
+            F.sum(
+                F.when(
+                    F.col("pa") > 0,
+                    0.5 * F.col("pa") * F.log(F.col("pa") / m),
+                ).otherwise(0.0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("pb") > 0,
+                    0.5 * F.col("pb") * F.log(F.col("pb") / m),
+                ).otherwise(0.0)
+            )
+        ).alias("jsd"),
+    )
+    return agg.select(
+        "src_a", "src_b", "n_support",
+        (F.round("jsd", 6) + F.lit(0.0)).alias("jsd_nats"),
+        (F.round(F.col("jsd") / F.lit(float(_LN2)), 6) + F.lit(0.0)).alias(
+            "jsd_bits"
+        ),
+    )
+
+
+@query(
+    "q378_source_zipf_slope",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    r AS (
+      SELECT source, w, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, w) AS rn
+      FROM tc),
+    t AS (SELECT source, ln(CAST(rn AS DOUBLE)) AS x,
+                 ln(CAST(cnt AS DOUBLE)) AS y
+          FROM r WHERE rn <= 100),
+    fit AS (SELECT source, {_OLS} FROM t GROUP BY 1)
+    SELECT source, n AS n_top,
+           round(slope, 6) + 0.0 AS zipf_slope,
+           round(intercept, 6) + 0.0 AS ln_c,
+           round(r2, 6) + 0.0 AS r2
+    FROM fit
+    """,
+)
+def q378_source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope of ln(count) on ln(rank) over
+    each source's top-100 terms — natural text sits near -1; templated
+    or boilerplate-heavy sources flatten toward 0, so the slope is a
+    one-number genre/quality fingerprint for mixture design. The
+    per-source rank rides the range-partitioned rank frame
+    (operators.aggregate.group_ranked — at 100 TB a source's vocabulary
+    is millions of terms, never one task's window), cut at rank 100
+    with an exact-integer count + term-asc tie-break; the OLS closed
+    form (operators.corpusstats.ols_fit and its SQL mirror) consumes
+    ln() of identical exact integers on both engines, fit columns
+    output-only (6 dp)."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+    from etl_jetro_spark.operators.corpusstats import ols_fit
+
+    tc = _source_term_counts(spark, sf_dir)
+    r = group_ranked(tc, ["source"], -F.col("cnt"), tiebreak=["w"])
+    top = r.filter(F.col("_rn") <= 100).select(
+        "source",
+        F.log(F.col("_rn").cast("double")).alias("x"),
+        F.log((-F.col("_v")).cast("double")).alias("y"),
+    )
+    fit = ols_fit(top, ["source"], F.col("x"), F.col("y"))
+    return fit.select(
+        "source",
+        F.col("n").alias("n_top"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("ln_c"),
+        (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+@query(
+    "q379_source_heaps_exponent",
+    f"""
+    WITH {_DK_WF},
+    dr AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS nd
+      FROM documents),
+    nt AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS ntok
+           FROM wf GROUP BY 1, 2),
+    fr AS (
+      SELECT f.source, f.w, min(dr.rn) AS frn
+      FROM (SELECT DISTINCT source, doc_id, w FROM wf) f
+      JOIN dr ON dr.source = f.source AND dr.doc_id = f.doc_id
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT source, nd, k, (k * nd + 9) // 10 AS c
+      FROM (SELECT DISTINCT source, nd FROM dr)
+      CROSS JOIN (SELECT unnest(range(1, 11)) AS k)),
+    nk AS (
+      SELECT g.source, g.k, CAST(sum(nt.ntok) AS BIGINT) AS ntok
+      FROM grid g
+      JOIN dr ON dr.source = g.source AND dr.rn <= g.c
+      JOIN nt ON nt.source = dr.source AND nt.doc_id = dr.doc_id
+      GROUP BY 1, 2),
+    vk AS (
+      SELECT g.source, g.k, CAST(count(*) AS BIGINT) AS vt
+      FROM grid g
+      JOIN fr ON fr.source = g.source AND fr.frn <= g.c
+      GROUP BY 1, 2),
+    pts AS (
+      SELECT nk.source, ln(CAST(nk.ntok AS DOUBLE)) AS x,
+             ln(CAST(vk.vt AS DOUBLE)) AS y
+      FROM nk JOIN vk ON vk.source = nk.source AND vk.k = nk.k),
+    fit AS (SELECT source, {_OLS} FROM pts GROUP BY 1),
+    nd1 AS (SELECT DISTINCT source, CAST(nd AS BIGINT) AS n_docs FROM dr)
+    SELECT fit.source, nd1.n_docs, fit.n AS n_points,
+           round(fit.slope, 6) + 0.0 AS heaps_beta,
+           round(fit.r2, 6) + 0.0 AS r2
+    FROM fit JOIN nd1 ON nd1.source = fit.source
+    """,
+)
+def q379_source_heaps_exponent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Heaps-law vocabulary-growth exponent per source: V(N) ~ K * N^b,
+    fit as the OLS slope of ln(distinct terms) on ln(total tokens) at
+    ten document-prefix checkpoints (docs ordered by doc_id, checkpoint
+    ranks ceil(k*n/10) computed in exact integer arithmetic on both
+    engines). Low beta means the source's vocabulary saturates — more
+    of it buys tokens but no new types, the diminishing-returns curve a
+    data-mixture optimizer trades against. Cumulative-distinct is NOT
+    computed by a running window: each term contributes its FIRST-
+    occurrence rank (min doc rank — one term-keyed agg), so V at
+    checkpoint c is a count of first-ranks <= c; token prefix sums join
+    docs to the 200-row checkpoint grid (fanout <= 10 per doc, data-
+    linear). Doc ranks ride the range-partitioned rank frame — no
+    per-source single-task sort at 100 TB."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+    from etl_jetro_spark.operators.corpusstats import ols_fit, word_rows
+
+    d = load(spark, sf_dir, "documents")
+    dr = group_ranked(d.select("source", "doc_id"), ["source"], "doc_id")
+    dr = dr.select(
+        "source", F.col("_v").alias("doc_id"), F.col("_rn").alias("rn"),
+        F.col("_n").alias("nd"),
+    )
+    wf = word_rows(d, "text", "source", "doc_id")
+    nt = wf.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ntok")
+    )
+    fr = (
+        wf.dropDuplicates(["source", "doc_id", "w"])
+        .join(dr.select("source", "doc_id", "rn"), ["source", "doc_id"])
+        .groupBy("source", "w")
+        .agg(F.min("rn").alias("frn"))
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 11)], "k INT")
+    grid = (
+        bcast_small(dr.select("source", "nd").distinct())
+        .crossJoin(bcast_small(ks))
+        .select(
+            "source", "nd", "k",
+            F.expr("(k * nd + 9) div 10").alias("c"),
+        )
+    )
+    g = bcast_small(
+        grid.select(F.col("source").alias("gsrc"), "k", "c")
+    )
+    dj = nt.join(dr.select("source", "doc_id", "rn"), ["source", "doc_id"])
+    nk = (
+        dj.join(g, (dj["source"] == g["gsrc"]) & (dj["rn"] <= g["c"]))
+        .groupBy(F.col("gsrc").alias("source"), F.col("k"))
+        .agg(F.sum("ntok").cast("long").alias("ntok"))
+    )
+    vk = (
+        fr.join(g, (fr["source"] == g["gsrc"]) & (fr["frn"] <= g["c"]))
+        .groupBy(F.col("gsrc").alias("source"), F.col("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("vt"))
+    )
+    pts = nk.join(vk, ["source", "k"]).select(
+        "source",
+        F.log(F.col("ntok").cast("double")).alias("x"),
+        F.log(F.col("vt").cast("double")).alias("y"),
+    )
+    fit = ols_fit(pts, ["source"], F.col("x"), F.col("y"))
+    nd1 = dr.select("source", F.col("nd").cast("long").alias("n_docs")
+                    ).distinct()
+    return fit.join(bcast_small(nd1), "source").select(
+        "source", "n_docs",
+        F.col("n").alias("n_points"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+@query(
+    "q380_source_term_chisq",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, sum(cnt) AS cg FROM tc GROUP BY 1
+        ORDER BY cg DESC, w LIMIT 50)),
+    sv AS (SELECT tc.source, tc.w, tc.cnt FROM tc JOIN vocab USING (w)),
+    ct AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS coltot
+           FROM sv GROUP BY 1),
+    rt AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS rowtot FROM sv GROUP BY 1),
+    g AS (SELECT CAST(sum(cnt) AS BIGINT) AS grand FROM sv),
+    cell AS (
+      SELECT ct.source, rt.w, ct.coltot, g.grand,
+             coalesce(sv.cnt, 0) AS o,
+             CAST(rt.rowtot AS DOUBLE) * ct.coltot / g.grand AS e
+      FROM ct CROSS JOIN rt CROSS JOIN g
+      LEFT JOIN sv ON sv.source = ct.source AND sv.w = rt.w)
+    SELECT source,
+           CAST(any_value(coltot) AS BIGINT) AS n_obs,
+           round(any_value(CAST(coltot AS DOUBLE) / grand), 6)
+             AS token_share,
+           round(sum((o - e) * (o - e) / e), 6) AS chi2_contrib
+    FROM cell GROUP BY 1
+    """,
+)
+def q380_source_term_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity decomposition over the top-50 global
+    terms x sources contingency table: each source's contribution to
+    the homogeneity statistic (expected counts e = rowtot * coltot /
+    grand under independence), the screening test that flags which
+    source's common-term profile deviates most from the corpus norm.
+    Observed/row/column/grand totals are exact BIGINTs; e is the same
+    double on both engines (one multiply, one divide of exact
+    integers); zero cells enter as (0-e)^2/e = e via the coalesce-0
+    grid (#sources x 50, driver-small). The only corpus-scale work is
+    the shared term frame; the chi-square sum is output-only (6 dp)."""
+    tc = _source_term_counts(spark, sf_dir)
+    vocab = (
+        tc.groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("cg"))
+        .orderBy(F.desc("cg"), F.asc("w"))
+        .limit(50)
+        .select("w")
+    )
+    sv = tc.join(bcast_small(vocab), "w")
+    ct = sv.groupBy("source").agg(F.sum("cnt").cast("long").alias("coltot"))
+    rt = sv.groupBy("w").agg(F.sum("cnt").cast("long").alias("rowtot"))
+    g = sv.agg(F.sum("cnt").cast("long").alias("grand"))
+    cell = (
+        bcast_small(ct)
+        .crossJoin(bcast_small(rt))
+        .crossJoin(bcast_small(g))
+        .join(sv, ["source", "w"], "left")
+        .select(
+            "source", "coltot", "grand",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("o"),
+            (F.col("rowtot").cast("double") * F.col("coltot")
+             / F.col("grand")).alias("e"),
+        )
+    )
+    return cell.groupBy("source").agg(
+        F.any_value(F.col("coltot")).cast("long").alias("n_obs"),
+        F.round(
+            F.any_value(F.col("coltot").cast("double") / F.col("grand")), 6
+        ).alias("token_share"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                  / F.col("e")), 6
+        ).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "q381_source_cross_entropy",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    gt AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cg FROM tc GROUP BY 1),
+    sc AS (SELECT CAST(sum(cg) AS BIGINT) AS ng,
+                  CAST(count(*) AS BIGINT) AS v FROM gt),
+    j AS (
+      SELECT tc.source, tc.cnt,
+             ln(CAST(gt.cg + 1 AS DOUBLE) / CAST(sc.ng + sc.v AS DOUBLE))
+               AS lnq
+      FROM tc JOIN gt USING (w) CROSS JOIN sc),
+    per AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             sum(CAST(cnt AS DOUBLE) * lnq) AS s
+      FROM j GROUP BY 1)
+    SELECT source, n_tokens,
+           round(-(s / CAST(n_tokens AS DOUBLE)), 6) AS xent_nats,
+           round(exp(-(s / CAST(n_tokens AS DOUBLE))), 6) AS ppl
+    FROM per
+    """,
+)
+def q381_source_cross_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-entropy (and unigram perplexity) of each source under the
+    add-one-smoothed corpus language model q(t) = (c_g(t)+1)/(N_g+V) —
+    the LM-affinity score a mixture designer uses to spot sources the
+    corpus models poorly (high perplexity = distributional outlier or
+    high-value diversity, low = redundant). H(p_s, q) = -(1/N_s) *
+    sum_t c_st * ln q(t): counts exact BIGINT, the smoothed probability
+    is ONE division of exact integers (bit-identical ln arguments on
+    both engines), the accumulator is a term-keyed data-linear join +
+    one partial agg; exp() and the double sum are output-only (6 dp).
+    Corpus-scale work: two term-frame shuffles, nothing driver-sized
+    but the 1-row scalar broadcast."""
+    tc = _source_term_counts(spark, sf_dir)
+    gt = tc.groupBy("w").agg(F.sum("cnt").cast("long").alias("cg"))
+    sc = gt.agg(
+        F.sum("cg").cast("long").alias("ng"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    j = (
+        tc.join(gt, "w")
+        .crossJoin(bcast_small(sc))
+        .select(
+            "source", "cnt",
+            F.log(
+                (F.col("cg") + 1).cast("double")
+                / (F.col("ng") + F.col("v")).cast("double")
+            ).alias("lnq"),
+        )
+    )
+    per = j.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt").cast("double") * F.col("lnq")).alias("s"),
+    )
+    h = -(F.col("s") / F.col("n_tokens").cast("double"))
+    return per.select(
+        "source", "n_tokens",
+        F.round(h, 6).alias("xent_nats"),
+        F.round(F.exp(h), 6).alias("ppl"),
+    )
+
+
+@query(
+    "q382_event_markov_entropy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    tr AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    st AS (
+      SELECT from_type, CAST(sum(c) AS BIGINT) AS n_out,
+             CAST(count(*) AS BIGINT) AS n_dest,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+      FROM tr GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS t FROM st),
+    h AS (
+      SELECT from_type, n_out, n_dest, t,
+             ln(CAST(n_out AS DOUBLE)) - clnc / CAST(n_out AS DOUBLE)
+               AS h_nats
+      FROM st CROSS JOIN tot)
+    SELECT from_type, n_out, n_dest,
+           round(h_nats, 6) + 0.0 AS h_nats,
+           round(CAST(n_out AS DOUBLE) / t, 6) AS pi,
+           round(CAST(n_out AS DOUBLE) / t * h_nats, 6) + 0.0
+             AS rate_contrib
+    FROM h
+    """,
+)
+def q382_event_markov_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition entropy of the per-user event
+    stream: for each from-state, the Shannon entropy of its next-event
+    distribution (H_s = ln c_s - (1/c_s) sum_t c_st ln c_st — exact
+    counts, ONE division) plus its empirical occupancy pi and the
+    entropy-rate contribution pi * H_s (sum of the column = the chain's
+    entropy rate) — the sequence-predictability profile that sizes
+    next-event-prediction training data and streaming-state fanout.
+    Transitions come from one lag() over a user-PARTITIONED window
+    (keyed, never global; ts is the engine's epoch-ns contract with
+    event_id tie-break); everything after the transition count is
+    #event_types^2-bounded. ln() is output-only under the 6 dp round."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    st = tr.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("n_dest"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("clnc"),
+    )
+    tot = st.agg(F.sum("n_out").cast("long").alias("t"))
+    h = (
+        F.log(F.col("n_out").cast("double"))
+        - F.col("clnc") / F.col("n_out").cast("double")
+    )
+    pi = F.col("n_out").cast("double") / F.col("t")
+    return st.crossJoin(bcast_small(tot)).select(
+        "from_type", "n_out", "n_dest",
+        (F.round(h, 6) + F.lit(0.0)).alias("h_nats"),
+        F.round(pi, 6).alias("pi"),
+        (F.round(pi * h, 6) + F.lit(0.0)).alias("rate_contrib"),
+    )
+
+
+@query(
+    "q383_source_keyness_logodds",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    gt AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cg FROM tc GROUP BY 1),
+    sc AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM gt),
+    stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns
+             FROM tc GROUP BY 1),
+    cand AS (
+      SELECT tc.source, tc.w, tc.cnt, gt.cg, stot.ns, sc.ng,
+             500.0 * (CAST(gt.cg AS DOUBLE) / sc.ng) AS a
+      FROM tc
+      JOIN gt USING (w)
+      JOIN stot ON stot.source = tc.source
+      CROSS JOIN sc
+      WHERE gt.cg >= 20),
+    zz AS (
+      SELECT source, w, cnt AS c_in, cg - cnt AS c_out,
+             (ln((cnt + a) / (ns + 500.0 - cnt - a))
+              - ln((cg - cnt + a)
+                   / (ng - ns + 500.0 - (cg - cnt) - a)))
+             / sqrt(1.0 / (cnt + a) + 1.0 / (cg - cnt + a)) AS zval
+      FROM cand),
+    r AS (
+      SELECT source, w, c_in, c_out, zval,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY round(zval, 9) DESC, w) AS rn
+      FROM zz)
+    SELECT source, CAST(rn AS BIGINT) AS rank, w AS term,
+           round(zval, 6) + 0.0 AS z, c_in, c_out
+    FROM r WHERE rn <= 5
+    """,
+)
+def q383_source_keyness_logodds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinctive-term extraction per source via Monroe et al.'s
+    log-odds ratio with an informative Dirichlet prior ("Fightin'
+    Words"): prior mass alpha_t = a0 * g_t (a0 = 500 pseudo-tokens
+    spread by the corpus distribution) shrinks rare-term noise that
+    plain log-odds or PMI would surface; z = delta / sqrt(1/(c_in +
+    alpha_t) + 1/(c_rest + alpha_t)). Top-5 terms per source — the
+    source-fingerprint report a curator reads to name WHAT a source
+    uniquely contributes. Counts exact; the z RANK is a decision on a
+    9 dp-rounded value with term-asc tie-break (the Davies-Bouldin
+    pattern — ln/sqrt wobble is ~1e-15, six orders below the round);
+    the rank rides the range-partitioned rank frame over the
+    candidate-term frame (cg >= 20, exact-integer gate), never a
+    vocabulary-sized single-task window."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    tc = _source_term_counts(spark, sf_dir)
+    gt = tc.groupBy("w").agg(F.sum("cnt").cast("long").alias("cg"))
+    sc = gt.agg(F.sum("cg").cast("long").alias("ng"))
+    stot = tc.groupBy("source").agg(F.sum("cnt").cast("long").alias("ns"))
+    base = (
+        tc.join(gt.filter(F.col("cg") >= 20), "w")
+        .join(bcast_small(stot), "source")
+        .crossJoin(bcast_small(sc))
+    )
+    a = 500.0 * (F.col("cg").cast("double") / F.col("ng"))
+    c1 = F.col("cnt")
+    c2 = F.col("cg") - F.col("cnt")
+    o1 = (c1 + a) / (F.col("ns") + 500.0 - c1 - a)
+    o2 = (c2 + a) / (F.col("ng") - F.col("ns") + 500.0 - c2 - a)
+    va = 1.0 / (c1 + a) + 1.0 / (c2 + a)
+    zz = base.select(
+        "source", "w",
+        c1.alias("c_in"), c2.alias("c_out"),
+        ((F.log(o1) - F.log(o2)) / F.sqrt(va)).alias("zval"),
+    )
+    r = group_ranked(
+        zz.withColumn("z9", -F.round(F.col("zval"), 9)),
+        ["source"],
+        "z9",
+        tiebreak=["w", "zval", "c_in", "c_out"],
+    )
+    return r.filter(F.col("_rn") <= 5).select(
+        "source",
+        F.col("_rn").cast("long").alias("rank"),
+        F.col("w").alias("term"),
+        (F.round("zval", 6) + F.lit(0.0)).alias("z"),
+        "c_in", "c_out",
+    )
+
+
+@query(
+    "q384_source_oov_rate",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    gt AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cg FROM tc GROUP BY 1),
+    ng AS (SELECT CAST(sum(cg) AS BIGINT) AS n FROM gt),
+    cs AS (SELECT w, cg,
+                  sum(cg) OVER (ORDER BY cg DESC, w) AS cum
+           FROM gt),
+    vocab AS (
+      SELECT cs.w FROM cs CROSS JOIN ng
+      WHERE 5 * (cum - cg) < 4 * ng.n),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab),
+    m AS (
+      SELECT tc.source, tc.cnt,
+             CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tc LEFT JOIN vocab ON vocab.w = tc.w),
+    per AS (
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN oov = 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(oov) AS BIGINT) AS oov_types
+      FROM m GROUP BY 1)
+    SELECT source, n_vocab, n_tokens, oov_tokens,
+           round(CAST(oov_tokens AS DOUBLE) / n_tokens, 6)
+             AS oov_token_rate,
+           n_types, oov_types,
+           round(CAST(oov_types AS DOUBLE) / n_types, 6) AS oov_type_rate
+    FROM per CROSS JOIN nv
+    """,
+)
+def q384_source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-source out-of-vocabulary rate
+    against the MINIMAL 80%-token-mass vocabulary — terms taken in
+    count-desc (term-asc tie-break) order until they cover 80% of
+    corpus tokens, the frequency-mass cut an embedding table or
+    subword vocabulary actually ships with (a fixed top-K would be
+    degenerate here: the testdata's type inventory is smaller than any
+    realistic K). The crossing decision is EXACT integer arithmetic on
+    both engines — keep a term iff 5 * (cum - cnt) < 4 * N — no float
+    threshold anywhere. The global cumulative mass rides the
+    distributed two-pass prefix sweep (operators.frontier.
+    running_prefix_sum over the group_ranked rank frame — no
+    single-task vocabulary window at 100 TB); membership is a
+    vocab-bounded broadcast left join; rates are exact BIGINT counts
+    with ONE final division."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+    from etl_jetro_spark.operators.frontier import running_prefix_sum
+
+    tc = _source_term_counts(spark, sf_dir)
+    gt = tc.groupBy("w").agg(F.sum("cnt").cast("long").alias("cg"))
+    ng = gt.agg(F.sum("cg").cast("long").alias("n"))
+    r = group_ranked(gt, [], -F.col("cg"), tiebreak=["w"]).select(
+        F.col("_rn").alias("rn"), (-F.col("_v")).alias("cg"), "w"
+    )
+    cs = running_prefix_sum(r, "rn", "cg")
+    vocab = (
+        cs.crossJoin(bcast_small(ng))
+        .filter(
+            5 * (F.col("_runsum") - F.col("cg")) < 4 * F.col("n")
+        )
+        .select("w", F.lit(1).alias("_iv"))
+    )
+    nv = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    m = tc.join(bcast_small(vocab), "w", "left").select(
+        "source", "cnt",
+        F.when(F.col("_iv").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    per = m.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("oov") == 1, F.col("cnt")).otherwise(0))
+        .cast("long").alias("oov_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("oov").cast("long").alias("oov_types"),
+    )
+    return per.crossJoin(bcast_small(nv)).select(
+        "source", "n_vocab", "n_tokens", "oov_tokens",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_token_rate"),
+        "n_types", "oov_types",
+        F.round(
+            F.col("oov_types").cast("double") / F.col("n_types"), 6
+        ).alias("oov_type_rate"),
+    )
+
+
+@query(
+    "q385_event_interarrival_burstiness",
+    """
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id)) AS gap
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(gap AS HUGEINT)) AS s1,
+             sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+    mom AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS m,
+             sqrt(greatest(
+               CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+               0.0)) AS sd
+      FROM s)
+    SELECT event_type, n AS n_gaps,
+           round(m / 1000000.0, 6) AS mean_gap_s,
+           round(sd / m, 6) AS cv,
+           round((sd - m) / (sd + m), 6) AS burstiness
+    FROM mom
+    """,
+)
+def q385_event_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu) / (sigma + mu) of the
+    same-type inter-arrival gaps per event type (B -> -1 periodic,
+    B ~ 0 Poisson, B -> 1 bursty) plus the coefficient of variation —
+    the traffic-shape parameter that decides whether streaming-state
+    sizing can assume memoryless arrivals (q294's percentiles give the
+    quantiles; B gives the regime). Gaps are exact microsecond BIGINTs
+    from ONE lag() over a (user, type)-partitioned window; the moment
+    sums follow the integer-exactness discipline (DECIMAL(38,0) /
+    HUGEINT — a squared gap overflows int64) so no float fold-order
+    reaches an aggregate; mean/sd are identical casts + divisions of
+    exact integers on both engines, output-only (6 dp)."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.expr("ts div 1000")
+    g = e.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(38,0)")
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(gd).alias("s1"),
+        F.sum(gd * gd).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - m * m, F.lit(0.0)
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(m / 1000000.0, 6).alias("mean_gap_s"),
+        F.round(sd / m, 6).alias("cv"),
+        F.round((sd - m) / (sd + m), 6).alias("burstiness"),
+    )
+
+
+@query(
+    "q386_source_lexical_richness",
+    f"""
+    WITH {_DK_WF},
+    {_DK_TC},
+    per AS (
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tc GROUP BY 1)
+    SELECT source, n_tokens, n_types, n_hapax,
+           round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+             AS root_ttr,
+           round(ln(CAST(n_types AS DOUBLE))
+                 / ln(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c,
+           round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
+    FROM per
+    """,
+)
+def q386_source_lexical_richness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-corrected lexical-richness profile per source: Guiraud's
+    root type-token ratio V/sqrt(N), Herdan's C = ln V / ln N, and the
+    hapax-legomena fraction — the trio that separates genuinely diverse
+    text from templated boilerplate WITHOUT the raw-TTR size bias
+    (plain V/N collapses as N grows, so cross-source comparison needs
+    the corrected forms). One corpus-linear term frame, one
+    #sources-bounded agg; counts exact BIGINT, each statistic ONE
+    division (sqrt/ln output-only under the 6 dp round)."""
+    tc = _source_term_counts(spark, sf_dir)
+    per = tc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+    )
+    return per.select(
+        "source", "n_tokens", "n_types", "n_hapax",
+        F.round(
+            F.col("n_types") / F.sqrt(F.col("n_tokens").cast("double")), 6
+        ).alias("root_ttr"),
+        F.round(
+            F.log(F.col("n_types").cast("double"))
+            / F.log(F.col("n_tokens").cast("double")), 6
+        ).alias("herdan_c"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types"), 6
+        ).alias("hapax_frac"),
+    )

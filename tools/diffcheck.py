@@ -28,9 +28,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return None
-        return round(v, 6)
+        return round(v, 6) + 0.0  # + 0.0: -0.0 and 0.0 canon identically
     if isinstance(v, np.floating):
-        return round(float(v), 6)
+        return round(float(v), 6) + 0.0
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (pd.Timestamp,)):
@@ -62,7 +62,7 @@ def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
     for c in sorted(df.columns):
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            out[c] = s.astype("float64").round(6)
+            out[c] = s.astype("float64").round(6) + 0.0  # -0.0 -> 0.0
         elif pd.api.types.is_datetime64_any_dtype(s):
             # match norm_cell: date-only timestamps render as the date
             all_midnight = bool((s.dropna() == s.dropna().dt.normalize()).all())
