@@ -804,7 +804,8 @@ def q20_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT e.vec_id,
-             sum(e.v * q.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v))) AS sc
+             round(sum(e.v * q.v)
+                   / (sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v))), 12) AS sc
       FROM e JOIN q USING (i) GROUP BY e.vec_id
     )
     SELECT vec_id, round(sc, 4) AS score
@@ -822,7 +823,11 @@ def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select(_vec("embedding").alias("_qv"))
     scored = emb.crossJoin(bcast_small(probe)).select(
-        "vec_id", cosine(_vec("embedding"), F.col("_qv")).alias("score")
+        "vec_id",
+        # 12 dp round-before-rank (similarity module docstring): exact
+        # ties must break by vec_id, not fold noise — mirrored in the
+        # oracle's round(..., 12)
+        F.round(cosine(_vec("embedding"), F.col("_qv")), 12).alias("score"),
     )
     top = scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(10)
     return top.select("vec_id", F.round("score", 4).alias("score"))
@@ -1150,7 +1155,8 @@ def q31_strip_dot_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT pe.probe_id, e.vec_id AS neighbor_id,
-             sum(e.v * pe.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(pe.v * pe.v))) AS sc
+             round(sum(e.v * pe.v)
+                   / (sqrt(sum(e.v * e.v)) * sqrt(sum(pe.v * pe.v))), 12) AS sc
       FROM e JOIN pe USING (i)
       WHERE e.vec_id <> pe.probe_id
       GROUP BY pe.probe_id, e.vec_id
@@ -7151,9 +7157,9 @@ def q163_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 50),
     s AS (
       SELECT p.probe_id, c.vec_id AS neighbor_id,
-             list_dot_product(p.pv, c.v)
-               / (sqrt(list_dot_product(p.pv, p.pv))
-                  * sqrt(list_dot_product(c.v, c.v))) AS sc
+             round(list_dot_product(p.pv, c.v)
+                   / (sqrt(list_dot_product(p.pv, p.pv))
+                      * sqrt(list_dot_product(c.v, c.v))), 12) AS sc
       FROM p JOIN emb c ON c.vec_id <> p.probe_id
     ),
     r AS (
@@ -17380,7 +17386,7 @@ def q311_priority_segment_chi2(
              WHERE p.vec_id <> e.vec_id
              GROUP BY 1, 2),
     sc AS (SELECT d.probe_id, d.neighbor_id,
-                  d.dot / (np.nv * nn.nv) AS score
+                  round(d.dot / (np.nv * nn.nv), 12) AS score
            FROM dots d
            JOIN nrm np ON np.vec_id = d.probe_id
            JOIN nrm nn ON nn.vec_id = d.neighbor_id),
@@ -18994,13 +19000,13 @@ def q334_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT qe.qid, ce.vec_id,
-             sum(ce.v * qe.v)
-               / (sqrt(sum(ce.v * ce.v)) * sqrt(sum(qe.v * qe.v)))
+             round(sum(ce.v * qe.v)
+                   / (sqrt(sum(ce.v * ce.v)) * sqrt(sum(qe.v * qe.v))), 12)
                AS cfull,
-             sum(CASE WHEN ce.i <= 16 THEN ce.v * qe.v ELSE 0 END)
+             round(sum(CASE WHEN ce.i <= 16 THEN ce.v * qe.v ELSE 0 END)
                / (sqrt(sum(CASE WHEN ce.i <= 16 THEN ce.v * ce.v ELSE 0 END))
-                * sqrt(sum(CASE WHEN qe.i <= 16 THEN qe.v * qe.v ELSE 0 END)))
-               AS cpref
+                * sqrt(sum(CASE WHEN qe.i <= 16 THEN qe.v * qe.v ELSE 0 END))),
+               12) AS cpref
       FROM ce JOIN qe USING (i)
       WHERE ce.vec_id <> qe.qid
       GROUP BY 1, 2
@@ -19071,7 +19077,9 @@ def q335_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "top1_prefix",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cf"),
+            # 12 dp to match the oracle's round(cfull, 12): both engines
+            # then double-round identically into the 4 dp output
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 12).alias("cf"),
         )
     )
     ff = full_nn.select(
@@ -19284,8 +19292,8 @@ def q337_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS cid,
              b.label AS clab,
-             sum(a.v * b.v)
-               / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS sc
+             round(sum(a.v * b.v)
+                   / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 12) AS sc
       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
       GROUP BY 1, 2, 3, 4
     ),
@@ -19341,8 +19349,8 @@ def q338_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT a.vec_id AS qid, b.vec_id AS cid,
-             sum(a.v * b.v)
-               / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS sc
+             round(sum(a.v * b.v)
+                   / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 12) AS sc
       FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
     ),
