@@ -454,16 +454,15 @@ def conformal_upper(
     ``inf_bound = true``. Output: keys, n_cal, q_hat, inf_bound."""
     a = int(alpha_tenths)
     r = group_ranked(df, keys, score)
-    kcol = F.floor(
-        ((F.col("_n") + 1) * (10 - a) + 9) / F.lit(10.0)
-    ).cast("long")
+    # integer `div`, not floor(double/10.0): the double path is exact
+    # only while (n+1)*(10-a)+9 < 2^52-ish; `div` matches the oracle's
+    # `// 10` at ANY n (ADVICE r10)
+    kcol = F.expr(f"((_n + 1) * {10 - a} + 9) div 10").cast("long")
     groups = r.groupBy(*keys).agg(F.max("_n").cast("long").alias("n_cal"))
     at_k = r.filter(F.col("_rn") == F.least(kcol, F.col("_n"))).select(
         *keys, F.col("_v").alias("_qk")
     )
-    kg = F.floor(
-        ((F.col("n_cal") + 1) * (10 - a) + 9) / F.lit(10.0)
-    ).cast("long")
+    kg = F.expr(f"((n_cal + 1) * {10 - a} + 9) div 10").cast("long")
     return (
         groups.join(at_k, keys, "left")
         .select(

@@ -21641,13 +21641,13 @@ def _q362_oracle() -> str:
     WITH per AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(n_chars) AS BIGINT) AS s1,
-             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+             sum(CAST(n_chars AS HUGEINT)) AS s1,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
       FROM documents GROUP BY source),
     tot AS (
       SELECT CAST(sum(n) AS BIGINT) AS tn,
-             CAST(sum(s1) AS BIGINT) AS ts1,
-             CAST(sum(s2) AS BIGINT) AS ts2
+             sum(s1) AS ts1,
+             sum(s2) AS ts2
       FROM per),
     d AS (
       SELECT source, n,
@@ -21717,15 +21717,19 @@ def q362_source_length_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators import evalstats as ES
 
     d = load(spark, sf_dir, "documents")
+    # decimal(38,0) accumulators (the q385 pattern): a long SUM of
+    # n_chars^2 wraps silently at ~4e18 — reachable at 100 TB — while
+    # the DuckDB oracle sums BIGINT into exact HUGEINT (ADVICE r10)
+    nc = F.col("n_chars").cast("decimal(38,0)")
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("n_chars").cast("long").alias("s1"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+        F.sum(nc).alias("s1"),
+        F.sum(nc * nc).alias("s2"),
     )
     tot = per.agg(
         F.sum("n").cast("long").alias("tn"),
-        F.sum("s1").cast("long").alias("ts1"),
-        F.sum("s2").cast("long").alias("ts2"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
     )
     dd = per.crossJoin(bcast_small(tot)).select(
         "source",
@@ -22059,10 +22063,12 @@ def q365_event_value_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1),
     walk AS (
       SELECT day, n_events, n_purchases,
-             sum(n_purchases * 0.04139268515822499
+             CAST(sum(CAST(round((n_purchases * 0.04139268515822499
                  + (n_events - n_purchases) * -0.010995384301463193)
+                 * 1000000000000.0) AS HUGEINT))
                OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS log10_e_raw
+                     AND CURRENT ROW) AS DOUBLE) / 1000000000000.0
+               AS log10_e_raw
       FROM daily)
     SELECT CAST(day AS BIGINT) AS day,
            n_events, n_purchases,
@@ -22084,10 +22090,15 @@ def q372_purchase_sprt_evalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log10 is not correctly-rounded; embedding kills the 1-ulp seam),
     counts are exact integers, and the cumulative walk is a #days-
     bounded broadcast non-equi self-join (never a global window — the
-    planlint contract; the ≤31-term double sum is the static-wobble
-    class, absorbed by the rounds); the crossing decision compares the
-    9 dp-rounded walk to a literal. One partial-agg pass over events;
-    everything after is calendar-bounded."""
+    planlint contract). Each per-day term is quantized to an exact
+    integer 1e-12 unit BEFORE accumulating (ADVICE r10: the self-join
+    fold is otherwise order-arbitrary on Spark vs day-ordered on
+    DuckDB, and the 'crossed' decision would consume a fold-dependent
+    round), so the cumulative sum is associative-exact in any order and
+    both engines divide the identical integer once at the end; the
+    crossing decision compares the 9 dp-rounded walk to a literal. One
+    partial-agg pass over events; everything after is
+    calendar-bounded."""
     e = load_events(spark, sf_dir)
     daily = e.groupBy(
         F.expr("ts div 86400000000000").alias("day")
@@ -22099,18 +22110,33 @@ def q372_purchase_sprt_evalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = daily.select(
         F.col("day").alias("_tday"),
-        (
-            F.col("n_purchases") * F.lit(0.04139268515822499)
-            + (F.col("n_events") - F.col("n_purchases"))
-            * F.lit(-0.010995384301463193)
-        ).alias("_term"),
+        # quantize each day's log-LR contribution to exact 1e-12 units:
+        # the double arithmetic up to here is the same two multiplies +
+        # one add of identical literals on both engines (bit-identical),
+        # and the integer units make the cumulative fold exact in ANY
+        # accumulation order (ADVICE r10)
+        F.round(
+            (
+                F.col("n_purchases") * F.lit(0.04139268515822499)
+                + (F.col("n_events") - F.col("n_purchases"))
+                * F.lit(-0.010995384301463193)
+            )
+            * F.lit(1000000000000.0)
+        )
+        .cast("decimal(38,0)")
+        .alias("_term_q"),
     )
     walk = (
         daily.join(
             bcast_small(terms), F.col("_tday") <= F.col("day")  # bcast-ok: #days rows
         )
         .groupBy("day", "n_events", "n_purchases")
-        .agg(F.sum("_term").alias("log10_e_raw"))
+        .agg(
+            (
+                F.sum("_term_q").cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("log10_e_raw")
+        )
     )
     return walk.select(
         F.col("day").cast("long").alias("day"),
@@ -22673,9 +22699,12 @@ def q374_group_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_share"),
         F.round(
-            F.sum(F.round(F.col("value") * 1000000).cast("long")).cast(
-                "double"
-            )
+            # decimal(38,0) accumulator: a long SUM of 1e-6-unit values
+            # wraps at ~4e12 value-units summed — the oracle's
+            # sum(BIGINT) is exact HUGEINT (ADVICE r10, q385 pattern)
+            F.sum(
+                F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+            ).cast("double")
             / (F.lit(1000000.0) * F.count(F.lit(1))),
             6,
         ).alias("avg_value"),

@@ -21,7 +21,11 @@ oracles (quadratic vector-pair mirrors, spill-bound graph oracles —
 see SCALE.md) are skipped automatically when --sf points at a
 scratch sf3 dir; pass names explicitly to force them.
 
-Exit code: number of offending (query, column) pairs (0 = clean).
+Exit code: min(offending (engine, query, column) triples + erroring
+queries, 120) — 0 means fully clean. An engine-side exception counts as
+ONE unit (the query is loudly broken, not lint-clean) and is reported
+separately in the summary line; the 120 cap keeps the value inside the
+POSIX 8-bit exit range with headroom below the shell's reserved 126+.
 """
 
 from __future__ import annotations
@@ -96,6 +100,7 @@ def main() -> int:
         spark = get_spark(app_name="negzerolint", shuffle_partitions=8)
 
     hits = 0
+    errs = 0
     for name in run:
         frames = []
         try:
@@ -105,7 +110,7 @@ def main() -> int:
                 frames.append(("spark", QUERIES[name](spark, sf).toPandas()))
         except Exception as e:  # an erroring side is its own (loud) problem
             print(f"ERR  {name}: {str(e)[:90]}", flush=True)
-            hits += 1
+            errs += 1
             continue
         bad = [(eng, c, n) for eng, df in frames for c, n in _neg_zero_cols(df)]
         for eng, c, n in bad:
@@ -113,8 +118,11 @@ def main() -> int:
         hits += len(bad)
         if not bad:
             print(f"ok   {name}", flush=True)
-    print(f"== {hits} offending cells across {len(run)} queries ==")
-    return min(hits, 120)
+    print(
+        f"== {hits} offending columns, {errs} errors "
+        f"across {len(run)} queries =="
+    )
+    return min(hits + errs, 120)
 
 
 if __name__ == "__main__":
