@@ -21329,7 +21329,7 @@ def q359_quantized_top1_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
       GROUP BY 1, 2, 3),
     sc AS (
       SELECT s.vec_id, s.label, s.clab,
-             s.dot / (vn.nv * cn.nc) AS cos
+             round(s.dot / (vn.nv * cn.nc), 12) AS cos
       FROM s JOIN vn USING (vec_id) JOIN cn USING (clab)
       WHERE vn.nv > 0 AND cn.nc > 0),
     pick AS (
@@ -21382,7 +21382,12 @@ def q360_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
             "vec_id",
             "label",
             "clab",
-            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("cos"),
+            # 12 dp round-before-rank: dot and the centroid mean are
+            # partial-agg folds whose order differs per engine, and the
+            # argmax below must not decide on that noise (ranklint)
+            F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 12).alias(
+                "cos"
+            ),
         )
     )
     pick = sc.groupBy("vec_id", "label").agg(
