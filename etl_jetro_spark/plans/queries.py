@@ -12369,6 +12369,14 @@ def q236_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion (the 'how fast does a recommendation crawl saturate'
     number)."""
     li = load(spark, sf_dir, "lineitem")
+    return _bfs3_frontier_counts(li)
+
+
+def _bfs3_frontier_counts(li: DataFrame) -> DataFrame:
+    """q236's three synchronous BFS rounds over the co-purchase graph of
+    whatever lineitem slice is passed in — shared by the full-graph
+    q236 and the sliced 30x gate q389 so the sliced oracle verifies the
+    IDENTICAL engine path."""
     bsk = li.select("l_orderkey", "l_partkey").distinct()
     x = bsk.alias("x")
     y = bsk.alias("y")
@@ -23713,3 +23721,169 @@ def q386_source_lexical_richness(
             F.col("n_hapax").cast("double") / F.col("n_types"), 6
         ).alias("hapax_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# 36. Round-11: deterministic sliced-subgraph 30x gates for the
+#     co-purchase graph family (q158 / q178 / q236)
+#
+# The full-graph oracles are the ONLY catalog rows with no 30x
+# correctness evidence: their wedge/pair frames grow as sum(basket^2)
+# and single-node DuckDB dies spilling them at sf3 (SCALE.md round-10
+# tally) while the engine completes. These three rows gate the SAME
+# engine code paths (the operators, the identical edge construction)
+# on a FIXED deterministic slice of the basket universe —
+# l_orderkey % 30 = 7, every 30th order — whose wedge frame at sf3 is
+# the size of the full sf0.1 frame, affordable to both engines. Slicing
+# ORDERS (graph "documents") keeps every surviving basket intact, so
+# co-occurrence semantics inside the slice are exact, not sampled; the
+# modulus is on the uniformly-scattered orderkey, not a
+# generator-correlated column (TESTDATA doc_id%20 lesson does not
+# apply to TPC-H orderkeys).
+# --------------------------------------------------------------------------
+
+_GRAPH_SLICE = "l_orderkey % 30 = 7"
+
+
+def _sliced_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q158/q178's co-purchase edge frame (support >= 2, a < b) over the
+    deterministic 1/30 orderkey slice."""
+    li = load(spark, sf_dir, "lineitem").filter(F.expr(_GRAPH_SLICE))
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .select(
+            F.col("x.l_partkey").alias("id_a"),
+            F.col("y.l_partkey").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .drop("s")
+    )
+
+
+@query(
+    "q387_graph_slice_clustering",
+    f"""
+    WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem
+                 WHERE {_GRAPH_SLICE}
+                 GROUP BY l_orderkey, l_partkey),
+    e AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM bsk x JOIN bsk y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS w
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    tri AS (
+      SELECT x.u, x.w AS p, y.w AS q
+      FROM o x JOIN o y ON x.u = y.u AND x.w < y.w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.a = x.w AND e.b = y.w)
+    ),
+    perv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS nt FROM (
+        SELECT u AS v FROM tri UNION ALL SELECT p FROM tri
+        UNION ALL SELECT q FROM tri) GROUP BY v
+    )
+    SELECT deg.v AS id, CAST(deg.d AS BIGINT) AS degree,
+           coalesce(perv.nt, 0) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                 THEN coalesce(perv.nt, 0) / (deg.d * (deg.d - 1) / 2.0)
+                 ELSE 0.0 END, 6) AS coeff
+    FROM deg LEFT JOIN perv ON perv.v = deg.v
+    """,
+)
+def q387_graph_slice_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q158's per-vertex clustering coefficients gated on the
+    deterministic 1/30 orderkey slice — the 30x correctness signal for
+    the wedge/triangle machinery (operators/graph.clustering_
+    coefficients) that the full-graph oracle cannot provide at sf3
+    (section header). Identical operator, identical edge construction;
+    only the basket universe is sliced."""
+    from etl_jetro_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_sliced_copurchase_edges(spark, sf_dir))
+
+
+def _sliced_pagerank_oracle_sql(iters: int = 5) -> str:
+    base = _pagerank_oracle_sql(iters)
+    return base.replace(
+        "WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem\n"
+        "                 GROUP BY l_orderkey, l_partkey)",
+        "WITH bsk AS (SELECT l_orderkey, l_partkey FROM lineitem\n"
+        f"                 WHERE {_GRAPH_SLICE}\n"
+        "                 GROUP BY l_orderkey, l_partkey)",
+    )
+
+
+@query("q388_graph_slice_pagerank", _sliced_pagerank_oracle_sql(5))
+def q388_graph_slice_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178's fixed-iteration PageRank (operators/graph.pagerank, 5
+    rounds, beta=0.85) gated on the deterministic 1/30 orderkey slice —
+    the 30x signal for the iterative join-and-combine rank machinery
+    (section header). The oracle unrolls the same five synchronous
+    iterations over the sliced edge frame."""
+    from etl_jetro_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _sliced_copurchase_edges(spark, sf_dir), iterations=5, damping=0.85
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "q389_graph_slice_bfs",
+    f"""
+    WITH b AS (SELECT l_orderkey, l_partkey FROM lineitem
+               WHERE {_GRAPH_SLICE}
+               GROUP BY l_orderkey, l_partkey),
+    e1 AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e1 GROUP BY u),
+    seed AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+    f1 AS (SELECT DISTINCT e1.v FROM e1 JOIN seed ON seed.u = e1.u
+           WHERE e1.v NOT IN (SELECT u FROM seed)),
+    vis1 AS (SELECT u FROM seed UNION SELECT v FROM f1),
+    f2 AS (SELECT DISTINCT e1.v FROM e1 JOIN f1 ON f1.v = e1.u
+           WHERE e1.v NOT IN (SELECT u FROM vis1)),
+    vis2 AS (SELECT u FROM vis1 UNION SELECT v FROM f2),
+    f3 AS (SELECT DISTINCT e1.v FROM e1 JOIN f2 ON f2.v = e1.u
+           WHERE e1.v NOT IN (SELECT u FROM vis2))
+    SELECT r.round,
+           CASE r.round
+             WHEN 1 THEN (SELECT CAST(count(*) AS BIGINT) FROM f1)
+             WHEN 2 THEN (SELECT CAST(count(*) AS BIGINT) FROM f2)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM f3) END AS frontier,
+           CASE r.round
+             WHEN 1 THEN (SELECT CAST(count(*) AS BIGINT) FROM vis1)
+             WHEN 2 THEN (SELECT CAST(count(*) AS BIGINT) FROM vis2)
+             ELSE (SELECT CAST(count(*) AS BIGINT) FROM vis2)
+                  + (SELECT CAST(count(*) AS BIGINT) FROM f3) END AS visited
+    FROM (SELECT 1 AS round UNION ALL SELECT 2 UNION ALL SELECT 3) r
+    """,
+)
+def q389_graph_slice_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q236's three synchronous BFS rounds gated on the deterministic
+    1/30 orderkey slice — the 30x signal for the frontier-expansion
+    machinery (section header). Shares q236's exact implementation via
+    _bfs3_frontier_counts: per-round checkpointed frontier joins and
+    anti-joins, seed = highest-degree vertex of the SLICED graph."""
+    li = load(spark, sf_dir, "lineitem").filter(F.expr(_GRAPH_SLICE))
+    return _bfs3_frontier_counts(li)
