@@ -23887,3 +23887,849 @@ def q389_graph_slice_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins, seed = highest-degree vertex of the SLICED graph."""
     li = load(spark, sf_dir, "lineitem").filter(F.expr(_GRAPH_SLICE))
     return _bfs3_frontier_counts(li)
+
+
+# --------------------------------------------------------------------------
+# 37. Round-11 wave: cross-lingual corpus composition
+#     (the thin family a multilingual training-data platform reads before
+#     fixing a mixture: language-mix entropy per source, language-ID
+#     confusion against declared labels, character-class composition,
+#     and the stopword cross-hit matrix behind the lang-ID heuristic)
+# --------------------------------------------------------------------------
+
+@query(
+    "q390_source_lang_mix_entropy",
+    """
+    WITH per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM per GROUP BY 1),
+    dom AS (
+      SELECT source, lang AS dominant_lang, c AS cmax
+      FROM (SELECT per.*, row_number() OVER (PARTITION BY source
+                                             ORDER BY c DESC, lang) AS rn
+            FROM per)
+      WHERE rn = 1),
+    ent AS (
+      SELECT per.source,
+             round(-sum((c / CAST(n AS DOUBLE))
+                        * ln(c / CAST(n AS DOUBLE))), 6) AS lang_entropy
+      FROM per JOIN tot USING (source) GROUP BY 1)
+    SELECT tot.source, tot.n AS n_docs, tot.n_langs,
+           dom.dominant_lang,
+           round(dom.cmax / CAST(tot.n AS DOUBLE), 6) AS dominant_share,
+           ent.lang_entropy
+    FROM tot JOIN dom USING (source) JOIN ent USING (source)
+    """,
+)
+def q390_source_lang_mix_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language-mix profile per source: language count, dominant
+    language (count desc, lang asc tiebreak — an integer rank key),
+    dominant share, and the Shannon entropy of the language
+    distribution — the monolingual-vs-mixed classification a curator
+    applies to every source before assigning it a per-language
+    cleaning pipeline. Doc counts are exact BIGINTs; entropy is a
+    ≤#langs-term sum of ln() terms, OUTPUT-ONLY under the 6 dp round
+    (the q386 ln precedent — no decision consumes it). One
+    (source, lang) partial-agg pass; everything after is
+    #sources-bounded."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    dom = per.groupBy("source").agg(
+        F.min_by(
+            F.col("lang"), F.struct(-F.col("c"), F.col("lang"))
+        ).alias("dominant_lang"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    ent = (
+        per.join(bcast_small(tot.select("source", "n")), "source")
+        .groupBy("source")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    return (
+        tot.join(bcast_small(dom), "source")
+        .join(bcast_small(ent), "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "dominant_lang",
+            F.round(
+                F.col("cmax") / F.col("n").cast("double"), 6
+            ).alias("dominant_share"),
+            "lang_entropy",
+        )
+    )
+
+
+@query(
+    "q391_langid_confusion",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('en')}, x))) AS h_en,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('es')}, x))) AS h_es,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('de')}, x))) AS h_de,
+             len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                             x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+               WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+               WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+               WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+               ELSE 'fr'
+             END AS predicted_lang
+      FROM hits
+    )
+    SELECT lang AS declared_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q391_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the q25 stopword-heuristic
+    prediction cross-tabulated against the DECLARED lang label — the
+    table that calibrates how far the cheap classifier can be trusted
+    per language before it routes documents into the wrong cleaning
+    pipeline (and, dually, how much the declared labels themselves
+    smell). Same operator (textstats.lang_id, codegen regex path, en >
+    es > de > fr tie priority), one corpus pass, #langs^2-bounded
+    output; counts exact BIGINT."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("declared_lang"),
+            O.lang_id("text").alias("predicted_lang"),
+        )
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "q392_script_class_profile",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(text)) AS BIGINT) AS n_chars,
+             CAST(sum(len(text)
+                  - len(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                  AS BIGINT) AS n_letter,
+             CAST(sum(len(text)
+                  - len(regexp_replace(text, '[0-9]', '', 'g')))
+                  AS BIGINT) AS n_digit,
+             CAST(sum(len(text)
+                  - len(regexp_replace(text, '\\s', '', 'g')))
+                  AS BIGINT) AS n_space
+      FROM documents GROUP BY 1)
+    SELECT source, n_chars,
+           round(n_letter / CAST(n_chars AS DOUBLE), 6) AS letter_frac,
+           round(n_digit  / CAST(n_chars AS DOUBLE), 6) AS digit_frac,
+           round(n_space  / CAST(n_chars AS DOUBLE), 6) AS space_frac,
+           round((n_chars - n_letter - n_digit - n_space)
+                 / CAST(n_chars AS DOUBLE), 6) AS other_frac
+    FROM per
+    """,
+)
+def q392_script_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: letter / digit /
+    whitespace / other mass fractions — the script-mix screen that
+    flags a source whose composition drifts from its declared language
+    profile (a "zh" feed with zero non-ASCII, a prose source turning
+    80% digits). Class counts are EXACT integers (length minus
+    length-after-delete, the q24 feature pattern — no per-char explode,
+    one codegen regexp per class); each fraction is one division under
+    the 6 dp round. One partial-agg pass; output #sources-bounded."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_letter = F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = F.length(t) - F.length(F.regexp_replace(t, r"\s", ""))
+    per = d.groupBy("source").agg(
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.sum(n_letter).cast("long").alias("n_letter"),
+        F.sum(n_digit).cast("long").alias("n_digit"),
+        F.sum(n_space).cast("long").alias("n_space"),
+    )
+    nc = F.col("n_chars").cast("double")
+    return per.select(
+        "source",
+        "n_chars",
+        F.round(F.col("n_letter") / nc, 6).alias("letter_frac"),
+        F.round(F.col("n_digit") / nc, 6).alias("digit_frac"),
+        F.round(F.col("n_space") / nc, 6).alias("space_frac"),
+        F.round(
+            (
+                F.col("n_chars") - F.col("n_letter") - F.col("n_digit")
+                - F.col("n_space")
+            )
+            / nc,
+            6,
+        ).alias("other_frac"),
+    )
+
+
+@query(
+    "q393_stopword_crosshit_matrix",
+    f"""
+    WITH h AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS n_tokens,
+             CAST(sum(len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                  x -> list_contains({_dk_stop_list('en')}, x))))
+                  AS BIGINT) AS h_en,
+             CAST(sum(len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                  x -> list_contains({_dk_stop_list('es')}, x))))
+                  AS BIGINT) AS h_es,
+             CAST(sum(len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                  x -> list_contains({_dk_stop_list('de')}, x))))
+                  AS BIGINT) AS h_de,
+             CAST(sum(len(list_filter(string_split({DK_NORM_TEXT}, ' '),
+                  x -> list_contains({_dk_stop_list('fr')}, x))))
+                  AS BIGINT) AS h_fr
+      FROM documents GROUP BY 1)
+    SELECT lang AS declared_lang, t.stop_set, t.hits, h.n_tokens,
+           round(1000.0 * t.hits / h.n_tokens, 6) AS hits_per_1k_tokens
+    FROM h, LATERAL (VALUES
+      ('en', h_en), ('es', h_es), ('de', h_de), ('fr', h_fr))
+      AS t(stop_set, hits)
+    """,
+)
+def q393_stopword_crosshit_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stopword cross-hit matrix: for every declared language, the hit
+    rate (per 1000 whitespace tokens) of EACH language's stopword set —
+    the #langs x #sets signal matrix underneath the q25/q391 lang-ID
+    heuristic; off-diagonal mass is exactly where the classifier's
+    confusion comes from, so this is the table that says whether to fix
+    the stopword lists or distrust the labels. Hit counts ride the
+    codegen regex path (textstats.stopword_hits); all counts exact
+    BIGINT, one division per cell, melted to rows by the U1 unpivot."""
+    from etl_jetro_spark.operators.textstats import (
+        STOPWORD_SETS,
+        stopword_hits,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    aggs = [F.sum(token_count("text")).cast("long").alias("n_tokens")] + [
+        F.sum(stopword_hits("text", lg)).cast("long").alias(f"h_{lg}")
+        for lg in STOPWORD_SETS
+    ]
+    h = d.groupBy(F.col("lang").alias("declared_lang")).agg(*aggs)
+    stack = ", ".join(f"'{lg}', h_{lg}" for lg in STOPWORD_SETS)
+    m = h.select(
+        "declared_lang",
+        "n_tokens",
+        F.expr(
+            f"stack({len(STOPWORD_SETS)}, {stack}) AS (stop_set, hits)"
+        ),
+    )
+    return m.select(
+        "declared_lang",
+        "stop_set",
+        "hits",
+        "n_tokens",
+        F.round(
+            F.lit(1000.0) * F.col("hits") / F.col("n_tokens"), 6
+        ).alias("hits_per_1k_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 38. Round-11 wave: tokenizer-fertility economics
+#     (tokens-per-byte is the unit price of a mixture: it converts a
+#     byte-denominated storage/egress budget into the token-denominated
+#     training budget, per source and per language)
+# --------------------------------------------------------------------------
+
+@query(
+    "q394_tokenizer_fertility",
+    """
+    WITH per AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS bpe_tokens
+      FROM documents GROUP BY 1)
+    SELECT lang, n_docs, n_bytes, ws_tokens, bpe_tokens,
+           round(bpe_tokens / CAST(ws_tokens AS DOUBLE), 6) AS fertility,
+           round(1000.0 * bpe_tokens / n_bytes, 6) AS tokens_per_kb,
+           round(n_bytes / CAST(bpe_tokens AS DOUBLE), 6) AS bytes_per_token
+    FROM per
+    """,
+)
+def q394_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word (fertility — the multiplier a subword tokenizer
+    pays on morphology-rich or script-dense text), tokens per KB, and
+    bytes per token — the conversion table between a byte-denominated
+    corpus budget and the token budget training actually consumes.
+    Byte counts via octet_length (UTF-8 bytes, not code points — the
+    number storage bills); both token counts ride codegen regex
+    (textstats.token_count / bpe_ish_token_count). All sums exact
+    BIGINT; three divisions under the 6 dp round. One corpus pass,
+    #langs-bounded output."""
+    from etl_jetro_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        F.sum(token_count("text")).cast("long").alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("bpe_tokens"),
+    )
+    return per.select(
+        "lang", "n_docs", "n_bytes", "ws_tokens", "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.lit(1000.0) * F.col("bpe_tokens") / F.col("n_bytes"), 6
+        ).alias("tokens_per_kb"),
+        F.round(
+            F.col("n_bytes") / F.col("bpe_tokens").cast("double"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@query(
+    "q395_token_budget_pricing",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(sum(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_bytes) AS BIGINT) AS tb,
+             CAST(sum(n_tokens) AS BIGINT) AS tt
+      FROM per)
+    SELECT per.source, per.n_bytes, per.n_tokens,
+           round(per.n_tokens / CAST(tot.tt AS DOUBLE), 6) AS token_share,
+           round(per.n_bytes / CAST(tot.tb AS DOUBLE), 6) AS byte_share,
+           round(1000.0 * per.n_tokens / per.n_bytes, 6) AS tokens_per_kb,
+           CAST(row_number() OVER (
+             ORDER BY round(1000.0 * per.n_tokens / per.n_bytes, 12) DESC,
+                      per.source) AS BIGINT) AS density_rank
+    FROM per CROSS JOIN tot
+    """,
+)
+def q395_token_budget_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture pricing sheet per source: token share vs byte share of
+    the corpus (a source whose token share exceeds its byte share is
+    token-dense — cheap training mass per stored byte) and the
+    density rank that orders sources by tokens-per-KB. The rank key is
+    the 12 dp-rounded density with a source tiebreak (ranklint
+    discipline: the density is one division of exact BIGINTs —
+    bit-identical cross-engine — and the round still pins the
+    contract); shares are exact-integer ratios under the 6 dp round.
+    One corpus pass; the rank is a #sources^2 non-equi self-join on
+    bcast_small frames — never a SinglePartition window (the planlint
+    contract; the oracle's row_number is DuckDB-local where single-node
+    is the point)."""
+    from etl_jetro_spark.operators.textstats import bpe_ish_token_count
+
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_d",
+        F.round(F.lit(1000.0) * F.col("n_tokens") / F.col("n_bytes"), 12),
+    )
+    tot = per.agg(
+        F.sum("n_bytes").cast("long").alias("tb"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+    )
+    b = per.select(F.col("source").alias("_s2"), F.col("_d").alias("_d2"))
+    higher = (F.col("_d2") > F.col("_d")) | (
+        (F.col("_d2") == F.col("_d")) & (F.col("_s2") < F.col("source"))
+    )
+    rank = (
+        per.crossJoin(bcast_small(b))
+        .groupBy("source")
+        .agg(
+            (F.sum(F.when(higher, 1).otherwise(0)) + 1)
+            .cast("long")
+            .alias("density_rank")
+        )
+    )
+    return (
+        per.crossJoin(bcast_small(tot))
+        .join(bcast_small(rank), "source")
+        .select(
+            "source", "n_bytes", "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("tt").cast("double"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("n_bytes") / F.col("tb").cast("double"), 6
+            ).alias("byte_share"),
+            F.round(
+                F.lit(1000.0) * F.col("n_tokens") / F.col("n_bytes"), 6
+            ).alias("tokens_per_kb"),
+            "density_rank",
+        )
+    )
+
+
+@query(
+    "q396_fertility_outlier_docs",
+    """
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS bpe_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, ws_tokens, bpe_tokens,
+             round(bpe_tokens / CAST(ws_tokens AS DOUBLE), 12) AS ratio
+      FROM per WHERE ws_tokens >= 10)
+    SELECT doc_id, source, ws_tokens, bpe_tokens,
+           round(ratio, 6) AS fertility
+    FROM r ORDER BY ratio DESC, doc_id LIMIT 20
+    """,
+)
+def q396_fertility_outlier_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 fertility-outlier documents (BPE-ish tokens per
+    whitespace word, docs with >= 10 words): the worklist a curator
+    reads to find what inflates a source's token bill — markup
+    explosions, number dumps, punctuation soup — before writing the
+    cleaning rule. The rank key is the 12 dp-rounded per-doc ratio
+    (one division of two exact row-local integers, so it is
+    bit-identical cross-engine; the round pins the ranklint contract)
+    with a doc_id tiebreak; top-k executes as TakeOrdered — per
+    partition partial top-20, never a global sort."""
+    from etl_jetro_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    ).filter(F.col("ws_tokens") >= 10)
+    r = per.withColumn(
+        "ratio",
+        F.round(
+            F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 12
+        ),
+    )
+    return (
+        r.orderBy(F.col("ratio").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id", "source", "ws_tokens", "bpe_tokens",
+            F.round("ratio", 6).alias("fertility"),
+        )
+    )
+
+
+@query(
+    "q397_fertility_by_length_decile",
+    """
+    WITH per AS (
+      SELECT doc_id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS bpe_tokens
+      FROM documents WHERE trim(text) <> ''),
+    rk AS (
+      SELECT per.*,
+             row_number() OVER (ORDER BY n_bytes, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM per),
+    dec AS (
+      SELECT CAST(((rn - 1) * 10) // n AS BIGINT) + 1 AS decile,
+             n_bytes, ws_tokens, bpe_tokens
+      FROM rk)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS byte_sum,
+           round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 6)
+             AS fertility,
+           round(1000.0 * sum(bpe_tokens) / sum(n_bytes), 6)
+             AS tokens_per_kb
+    FROM dec GROUP BY 1
+    """,
+)
+def q397_fertility_by_length_decile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fertility as a function of document length: global byte-size
+    deciles (distributed rank frame — group_ranked with keys=[], the
+    q313 range-partitioned parallel sort, never a SinglePartition
+    window) with per-decile fertility and token density — the curve
+    that tells a curator whether token inflation is a property of
+    SHORT docs (headers, fragments) or LONG ones (dumps), i.e. whether
+    a length cut is also a cost cut. Decile bucketing is the exact
+    integer floor((rn-1)*10/n)+1; all sums exact BIGINT; divisions
+    output-only at 6 dp."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+    from etl_jetro_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    per = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+    # doc_id is unique, so the trailing tiebreak columns never influence
+    # the order — they just ride along in the rank frame's output
+    # (group_ranked contract) instead of a join-back
+    r = group_ranked(
+        per, [], "n_bytes", tiebreak=["doc_id", "ws_tokens", "bpe_tokens"]
+    )
+    dec = r.select(
+        (
+            F.floor(((F.col("_rn") - 1) * 10) / F.col("_n")).cast("long")
+            + 1
+        ).alias("decile"),
+        F.col("_v").alias("n_bytes"),
+        "ws_tokens",
+        "bpe_tokens",
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("byte_sum"),
+        F.round(
+            F.sum("bpe_tokens") / F.sum("ws_tokens").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.lit(1000.0) * F.sum("bpe_tokens") / F.sum("n_bytes"), 6
+        ).alias("tokens_per_kb"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 39. Round-11 wave: streaming backfill / replay reconciliation audits
+#     (the batch-side truth a streaming deployment reconciles against:
+#     what a watermark-cut snapshot missed, what at-least-once replay
+#     inflates, how many days back a backfill must rewrite, and where
+#     the replay left holes in the id space)
+# --------------------------------------------------------------------------
+
+@query(
+    "q398_replay_reconciliation",
+    """
+    WITH cut AS (
+      SELECT (max(event_id) * 4) // 5 AS c FROM events),
+    per AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS day,
+             event_type,
+             CAST(count(*) AS BIGINT) AS final_n,
+             CAST(sum(CASE WHEN event_id <= cut.c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS snap_n,
+             sum(CAST(round(value * 1000000) AS HUGEINT)) AS vfinal,
+             sum(CASE WHEN event_id <= cut.c
+                      THEN CAST(round(value * 1000000) AS HUGEINT)
+                      ELSE 0 END) AS vsnap
+      FROM events CROSS JOIN cut
+      GROUP BY 1, 2)
+    SELECT CAST(day AS BIGINT) AS day, event_type, final_n, snap_n,
+           final_n - snap_n AS late_n,
+           round((final_n - snap_n) / CAST(final_n AS DOUBLE), 6)
+             AS late_frac,
+           round(CAST(vfinal - vsnap AS DOUBLE) / 1000000.0, 6)
+             AS value_correction
+    FROM per
+    """,
+)
+def q398_replay_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-replay reconciliation: freeze a snapshot at an
+    arrival-order cutoff (event_id, the arrival proxy, at 80% of the
+    stream — computed as exact integer (max*4) div 5 on both engines)
+    and diff the per-(day, event_type) aggregates a streaming job would
+    have emitted at the cut against the full-replay truth — the late_n
+    / value_correction table IS the backfill work-order a reconciler
+    files. Value corrections ride exact 1e-6 integer units
+    (decimal(38,0) / HUGEINT accumulators — the q385 pattern) so the
+    diff of two big sums never touches a float fold. One grouped pass
+    with conditional aggregates; the cutoff is a 1-row broadcast."""
+    e = load_events(spark, sf_dir)
+    cut = e.agg(
+        F.expr("(max(event_id) * 4) div 5").cast("long").alias("c")
+    )
+    vm = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+    per = (
+        e.crossJoin(bcast_small(cut))
+        .groupBy(
+            F.expr("ts div 86400000000000").cast("long").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("final_n"),
+            F.sum(
+                F.when(F.col("event_id") <= F.col("c"), 1).otherwise(0)
+            ).cast("long").alias("snap_n"),
+            F.sum(vm).alias("vfinal"),
+            F.sum(
+                F.when(F.col("event_id") <= F.col("c"), vm).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("vsnap"),
+        )
+    )
+    return per.select(
+        "day",
+        "event_type",
+        "final_n",
+        "snap_n",
+        (F.col("final_n") - F.col("snap_n")).cast("long").alias("late_n"),
+        F.round(
+            (F.col("final_n") - F.col("snap_n"))
+            / F.col("final_n").cast("double"),
+            6,
+        ).alias("late_frac"),
+        F.round(
+            (F.col("vfinal") - F.col("vsnap")).cast("double") / 1000000.0,
+            6,
+        ).alias("value_correction"),
+    )
+
+
+@query(
+    "q399_duplicate_replay_audit",
+    """
+    WITH raw AS (
+      SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 50 = 7),
+    rawagg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS raw_n,
+             sum(CAST(round(value * 1000000) AS HUGEINT)) AS raw_v
+      FROM raw GROUP BY 1),
+    ded AS (
+      SELECT event_type, event_id,
+             CAST(round(min(value) * 1000000) AS HUGEINT) AS v
+      FROM raw GROUP BY 1, 2),
+    dedagg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS dedup_n,
+             sum(v) AS dedup_v
+      FROM ded GROUP BY 1)
+    SELECT r.event_type, r.raw_n, d.dedup_n,
+           r.raw_n - d.dedup_n AS dup_n,
+           round(CAST(r.raw_v - d.dedup_v AS DOUBLE) / 1000000.0, 6)
+             AS value_inflation,
+           round((r.raw_n - d.dedup_n) / CAST(d.dedup_n AS DOUBLE), 6)
+             AS dup_rate
+    FROM rawagg r JOIN dedagg d USING (event_type)
+    """,
+)
+def q399_duplicate_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay audit: a deterministic duplicate stream
+    (every event_id = 7 mod 50 delivered twice — the union simulates a
+    redelivery storm) aggregated RAW vs through the idempotent
+    event_id-keyed dedup a streaming sink must apply — the
+    value_inflation column is exactly the money a naive at-least-once
+    consumer over-counts, and dup_rate is the redelivery pressure the
+    state store must absorb. The dedup is one event_id-keyed partial
+    agg (duplicates are byte-identical, min(value) = the value); all
+    value mass rides exact 1e-6 integer units."""
+    e = load_events(spark, sf_dir)
+    base = e.select("event_id", "event_type", "value")
+    raw = base.unionAll(base.filter(F.col("event_id") % 50 == 7))
+    vm = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+    rawagg = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("raw_n"),
+        F.sum(vm).alias("raw_v"),
+    )
+    ded = raw.groupBy("event_type", "event_id").agg(
+        F.round(F.min("value") * 1000000).cast("decimal(38,0)").alias("v")
+    )
+    dedagg = ded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("dedup_n"),
+        F.sum("v").alias("dedup_v"),
+    )
+    return rawagg.join(dedagg, "event_type").select(
+        "event_type",
+        "raw_n",
+        "dedup_n",
+        (F.col("raw_n") - F.col("dedup_n")).cast("long").alias("dup_n"),
+        F.round(
+            (F.col("raw_v") - F.col("dedup_v")).cast("double") / 1000000.0,
+            6,
+        ).alias("value_inflation"),
+        F.round(
+            (F.col("raw_n") - F.col("dedup_n"))
+            / F.col("dedup_n").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "q400_backfill_depth_histogram",
+    """
+    WITH arr AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS ev_day,
+             (epoch_ns(ts)
+              + CASE WHEN user_id % 20 = 3 THEN 172800000000000
+                     WHEN user_id % 20 = 4 THEN 21600000000000
+                     ELSE 0 END) // 86400000000000 AS arr_day,
+             CAST(round(value * 1000000) AS HUGEINT) AS vm
+      FROM events),
+    d AS (
+      SELECT least(arr_day - ev_day, 3) AS depth, vm FROM arr),
+    agg AS (
+      SELECT depth, CAST(count(*) AS BIGINT) AS n_events,
+             sum(vm) AS v
+      FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS tn,
+                   sum(v) AS tv FROM agg)
+    SELECT CAST(agg.depth AS BIGINT) AS backfill_days,
+           agg.n_events,
+           round(agg.n_events / CAST(tot.tn AS DOUBLE), 6) AS event_share,
+           round(CAST(agg.v AS DOUBLE) / CAST(tot.tv AS DOUBLE), 6)
+             AS value_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q400_backfill_depth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill-depth histogram under a deterministic late-delivery
+    simulation (the q399 pattern — the synthetic stream itself is
+    perfectly in-order, so the delay schedule is injected): one user
+    cohort (user_id = 3 mod 20) delivers 48 h late, another (4 mod 20)
+    6 h late, the rest on time. For every event the backfill depth is
+    arrival-day minus event-day — the number of days BACK the
+    aggregate rewrite lands when the event finally shows up — and the
+    per-depth event/value-mass shares are the table that sizes a
+    backfill window: what fraction of events AND money a 1-day rewrite
+    captures vs 2-day (q370's watermark audit answers drops; this
+    answers rewrites). The 6 h cohort straddles midnight, so depth 0/1
+    splits by time-of-day, exercising the boundary. Day arithmetic is
+    exact integer ns; value mass rides exact 1e-6 units; one grouped
+    pass, depth-bounded output."""
+    e = load_events(spark, sf_dir)
+    # integer `div` throughout: epoch-ns magnitudes exceed double's
+    # exact range, so a float division could misbin a midnight-edge ns
+    arr_day = F.expr(
+        "(ts + CASE WHEN user_id % 20 = 3 THEN 172800000000000"
+        " WHEN user_id % 20 = 4 THEN 21600000000000"
+        " ELSE 0 END) div 86400000000000"
+    )
+    d = e.select(
+        F.least(
+            arr_day - F.expr("(ts div 86400000000000)"),
+            F.lit(3),
+        ).cast("long").alias("depth"),
+        F.round(F.col("value") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("vm"),
+    )
+    agg = d.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vm").alias("v"),
+    )
+    tot = agg.agg(
+        F.sum("n_events").cast("long").alias("tn"), F.sum("v").alias("tv")
+    )
+    return agg.crossJoin(bcast_small(tot)).select(
+        F.col("depth").alias("backfill_days"),
+        "n_events",
+        F.round(
+            F.col("n_events") / F.col("tn").cast("double"), 6
+        ).alias("event_share"),
+        F.round(
+            F.col("v").cast("double") / F.col("tv").cast("double"), 6
+        ).alias("value_share"),
+    )
+
+
+@query(
+    "q401_replay_hole_audit",
+    """
+    WITH per AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(event_id) AS BIGINT) AS id_min,
+             CAST(max(event_id) AS BIGINT) AS id_max
+      FROM events GROUP BY 1)
+    SELECT CAST(day AS BIGINT) AS day, n_events, id_min, id_max,
+           id_max - id_min + 1 AS id_span,
+           id_max - id_min + 1 - n_events AS holes,
+           round(n_events / CAST(id_max - id_min + 1 AS DOUBLE), 6)
+             AS contiguity
+    FROM per
+    """,
+)
+def q401_replay_hole_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-hole audit per day: the day's event_id range vs its event
+    count — holes = ids inside the day's span that landed on OTHER days
+    (out-of-order arrivals) or never arrived at all. A replay that
+    reproduces a day should reproduce its contiguity number exactly;
+    a contiguity drop after an incident replay is the fingerprint of
+    lost or misrouted events. Pure exact-integer aggregation, one
+    grouped pass, #days-bounded output."""
+    e = load_events(spark, sf_dir)
+    per = e.groupBy(
+        F.expr("ts div 86400000000000").cast("long").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("id_min"),
+        F.max("event_id").cast("long").alias("id_max"),
+    )
+    span = (F.col("id_max") - F.col("id_min") + 1).cast("long")
+    return per.select(
+        "day", "n_events", "id_min", "id_max",
+        span.alias("id_span"),
+        (span - F.col("n_events")).cast("long").alias("holes"),
+        F.round(F.col("n_events") / span.cast("double"), 6).alias(
+            "contiguity"
+        ),
+    )

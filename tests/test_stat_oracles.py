@@ -1305,3 +1305,76 @@ def test_centroid_confusion_micro():
     out = _run(con, "q360_label_centroid_confusion")
     got = {(r.true_label, r.pred_label): r.n for r in out.itertuples()}
     assert got == {(0, 0): 2, (1, 1): 1, (1, 0): 1}
+
+
+def test_lang_mix_entropy_micro():
+    # one source, 4 docs in langs {en:2, de:1, fr:1}: p = (1/2,1/4,1/4),
+    # H = -(0.5 ln 0.5 + 2 * 0.25 ln 0.25) = 0.5 ln 2 + 0.5 ln 4
+    #   = 1.5 ln 2 = 1.0397207708399179...; dominant en, share 0.5.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a", "b", "c", "d"],
+            "lang": ["en", "en", "de", "fr"],
+            "source": ["s0"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q390_source_lang_mix_entropy").iloc[0]
+    assert out["n_docs"] == 4 and out["n_langs"] == 3
+    assert out["dominant_lang"] == "en"
+    assert out["dominant_share"] == 0.5
+    assert out["lang_entropy"] == round_away(1.5 * math.log(2), 6)
+
+
+def test_lang_mix_entropy_dominant_tiebreak():
+    # exact tie {de:1, en:1}: the (count DESC, lang ASC) rank must pick
+    # 'de' — an integer rank key, deterministic on both engines
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a", "b"],
+            "lang": ["en", "de"],
+            "source": ["s0", "s0"],
+            "n_chars": [1, 1],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = _run(con, "q390_source_lang_mix_entropy").iloc[0]
+    assert out["dominant_lang"] == "de"
+    assert out["lang_entropy"] == round_away(math.log(2), 6)
+
+
+def test_backfill_depth_micro():
+    # hand-placed events: day boundaries at multiples of 86_400 s.
+    # u3 (user_id=3): +48h delay -> depth 2 always.
+    # u4 (user_id=4): +6h delay -> event at 23:00 crosses midnight
+    # (depth 1), event at 01:00 stays same-day (depth 0).
+    # u0: on time -> depth 0.
+    base = 1_700_000_000_000_000  # us epoch, not day-aligned
+    day = 86_400_000_000
+    ts0 = (base // day) * day  # midnight
+    events = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                [ts0 + 3_600_000_000,          # u0 01:00, depth 0
+                 ts0 + 23 * 3_600_000_000,     # u4 23:00 +6h -> depth 1
+                 ts0 + 3_600_000_000,          # u4 01:00 +6h -> depth 0
+                 ts0 + 3_600_000_000],         # u3 +48h -> depth 2
+                unit="us",
+            ),
+            "user_id": [0, 4, 24, 3],
+            "event_type": ["view"] * 4,
+            "value": [1.0, 1.0, 1.0, 1.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", events)
+    out = _run(con, "q400_backfill_depth_histogram")
+    got = {r.backfill_days: r.n_events for r in out.itertuples()}
+    assert got == {0: 2, 1: 1, 2: 1}
