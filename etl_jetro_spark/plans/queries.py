@@ -23975,7 +23975,7 @@ def q390_source_lang_mix_entropy(
 
 
 @query(
-    "q391_langid_confusion",
+    "q391_langid_margin_audit",
     f"""
     WITH hits AS (
       SELECT doc_id, lang,
@@ -23989,8 +23989,10 @@ def q390_source_lang_mix_entropy(
                              x -> list_contains({_dk_stop_list('fr')}, x))) AS h_fr
       FROM documents
     ),
-    pred AS (
+    m AS (
       SELECT doc_id, lang,
+             greatest(h_en, h_es, h_de, h_fr) AS best,
+             list_reverse_sort([h_en, h_es, h_de, h_fr])[2] AS second,
              CASE
                WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
                WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
@@ -24000,28 +24002,73 @@ def q390_source_lang_mix_entropy(
              END AS predicted_lang
       FROM hits
     )
-    SELECT lang AS declared_lang, predicted_lang,
-           CAST(count(*) AS BIGINT) AS n_docs
-    FROM pred GROUP BY 1, 2
+    SELECT lang AS declared_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN best > 0 AND best = second THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ambiguous,
+           CAST(sum(CASE WHEN best = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_und,
+           round(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS match_rate,
+           round(CAST(sum(best - second) AS DOUBLE) / count(*), 6)
+             AS mean_margin
+    FROM m GROUP BY 1
     """,
 )
-def q391_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID confusion matrix: the q25 stopword-heuristic
-    prediction cross-tabulated against the DECLARED lang label — the
-    table that calibrates how far the cheap classifier can be trusted
-    per language before it routes documents into the wrong cleaning
-    pipeline (and, dually, how much the declared labels themselves
-    smell). Same operator (textstats.lang_id, codegen regex path, en >
-    es > de > fr tie priority), one corpus pass, #langs^2-bounded
-    output; counts exact BIGINT."""
+def q391_langid_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE audit per declared language: match rate
+    against the q25 stopword heuristic plus the two signals the q231
+    confusion matrix cannot show — how many docs the detector decided
+    on a TIE (best = second-best hit count: the prediction is the
+    en > es > de > fr priority order, not evidence) and the mean
+    top-2 hit margin (the evidence gap behind a decision). A high
+    match rate with near-zero margin means the labels agree with a
+    coin flip — route by threshold on margin, not on the argmax. Hit
+    counts ride the codegen regex path; best/second come from one
+    4-element sort of exact integers; one corpus pass,
+    #langs-bounded output."""
+    from etl_jetro_spark.operators.textstats import (
+        STOPWORD_SETS,
+        stopword_hits,
+    )
+
     d = load(spark, sf_dir, "documents")
-    return (
-        d.select(
-            F.col("lang").alias("declared_lang"),
-            O.lang_id("text").alias("predicted_lang"),
-        )
-        .groupBy("declared_lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    hits = {lg: stopword_hits("text", lg) for lg in STOPWORD_SETS}
+    arr = F.sort_array(
+        F.array(*[h.cast("long") for h in hits.values()]), asc=False
+    )
+    best, second = arr[0], arr[1]
+    m = d.select(
+        F.col("lang").alias("declared_lang"),
+        O.lang_id("text").alias("predicted_lang"),
+        best.alias("best"),
+        second.alias("second"),
+    )
+    return m.groupBy("declared_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("predicted_lang") == F.col("declared_lang")).cast("int")
+        ).cast("long").alias("n_match"),
+        F.sum(
+            ((F.col("best") > 0) & (F.col("best") == F.col("second")))
+            .cast("int")
+        ).cast("long").alias("n_ambiguous"),
+        F.sum((F.col("best") == 0).cast("int")).cast("long").alias("n_und"),
+        F.round(
+            F.sum(
+                (F.col("predicted_lang") == F.col("declared_lang"))
+                .cast("int")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("match_rate"),
+        F.round(
+            F.sum(F.col("best") - F.col("second")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_margin"),
     )
 
 
@@ -24121,7 +24168,7 @@ def q393_stopword_crosshit_matrix(
 ) -> DataFrame:
     """Stopword cross-hit matrix: for every declared language, the hit
     rate (per 1000 whitespace tokens) of EACH language's stopword set —
-    the #langs x #sets signal matrix underneath the q25/q391 lang-ID
+    the #langs x #sets signal matrix underneath the q25/q231/q391 lang-ID
     heuristic; off-diagonal mass is exactly where the classifier's
     confusion comes from, so this is the table that says whether to fix
     the stopword lists or distrust the labels. Hit counts ride the
@@ -24192,6 +24239,9 @@ def q394_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays on morphology-rich or script-dense text), tokens per KB, and
     bytes per token — the conversion table between a byte-denominated
     corpus budget and the token budget training actually consumes.
+    Complements q186 (chars per NORMALIZED word — the segmentation
+    symptom dashboard): this one prices the SUBWORD axis and the raw
+    byte axis, which is what storage and training bills denominate.
     Byte counts via octet_length (UTF-8 bytes, not code points — the
     number storage bills); both token counts ride codegen regex
     (textstats.token_count / bpe_ish_token_count). All sums exact
