@@ -258,7 +258,10 @@ def mad_outliers(
     # size-gated (AQE picks the strategy past the threshold).
     dev = df.join(bcast_sized(med), keys).withColumn(
         "_absdev", F.abs(v - F.col("_med"))
-    )
+    # dev feeds both the MAD percentile pass and the final outlier
+    # census; without a barrier the scan + med-join re-runs for each
+    # consumer (r11 — one extra full input pass per call site)
+    ).localCheckpoint(eager=False)
     mad = exact_group_percentiles(dev, keys, "_absdev", {"_mad": 0.5})
     j = dev.join(bcast_sized(mad), keys)
     return j.groupBy(*keys).agg(
@@ -349,6 +352,30 @@ def weighted_group_percentiles(
         .withColumn("_tw", F.sum("_pw").over(wall))
         .withColumn("_mw", F.min("_pmw").over(wall))
     )
+    # Crossing-cells cut (r11): the picked row for percentile p is the
+    # FIRST row (in (value, tiebreak) order) whose cumulative weight
+    # reaches thresh_p = p·tw − slack. Its (partition, group) cell is
+    # decidable from the metadata alone — the first cell whose running
+    # offset interval [off, off+pw] contains thresh_p — so the window
+    # pass only needs THOSE cells. Every later cell's values are ≥ the
+    # picked value (range partitioning on (keys, value, tiebreak)), and
+    # earlier cells never reach thresh_p, so the min-aggregate below is
+    # unchanged. This shrinks the window's hash Exchange from the full
+    # frame to ~|groups|·|ps| cells (each bounded by the range split) —
+    # previously every row shuffled a second time just to compute a
+    # running sum that only matters at the crossing.
+    slack = F.least(F.lit(1e-9) * F.col("_tw"), F.lit(0.5) * F.col("_mw"))
+    keep = None
+    for p in set(ps.values()):
+        thresh = F.lit(p) * F.col("_tw") - slack
+        # off < thresh ≤ off+pw picks exactly the first crossing cell;
+        # the off==0 disjunct covers a degenerate thresh ≤ 0 (p·tw below
+        # slack), where the first row is the pick — extra rows it admits
+        # sit below thresh and are filtered by the when() in the agg.
+        c = (F.col("_off") + F.col("_pw") >= thresh) & (
+            (F.col("_off") < thresh) | (F.col("_off") == 0.0)
+        )
+        keep = c if keep is None else keep | c
     # partition-local running weight: window partitions are (physical
     # partition, group) cells — bounded by the range split, not the group
     wloc = (
@@ -356,11 +383,15 @@ def weighted_group_percentiles(
         .orderBy("_v", *tb)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = base.withColumn("_lc", F.sum("_w").over(wloc)).join(
-        F.broadcast(meta.select("_pid", *keys, "_off", "_tw", "_mw")),  # bcast-ok: nparts x keys partition metadata
-        ["_pid", *keys],
-    ).withColumn("_cw", F.col("_off") + F.col("_lc"))
-    slack = F.least(F.lit(1e-9) * F.col("_tw"), F.lit(0.5) * F.col("_mw"))
+    cum = (
+        base.join(
+            F.broadcast(meta.select("_pid", *keys, "_pw", "_off", "_tw", "_mw")),  # bcast-ok: nparts x keys partition metadata
+            ["_pid", *keys],
+        )
+        .filter(keep)
+        .withColumn("_lc", F.sum("_w").over(wloc))
+        .withColumn("_cw", F.col("_off") + F.col("_lc"))
+    )
     aggs = [
         F.min(
             F.when(

