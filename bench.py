@@ -35,6 +35,7 @@ band, lands in the sidecar's "contended" list with its ratio and load
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -113,7 +114,7 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/region.parquet").count()
             return None
 
-    for name, fn in QUERIES.items():
+    for qi, (name, fn) in enumerate(QUERIES.items()):
         short = name.split("_", 1)[0]
         runs: list[float | None] = []
         for _ in range(2):
@@ -124,6 +125,15 @@ def main() -> None:
         ok = [r for r in runs if r is not None]
         timings[short] = min(ok) if ok else None
         passes[short] = runs
+        # Lazy localCheckpoint blocks (the r11 shared-subtree barriers)
+        # are only released by the JVM ContextCleaner once the PYTHON
+        # side drops its refs — without this, blocks from hundreds of
+        # earlier queries pile up in the block manager and the tail of
+        # the sweep measures memory pressure, not the queries
+        # (measured: +15-20 s/pass drift by q326 in a shared session).
+        gc.collect()
+        if qi % 50 == 49:
+            spark.sparkContext._jvm.System.gc()
 
     # Flagged tail: min-of-2 still >2x the committed same-SF number →
     # one extra pass; still outside the band afterwards → annotate.

@@ -5337,10 +5337,7 @@ def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate family to LSH (q18) and prefix filtering (q124): O(n·w)
     candidates from one sort, catching prefix-similar pairs that banding
     can miss."""
-    from etl_jetro_spark.functions.hashing import (
-        norm_text,
-        word_shingles_normed,
-    )
+    from etl_jetro_spark.functions.hashing import norm_text
     from etl_jetro_spark.operators.aggregate import group_ranked
 
     d = load(spark, sf_dir, "documents")
@@ -5367,30 +5364,20 @@ def q135_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.lit(k).cast("long").alias("rank_dist")
         )
         cands = c if cands is None else cands.unionByName(c)
-    # Per-doc hashed shingle sets, built PARTITION-LOCALLY (r11): the
-    # previous explode -> distinct -> groupBy/collect_list shape paid
-    # two full-index Exchanges to reassemble per-doc sets that never
-    # needed to leave their scan task. array_distinct dedups the doc's
-    # shingles in place and the hash rides a transform over the
-    # deduped array — the sets (incl. any duplicate hash values from
-    # md5-prefix collisions, which collect_list also kept) and counts
-    # are identical, with zero shuffle. norm_text is materialized
-    # behind a select boundary (word_shingles_normed contract), and
-    # the array column behind another so it isn't re-evaluated per use.
-    ab = d.select("doc_id", norm_text("text").alias("_nt")).select(
-        "doc_id",
-        F.array_distinct(
-            word_shingles_normed(F.col("_nt"), 3)
-        ).alias("_arr"),
+    # Per-doc hashed shingle sets: explode -> distinct -> groupBy/
+    # collect_list. Two r11 alternatives MEASURED SLOWER, do not redo:
+    # (a) building the per-doc array with the word_shingles HOF
+    # (CodegenFallback, 15.1 s vs 2.9 s); (b) collect_set over the raw
+    # exploded rows to save the distinct Exchange (ObjectHashAggregate
+    # set-union cost exceeds the saved shuffle, 4.4 s vs 2.9 s).
+    from etl_jetro_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(d, "doc_id", "text", 3, distinct=True)
+    sh_h = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    sets = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list(sh_h)).alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    sh_h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-        "long"
-    )
-    sets = ab.select(
-        F.col("doc_id").alias("_id"),
-        F.sort_array(F.transform("_arr", sh_h)).alias("_set"),
-        F.size("_arr").cast("long").alias("_n"),
-    ).filter(F.col("_n") > 0)
     a = sets.select(
         F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("_na")
     )
@@ -5477,38 +5464,30 @@ def q137_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Restructured r11: a novel shingle is attributed to exactly ONE doc
     (its min-id first seer), so n_novel per doc is a count over the
     first-seen frame itself — the old shape shuffled the full distinct
-    index (distinct), shuffled it again for the first-seen agg,
-    broadcast the VOCABULARY-sized firsts frame back onto the index and
-    re-aggregated every posting. Now: one vocabulary-keyed shuffle of
-    the (locally pre-deduped) index for min(_id) — min is
-    distinct-insensitive, so the explicit distinct pass is gone — one
-    doc-keyed count of that frame, and n_shingles computed
-    partition-locally as size(array_distinct(shingles)) per doc (the
-    per-doc set never leaves its scan task). Nothing vocabulary-sized
-    is broadcast at any scale. 3 full-index Exchanges -> 1."""
-    from etl_jetro_spark.functions.hashing import (
-        norm_text,
-        word_shingles_normed,
-    )
+    index (distinct), shuffled it again for the first-seen agg, then
+    joined the VOCABULARY-sized firsts frame back onto the index and
+    re-aggregated every posting. Now both outputs come from ONE shared
+    barriered exploded index (the codegen arrays_zip explode — the
+    array-building HOF alternative is CodegenFallback and measured 8x
+    slower): n_shingles is a per-doc distinct count, and n_novel is
+    min per shingle (distinct-insensitive, so no explicit distinct
+    pass) followed by an NDV-bounded count of firsts per winning doc.
+    No vocabulary-sized frame is joined back onto the full index."""
     from etl_jetro_spark.operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    # n_shingles: per-doc distinct count, zero shuffle (norm_text is
-    # materialized behind a select boundary so the per-shingle lambda
-    # reads an attribute — hashing.word_shingles_normed contract)
-    nsh = (
-        d.select("doc_id", norm_text("text").alias("_nt"))
-        .select(
-            "doc_id",
-            F.size(
-                F.array_distinct(word_shingles_normed(F.col("_nt"), 3))
-            ).cast("long").alias("n_shingles"),
-        )
-        .filter(F.col("n_shingles") > 0)
+    # The DISTINCT index is barriered and shared (its dedup Exchange
+    # shrinks it enough that caching beats recomputing — the raw
+    # unbarriered index + countDistinct measured 3.2 s vs 1.7 s);
+    # n_shingles is then a plain count per doc.
+    dsh = shingle_rows(d, "doc_id", "text", 3, distinct=True).localCheckpoint(
+        eager=False
+    )
+    nsh = dsh.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
     # first-seen counts: min per shingle (dup rows cannot change a min),
     # then count of firsts per winning doc — both NDV-bounded outputs
-    dsh = shingle_rows(d, "doc_id", "text", 3, distinct=False)
     novel = (
         dsh.groupBy("_sh")
         .agg(F.min("_id").alias("_first"))
@@ -11004,16 +10983,24 @@ def q220_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
         )
         .distinct()
+        # edges feeds SIX consumers (deg twice via the union, ej, ne,
+        # and deg's two projections re-derive it again); Catalyst does
+        # not share common subtrees, so without a barrier the basket
+        # pair expansion + distinct re-ran for each — 13 lineitem scans
+        # in the before-plan (r11). Same for deg (3 consumers) and ej
+        # (the symmetrizing union reads it twice).
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ej = edges.join(du, "u").join(dv, "v")
+    ej = edges.join(du, "u").join(dv, "v").localCheckpoint(eager=False)
     ends = ej.select(
         F.col("du").alias("da"), F.col("dv").alias("db")
     ).unionAll(ej.select(F.col("dv").alias("da"), F.col("du").alias("db")))
