@@ -54,10 +54,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Round 0 fused into initialization (r11): with comp0 = id, the
+    # first propagation's neighbor minimum is just min(b), so comp1
+    # comes out of the same aggregation that enumerates the nodes —
+    # one join+agg round saved on every call.
     comp = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        und.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("id"), F.least("a", "_mb").alias("comp")
+        )
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
@@ -67,6 +73,10 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "id")
         )
+        # convergence flag computed INLINE (labels are monotone
+        # non-increasing, so "changed" == "strictly decreased") — the
+        # previous new-vs-old comparison join re-shuffled both label
+        # frames every round just to detect it (r11)
         new_comp = (
             comp.join(nbr_min, "id", "left")
             .select(
@@ -74,16 +84,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp = new_comp
+        changed = new_comp.filter("_chg").count()
+        comp = new_comp.select("id", "comp")
         if changed == 0:
             return comp.select("id", F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

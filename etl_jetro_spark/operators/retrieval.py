@@ -23,7 +23,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["probe_channel_scores", "rank_channel", "rrf"]
+__all__ = [
+    "probe_channel_scores",
+    "rank_channel",
+    "rank_channels",
+    "rrf",
+]
 
 
 def probe_channel_scores(
@@ -69,16 +74,22 @@ def probe_channel_scores(
     ok = nrm.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
         "_vid", "na", "nb"
     )
-    ee = e.join(ok.select("_vid"), "_vid")
     from etl_jetro_spark.plans.hints import bcast_sized
 
-    q = ee.filter(F.col("_vid") % m == 0).select(
+    # Zero-norm exclusion rides the INNER norm joins below — the
+    # previous pre-join of the exploded (n x d) frame against the ok
+    # id set paid one full-frame Exchange only to drop pairs the
+    # qna/cna joins drop anyway (r11). The probe side stays a filter
+    # on the exploded frame; scores for zero-norm vectors are computed
+    # and discarded, which is free unless a corpus is mostly
+    # zero-norm.
+    q = e.filter(F.col("_vid") % m == 0).select(
         F.col("_vid").alias("_qid"),
         F.col("i").alias("_qi"),
         F.col("x").alias("_qx"),
     )
     dots = (
-        ee.join(
+        e.join(
             bcast_sized(q),
             (F.col("i") == F.col("_qi")) & (F.col("_vid") != F.col("_qid")),
         )
@@ -106,7 +117,7 @@ def probe_channel_scores(
     # EXACTLY so the id tiebreak decides (see module docstring)
     scored = (
         dots.join(bcast_sized(nq), "qid")
-        .join(nc, "cid")
+        .join(bcast_sized(nc), "cid")
         .select(
             "qid",
             "cid",
@@ -134,6 +145,43 @@ def rank_channel(scored: DataFrame, col: str, out: str) -> DataFrame:
         tiebreak=["cid"],
     )
     return r.select("qid", "cid", F.col("_rn").alias(out))
+
+
+def rank_channels(scored: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """(qid, cid, <out>...): per-probe ranks of SEVERAL score columns in
+    ONE distributed rank pass (r11): channels stack under a tag via a
+    partition-local explode (rows x|cols|, passes x1), rank once keyed
+    by (qid, channel), and pivot back with a min(when) aggregation.
+    Each per-channel ranking is identical to :func:`rank_channel` —
+    (score DESC, cid) within the probe — but the fixed costs of the
+    rank machinery (range exchange, barrier, metadata pass, broadcast)
+    and the (qid, cid) re-join of the separate rank frames are paid
+    once instead of once per channel.
+
+    ``cols`` maps score column -> output rank column."""
+    from etl_jetro_spark.operators.aggregate import group_ranked
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(out).alias("_ch"),
+                    F.col(sc).cast("double").alias("_s"),
+                )
+                for sc, out in cols.items()
+            ]
+        )
+    )
+    stacked = scored.select("qid", "cid", pairs.alias("_p")).select(
+        "qid", "cid", F.col("_p._ch").alias("_ch"), F.col("_p._s").alias("_s")
+    )
+    r = group_ranked(stacked, ["qid", "_ch"], -F.col("_s"), tiebreak=["cid"])
+    return r.groupBy("qid", "cid").agg(
+        *[
+            F.min(F.when(F.col("_ch") == out, F.col("_rn"))).alias(out)
+            for out in cols.values()
+        ]
+    )
 
 
 def rrf(*rank_cols: str, k: int = 60) -> Column:

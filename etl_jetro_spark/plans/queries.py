@@ -20535,11 +20535,15 @@ def q350_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-join — linear, never pairwise; ranks ride the distributed rank
     frame, not a corpus-sized window partition."""
     scored = _probe_scores(spark, sf_dir, "halves", 32)
-    ra = _rank_frame(scored, "sa", "ra")
-    rb = _rank_frame(scored, "sb", "rb")
-    from etl_jetro_spark.operators.retrieval import rrf as rrf_score
+    from etl_jetro_spark.operators.retrieval import (
+        rank_channels,
+        rrf as rrf_score,
+    )
 
-    r = ra.join(rb, ["qid", "cid"])
+    # both channel ranks in ONE distributed rank pass (r11) — the
+    # separate per-channel passes plus their (qid, cid) re-join paid
+    # the rank machinery's fixed costs twice
+    r = rank_channels(scored, {"sa": "ra", "sb": "rb"})
     fused = r.select(
         "qid", "cid", "ra", "rb", rrf_score("ra", "rb", k=60).alias("rrf")
     )
@@ -20586,9 +20590,10 @@ def q351_rerank_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-rank arithmetic end-to-end; adaptive ~25-probe slice keeps
     the scoring linear in the corpus at a fixed constant."""
     scored = _probe_scores(spark, sf_dir, "prefix", 16)
-    rp = _rank_frame(scored, "sa", "rp")
-    rt = _rank_frame(scored, "sb", "rt")
-    r = rp.join(rt, ["qid", "cid"])
+    from etl_jetro_spark.operators.retrieval import rank_channels
+
+    # one stacked rank pass for both channels (r11; see q350)
+    r = rank_channels(scored, {"sa": "rp", "sb": "rt"})
     ks = spark.createDataFrame([(5,), (10,), (20,)], ["k1"])
     per = (
         r.crossJoin(bcast_small(ks))
@@ -20674,11 +20679,11 @@ def q352_retrieval_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_lq") == F.col("_lc")).cast("long").alias("rel"),
         )
     )
-    rp = _rank_frame(rel, "sa", "rp")
-    rt = _rank_frame(rel, "sb", "rt")
-    r = rel.select("qid", "cid", "rel").join(rp, ["qid", "cid"]).join(
-        rt, ["qid", "cid"]
-    )
+    from etl_jetro_spark.operators.retrieval import rank_channels
+
+    # one stacked rank pass for both channels (r11; see q350)
+    rr = rank_channels(rel, {"sa": "rp", "sb": "rt"})
+    r = rel.select("qid", "cid", "rel").join(rr, ["qid", "cid"])
     dcg = r.groupBy("qid").agg(
         F.sum(
             F.when(F.col("rp") <= 10, F.col("rel") / F.log2(F.col("rp") + 1.0))
@@ -21369,13 +21374,34 @@ def q359_quantized_top1_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("sq"),
         )
     )
-    rf = _rank_frame(scored.select("qid", "cid", "sa"), "sa", "r").join(
-        scored.select("qid", "cid", "sa"), ["qid", "cid"]
-    ).filter(F.col("r") == 1)
-    rq = _rank_frame(sq, "sq", "r").filter(F.col("r") == 1)
+    # top-1 per probe via min(struct(-score, cid)) — lexicographic min
+    # is exactly the (score DESC, cid ASC) rank-1 row, including the
+    # 12 dp-rounded exact ties, in ONE partial-aggregating exchange;
+    # the previous full distributed rank frame + filter(r == 1) paid
+    # the whole rank machinery twice to keep one row per probe (r11)
+    def _top1(df, score, out):
+        return (
+            df.groupBy("qid")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col(score)).alias("_ns"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("_t")
+            )
+            .select(
+                "qid",
+                F.col("_t.cid").alias(out),
+                (-F.col("_t._ns")).alias(score),
+            )
+        )
+
+    rf = _top1(scored.select("qid", "cid", "sa"), "sa", "top1_float")
+    rq = _top1(sq, "sq", "top1_int8")
     return (
-        rf.select("qid", F.col("cid").alias("top1_float"), "sa")
-        .join(rq.select("qid", F.col("cid").alias("top1_int8")), "qid")
+        rf.select("qid", "top1_float", "sa")
+        .join(rq.select("qid", "top1_int8"), "qid")
         .select(
             "qid",
             "top1_float",
@@ -22848,9 +22874,10 @@ def q375_prefix_full_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - p^10 so identical prefixes score 1. Integer ranks ride the
     distributed rank frame; per-probe output is #probes-bounded."""
     scored = _probe_scores(spark, sf_dir, "prefix", 16)
-    rp = _rank_frame(scored, "sa", "rp")
-    rt = _rank_frame(scored, "sb", "rt")
-    r = rp.join(rt, ["qid", "cid"])
+    from etl_jetro_spark.operators.retrieval import rank_channels
+
+    # one stacked rank pass for both channels (r11; see q350)
+    r = rank_channels(scored, {"sa": "rp", "sb": "rt"})
     mx = (
         r.select(
             "qid", F.greatest(F.col("rp"), F.col("rt")).alias("m")
