@@ -172,12 +172,24 @@ def embedding_near_dup(
     stream plus two linear vector-table shuffles).
     """
     bands = bits // band_bits
-    v = _vec(vec_col)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        v.alias("_v"),
-        signature_bits(v, dims, bits).alias("_sig"),
-    ).localCheckpoint(eager=False)  # barrier: signatures feed keys + verify
+    # _v materialized behind a select boundary BEFORE the signature:
+    # inlined, the cast-transform re-evaluates inside every one of the
+    # ``bits`` hyperplane dots (33x per row, CodegenFallback each —
+    # r11, the char_shingles_normed contract applied here). The
+    # per-vector norm is hoisted the same way: score below is
+    # dot/(na*nb), the BIT-IDENTICAL float expression to cosine(a, b),
+    # with the two norm folds computed once per vector instead of once
+    # per candidate pair.
+    base = (
+        df.select(F.col(id_col).alias("_id"), _vec(vec_col).alias("_v"))
+        .select(
+            "_id",
+            "_v",
+            signature_bits(F.col("_v"), dims, bits).alias("_sig"),
+            norm(F.col("_v")).alias("_n"),
+        )
+        .localCheckpoint(eager=False)  # barrier: signatures feed keys + verify
+    )
     keys = base.select(
         "_id",
         F.explode(
@@ -203,9 +215,17 @@ def embedding_near_dup(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    score = cosine(F.col("_va"), F.col("_vb"))
+    va = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    score = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     if score_round is not None:
         score = F.round(score, score_round)
     return (
