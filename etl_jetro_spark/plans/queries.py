@@ -6346,6 +6346,57 @@ def q150_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _baskets(li: DataFrame) -> DataFrame:
+    """The co-purchase basket frame as ONE orderkey-keyed collect_set
+    aggregation (r11): ``(l_orderkey, _ps sorted-part-set)``. Replaces the
+    old ``distinct(l_orderkey, l_partkey)`` + orderkey re-exchange that
+    every basket self-join paid — collect_set dedups in the map-side
+    partials, so the single shuffle here subsumes BOTH of those, and the
+    Σ basket² pair stream is then generated basket-locally by explode
+    (``_basket_pairs``), never through a join. Basket sizes are bounded
+    (TPC-H ≤ 7 lines; real carts are small — the q151 argument), so the
+    per-row array and the explode fan-out are O(k)/O(k²) constants; a
+    catalog with unbounded baskets would cap them upstream exactly as
+    the old self-join would have needed."""
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+
+
+def _basket_pairs(li: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-basket item-pair incidence stream ``(u, v)`` — one row per
+    (order, pair), exactly the row multiset of the old distinct-basket
+    self-join. ``directed=False`` emits only u < v via posexplode +
+    tail-slice over the sorted part-set (half the generated rows);
+    ``directed=True`` emits both orientations (u != v). Consumers
+    aggregate or dedup across orders as before."""
+    g = _baskets(li)
+    if directed:
+        return (
+            g.select(F.explode("_ps").alias("u"), "_ps")
+            .select("u", F.explode("_ps").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+    return g.select(F.posexplode("_ps").alias("_i", "u"), "_ps").select(
+        "u",
+        F.explode(
+            F.slice("_ps", F.col("_i") + F.lit(2), F.size("_ps"))
+        ).alias("v"),
+    )
+
+
+def _pair_support(li: DataFrame, min_support: int = 2) -> DataFrame:
+    """q151/q156/q158/q178's support-filtered undirected edge frame:
+    (u, v) with u < v co-purchased in >= min_support orders. Map-side
+    partial agg collapses the per-order pair stream."""
+    return (
+        _basket_pairs(li)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= min_support)
+    )
+
+
 @query(
     "q151_item_pair_support",
     """
@@ -6366,22 +6417,13 @@ def q151_item_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets are bounded (TPC-H <= 7 lines; real carts are small), so
     the pair stream is ~k²/2 per order regardless of corpus size —
     the same bounded-block argument as the SNM window. Map-side partial
-    agg collapses the pair counts."""
+    agg collapses the pair counts. Pair generation is the basket-local
+    explode of ``_basket_pairs`` (r11) — one shuffle, no join."""
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        b.alias("a")
-        .join(b.alias("c"), "l_orderkey")
-        .select(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("c.l_partkey").alias("item_b"),
-        )
-        .filter(F.col("item_a") < F.col("item_b"))
-    )
-    return (
-        pairs.groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= 2)
+    return _pair_support(li).select(
+        F.col("u").alias("item_a"),
+        F.col("v").alias("item_b"),
+        F.col("s").cast("long").alias("support"),
     )
 
 
@@ -6415,19 +6457,21 @@ def q152_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket total is one broadcast row; everything is count arithmetic +
     exactly-rounded division, hash-stable cross-engine."""
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=False
-    )  # feeds baskets-total, item supports, and both pair sides
-    nb = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
-    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    # the basket frame feeds baskets-total, item supports, and the pair
+    # stream — checkpoint so the collect_set shuffle runs once (r11)
+    g = _baskets(li).localCheckpoint(eager=False)
+    nb = g.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    item = g.select(F.explode("_ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("s"))
     pairs = (
-        b.alias("a")
-        .join(b.alias("c"), "l_orderkey")
+        g.select(F.posexplode("_ps").alias("_i", "item_a"), "_ps")
         .select(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("c.l_partkey").alias("item_b"),
+            "item_a",
+            F.explode(
+                F.slice("_ps", F.col("_i") + F.lit(2), F.size("_ps"))
+            ).alias("item_b"),
         )
-        .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .filter(F.col("s_ab") >= 2)
@@ -6656,19 +6700,8 @@ def q156_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.graph import triangle_count
 
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        b.alias("a")
-        .join(b.alias("c"), "l_orderkey")
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("c.l_partkey").alias("id_b"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= 2)
-        .drop("s")
+    edges = _pair_support(li).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
     )
     return triangle_count(edges)
 
@@ -6841,19 +6874,8 @@ def q158_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.graph import clustering_coefficients
 
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        b.alias("a")
-        .join(b.alias("c"), "l_orderkey")
-        .select(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("c.l_partkey").alias("id_b"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= 2)
-        .drop("s")
+    edges = _pair_support(li).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
     )
     return clustering_coefficients(edges)
 
@@ -8092,19 +8114,8 @@ def q178_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.graph import pagerank
 
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        b.alias("x")
-        .join(b.alias("y"), "l_orderkey")
-        .select(
-            F.col("x.l_partkey").alias("id_a"),
-            F.col("y.l_partkey").alias("id_b"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= 2)
-        .drop("s")
+    edges = _pair_support(li).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
     )
     pr = pagerank(edges, iterations=5, damping=0.85)
     return pr.select("id", F.round("rank", 6).alias("rank"))
@@ -8947,17 +8958,31 @@ def q194_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     when baskets are unbounded); map-side-combined support counts and a
     TakeOrdered top-10."""
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # C(basket, 3) ordered triples basket-locally (r11): posexplode picks
+    # p1, a positional tail-slice + posexplode picks p2 past it, a second
+    # tail-slice explodes p3 past BOTH — the sorted set makes position
+    # order = value order, so p1 < p2 < p3 with no join and no filter.
+    g = _baskets(li)
     tri = (
-        b.alias("a")
-        .join(b.alias("b2"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b2.l_partkey"))
-        .join(b.alias("c"), "l_orderkey")
-        .filter(F.col("b2.l_partkey") < F.col("c.l_partkey"))
+        g.select(F.posexplode("_ps").alias("_i", "p1"), "_ps")
         .select(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b2.l_partkey").alias("p2"),
-            F.col("c.l_partkey").alias("p3"),
+            "p1",
+            "_i",
+            "_ps",
+            F.posexplode(
+                F.slice("_ps", F.col("_i") + F.lit(2), F.size("_ps"))
+            ).alias("_j", "p2"),
+        )
+        .select(
+            "p1",
+            "p2",
+            F.explode(
+                F.slice(
+                    "_ps",
+                    F.col("_i") + F.col("_j") + F.lit(3),
+                    F.size("_ps"),
+                )
+            ).alias("p3"),
         )
     )
     cnt = (
@@ -10222,21 +10247,21 @@ def q211_item2item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    supp = b.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("s")
-    )
-    x = b.alias("x")
-    y = b.alias("y")
+    # basket frame feeds item supports AND the pair stream — checkpoint
+    # so the collect_set shuffle runs once (r11)
+    g = _baskets(li).localCheckpoint(eager=False)
+    supp = g.select(F.explode("_ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).cast("long").alias("s"))
     pair = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        g.select(F.posexplode("_ps").alias("_i", "ia"), "_ps")
+        .select(
+            "ia",
+            F.explode(
+                F.slice("_ps", F.col("_i") + F.lit(2), F.size("_ps"))
+            ).alias("ib"),
         )
-        .groupBy(
-            F.col("x.l_partkey").alias("ia"), F.col("y.l_partkey").alias("ib")
-        )
+        .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .filter(F.col("co") >= 2)
     )
@@ -10970,18 +10995,8 @@ def q220_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     via UNION ALL makes r orientation-independent without a second
     correlation pass."""
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    x = b.alias("x")
-    y = b.alias("y")
     edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
-        )
+        _basket_pairs(li)
         .distinct()
         # edges feeds SIX consumers (deg twice via the union, ej, ne,
         # and deg's two projections re-derive it again); Catalyst does
@@ -11440,21 +11455,9 @@ def q225_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct; reach-for-everyone would instead cap intermediates via
     ``capped_index``."""
     li = load(spark, sf_dir, "lineitem")
-    bsk = li.select("l_orderkey", "l_partkey").distinct()
-    x = bsk.alias("x")
-    y = bsk.alias("y")
-    e1 = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
-        )
-        .distinct()
+    e1 = _basket_pairs(li, directed=True).distinct().localCheckpoint(
+        eager=False
     )
-    e1 = e1.localCheckpoint(eager=False)
     d1 = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("direct"))
     seeds = d1.orderBy(F.desc("direct"), F.asc("u")).limit(20)
     es = e1.join(bcast_small(seeds.select("u")), "u").localCheckpoint(
@@ -12435,20 +12438,8 @@ def _bfs3_frontier_counts(li: DataFrame) -> DataFrame:
     whatever lineitem slice is passed in — shared by the full-graph
     q236 and the sliced 30x gate q389 so the sliced oracle verifies the
     IDENTICAL engine path."""
-    bsk = li.select("l_orderkey", "l_partkey").distinct()
-    x = bsk.alias("x")
-    y = bsk.alias("y")
-    e1 = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    e1 = _basket_pairs(li, directed=True).distinct().localCheckpoint(
+        eager=False
     )
     deg = e1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     seed = (
@@ -23843,19 +23834,8 @@ def _sliced_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q158/q178's co-purchase edge frame (support >= 2, a < b) over the
     deterministic 1/30 orderkey slice."""
     li = load(spark, sf_dir, "lineitem").filter(F.expr(_GRAPH_SLICE))
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    return (
-        b.alias("x")
-        .join(b.alias("y"), "l_orderkey")
-        .select(
-            F.col("x.l_partkey").alias("id_a"),
-            F.col("y.l_partkey").alias("id_b"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= 2)
-        .drop("s")
+    return _pair_support(li).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
     )
 
 
