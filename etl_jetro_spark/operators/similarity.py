@@ -576,14 +576,27 @@ def ivf_assign(
     partition/cluster the output by cid so a probe reads only its
     lists' files.
     """
-    v = _vec(vec_col)
-    scored = corpus.crossJoin(
-        bcast_small(centroids.select(cid_col, cvec_col))  # bound: k centroids — k-bounded
+    # r11: materialize the cast vector + its norm ONCE per corpus row
+    # and per centroid (the embedding_near_dup contract) — inlined, the
+    # cast-transform and the norm fold re-evaluate inside every one of
+    # the K dots. dot/(nv·ncv) is the BIT-IDENTICAL float expression to
+    # cosine(v, cv), just computed at the per-row site.
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), _vec(vec_col).alias("_vc")
+    ).select("*", norm(F.col("_vc")).alias("_nv"))
+    cent = centroids.select(
+        F.col(cid_col), _vec(cvec_col).alias("_cc")
+    ).select("*", norm(F.col("_cc")).alias("_ncv"))
+    scored = base.crossJoin(
+        bcast_small(cent)  # bound: k centroids — k-bounded
     ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col(cid_col),
-        cosine(v, _vec(cvec_col)).alias("_s"),
+        (
+            dot(F.col("_vc"), F.col("_cc"))
+            / (F.col("_nv") * F.col("_ncv"))
+        ).alias("_s"),
     )
     best = scored.groupBy(id_col).agg(
         F.max(
@@ -689,6 +702,16 @@ def ivf_assign_two_level(
             F.col("_b.gid").alias(gid_col),
             F.col("_b.cv").alias(cvec_col),
         )
+        # r11: pre-cast + pre-norm the fine centroids in this
+        # parameter-sized (broadcast) frame so the data-scale fine
+        # argmax below pays one dot per candidate, not dot + a cast
+        # re-evaluation + a norm re-fold (bit-identical floats)
+        .select(
+            F.col(cid_col),
+            F.col(gid_col),
+            _vec(cvec_col).alias("_cc"),
+        )
+        .select("*", norm(F.col("_cc")).alias("_ncv"))
     )
     # vector -> nearest n_probe_cells coarse cells (n x sqrt(K) dots).
     # P=1 rides the max-struct partial argmax (narrowest shuffle);
@@ -696,14 +719,28 @@ def ivf_assign_two_level(
     # sorts the array (ascending on -s == score DESC, ties gid ASC —
     # the exact rn<=P ordering the oracle replays), slices the top P,
     # and explodes — all expression-level, no rank window over data.
-    v = _vec(vec_col)
-    scored_g = corpus.crossJoin(
-        bcast_small(coarse.select(gid_col, gvec_col))  # bound: sqrt(k) coarse centroids
+    # r11: materialize the cast corpus vector + its norm ONCE per row
+    # (the embedding_near_dup contract) — inlined, both re-evaluate
+    # inside every one of the sqrt(K) coarse dots; the norm rides the
+    # argmax struct so the fine stage below reuses it too. dot/(nv·ng)
+    # is the BIT-IDENTICAL float expression to cosine(v, gv).
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), _vec(vec_col).alias("_vc")
+    ).select("*", norm(F.col("_vc")).alias("_nv"))
+    gfr = coarse.select(
+        F.col(gid_col), _vec(gvec_col).alias("_gc")
+    ).select("*", norm(F.col("_gc")).alias("_ngv"))
+    scored_g = base.crossJoin(
+        bcast_small(gfr)  # bound: sqrt(k) coarse centroids
     ).select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("_nv"),
         F.col(gid_col),
-        cosine(v, _vec(gvec_col)).alias("_s"),
+        (
+            dot(F.col("_vc"), F.col("_gc"))
+            / (F.col("_nv") * F.col("_ngv"))
+        ).alias("_s"),
     )
     if n_probe_cells <= 1:
         vcell = (
@@ -715,6 +752,8 @@ def ivf_assign_two_level(
                         (-F.col(gid_col)).alias("ng"),
                         F.col(gid_col).alias("gid"),
                         F.col(vec_col).alias("vec"),
+                        # rides behind the unique gid — never compared
+                        F.col("_nv").alias("nv"),
                     )
                 ).alias("_b")
             )
@@ -722,6 +761,7 @@ def ivf_assign_two_level(
                 F.col(id_col),
                 F.col("_b.gid").alias(gid_col),
                 F.col("_b.vec").alias(vec_col),
+                F.col("_b.nv").alias("_nv"),
             )
         )
     else:
@@ -741,13 +781,19 @@ def ivf_assign_two_level(
                     n_probe_cells,
                 ).alias("_top"),
                 F.first(F.col(vec_col)).alias(vec_col),
+                F.first(F.col("_nv")).alias("_nv"),
             )
             .select(
                 F.col(id_col),
                 F.col(vec_col),
+                F.col("_nv"),
                 F.explode(F.col("_top.gid")).alias(gid_col),
             )
         )
+    # re-derive the cast array once per (vector, probe) row — carrying
+    # it through the shuffle would double the vector bytes; the norm
+    # (the expensive fold) came through the struct instead
+    vcell = vcell.select("*", _vec(vec_col).alias("_vc"))
     # vector -> nearest fine centroid WITHIN its coarse cell
     # (~n x K/sqrt(K) dots; the cell map is parameter-sized, broadcast).
     # One-row-per-vector contract (ADVICE r6): the cell join is LEFT so a
@@ -766,7 +812,9 @@ def ivf_assign_two_level(
             F.col(vec_col),
             F.coalesce(F.col(cid_col), F.lit(-1)).alias(cid_col),
             F.coalesce(
-                cosine(_vec(vec_col), _vec(cvec_col)), F.lit(-2.0)
+                dot(F.col("_vc"), F.col("_cc"))
+                / (F.col("_nv") * F.col("_ncv")),
+                F.lit(-2.0),
             ).alias("_s"),
         )
         .groupBy(id_col)
