@@ -53,6 +53,16 @@ _SMALL_SF_MARKERS = ("sf0.01", "sf0.001")
 _SMALL_TUNED: set[str] = set()
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Relation-object reuse for the NON-small path (r11): building a parquet
+# DataFrame costs ~0.1 s per call (py4j roundtrips + file listing + footer
+# schema read) — pure per-query constant that a 401-query sweep pays
+# hundreds of times over. The cached object is an unexecuted logical plan:
+# NO data is cached (every action still scans parquet — this is the same
+# metadata reuse a catalog table gets), it is keyed per session, and the
+# small-SF branch below keeps its own (additionally memory-cached) map.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_NANOS_TUNED: set[str] = set()
+
 
 def _is_small_sf(sf_dir: str) -> bool:
     tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -61,7 +71,12 @@ def _is_small_sf(sf_dir: str) -> bool:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not _is_small_sf(sf_dir):
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        df = _RELATION_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            _RELATION_CACHE[key] = df
+        return df
     app = spark.sparkContext.applicationId
     if app not in _SMALL_TUNED:
         try:  # runtime confs; harmless if the session disallows them
@@ -91,7 +106,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) (readable only ns-as-long) and the current
     ``timestamp[us]`` (arrives as TIMESTAMP_NTZ). ``timestampdiff`` on two
     NTZ operands is pure wall-clock arithmetic, immune to the session tz."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # conf.set is a py4j roundtrip paid on EVERY events query; set it once
+    # per session (r11 — the session factory also sets it at build time)
+    app = spark.sparkContext.applicationId
+    if app not in _NANOS_TUNED:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _NANOS_TUNED.add(app)
     e = load(spark, sf_dir, "events")
     if dict(e.dtypes)["ts"] == "bigint":  # pragma: no cover - legacy data
         e = e.withColumn(
