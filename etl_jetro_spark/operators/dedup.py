@@ -62,8 +62,21 @@ def shingle_rows(
         F.slice("_w", k + 1, _MAX - k).alias(f"c{k}") for k in range(1, n)
     ]
     z = F.arrays_zip(*cols)
+    # distinct=True means distinct per (_id, _sh) — i.e. PER-DOC set
+    # semantics, since _id is in the key. array_distinct on the zipped
+    # struct array does that dedup partition-locally BEFORE the explode
+    # (r11): the old post-explode .distinct() paid a full exchange of
+    # the shingle stream for a dedup that never crossed documents.
+    # Struct-distinct == shingle-string-distinct for the surviving rows:
+    # words carry no spaces (norm_text collapses whitespace), so
+    # concat_ws is injective, and every struct passing the tail filter
+    # has all n fields non-null. Measured 0.87 -> 0.33 s at sf0.1,
+    # row multisets identical.
     sh = (
-        base.select("_id", F.explode(z).alias("_z"))
+        base.select(
+            "_id",
+            F.explode(F.array_distinct(z) if distinct else z).alias("_z"),
+        )
         .filter(
             F.col(f"_z.c{n - 1}").isNotNull() & (F.col("_z.c0") != "")
         )
@@ -72,7 +85,7 @@ def shingle_rows(
             F.concat_ws(" ", *[F.col(f"_z.c{i}") for i in range(n)]).alias("_sh"),
         )
     )
-    return sh.distinct() if distinct else sh
+    return sh
 
 
 def capped_index(

@@ -14398,19 +14398,28 @@ def q262_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_jetro_spark.operators.dedup import shingle_rows
 
     d = load(spark, sf_dir, "documents")
+    # r11: the old shape joined the full shingle-incidence frame back
+    # onto the first-appearance frame and aggregated the JOINED rows by
+    # doc — a full-frame join plus a full-frame doc shuffle. But
+    # "novel" is just a credit of +1 to each shingle's min(doc_id), so
+    # per-doc novelty = count of firsts rows per fdoc — and both aggs
+    # partial-aggregate map-side, so the two exchanges now carry
+    # doc-/shingle-NDV-sized partials instead of the raw incidence
+    # stream. The barrier runs the shingling once for both consumers.
     dsh = shingle_rows(d, "doc_id", "text", 5, distinct=True).select(
         F.col("_id").alias("doc_id"), F.col("_sh").alias("sh")
+    ).localCheckpoint(eager=False)
+    nd = dsh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
     )
-    firsts = dsh.groupBy("sh").agg(F.min("doc_id").alias("fdoc"))
-    per_doc = (
-        dsh.join(firsts, "sh")
+    novel = (
+        dsh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("nd"),
-            F.sum((F.col("fdoc") == F.col("doc_id")).cast("int"))
-            .cast("double")
-            .alias("novel"),
-        )
+        .agg(F.count(F.lit(1)).cast("double").alias("novel"))
+    )
+    per_doc = nd.join(novel, "doc_id", "left").select(
+        "doc_id", "nd", F.coalesce("novel", F.lit(0.0)).alias("novel")
     )
     dec = _doc_deciles(spark, sf_dir)
     nv = F.col("novel") / F.col("nd")
