@@ -146,6 +146,18 @@ def exact_group_percentiles(
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
     ranked = group_ranked(df, keys, value, num_range_partitions)
+    return _percentiles_from_ranked(ranked, keys, ps)
+
+
+def _percentiles_from_ranked(
+    ranked: DataFrame, keys: list[str], ps: dict[str, float]
+) -> DataFrame:
+    """Pass 3 of :func:`exact_group_percentiles` — the crossing-rank
+    filter + interpolation aggregate — over an EXISTING
+    :func:`group_ranked` frame, so a caller that needs the rank frame
+    for more than one statistic (``mad_outliers``: the median AND the
+    deviation pass) pays the range sort once and derives everything
+    from it."""
 
     def bounds(p: float):
         r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
@@ -248,19 +260,24 @@ def mad_outliers(
     denominator inconsistent with its statistic, and all-NULL groups are
     absent rather than half-joined. Returns (keys..., n, med, mad,
     n_outliers)."""
-    v = F.col(value)
-    df = df.filter(v.isNotNull())
-    med = exact_group_percentiles(df, keys, value, {"_med": 0.5})
     from etl_jetro_spark.plans.hints import bcast_sized
 
+    # ONE group_ranked frame serves the median probe AND the deviation
+    # pass (r11): the previous exact_group_percentiles-then-rejoin form
+    # re-scanned the raw input a second time just to compute |v - med| —
+    # the rank frame's checkpointed base already holds (keys, _v), so
+    # the deviation pass reads the materialized sort instead of the
+    # source (one full input scan removed per call site; same floats —
+    # identical rows through identical expressions).
+    ranked = group_ranked(df, keys, value)
+    med = _percentiles_from_ranked(ranked, keys, {"_med": 0.5})
     # med/mad are group-keyed — cardinality tracks the group NDV, which
     # grows with the data for data-keyed groups, so the hints are
     # size-gated (AQE picks the strategy past the threshold).
-    dev = df.join(bcast_sized(med), keys).withColumn(
-        "_absdev", F.abs(v - F.col("_med"))
+    dev = ranked.select(*keys, "_v").join(bcast_sized(med), keys).withColumn(
+        "_absdev", F.abs(F.col("_v") - F.col("_med"))
     # dev feeds both the MAD percentile pass and the final outlier
-    # census; without a barrier the scan + med-join re-runs for each
-    # consumer (r11 — one extra full input pass per call site)
+    # census; without a barrier the med-join re-runs for each consumer
     ).localCheckpoint(eager=False)
     mad = exact_group_percentiles(dev, keys, "_absdev", {"_mad": 0.5})
     j = dev.join(bcast_sized(mad), keys)
