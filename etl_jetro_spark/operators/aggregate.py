@@ -112,6 +112,7 @@ def exact_group_percentiles(
     value: str | Column,
     ps: dict[str, float],
     num_range_partitions: int | None = None,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Distributed EXACT linear-interpolation percentiles per group —
     the scale-safe replacement for Spark's ``percentile`` aggregate,
@@ -146,18 +147,24 @@ def exact_group_percentiles(
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
     ranked = group_ranked(df, keys, value, num_range_partitions)
-    return _percentiles_from_ranked(ranked, keys, ps)
+    return percentiles_from_ranked(ranked, keys, ps, n_col=n_col)
 
 
-def _percentiles_from_ranked(
-    ranked: DataFrame, keys: list[str], ps: dict[str, float]
+def percentiles_from_ranked(
+    ranked: DataFrame,
+    keys: list[str],
+    ps: dict[str, float],
+    n_col: str | None = None,
 ) -> DataFrame:
     """Pass 3 of :func:`exact_group_percentiles` — the crossing-rank
     filter + interpolation aggregate — over an EXISTING
     :func:`group_ranked` frame, so a caller that needs the rank frame
     for more than one statistic (``mad_outliers``: the median AND the
     deviation pass) pays the range sort once and derives everything
-    from it."""
+    from it. ``n_col`` names an optional BIGINT output carrying the
+    group's non-NULL row count (``_n`` rides every rank row, so the
+    count is free here — a separate count aggregate would re-execute
+    the whole input a second time, r11)."""
 
     def bounds(p: float):
         r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
@@ -172,6 +179,8 @@ def _percentiles_from_ranked(
         cond = (F.col("_rn") == lo) | (F.col("_rn") == hi)
         keep = cond if keep is None else (keep | cond)
     aggs = []
+    if n_col is not None:
+        aggs.append(F.max("_n").cast("long").alias(n_col))
     for name, p in ps.items():
         lo, hi, frac = bounds(p)
         vlo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))
@@ -270,7 +279,7 @@ def mad_outliers(
     # source (one full input scan removed per call site; same floats —
     # identical rows through identical expressions).
     ranked = group_ranked(df, keys, value)
-    med = _percentiles_from_ranked(ranked, keys, {"_med": 0.5})
+    med = percentiles_from_ranked(ranked, keys, {"_med": 0.5})
     # med/mad are group-keyed — cardinality tracks the group NDV, which
     # grows with the data for data-keyed groups, so the hints are
     # size-gated (AQE picks the strategy past the threshold).

@@ -818,6 +818,24 @@ def test_exact_group_percentiles_matches_spark_percentile(spark):
             assert abs(x - y) < 1e-9, (g, got[g], ref[g])
 
 
+def test_exact_group_percentiles_n_col_counts_non_null(spark):
+    """n_col rides the rank frame's _n: equals the per-group non-NULL
+    count (NULLs excluded, matching the percentile semantics), as a
+    BIGINT, without a second pass over the input."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [5, 1, 9, 3]]
+        + [("b", 42.0)]
+        + [("c", 1.0), ("c", None), ("c", 2.0)],
+        ["g", "v"],
+    )
+    out = exact_group_percentiles(df, ["g"], "v", {"p50": 0.5}, n_col="n")
+    got = {r["g"]: r["n"] for r in out.collect()}
+    assert got == {"a": 4, "b": 1, "c": 2}
+    assert dict(out.dtypes)["n"] == "bigint"
+
+
 def test_exact_group_percentiles_plan_has_no_percentile_buffering(spark):
     """The point of the operator: the physical plan must be SortExec +
     window rank lookup, never the ObjectHashAggregate Percentile that
