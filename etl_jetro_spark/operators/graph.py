@@ -334,12 +334,21 @@ def pagerank(
     (edges ⋈ ranks) hash join shuffling edge-sized (u, r/deg)
     contributions into a map-side-combined sum by destination — no
     adjacency list is ever collected per node, so a 10⁹-edge hub graph
-    spreads like any aggregation. Each round localCheckpoints (the
-    connected_components lineage-bound pattern) so the plan stays
-    iteration-count-deep, not exponential. Isolated nodes never appear in
-    ``edges`` by definition; callers wanting them union rank (1-β)/n +
-    β·(dangling mass)/n — with symmetric edges every listed node has
-    deg ≥ 1, so no dangling redistribution is needed.
+    spreads like any aggregation. Only ``und`` and ``deg`` carry lazy
+    localCheckpoint barriers (each appears in every round — the RDD
+    materializes once and all rounds read it); the rounds themselves
+    nest WITHOUT per-round checkpoints: the loop is fixed-count with no
+    per-round action, the plan grows linearly (each round adds one
+    join+agg over the two frozen LogicalRDDs), and a per-round
+    ``localCheckpoint`` runs a FULL Catalyst pass + ``toRdd`` at call
+    time — five escalating plan compiles during query construction,
+    ~2 s of driver time per call site for zero execution benefit
+    (r11; the unbounded-round ``connected_components`` loop is
+    different — its per-round count() action needs the barrier).
+    Isolated nodes never appear in ``edges`` by definition; callers
+    wanting them union rank (1-β)/n + β·(dangling mass)/n — with
+    symmetric edges every listed node has deg ≥ 1, so no dangling
+    redistribution is needed.
 
     Returns (id, rank) with ranks summing to ~1 over listed nodes.
     """
@@ -349,28 +358,29 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+    # deg feeds the initial ranks plus every round's left join — freeze
+    # it once so the rounds read one node-sized RDD instead of
+    # re-aggregating the edge frame per round
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=False)
+    )
     n = deg.count()
     base = (1.0 - damping) / n
-    ranks = deg.select("u", F.lit(1.0 / n).alias("_r"), "_d").localCheckpoint(
-        eager=False
-    )
+    ranks = deg.select("u", F.lit(1.0 / n).alias("_r"), "_d")
     for _ in range(iterations):
         contrib = (
             und.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum(F.col("_r") / F.col("_d")).alias("_in"))
         )
-        ranks = (
-            deg.join(contrib, "u", "left")
-            .select(
-                "u",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-                ).alias("_r"),
-                "_d",
-            )
-            .localCheckpoint(eager=False)
+        ranks = deg.join(contrib, "u", "left").select(
+            "u",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+            ).alias("_r"),
+            "_d",
         )
     return ranks.select(F.col("u").alias("id"), F.col("_r").alias("rank"))
