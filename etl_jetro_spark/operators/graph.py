@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     method: str = "min",
+    layer: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; ``component`` is the
     minimum node id reachable from it (a canonical cluster label).
@@ -43,14 +44,28 @@ def connected_components(
     ``method="star"``: alternating large-star/small-star grafting,
     O(log^2 n) rounds on any topology — right for adversarial chains.
     Both converge to identical labels; raises if ``max_iter`` rounds
-    aren't enough."""
+    aren't enough.
+
+    ``layer`` (min method only) names a column of ``edges`` that keys
+    INDEPENDENT graph layers — e.g. a dedup-threshold sweep where each
+    threshold induces its own edge set (r11). All layers propagate in
+    ONE driver loop keyed by (layer, node): total rounds = the DEEPEST
+    layer's diameter instead of the SUM over layers, and each round's
+    fixed costs (plan compile, checkpoint, convergence count) are paid
+    once. Output gains the ``layer`` column; a layer with zero edges
+    has no rows (same as an empty-edge call)."""
     if method == "star":
+        if layer is not None:
+            raise ValueError("layer sweeps are min-method only")
         return _connected_components_star(edges, src, dst, max_iter)
     if method != "min":
         raise ValueError(f"method must be 'min' or 'star', got {method!r}")
+    ly = [layer] if layer is not None else []
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(*ly, F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(*ly, F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -59,17 +74,17 @@ def connected_components(
     # comes out of the same aggregation that enumerates the nodes —
     # one join+agg round saved on every call.
     comp = (
-        und.groupBy("a")
+        und.groupBy(*ly, "a")
         .agg(F.min("b").alias("_mb"))
         .select(
-            F.col("a").alias("id"), F.least("a", "_mb").alias("comp")
+            *ly, F.col("a").alias("id"), F.least("a", "_mb").alias("comp")
         )
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
-            und.join(comp.withColumnRenamed("id", "b"), "b")
-            .groupBy("a")
+            und.join(comp.withColumnRenamed("id", "b"), [*ly, "b"])
+            .groupBy(*ly, "a")
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "id")
         )
@@ -78,8 +93,9 @@ def connected_components(
         # previous new-vs-old comparison join re-shuffled both label
         # frames every round just to detect it (r11)
         new_comp = (
-            comp.join(nbr_min, "id", "left")
+            comp.join(nbr_min, [*ly, "id"], "left")
             .select(
+                *ly,
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
@@ -91,9 +107,9 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = new_comp.filter("_chg").count()
-        comp = new_comp.select("id", "comp")
+        comp = new_comp.select(*ly, "id", "comp")
         if changed == 0:
-            return comp.select("id", F.col("comp").alias("component"))
+            return comp.select(*ly, "id", F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

@@ -361,6 +361,32 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_layered_matches_per_layer(spark):
+    """A layered CC sweep returns, per layer, exactly the labels of an
+    independent per-layer run — layers never leak into each other, and
+    the deepest layer still converges (it bounds the shared round
+    count)."""
+    per_layer = {
+        "lo": [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "hi": [(1, 2), (10, 11), (11, 12)],
+    }
+    tagged = spark.createDataFrame(
+        [(ly, a, b) for ly, es in per_layer.items() for a, b in es],
+        ["layer", "id_a", "id_b"],
+    )
+    got = {
+        (r["layer"], r["id"]): r["component"]
+        for r in O.connected_components(tagged, layer="layer").collect()
+    }
+    for ly, es in per_layer.items():
+        edges = spark.createDataFrame(es, ["id_a", "id_b"])
+        ref = {
+            (ly, r["id"]): r["component"]
+            for r in O.connected_components(edges).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == ly} == ref
+
+
 def test_dedup_keep_canonical(spark):
     """Near-dup pairs chain: A~B, B~C => one survivor (min id); isolated
     docs untouched."""
