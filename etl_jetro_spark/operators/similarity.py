@@ -122,8 +122,27 @@ def _hyperplane(bit: int, dim: int) -> float:
     return int(h[:8], 16) / float(0x7FFFFFFF) - 1.0
 
 
-def signature_bits(vec: Column, dims: int, bits: int = 16) -> Column:
-    """b-bit sign-LSH signature string ('0'/'1' chars) of a vector."""
+def signature_bits(vec: Column | str, dims: int, bits: int = 16) -> Column:
+    """b-bit sign-LSH signature string ('0'/'1' chars) of a vector.
+
+    Pass ``vec`` as a column NAME to build the whole signature as ONE
+    parsed SQL expression: the Column form issues ~bits x dims py4j
+    calls (one per hyperplane literal) during query CONSTRUCTION —
+    measured 1.3 s of driver time per call site at bits=12, dims=64 —
+    while a single ``F.expr`` string is one roundtrip (r11). The parsed
+    tree is the same CASE/aggregate/zip_with the Column form builds
+    (``repr`` doubles round-trip exactly through the SQL lexer), so
+    execution and results are identical."""
+    if isinstance(vec, str):
+        parts = []
+        for b in range(bits):
+            arr = ",".join(f"{_hyperplane(b, d)!r}D" for d in range(dims))
+            parts.append(
+                f"CASE WHEN aggregate(zip_with({vec}, array({arr}),"
+                " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0"
+                " THEN '1' ELSE '0' END"
+            )
+        return F.expr("concat(" + ", ".join(parts) + ")")
     parts = []
     for b in range(bits):
         plane = F.array(*[F.lit(_hyperplane(b, d)) for d in range(dims)])
@@ -185,7 +204,7 @@ def embedding_near_dup(
         .select(
             "_id",
             "_v",
-            signature_bits(F.col("_v"), dims, bits).alias("_sig"),
+            signature_bits("_v", dims, bits).alias("_sig"),
             norm(F.col("_v")).alias("_n"),
         )
         .localCheckpoint(eager=False)  # barrier: signatures feed keys + verify
@@ -270,9 +289,14 @@ def _sig_base(
     LSH path (bits × dims hyperplane dot products per row). Computed once
     and checkpointed by callers whose probe side derives from the corpus,
     so signatures are never evaluated per consumer."""
-    v = _vec(vec_col)
-    return df.select(
-        F.col(id_col), v.alias("_v"), signature_bits(v, dims, bits).alias("_sig")
+    # select boundary BEFORE the signature: inlined, the cast-transform
+    # re-evaluates inside every one of the ``bits`` hyperplane dots
+    # (the embedding_near_dup contract, r11); the string form builds the
+    # signature as one parsed SQL expression (see signature_bits)
+    return df.select(F.col(id_col), _vec(vec_col).alias("_v")).select(
+        F.col(id_col),
+        "_v",
+        signature_bits("_v", dims, bits).alias("_sig"),
     )
 
 
