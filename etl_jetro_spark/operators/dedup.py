@@ -181,9 +181,13 @@ def minhash_lsh_candidates(
         if shingles is not None
         else shingle_rows(df, id_col, text_col, shingle_words, distinct=False)
     )
+    # parsed-SQL form: the Column listcomp issued ~5 py4j roundtrips per
+    # hash seed at query CONSTRUCTION (~0.3 s per call site at 32
+    # hashes); one F.expr per seed / one for the array is the same
+    # parsed tree (r11)
     mins = sh.groupBy("_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_m{i}")
+            F.expr(f"min(md5(concat('{i}:', _sh))) AS _m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -194,11 +198,12 @@ def minhash_lsh_candidates(
         .join(mins, "_id", "left")
         .select(
             "_id",
-            F.array(
-                *[
-                    F.coalesce(F.col(f"_m{i}"), F.md5(F.lit(f"{i}:")))
-                    for i in range(num_hashes)
-                ]
+            F.expr(
+                "array("
+                + ",".join(
+                    f"coalesce(_m{i}, md5('{i}:'))" for i in range(num_hashes)
+                )
+                + ")"
             ).alias("_sig"),
         )
         # lineage-truncating barrier: like persist() it stops Catalyst
