@@ -418,26 +418,29 @@ def simhash_fingerprints(
     # each of the 64 bit-vote aggregates is two integer ops on a nibble
     # column — measured ~35% off the fingerprint pass vs deriving every
     # bit from its own substring+instr (64 string probes per row)
-    h = sh.select(
+    # parsed-SQL form (r11): the Column listcomps issued ~700 py4j
+    # roundtrips per call at query construction; the strings parse to
+    # the same instr/shiftright/sum trees, so execution is identical
+    h = sh.selectExpr(
         "_id",
         *[
-            (
-                F.instr(
-                    F.lit(_HEX), F.substring(F.md5("_sh"), ci + 1, 1)
-                )
-                - 1
-            ).alias(f"_n{ci}")
+            f"instr('{_HEX}', substring(md5(_sh), {ci + 1}, 1)) - 1 AS _n{ci}"
             for ci in range(16)
         ],
     )
     aggs = []
     for p in range(64):
         ci, b = p // 4, 3 - (p % 4)
-        bit = F.shiftright(F.col(f"_n{ci}"), b).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit * 2 - 1).alias(f"_b{p}"))
+        aggs.append(
+            F.expr(f"sum((shiftright(_n{ci}, {b}) & 1) * 2 - 1) AS _b{p}")
+        )
     votes = h.groupBy("_id").agg(*aggs)
-    fp = F.concat(
-        *[F.when(F.col(f"_b{p}") > 0, "1").otherwise("0") for p in range(64)]
+    fp = F.expr(
+        "concat("
+        + ",".join(
+            f"CASE WHEN _b{p} > 0 THEN '1' ELSE '0' END" for p in range(64)
+        )
+        + ")"
     )
     return (
         df.select(F.col(id_col).alias("_id"))
