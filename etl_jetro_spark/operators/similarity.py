@@ -1033,16 +1033,19 @@ def random_projection(
         h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
         return 1 if int(h[0], 16) % 2 == 0 else -1
 
-    v = F.col(vec_col)
+    # parsed-SQL form (r11): the Column listcomp issued ~3 py4j
+    # roundtrips per sign-matrix literal (out_dims x in_dims of them) at
+    # query construction; one F.expr per output dim parses to the same
+    # aggregate/zip_with fold, so execution and results are identical
     outs = []
     for j in range(out_dims):
-        signs = F.array(*[F.lit(float(sign(j, i))) for i in range(in_dims)])
+        arr = ",".join(f"{float(sign(j, i))!r}D" for i in range(in_dims))
         outs.append(
-            F.aggregate(
-                F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"p{j}")
+            F.expr(
+                f"aggregate(zip_with({vec_col}, array({arr}),"
+                " (x, s) -> cast(x as double) * s), 0.0D,"
+                f" (acc, x) -> acc + x) AS p{j}"
+            )
         )
     return df.select(F.col(id_col), *outs)
 
