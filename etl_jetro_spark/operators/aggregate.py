@@ -113,6 +113,7 @@ def exact_group_percentiles(
     ps: dict[str, float],
     num_range_partitions: int | None = None,
     n_col: str | None = None,
+    prebarrier: bool = False,
 ) -> DataFrame:
     """Distributed EXACT linear-interpolation percentiles per group —
     the scale-safe replacement for Spark's ``percentile`` aggregate,
@@ -146,7 +147,9 @@ def exact_group_percentiles(
     for name, p in ps.items():
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
-    ranked = group_ranked(df, keys, value, num_range_partitions)
+    ranked = group_ranked(
+        df, keys, value, num_range_partitions, prebarrier=prebarrier
+    )
     return percentiles_from_ranked(ranked, keys, ps, n_col=n_col)
 
 
@@ -197,6 +200,7 @@ def group_ranked(
     value: str | Column,
     num_range_partitions: int | None = None,
     tiebreak: list[str] | None = None,
+    prebarrier: bool = False,
 ) -> DataFrame:
     """The distributed per-group rank frame behind
     :func:`exact_group_percentiles` (passes 1–2 of its docstring),
@@ -207,12 +211,22 @@ def group_ranked(
     rank deterministically (and ride along in the output). No task ever
     holds a group or a group's sort — range partitioning spreads each
     group across the cluster; the per-cell offsets are metadata-sized
-    and broadcast. NULL values are excluded."""
+    and broadcast. NULL values are excluded.
+
+    ``prebarrier`` freezes the narrow (keys, _v) projection BEFORE the
+    range exchange: RangePartitioner samples its child with a FULL
+    extra execution, so a derived input (join, window, aggregation)
+    otherwise computes twice (r11 — q167's join-fed percentile measured
+    3.6 → 2.3 s with the barrier). Leave False for bare scans and
+    already-checkpointed inputs, where re-execution is a columnar
+    re-read and the extra materialization is a measured wash-to-loss."""
     from pyspark.sql import Window
 
     tb = list(tiebreak or [])
     v = F.col(value) if isinstance(value, str) else value
     d = df.filter(v.isNotNull()).select(*keys, v.alias("_v"), *tb)
+    if prebarrier:
+        d = d.localCheckpoint(eager=False)
     spark = df.sparkSession
     nparts = num_range_partitions or max(
         spark.sparkContext.defaultParallelism, 8

@@ -862,6 +862,31 @@ def test_exact_group_percentiles_n_col_counts_non_null(spark):
     assert dict(out.dtypes)["n"] == "bigint"
 
 
+def test_exact_group_percentiles_prebarrier_same_result(spark):
+    """prebarrier=True (freeze the narrow projection before the range
+    sampler's extra pass) is a pure execution hint: results identical to
+    the default path, including NULL exclusion and n_col."""
+    from etl_jetro_spark.operators.aggregate import exact_group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [5, 1, 9, 3, 7]]
+        + [("b", 42.0), ("b", None)],
+        ["g", "v"],
+    )
+    kw = dict(ps={"p50": 0.5, "p90": 0.9}, n_col="n")
+    base = {
+        r["g"]: (r["p50"], r["p90"], r["n"])
+        for r in exact_group_percentiles(df, ["g"], "v", **kw).collect()
+    }
+    fast = {
+        r["g"]: (r["p50"], r["p90"], r["n"])
+        for r in exact_group_percentiles(
+            df, ["g"], "v", prebarrier=True, **kw
+        ).collect()
+    }
+    assert base == fast
+
+
 def test_exact_group_percentiles_plan_has_no_percentile_buffering(spark):
     """The point of the operator: the physical plan must be SortExec +
     window rank lookup, never the ObjectHashAggregate Percentile that
