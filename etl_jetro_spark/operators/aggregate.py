@@ -168,6 +168,8 @@ def percentiles_from_ranked(
     group's non-NULL row count (``_n`` rides every rank row, so the
     count is free here — a separate count aggregate would re-execute
     the whole input a second time, r11)."""
+    if not ps:
+        raise ValueError("ps must be non-empty")
 
     def bounds(p: float):
         r = F.lit(1.0) + (F.col("_n") - F.lit(1)).cast("double") * F.lit(p)
@@ -183,7 +185,12 @@ def percentiles_from_ranked(
         keep = cond if keep is None else (keep | cond)
     aggs = []
     if n_col is not None:
-        aggs.append(F.max("_n").cast("long").alias(n_col))
+        # coalesce: a GLOBAL (keys=[]) aggregate over an empty rank frame
+        # still returns one row, and its count must read 0 — the
+        # reference engines' count(*) — not NULL (ADVICE r11, q223)
+        aggs.append(
+            F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(n_col)
+        )
     for name, p in ps.items():
         lo, hi, frac = bounds(p)
         vlo = F.max(F.when(F.col("_rn") == lo, F.col("_v")))

@@ -385,7 +385,7 @@ def pagerank(
     n = deg.count()
     base = (1.0 - damping) / n
     ranks = deg.select("u", F.lit(1.0 / n).alias("_r"), "_d")
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             und.join(ranks, "u")
             .groupBy(F.col("v").alias("u"))
@@ -399,4 +399,13 @@ def pagerank(
             ).alias("_r"),
             "_d",
         )
+        # lineage cap (ADVICE r11): the no-barrier form was validated for
+        # the default handful of rounds, where the linearly-growing plan
+        # is cheap; a caller asking for many rounds would otherwise pay
+        # superlinear Catalyst analysis on the final action. One lazy
+        # barrier every 10 rounds bounds plan depth without re-adding the
+        # per-round compile cost the r11 change removed (no barrier ever
+        # fires at the default iterations=5).
+        if (i + 1) % 10 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("u").alias("id"), F.col("_r").alias("rank"))

@@ -113,6 +113,13 @@ def knn_join(
 
 # --- approximate path ----------------------------------------------------
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for interpolation into generated SQL
+    (``F.expr`` builders): identifiers with spaces, dots or reserved
+    words parse the same way ``F.col(name)`` resolves them (ADVICE r11)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _hyperplane(bit: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1), derived
     from md5 — reproducible across engines and runs, no RNG state."""
@@ -134,11 +141,12 @@ def signature_bits(vec: Column | str, dims: int, bits: int = 16) -> Column:
     (``repr`` doubles round-trip exactly through the SQL lexer), so
     execution and results are identical."""
     if isinstance(vec, str):
+        vq = _bq(vec)
         parts = []
         for b in range(bits):
             arr = ",".join(f"{_hyperplane(b, d)!r}D" for d in range(dims))
             parts.append(
-                f"CASE WHEN aggregate(zip_with({vec}, array({arr}),"
+                f"CASE WHEN aggregate(zip_with({vq}, array({arr}),"
                 " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0"
                 " THEN '1' ELSE '0' END"
             )
@@ -1038,11 +1046,12 @@ def random_projection(
     # query construction; one F.expr per output dim parses to the same
     # aggregate/zip_with fold, so execution and results are identical
     outs = []
+    vq = _bq(vec_col)
     for j in range(out_dims):
         arr = ",".join(f"{float(sign(j, i))!r}D" for i in range(in_dims))
         outs.append(
             F.expr(
-                f"aggregate(zip_with({vec_col}, array({arr}),"
+                f"aggregate(zip_with({vq}, array({arr}),"
                 " (x, s) -> cast(x as double) * s), 0.0D,"
                 f" (acc, x) -> acc + x) AS p{j}"
             )

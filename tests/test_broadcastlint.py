@@ -192,3 +192,51 @@ def test_pragma_outside_allowlist_is_flagged(tmp_path, monkeypatch):
     # the two real sites (nparts-bounded, allowlisted) stay clean
     monkeypatch.chdir("/root/repo")
     assert bl.operator_violations() == []
+
+
+def test_sized_gate_decision_analyzed_matches_optimized(spark):
+    """r11 switched ``bcast_sized``'s size probe from a full
+    ``optimizedPlan()`` pass to the analyzed plan's stats (d740546).
+    Without pushdown/pruning the analyzed estimate can only be >= the
+    optimized one, so a borderline frame could silently lose its hint.
+    Round-11 verdict ask #7: assert both estimators reach the SAME gate
+    decision on every current ``bcast_sized`` call site's frame (source
+    inspection narrows the sweep to queries that actually use the
+    helper; construction only, nothing executes beyond fixture
+    checkpoints)."""
+    import inspect
+
+    from broadcastlint import hinted_frames
+
+    from etl_jetro_spark.plans.hints import _auto_broadcast_threshold
+    from etl_jetro_spark.plans.queries import QUERIES
+
+    thr = _auto_broadcast_threshold(spark)
+    assert thr > 0
+    mismatches: list[str] = []
+    n_sized = 0
+    n_fired = 0
+    for name, fn in QUERIES.items():
+        try:
+            if "bcast_sized" not in inspect.getsource(fn):
+                continue
+        except OSError:
+            pass
+        for kind, df in hinted_frames(spark, fn, "/root/testdata/sf0.01"):
+            if kind != "sized":
+                continue
+            n_sized += 1
+            qe = df._jdf.queryExecution()
+            est_a = int(qe.analyzed().stats().sizeInBytes())
+            est_o = int(qe.optimizedPlan().stats().sizeInBytes())
+            if (est_a <= thr) != (est_o <= thr):
+                mismatches.append(
+                    f"{name}: analyzed={est_a} optimized={est_o} thr={thr}"
+                )
+            if est_a <= thr:
+                n_fired += 1
+    assert n_sized > 0, "no bcast_sized call sites found by the sweep"
+    assert not mismatches, f"gate decisions diverge: {mismatches}"
+    # every current call site is broadcast-worthy at test SFs — the gate
+    # actually fires (it self-disabling everywhere would also "agree")
+    assert n_fired == n_sized
