@@ -50,7 +50,12 @@ def word_rows(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     lowercase, non-alnum stripped, whitespace collapsed, empty tokens
     dropped (the engine's canonical tokenization, identical to the
     oracle-side ``string_split`` of the same normalization). Explode is
-    partition-local: zero shuffle until the caller aggregates."""
+    partition-local: zero shuffle until the caller aggregates.
+    (r12 measured loser: a ``spread`` here — repartitioning the raw
+    text to unlock cores on the single-file scan — read q377 1.75→1.93,
+    q378 1.37→1.41, q379 2.88→3.51 tbench min-of-3; the split+explode
+    is cheap codegen and the repartition of the full text costs more
+    than the parallelism buys at sf0.1.)"""
     return df.select(
         *keep, F.explode(F.split(norm_text(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")

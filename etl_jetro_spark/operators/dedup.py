@@ -88,6 +88,44 @@ def shingle_rows(
     return sh
 
 
+def char_gram_rows(
+    df: DataFrame, keep_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """Exploded (keep_cols..., _g) character n-gram OCCURRENCE rows of the
+    normalized text — the char mirror of :func:`shingle_rows`, generated
+    PARTITION-LOCALLY in whole-stage codegen: explode the POSITION
+    sequence, then one plain ``substring(_t, _i, n)`` per emitted row.
+    The array form (``char_shingles_normed`` + explode) walks an
+    interpreted HOF lambda (``transform`` is CodegenFallback) and
+    allocates the full gram-string array per document before the
+    Generate; here the only per-document allocation is an int sequence
+    and each gram string is built once, inside the same codegen stage
+    that consumes it (r12; the word path measured 7× for the same swap).
+    Gram multisets are identical. ``spread`` unlocks the cores on
+    single-file inputs (this stage is the corpus-wide hot loop)."""
+    from etl_jetro_spark.functions.hashing import norm_text
+
+    base = spread(df).select(
+        *keep_cols, norm_text(text_col).alias("_t")
+    )
+    # short/NULL-text guard INSIDE the generator (not a Filter): a pushed
+    # filter on length(_t) would re-evaluate the two-regex normalization
+    # at the scan. NB: F.sequence(1, 0) yields a DESCENDING [1, 0], not
+    # [] — the empty-array branch is load-bearing (same guard as
+    # char_shingles_normed).
+    pos = F.when(
+        F.length("_t") >= n,
+        F.sequence(F.lit(1), F.length("_t") - (n - 1)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return base.select(
+        *keep_cols,
+        "_t",
+        F.explode(pos).alias("_i"),
+    ).select(
+        *keep_cols, F.expr(f"substring(_t, _i, {int(n)})").alias("_g")
+    )
+
+
 def capped_index(
     index: DataFrame, key_col: str, max_doc_freq: int
 ) -> DataFrame:

@@ -35,6 +35,7 @@ def connected_components(
     max_iter: int = 50,
     method: str = "min",
     layer: str | None = None,
+    pre_barrier: bool = False,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; ``component`` is the
     minimum node id reachable from it (a canonical cluster label).
@@ -53,14 +54,26 @@ def connected_components(
     layer's diameter instead of the SUM over layers, and each round's
     fixed costs (plan compile, checkpoint, convergence count) are paid
     once. Output gains the ``layer`` column; a layer with zero edges
-    has no rows (same as an empty-edge call)."""
+    has no rows (same as an empty-edge call).
+
+    ``pre_barrier`` freezes the NARROW (layer, src, dst) projection of
+    ``edges`` before the symmetrization union references it twice
+    (r12, ADVICE r11): a DERIVED edge frame (LSH candidate generation,
+    a similarity self-join) otherwise re-executes its post-checkpoint
+    tail once per union branch when ``und`` materializes. Leave False
+    for cheap edge frames (bare scans/filters), where the extra
+    materialization is overhead."""
+    ly = [layer] if layer is not None else []
+    if pre_barrier:
+        edges = edges.select(
+            *ly, F.col(src), F.col(dst)
+        ).localCheckpoint(eager=False)
     if method == "star":
         if layer is not None:
             raise ValueError("layer sweeps are min-method only")
         return _connected_components_star(edges, src, dst, max_iter)
     if method != "min":
         raise ValueError(f"method must be 'min' or 'star', got {method!r}")
-    ly = [layer] if layer is not None else []
     und = (
         edges.select(*ly, F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(

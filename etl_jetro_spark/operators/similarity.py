@@ -1147,7 +1147,9 @@ def semantic_dedup(
         .filter(F.col("_s") >= threshold)
         .select("id_a", "id_b")
     )
-    comp = connected_components(edges)
+    # pre_barrier: the cluster-local pair join + dot re-executes once per
+    # symmetrization branch of the CC union without it (r12)
+    comp = connected_components(edges, pre_barrier=True)
     out = corpus.select(F.col(id_col)).join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     )

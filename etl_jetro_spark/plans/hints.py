@@ -69,19 +69,26 @@ def bcast_sized(df: DataFrame) -> DataFrame:
     with the business — the hint self-disables at the size where it
     would start to hurt, restoring AQE's size-based join selection.
 
-    The estimate reads the ALREADY-ANALYZED plan's stats (r11): the
-    previous ``optimizedPlan()`` probe ran a full Catalyst optimizer
-    pass per call at query-CONSTRUCTION time — work the final query's
-    own optimization then redid from scratch, pure driver overhead
-    (measured ~60–200 ms per call across 40+ call sites). Without CBO
-    both plans use the same size-only stats visitor (file-size-based
-    for scans, row-width-scaled for projects), so the gate decision is
-    unchanged for the dim-scan frames this helper wraps."""
+    TWO-TIER estimate (r12): the cheap ALREADY-ANALYZED plan's stats
+    decide first (r11 — the previous unconditional ``optimizedPlan()``
+    probe ran a full Catalyst pass per call at query-CONSTRUCTION time,
+    ~60–200 ms × 40+ call sites of pure driver overhead; for bare dim
+    scans both estimators coincide, so the fast path keeps that win).
+    Only when the analyzed estimate exceeds the threshold does the gate
+    fall back to the optimized plan's stats: a frame derived from a
+    ``localCheckpoint`` barrier analyzes over a LogicalRDD leaf whose
+    size defaults to garbage (q283's group-median frames read 443 GB
+    analyzed vs 749 KB optimized at sf0.1 — round-11 verdict item #3:
+    those call sites had silently lost their hint), and the optimizer
+    pass is then worth paying to restore the intended decision."""
     if _LINT_REGISTRY is not None:
         _LINT_REGISTRY.append(("sized", df))
     spark = df.sparkSession
     threshold = _auto_broadcast_threshold(spark)
     if threshold < 0:
         return df
-    est = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    qe = df._jdf.queryExecution()
+    est = int(qe.analyzed().stats().sizeInBytes())
+    if est > threshold:
+        est = int(qe.optimizedPlan().stats().sizeInBytes())
     return F.broadcast(df) if est <= threshold else df

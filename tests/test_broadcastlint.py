@@ -15,6 +15,8 @@ exempt by construction: their hint turns itself off past
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 sys.path.insert(0, "/root/repo/tools")
@@ -31,6 +33,7 @@ def test_no_raw_broadcast_in_catalog_source():
     assert source_violations() == []
 
 
+@pytest.mark.slow
 def test_whole_catalog_small_hints_do_not_grow(spark):
     from etl_jetro_spark.plans.queries import QUERIES
 
@@ -194,16 +197,19 @@ def test_pragma_outside_allowlist_is_flagged(tmp_path, monkeypatch):
     assert bl.operator_violations() == []
 
 
-def test_sized_gate_decision_analyzed_matches_optimized(spark):
-    """r11 switched ``bcast_sized``'s size probe from a full
-    ``optimizedPlan()`` pass to the analyzed plan's stats (d740546).
-    Without pushdown/pruning the analyzed estimate can only be >= the
-    optimized one, so a borderline frame could silently lose its hint.
-    Round-11 verdict ask #7: assert both estimators reach the SAME gate
-    decision on every current ``bcast_sized`` call site's frame (source
-    inspection narrows the sweep to queries that actually use the
-    helper; construction only, nothing executes beyond fixture
-    checkpoints)."""
+@pytest.mark.slow
+def test_sized_gate_fires_on_every_call_site(spark):
+    """Round-11 verdict ask #7: the r11 analyzed-stats probe silently
+    lost the hint on checkpoint-derived frames (a LogicalRDD leaf
+    analyzes to a garbage size — q283's group-median frames read 443 GB
+    analyzed vs 749 KB optimized at sf0.1). The r12 two-tier gate
+    (cheap analyzed probe first, optimized-plan stats only when the
+    cheap probe says too big) must reach the OPTIMIZED-plan decision on
+    every current ``bcast_sized`` call site, and every current call
+    site is broadcast-worthy at test SFs — the gate actually fires.
+    (The helper itself ran inside ``hinted_frames``; this re-derives
+    its decision from the same inputs. Source inspection narrows the
+    sweep to queries that use the helper; construction only.)"""
     import inspect
 
     from broadcastlint import hinted_frames
@@ -213,9 +219,8 @@ def test_sized_gate_decision_analyzed_matches_optimized(spark):
 
     thr = _auto_broadcast_threshold(spark)
     assert thr > 0
-    mismatches: list[str] = []
+    not_fired: list[str] = []
     n_sized = 0
-    n_fired = 0
     for name, fn in QUERIES.items():
         try:
             if "bcast_sized" not in inspect.getsource(fn):
@@ -227,16 +232,10 @@ def test_sized_gate_decision_analyzed_matches_optimized(spark):
                 continue
             n_sized += 1
             qe = df._jdf.queryExecution()
-            est_a = int(qe.analyzed().stats().sizeInBytes())
-            est_o = int(qe.optimizedPlan().stats().sizeInBytes())
-            if (est_a <= thr) != (est_o <= thr):
-                mismatches.append(
-                    f"{name}: analyzed={est_a} optimized={est_o} thr={thr}"
-                )
-            if est_a <= thr:
-                n_fired += 1
+            est = int(qe.analyzed().stats().sizeInBytes())
+            if est > thr:
+                est = int(qe.optimizedPlan().stats().sizeInBytes())
+            if est > thr:
+                not_fired.append(f"{name}: two-tier est={est} thr={thr}")
     assert n_sized > 0, "no bcast_sized call sites found by the sweep"
-    assert not mismatches, f"gate decisions diverge: {mismatches}"
-    # every current call site is broadcast-worthy at test SFs — the gate
-    # actually fires (it self-disabling everywhere would also "agree")
-    assert n_fired == n_sized
+    assert not not_fired, f"gate self-disabled at test SF: {not_fired}"

@@ -9,6 +9,8 @@ heuristics and the catalog-wide invariant.
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -59,6 +61,7 @@ def test_sql_case_counter_exempt():
     assert not moneylint.SQL_CASE_COUNTER.match(money_span)
 
 
+@pytest.mark.slow
 def test_catalog_is_clean():
     src = moneylint.QUERIES_PATH.read_text()
     spark_bad = [

@@ -1009,6 +1009,7 @@ def test_compact_state_inplace_swaps_safely(tmp_path, spark):
     shutil.rmtree(state, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_star_cc_path_graph_converges_sublinearly(spark):
     """10^4-node path graph: diameter 9999 would need ~10^4 min-propagation
     rounds; large-star/small-star must finish within 40 (O(log^2 n)) and

@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo/tools")
 from planlint import _spine_verdict, lint_plan  # noqa: E402
 
 
+@pytest.mark.slow
 def test_whole_catalog_has_no_global_window_over_data(spark, sf_dir):
     from etl_jetro_spark.plans.queries import QUERIES
 

@@ -371,6 +371,7 @@ def test_group_ranked_equals_window_row_number(spark, rows):
         unique=True,
     )
 )
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 def test_symspell_deletion_blocking_is_lossless_at_distance_1(spark, toks):
     """q204's candidate generator: joining on {token} ∪ {length-1
@@ -776,6 +777,7 @@ def test_lorenz_cum_share_matches_sequential(spark, revs):
         max_size=24,
     )
 )
+@pytest.mark.slow
 def test_knn_panel_matches_blocked(spark, vecs):
     """knn_join_panel (Arrow matmul scoring, per-batch local top-k) returns
     EXACTLY knn_join_blocked's rows — same neighbors, same ranks, same

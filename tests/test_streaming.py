@@ -60,6 +60,7 @@ def test_po_watch_timeout_to_error(spark, tmp_path):
     assert os.path.exists(dest / "79906-114-7001.pdf")
 
 
+@pytest.mark.slow
 def test_po_watch_end_to_end(spark, tmp_path):
     """Drop PDFs into a watch dir; matched arrivals go done and move to
     dest; unmatched files stay put (stream-static semi join)."""
@@ -196,6 +197,7 @@ def test_hard_crash_mid_copy_never_exposes_partial_dest(tmp_path, monkeypatch):
     assert os.listdir(dest_dir) == [src.name]  # stale .partial replaced/gone
 
 
+@pytest.mark.slow
 def test_po_watch_move_failure_reports_error_row(spark, tmp_path, monkeypatch):
     """E2E failure injection: the PDF arrives and matches, but every move
     attempt fails — the status row for that PO must say ERROR (not done),
@@ -1014,6 +1016,7 @@ spark.stop()
     assert "TWS_TIMER_OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_transform_with_state_timer_reregister_live(tmp_path):
     """Timer RE-REGISTRATION executed LIVE — the same keys appear in two
     consecutive micro-batches within delay_ms, so the second batch finds
