@@ -144,11 +144,12 @@ def test_bcast_sized_gate_on_post_shuffle_frame(spark, sf_dir):
     """Round-6 verdict ask #8: pin the gate's behavior on a POST-SHUFFLE
     frame, where Catalyst's sizeInBytes is a propagated estimate with no
     CBO stats — the case most exposed to Spark-version drift. The
-    invariant pinned: hint applied iff the gate's own estimate (the
-    ANALYZED plan's sizeInBytes since r11 — same size-only stats
-    visitor as the optimized plan, read without paying a second full
-    Catalyst optimizer pass per construction-time probe) fits the
-    threshold, for both an over-threshold and an under-threshold
+    invariant pinned (r12 TWO-TIER gate): hint applied iff the
+    OPTIMIZED plan's sizeInBytes fits the threshold — the cheap
+    analyzed-plan probe decides the common under-threshold case without
+    a Catalyst pass, and the optimized-plan stats (pruned, so <= the
+    analyzed estimate) arbitrate whenever the cheap probe says too
+    big — for both an over-threshold and an under-threshold
     configuration."""
     from etl_jetro_spark.plans.hints import bcast_sized
 
@@ -157,7 +158,7 @@ def test_bcast_sized_gate_on_post_shuffle_frame(spark, sf_dir):
         .groupBy("o_custkey")
         .count()
     )
-    est = int(agg._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    est = int(agg._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     assert est > 0
 
     def hinted(df) -> bool:
